@@ -1,0 +1,117 @@
+"""Text preparation: the reference's map-side token pipeline, DataFrame-native.
+
+Reference semantics (``/root/reference/src/InvertedIndexer.java``):
+
+* lowercase the whole line (``:107``),
+* replace each of 33 single-char punctuation regexes with a space
+  (``:108-110``; patterns from ``skip/punctuation.txt`` — each pattern is
+  one escaped ASCII char, so one character class is exactly equivalent to
+  33 sequential ``replaceAll`` passes),
+* ``StringTokenizer`` split — delimiters exactly ``" \\t\\n\\r\\f"``
+  (``:111-113``),
+* drop tokens with length < 3 (``:116-118``),
+* drop tokens matching ``^[-\\+]?[\\d]*$`` (``:120-122``; Java ``\\d`` is
+  ASCII-only by default, hence ``[0-9]`` here — do NOT use Spark's ``\\d``
+  which could be affected by regex dialect differences),
+* drop tokens present verbatim in the stop-word file (``:124-126``).
+
+Everything here is a built-in column expression — stays inside
+whole-stage codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The 32 distinct chars from skip/punctuation.txt (apostrophe listed twice
+# there). '-' placed last so the class needs no range-escape gymnastics.
+PUNCT_CHAR_CLASS = '[`~!@#$%^&*()_+=\\[\\]{}\\\\|;\':",./<>?-]'
+
+# StringTokenizer's exact default delimiter set (" \t\n\r\f") — NOT \s,
+# which also matches \x0B and unicode spaces.
+TOKEN_DELIM_CLASS = "[ \\t\\n\\r\\f]+"
+
+NUMERIC_TOKEN_REGEX = "^[-+]?[0-9]*$"
+
+DEFAULT_MIN_TOKEN_LEN = 3
+
+
+def lowercase(col: Column | str) -> Column:
+    """Op `lowercase` (SURVEY §2A #4; ref :107)."""
+    return F.lower(F.col(col) if isinstance(col, str) else col)
+
+
+def strip_punct(col: Column | str, replacement: str = " ") -> Column:
+    """Op `strip_punct` (SURVEY §2A #5; ref :108-110).
+
+    One regexp_replace over a character class == the reference's 33
+    independent single-char passes (chars are independent, replacement has
+    no punctuation), but a single codegen'd pass instead of 33.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, PUNCT_CHAR_CLASS, replacement)
+
+
+def tokenize(df: DataFrame, col: str = "line", out: str = "word") -> DataFrame:
+    """Op `tokenize` (SURVEY §2A #6; ref :111-113).
+
+    explode(split(...)) emits empty strings where StringTokenizer emits
+    nothing (leading/trailing/repeated delimiters) — filter them out.
+    """
+    return df.withColumn(out, F.explode(F.split(F.col(col), TOKEN_DELIM_CLASS))).where(
+        F.col(out) != ""
+    )
+
+
+def filter_len(col: Column | str, min_len: int = DEFAULT_MIN_TOKEN_LEN) -> Column:
+    """Op `filter_len` predicate (SURVEY §2A #7; ref :116-118): keep len >= 3."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) >= min_len
+
+
+def filter_numeric(col: Column | str) -> Column:
+    """Op `filter_numeric` predicate (SURVEY §2A #8; ref :120-122): keep non-numeric."""
+    c = F.col(col) if isinstance(col, str) else col
+    return ~c.rlike(NUMERIC_TOKEN_REGEX)
+
+
+def filter_stopwords(
+    df: DataFrame, stopwords: DataFrame | list[str], col: str = "word"
+) -> DataFrame:
+    """Op `filter_stopwords` (SURVEY §2A #9; ref :124-126).
+
+    Exact post-lowercase match against the stop list. With a DataFrame
+    argument this is a broadcast hash ANTI join (Spark broadcasts the tiny
+    side automatically); with a list it is an ``isin`` literal — both stay
+    JVM-side. The anti-join form is the scale path: the stop list ships
+    once per executor, not once per task like DistributedCache.
+    """
+    if isinstance(stopwords, DataFrame):
+        sw = stopwords
+        if sw.columns != [col]:
+            sw = sw.toDF(col)
+        return df.join(F.broadcast(sw), on=col, how="left_anti")
+    return df.where(~F.col(col).isin(stopwords))
+
+
+def prepare_tokens(
+    df: DataFrame,
+    text_col: str = "line",
+    stopwords: DataFrame | list[str] | None = None,
+    min_len: int = DEFAULT_MIN_TOKEN_LEN,
+    out: str = "word",
+) -> DataFrame:
+    """Full map-side pipeline: lowercase → strip punct → tokenize → 3 filters.
+
+    Filter order (len → numeric → stopword) preserved from ref :116-126;
+    order is semantically irrelevant (pure predicates) but kept for
+    auditability. Returns the input rows exploded to one row per accepted
+    token in column ``out``; all other input columns are preserved.
+    """
+    cleaned = df.withColumn(text_col, strip_punct(lowercase(text_col)))
+    toks = tokenize(cleaned, col=text_col, out=out).drop(text_col)
+    toks = toks.where(filter_len(out, min_len)).where(filter_numeric(out))
+    if stopwords is not None:
+        toks = filter_stopwords(toks, stopwords, col=out)
+    return toks

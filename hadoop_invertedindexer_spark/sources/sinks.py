@@ -1,0 +1,38 @@
+"""Sinks.
+
+Reference: ``TextOutputFormat`` with a NullWritable value writes key-only
+lines to a single ``part-r-00000`` (single reduce task is the Hadoop
+default; ``/root/reference/src/InvertedIndexer.java:260`` + golden
+artifact ``output/part-r-00000``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def sink_text(df: DataFrame, path: str, single_file: bool = False, line_col: str | None = None) -> None:
+    """Op `sink_text` (SURVEY §2A #18).
+
+    ``single_file=True`` reproduces the reference's one-sorted-file layout
+    via ``coalesce(1)`` — a compat flag for golden parity only. At scale
+    the engine writes one file per partition (the default): a global sort
+    with range partitioning already yields globally ordered part files,
+    so readers that need total order concatenate in partition order.
+    """
+    if line_col is not None:
+        df = df.select(line_col)
+    if len(df.columns) != 1:
+        raise ValueError(f"text sink needs exactly one column, got {df.columns}")
+    if single_file:
+        df = df.coalesce(1)
+    df.write.mode("overwrite").text(path)
+
+
+def sink_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Engine-native columnar sink; ``partition_by`` enables partition
+    pruning for downstream readers."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
