@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hadoop_invertedindexer_spark.operators import relational  # noqa: E402
 from hadoop_invertedindexer_spark.plans import contract  # noqa: E402
+from hadoop_invertedindexer_spark.plans import contract_streaming  # noqa: E402
 from hadoop_invertedindexer_spark.plans.flagship import (  # noqa: E402
     inverted_index_over_documents,
 )
@@ -35,6 +37,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(contract.REFERENCE_QUERIES)
+    out.update(relational.RELATIONAL_QUERIES)
+    out.update(contract_streaming.STREAMING_QUERIES)
     return out
 
 
@@ -43,4 +47,6 @@ def oracle_sql() -> dict[str, str]:
     the driver's weaker rows-only check)."""
     out: dict[str, str] = {}
     out.update(contract.REFERENCE_ORACLE_SQL)
+    out.update(relational.RELATIONAL_ORACLE_SQL)
+    out.update(contract_streaming.STREAMING_ORACLE_SQL)
     return out

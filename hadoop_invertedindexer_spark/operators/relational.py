@@ -1,0 +1,471 @@
+"""EXT relational surface (SURVEY §2B): the join/agg/window/set-op/scalar-fn
+coverage the reference lacks, expressed purely with Catalyst built-ins over
+the driver's TPC-H-ish tables.
+
+Scale notes baked into each query:
+
+* Dim joins (region/nation/customer/supplier) are broadcast — explicit
+  ``F.broadcast`` for the provably-tiny sides; the big fact side never
+  shuffles for the join. At 100 TB the fact table streams through
+  map-side hash joins.
+* Aggregations rely on Catalyst's partial+final HashAggregate; no
+  ``collect`` anywhere.
+* Floating-point aggregates are rounded at the query edge (sum order
+  differs across engines); money flows use 2 decimals, ratios 6.
+* Top-k always carries a deterministic tiebreak key so LIMIT is stable
+  across engines and across reruns at any parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_invertedindexer_spark.sources.tables import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------------------------ joins
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-hash join chain fact→dims: revenue per region.
+
+    lineitem⋈orders is the only shuffle-worthy join (both large at scale;
+    here AQE picks broadcast); customer/nation/region are broadcast dims.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers that have at least one order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders (same shape as the stop-word
+    filter, op #9 — the general form)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, revenue by nation where the supplying
+    and ordering nations coincide."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(n, F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ------------------------------------------------------------ aggregation
+
+
+def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: wide aggregate over lineitem — partial+final HashAggregate,
+    pushdown-friendly date filter at the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_group_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct aggregate: unique ordering customers per priority."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (orderstatus, orderpriority)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (ranking window + filter)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer over time (explicit ROWS frame)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta vs previous order per customer (lag)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 2
+        ).alias("delta_prev"),
+    )
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 parts by revenue — deterministic tiebreak on key.
+
+    At scale this is TakeOrderedAndProject: per-partition top-k then a
+    k-row merge on the driver — no global sort materialization.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("p_partkey")).limit(10)
+
+
+# ----------------------------------------------------------------- set ops
+
+
+def _segment_keys(spark: SparkSession, sf_dir: str, segment: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.where(F.col("c_mktsegment") == segment).select("c_custkey")
+
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two customer segments."""
+    a = _segment_keys(spark, sf_dir, "BUILDING")
+    b = _segment_keys(spark, sf_dir, "AUTOMOBILE")
+    return a.union(b).distinct()
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers in a segment that also placed orders."""
+    a = _segment_keys(spark, sf_dir, "BUILDING")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return a.intersect(o)
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: segment customers minus those with any order."""
+    a = _segment_keys(spark, sf_dir, "BUILDING")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return a.exceptAll(o.distinct())
+
+
+# --------------------------------------------------- scalar fn coverage
+
+
+def q_date_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-level date math over orders."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day extraction."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from events.props."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String fn coverage beyond the reference's lower/regex/split."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+    )
+
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math fn coverage."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.ln(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+        F.ceil("l_quantity").cast("bigint").alias("ceil_qty"),
+        F.floor(F.col("l_discount")).cast("bigint").alias("floor_disc"),
+        F.abs(F.col("l_tax") - 0.05).alias("abs_tax_dev"),
+    )
+
+
+RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "join_broadcast": q_join_broadcast,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+    "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+    "group_distinct": q_group_distinct,
+    "cube_agg": q_cube_agg,
+    "rollup_agg": q_rollup_agg,
+    "percentiles": q_percentiles,
+    "window_rank": q_window_rank,
+    "window_running_sum": q_window_running_sum,
+    "window_lag": q_window_lag,
+    "topk": q_topk,
+    "set_union": q_set_union,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "date_trunc_agg": q_date_trunc_agg,
+    "date_parts": q_date_parts,
+    "json_extract": q_json_extract,
+    "string_funcs": q_string_funcs,
+    "math_funcs": q_math_funcs,
+}
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+RELATIONAL_ORACLE_SQL: dict[str, str] = {
+    "join_broadcast": f"""
+        SELECT r_name, round(sum({_REV}), 2) AS revenue, count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name""",
+    "semi_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "anti_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "tpch_q5_local_supplier": f"""
+        SELECT n_name, round(sum({_REV}), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY n_name""",
+    "tpch_q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                      AS sum_qty,
+               round(sum(l_extendedprice), 2)                 AS sum_base_price,
+               round(sum({_REV}), 2)                          AS sum_disc_price,
+               round(sum({_REV} * (1 + l_tax)), 2)            AS sum_charge,
+               round(avg(l_quantity), 6)                      AS avg_qty,
+               round(avg(l_extendedprice), 6)                 AS avg_price,
+               round(avg(l_discount), 6)                      AS avg_disc,
+               count(*)                                       AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""",
+    "group_distinct": """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority""",
+    "cube_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "rollup_agg": """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+        FROM lineitem GROUP BY l_returnflag""",
+    "window_rank": """
+        SELECT o_custkey, o_orderkey, rn FROM (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rn
+            FROM orders) t
+        WHERE rn <= 3""",
+    "window_running_sum": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_total
+        FROM orders""",
+    "window_lag": """
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice - lag(o_totalprice, 1) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+                   AS delta_prev
+        FROM orders""",
+    "topk": f"""
+        SELECT p_partkey, p_name, revenue FROM (
+            SELECT p_partkey, p_name, round(sum({_REV}), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_partkey, p_name) t
+        ORDER BY revenue DESC, p_partkey LIMIT 10""",
+    "set_union": """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'""",
+    "set_intersect": """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders""",
+    "set_except": """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT ALL
+        SELECT DISTINCT o_custkey FROM orders""",
+    "date_trunc_agg": """
+        SELECT date_trunc('month', o_orderdate) AS month,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY 1""",
+    "date_parts": """
+        SELECT o_orderkey,
+               year(o_orderdate)::BIGINT AS y,
+               month(o_orderdate)::BIGINT AS m,
+               day(o_orderdate)::BIGINT AS d
+        FROM orders""",
+    "json_extract": """
+        SELECT event_type,
+               sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+               max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k,
+               count(*) AS n
+        FROM events GROUP BY event_type""",
+    "string_funcs": """
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               substring(p_name, 1, 5) AS name_pfx,
+               length(p_name)::BIGINT AS name_len,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel
+        FROM part""",
+    "math_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               round(sqrt(l_extendedprice), 6) AS sqrt_price,
+               round(ln(l_extendedprice + 1), 6) AS ln_price,
+               ceil(l_quantity)::BIGINT AS ceil_qty,
+               floor(l_discount)::BIGINT AS floor_disc,
+               abs(l_tax - 0.05) AS abs_tax_dev
+        FROM lineitem""",
+}

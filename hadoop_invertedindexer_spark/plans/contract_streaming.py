@@ -1,0 +1,97 @@
+"""Contract queries for the streaming surface (batch/streaming twins).
+
+The batch twins are oracle-checked against DuckDB (``time_bucket`` for
+tumbling, a two-bucket union for sliding, gaps-and-islands for sessions).
+The structured-streaming run processes the same static parquet in one
+availableNow trigger, so its result must equal the batch twin — it reuses
+the tumbling oracle, giving the streaming path a full value check instead
+of the weaker rows-only one.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_invertedindexer_spark.sources.tables import read_table
+from hadoop_invertedindexer_spark.streaming.events import (
+    run_streaming_tumbling,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_agg(read_table(spark, sf_dir, "events"))
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_agg(read_table(spark, sf_dir, "events"))
+
+
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_agg(read_table(spark, sf_dir, "events"))
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ckpt = tempfile.mkdtemp(prefix="hii_stream_ckpt_")
+    return run_streaming_tumbling(spark, sf_dir, ckpt)
+
+
+STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "events_tumbling": q_events_tumbling,
+    "events_sliding": q_events_sliding,
+    "events_session": q_events_session,
+    "stream_tumbling": q_stream_tumbling,
+}
+
+_TUMBLING_SQL = """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS we,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2, 3"""
+
+# Sliding 1h/30m: every event belongs to exactly 2 windows — the one
+# starting at its 30-min bucket and the one 30 min earlier.
+_SLIDING_SQL = """
+    SELECT ws, ws + INTERVAL '1 hour' AS we, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                   - k.k * INTERVAL '30 minutes' AS ws,
+               event_type, value
+        FROM events, (SELECT unnest([0, 1]) AS k) k
+    ) t
+    GROUP BY 1, 2, 3"""
+
+# Sessions: new session when the gap from the previous event is >= 30 min
+# (Spark session windows are half-open [start, last + gap)).
+_SESSION_SQL = """
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, session_id"""
+
+STREAMING_ORACLE_SQL: dict[str, str] = {
+    "events_tumbling": _TUMBLING_SQL,
+    "events_sliding": _SLIDING_SQL,
+    "events_session": _SESSION_SQL,
+    # the streaming twin must reproduce the batch tumbling result exactly
+    "stream_tumbling": _TUMBLING_SQL,
+}

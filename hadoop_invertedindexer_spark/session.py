@@ -31,6 +31,9 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Read parquet ns timestamps as-is.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Parquet TIMESTAMP(NANOS) (events.ts) is read as long; read_table
+    # converts to a microsecond timestamp (matching DuckDB's truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

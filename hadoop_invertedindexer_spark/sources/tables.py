@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -26,5 +27,17 @@ TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one named table from an sf directory (TESTDATA.md layout)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one named table from an sf directory (TESTDATA.md layout).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
+    reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it
+    arrives as a long that is converted here to a microsecond timestamp
+    with integer division (a float division would lose precision — epoch
+    nanos ≈ 1.7e18 exceeds double's 53-bit mantissa). Truncation matches
+    DuckDB's ns→µs cast, keeping the oracle comparable.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

@@ -1,0 +1,107 @@
+"""Windowed aggregates over the events table — batch and streaming twins.
+
+The reference is pure batch (SURVEY §2B: no streaming surface), so this is
+EXT. Design: every streaming aggregate has a batch twin using the same
+``F.window``/``F.session_window`` expressions, so correctness is
+oracle-checked in batch (DuckDB ``time_bucket`` / gaps-and-islands) and
+the streaming run is checked for batch-equivalence + watermark behavior.
+
+Scale: windowed groupBy shuffles on (window, keys) — bounded state; with
+watermarks Spark evicts closed windows, so state size is O(open windows x
+keys), independent of stream length.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _windowed(df: DataFrame, window_col) -> DataFrame:
+    return (
+        df.groupBy(window_col.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling windows: (ws, we, event_type, n, sum_value)."""
+    return _windowed(events, F.window("ts", width))
+
+
+def sliding_window_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding windows (each event lands in width/slide windows)."""
+    return _windowed(events, F.window("ts", width, slide))
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows with an inactivity gap: a new session opens
+    when an event arrives >= gap after the previous one (half-open window
+    semantics). Output: (user_id, session_start, session_end, n, sum_value)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_streaming_tumbling(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_tumbling",
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Structured-streaming twin of :func:`tumbling_window_agg`.
+
+    Reads the events parquet as a file stream (one-shot via availableNow),
+    applies a watermark, and aggregates into an in-memory sink. On static
+    data processed in a single trigger the result must equal the batch
+    twin — which is exactly how the contract checks it.
+    """
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource wants a directory; stage the single parquet file
+    # into one (symlink — no data copy; real deployments stream a dir of
+    # arriving files, which is exactly this shape).
+    stage = tempfile.mkdtemp(prefix="hii_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    ts_type = {f.name: f.dataType.simpleString() for f in raw_schema}["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long, as in read_table
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = _windowed(stream.withWatermark("ts", watermark), F.window("ts", width))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

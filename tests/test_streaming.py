@@ -1,0 +1,82 @@
+"""Streaming semantics the batch oracle cannot check: watermark advance and
+late-data dropping across micro-batches (hand-computed micro-fixture,
+SURVEY §5 'non-SQL-expressible ops')."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+def _write_batch(spark, path: str, rows: list[tuple[str, int]]) -> None:
+    data = [(dt.datetime.fromisoformat(ts), v) for ts, v in rows]
+    spark.createDataFrame(data, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_once(spark, src: str, ckpt: str, out: str):
+    """One availableNow pass appending closed windows to a parquet sink
+    (the memory sink cannot resume from a checkpoint). Returns the
+    cumulative {window_start: (n, sum_v)} contents of the sink."""
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .select(F.col("w.start").alias("ws"), "n", "sum_v")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {str(r.ws): (r.n, r.sum_v) for r in spark.read.parquet(out).collect()}
+
+
+@pytest.mark.slow
+def test_watermark_closes_windows_and_drops_late_rows(spark, tmp_path):
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    # batch 1: events in [10:00, 12:00]; watermark delay 1h
+    _write_batch(
+        spark,
+        src,
+        [("2024-01-01 10:00:00", 1), ("2024-01-01 10:30:00", 2), ("2024-01-01 12:00:00", 4)],
+    )
+    out1 = _run_once(spark, src, ckpt, out)
+    # availableNow drains then runs a final commit batch: watermark = 12:00
+    # - 1h = 11:00, so window [10:00, 11:00) is closed and emitted.
+    assert out1 == {"2024-01-01 10:00:00": (2, 3)}
+
+    # batch 2: one LATE row at 10:15 (window already closed — must be
+    # dropped) and one new row at 13:30. The watermark advances to 12:30
+    # only at the END of this batch, so nothing new emits until the next
+    # trigger — but the late row must not reopen the closed window.
+    _write_batch(spark, src, [("2024-01-01 10:15:00", 100), ("2024-01-01 13:30:00", 8)])
+    out2 = _run_once(spark, src, ckpt, out)
+    assert out2 == {"2024-01-01 10:00:00": (2, 3)}  # late row dropped, no reopen
+
+    # batch 3: watermark restored as 12:30 closes [12:00,13:00); new data
+    # at 16:00 advances it to 15:00, closing [13:00,14:00) as well. The
+    # late row's v=100 must appear nowhere in any window.
+    _write_batch(spark, src, [("2024-01-01 16:00:00", 16)])
+    out3 = _run_once(spark, src, ckpt, out)
+    assert out3 == {
+        "2024-01-01 10:00:00": (2, 3),
+        "2024-01-01 12:00:00": (1, 4),
+        "2024-01-01 13:00:00": (1, 8),
+    }
+    assert all(s != 100 and s != 103 for _, s in out3.values()), "late row leaked"
