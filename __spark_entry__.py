@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hadoop_invertedindexer_spark.operators import relational  # noqa: E402
 from hadoop_invertedindexer_spark.plans import contract  # noqa: E402
+from hadoop_invertedindexer_spark.plans import contract_llm  # noqa: E402
 from hadoop_invertedindexer_spark.plans import contract_streaming  # noqa: E402
 from hadoop_invertedindexer_spark.plans.flagship import (  # noqa: E402
     inverted_index_over_documents,
@@ -39,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(contract.REFERENCE_QUERIES)
     out.update(relational.RELATIONAL_QUERIES)
     out.update(contract_streaming.STREAMING_QUERIES)
+    out.update(contract_llm.LLM_QUERIES)
     return out
 
 
@@ -49,4 +51,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(contract.REFERENCE_ORACLE_SQL)
     out.update(relational.RELATIONAL_ORACLE_SQL)
     out.update(contract_streaming.STREAMING_ORACLE_SQL)
+    out.update(contract_llm.LLM_ORACLE_SQL)
     return out

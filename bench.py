@@ -33,6 +33,11 @@ HEADLINE = [
     "topk",
     "events_tumbling",
     "events_session",
+    "dedup_exact",
+    "dedup_minhash",
+    "ngram_jaccard",
+    "similarity_bruteforce",
+    "doc_fingerprint",
 ]
 
 

@@ -1,0 +1,121 @@
+"""Text-analysis functions for training-data pipelines (EXT, SURVEY §2B):
+language ID, quality scoring, token counting, document fingerprinting.
+
+Everything here is a built-in column expression (whole-stage codegen) —
+deliberately: these run over every document of a 100 TB corpus, so the
+formulas are chosen to be expressible without Python. Each has an exact
+DuckDB-SQL twin in ``plans/contract_llm.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from hadoop_invertedindexer_spark.functions.textprep import lowercase
+
+# marker-word profiles for the n-gram/marker language heuristic; the
+# documents table's synthetic text is English-ish so this mostly exercises
+# the argmax mechanism, not linguistics.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "und", "die", "ist", "mit"],
+    "es": ["el", "la", "los", "es", "con"],
+    "fr": ["le", "la", "les", "est", "avec"],
+}
+
+# BPE-ish token pattern: letter runs, digit runs, or single non-space
+# symbols — a cheap proxy for subword tokenizer token counts.
+BPE_TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def _padded(col) -> Column:
+    return F.concat(F.lit(" "), lowercase(col), F.lit(" "))
+
+
+def lang_marker_score(col, lang: str) -> Column:
+    """Occurrences of the language's marker words (word-boundary exact)."""
+    padded = _padded(col)
+    scores = [
+        F.size(F.split(padded, f" {w} ", -1)) - 1 for w in LANG_MARKERS[lang]
+    ]
+    total = scores[0]
+    for s in scores[1:]:
+        total = total + s
+    return total.cast("bigint")
+
+
+def lang_id(col) -> Column:
+    """argmax over marker profiles; 'und' (undetermined) when all zero.
+    Deterministic tie-break: profile order en > de > es > fr."""
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("bigint")
+    # forward order + strict '>' ⇒ the earliest profile wins ties
+    for lang in LANG_MARKERS:
+        s = lang_marker_score(col, lang)
+        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(s, best_score)
+    return best_lang
+
+
+def n_ws_tokens(col) -> Column:
+    """Whitespace token count."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, "\\s+"))
+    ).cast("bigint")
+
+
+def n_bpe_tokens(col) -> Column:
+    """BPE-ish token count via the subword proxy regex."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_REGEX), 0)).cast("bigint")
+
+
+def punct_ratio(col) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    n = F.length(col)
+    n_punct = n - F.length(F.regexp_replace(col, "[!-/:-@\\[-`{-~]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.round(n_punct / n, 6))
+
+
+def stopword_ratio(col, stopwords: list[str]) -> Column:
+    """Fraction of whitespace tokens that are stop words."""
+    padded = _padded(col)
+    hits = None
+    for w in stopwords:
+        h = F.size(F.split(padded, f" {w} ", -1)) - 1
+        hits = h if hits is None else hits + h
+    toks = n_ws_tokens(col)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(F.round(hits / toks, 6))
+
+
+def mean_word_len(col) -> Column:
+    toks = n_ws_tokens(col)
+    n_chars = F.length(F.regexp_replace(col, "\\s+", ""))
+    return F.when(toks == 0, F.lit(0.0)).otherwise(F.round(n_chars / toks, 6))
+
+
+def quality_score(col, stopwords: list[str]) -> Column:
+    """Composite [0,1] quality heuristic: rewards mid-length docs and a
+    natural stopword rate, punishes punctuation soup. The exact weights
+    are arbitrary; the contract checks the formula reproduces bit-equal
+    across engines, the pytest fixtures check monotonicity."""
+    length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col, stopwords) * 4, F.lit(1.0))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5)
+    return F.round(0.4 * length_term + 0.3 * stop_term + 0.3 * punct_term, 6)
+
+
+def fingerprint(col) -> Column:
+    """Order-sensitive polynomial rolling hash of the whole string:
+    fold(acc*31 + ascii(char)) mod 1e9+7 — the classic Karp-Rabin shape,
+    expressible identically in Spark and DuckDB (list_reduce), unlike
+    md5/xxhash which only one engine exposes with matching bit output."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % FINGERPRINT_MOD,
+    )

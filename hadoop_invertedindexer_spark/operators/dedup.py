@@ -1,0 +1,369 @@
+"""Deduplication operators for training-data pipelines (EXT, SURVEY §2B).
+
+Five families, each a ``DataFrame -> DataFrame`` transform over the
+``documents`` table (and ``embeddings`` for the vector variant):
+
+* exact           — normalize → hash → keep one doc per hash (one shuffle)
+* n-gram Jaccard  — shingle inverted join; exact set similarity
+* MinHash + LSH   — signature via 64x ``xxhash64`` (all JVM-side),
+                    banded LSH join for candidates, signature-estimated
+                    Jaccard verify
+* SimHash         — 64-bit fingerprint via an Arrow-batched pandas UDF
+                    (bit-parallel majority vote needs numpy), hamming
+                    band join
+* embedding       — random-hyperplane LSH buckets + exact cosine verify
+
+Scale design notes (the part that must survive 100 TB):
+
+* Every candidate-generation step is a *bounded-fanout equi-join* — never
+  an all-pairs cross join. The Jaccard path caps shingle document
+  frequency (``max_df``) exactly like dropping stop-shingles; LSH paths
+  bound work by band-bucket size.
+* Hashes (``xxhash64``) and signatures stay in whole-stage codegen; the
+  only Python is the SimHash pandas UDF (Arrow-batched).
+* Pair output is canonicalized ``a < b`` so downstream joins/dedup of the
+  pair list stay keyable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from hadoop_invertedindexer_spark.functions.textprep import lowercase, strip_punct
+
+# --------------------------------------------------------------- helpers
+
+
+def normalized_text(col="text"):
+    """Dedup normalization: lowercase, strip punctuation, collapse runs of
+    whitespace — so trivial formatting differences don't defeat dedup."""
+    return F.trim(F.regexp_replace(strip_punct(lowercase(col)), "\\s+", " "))
+
+
+def token_array(col="text"):
+    """Ordered token array of the normalized text."""
+    return F.split(normalized_text(col), " ")
+
+
+def word_ngrams(col="text", n: int = 3):
+    """Array of word n-gram shingles (space-joined, order-preserving)."""
+    toks = token_array(col)
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------- exact
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by a 256-bit hash of the normalized text, keep the
+    smallest id. One shuffle on the (short, well-distributed) hash key —
+    at 100 TB this is the cheapest possible dedup: the full text never
+    shuffles, only (hash, id)."""
+    hashed = docs.select(
+        F.col(id_col), F.sha2(normalized_text(text_col), 256).alias("h")
+    )
+    return (
+        hashed.groupBy("h")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("keep_id", "n_dups")
+    )
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle inverted join.
+
+    |A∩B| comes from counting shared distinct shingles, |A∪B| = |A|+|B|-∩.
+    ``max_df`` drops shingles occurring in more than that many docs
+    (stop-shingles) — the fanout bound that keeps the self-join linear-ish
+    at scale; dropped shingles can only lower recall, never precision.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    df_cap = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= max_df
+    )
+    sh_kept = sh.join(df_cap.select("sh"), "sh")
+    a, b = sh_kept.alias("a"), sh_kept.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ----------------------------------------------------------- MinHash LSH
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 64,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_perm]) — min over shingles of
+    ``xxhash64(shingle, seed_i)`` per permutation. 64 parallel min
+    aggregates in one pass, fully JVM-side; the classic one-hash-per-perm
+    MinHash (Broder '97) without any UDF."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("sh")
+    ).distinct()
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}") for i in range(num_perm)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded-LSH candidate pairs + signature-estimated Jaccard.
+
+    bands=16 over 64 perms → rows/band=4; candidate collision prob at
+    jaccard s is 1-(1-s^4)^16 (S-curve knee ≈ 0.5). Candidates come from
+    an equi-join on (band index, band hash) — bucket sizes, not n², bound
+    the work. Estimated jaccard = fraction of equal signature positions.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, num_perm, n, id_col, text_col)
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+            )
+        )
+        / F.lit(float(num_perm)),
+        6,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+
+@pandas_udf(T.LongType())
+def _simhash64(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash (Charikar '02) of a token array: per-token md5-derived
+    64-bit hashes, tf-weighted bitwise majority vote. Arrow-batched; numpy
+    does the bit unpacking — this is the documented slow-path exception
+    (SURVEY §2B UDF policy) since a 64-way bit vote has no builtin form."""
+
+    def one(toks) -> int:
+        if toks is None or len(toks) == 0:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            bits = np.unpackbits(
+                np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
+            ).astype(np.int64)
+            acc += 2 * bits - 1
+        fp = int.from_bytes(np.packbits((acc > 0).astype(np.uint8)).tobytes(), "big")
+        return fp - (1 << 64) if fp >= (1 << 63) else fp  # to signed long
+
+    return tokens.apply(one)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fp: bigint) SimHash fingerprints."""
+    return docs.select(
+        F.col(id_col).alias("id"), _simhash64(token_array(text_col)).alias("fp")
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with hamming(fp_a, fp_b) <= max_hamming.
+
+    Candidates via the pigeonhole band trick: split 64 bits into
+    (max_hamming+1) bands — any pair within the distance budget must agree
+    exactly on >= 1 band, so an equi-join per band finds all of them.
+    """
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    fps = simhash_fingerprints(docs, id_col, text_col)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.shiftrightunsigned(F.col("fp"), bi * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("piece"),
+        )
+        for bi in range(nbands)
+    ]
+    banded = fps.select(
+        "id", "fp", F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", "fp", "b.band", "b.piece")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(nbits, dim)).tolist()
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_expr(a, b):
+    """Cosine similarity between two float-array columns (double math)."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup pairs via random-hyperplane LSH + exact verify.
+
+    Sign bits of <v, r_i> for nbits gaussian hyperplanes form the bucket
+    key; only same-bucket pairs get the exact cosine check. Collision
+    prob for angle θ is (1-θ/π)^nbits — tight buckets at 0.95+ cosine.
+    All candidate math is built-in expressions (no UDF): the hyperplanes
+    enter the plan as a literal array constant.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    planes = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in _hyperplanes(dim, nbits, seed)]
+    )
+    bucketed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.concat_ws(
+            "",
+            F.transform(planes, lambda p: (_dot(F.col(vec_col), p) > 0).cast("int").cast("string")),
+        ).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

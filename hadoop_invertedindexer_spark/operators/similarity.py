@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (EXT, SURVEY §2B).
+
+Two paths, matching how ANN systems are actually deployed:
+
+* brute-force cosine top-k — the exact baseline; a broadcast of the
+  (small) query set against the full corpus, dot products fully JVM-side
+  (``zip_with`` + ``aggregate`` in double), per-query top-k via window.
+* IVF (inverted-file) top-k — the scale path: corpus is bucketed to its
+  nearest coarse centroid once (one shuffle); each query probes only the
+  ``nprobe`` closest centroid buckets, turning O(N·Q) into
+  O(N·Q·nprobe/C). Recall is tested against the brute-force oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hadoop_invertedindexer_spark.operators.dedup import cosine_expr
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact top-k: broadcast queries x corpus, cosine in double, window
+    top-k with deterministic (sim desc, id asc) tie-break.
+    Output: (qid, vec_id, cosine, rank)."""
+    joined = corpus.crossJoin(F.broadcast(queries)).where(
+        F.col(qid_col) != F.col(id_col)
+    )
+    scored = joined.select(
+        qid_col,
+        id_col,
+        F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid (cosine).
+    centroids: (cid, cvec) — small, broadcast. One shuffle-free pass."""
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(
+            id_col,
+            vec_col,
+            "cid",
+            cosine_expr(F.col(vec_col), F.col("cvec")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe nearest centroid buckets per
+    query, exact cosine inside the probed buckets only.
+    Output: (qid, vec_id, cosine, rank)."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    qw = Window.partitionBy(qid_col).orderBy(F.desc("qsim"), F.asc("cid"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            qid_col,
+            qvec_col,
+            "cid",
+            cosine_expr(F.col(qvec_col), F.col("cvec")).alias("qsim"),
+        )
+        .withColumn("rn", F.row_number().over(qw))
+        .where(F.col("rn") <= nprobe)
+        .select(qid_col, qvec_col, "cid")
+    )
+    scored = probes.join(assigned, "cid").where(F.col(qid_col) != F.col(id_col)).select(
+        qid_col,
+        id_col,
+        F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def centroids_by_sampling(
+    corpus: DataFrame,
+    every: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse centroids: every ``every``-th vector by id.
+    (A k-means refinement would lower variance; sampling keeps the
+    contract deterministic and is the standard IVF bootstrap.)"""
+    return corpus.where(F.col(id_col) % every == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )

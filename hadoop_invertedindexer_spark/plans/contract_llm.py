@@ -1,0 +1,300 @@
+"""Contract queries for the LLM-pipeline surface: dedup, similarity,
+text analysis, multimodal (EXT, SURVEY §2B 'north star' rows).
+
+Oracle policy: everything whose math both engines can express bit-equal
+gets a DuckDB twin (exact dedup, n-gram Jaccard with the same max_df cap,
+brute-force cosine top-k, all text-analysis formulas, multimodal
+metadata/digest). MinHash/SimHash/hyperplane-LSH and the mapInPandas
+decode depend on engine-specific hashing or Python — those are rows-only
+here and verified by planted-fixture tests in tests/test_dedup.py and
+tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_invertedindexer_spark.functions import textstats
+from hadoop_invertedindexer_spark.operators import dedup, multimodal, similarity
+from hadoop_invertedindexer_spark.sources.tables import read_table
+
+STOPWORDS = ["the", "and", "for", "with", "that", "this", "from"]
+
+_SQL_PUNCT = "[`~!@#$%^&*()_+=\\[\\]{}\\\\|;'':\",./<>?-]"
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '"
+    + _SQL_PUNCT
+    + "', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.6, max_df=100)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: xxhash64 has no DuckDB twin; see tests/test_dedup.py."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: pandas-UDF fingerprint; see tests/test_dedup.py."""
+    return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: hyperplane LSH; exact-cosine verify in tests."""
+    return dedup.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.95)
+
+
+# ------------------------------------------------------------- similarity
+
+
+def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for every 100th vector as query set."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk_bruteforce(emb, queries, k=10)
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF probe path; recall-vs-bruteforce in tests."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = similarity.centroids_by_sampling(emb, every=50)
+    return similarity.cosine_topk_ivf(emb, queries, cents, k=10, nprobe=4)
+
+
+# ----------------------------------------------------------- text analysis
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("pred_lang")
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        textstats.punct_ratio(F.col("text")).alias("punct_ratio"),
+        textstats.stopword_ratio(F.col("text"), STOPWORDS).alias("stopword_ratio"),
+        textstats.mean_word_len(F.col("text")).alias("mean_word_len"),
+        textstats.quality_score(F.col("text"), STOPWORDS).alias("quality"),
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        textstats.n_ws_tokens(F.col("text")).alias("n_ws_tokens"),
+        textstats.n_bpe_tokens(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", textstats.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_metadata_summary(
+        multimodal.binary_docs(_docs(spark, sf_dir))
+    )
+
+
+def q_multimodal_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.payload_digest(multimodal.binary_docs(_docs(spark, sf_dir)))
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: mapInPandas fake-decode plumbing; exact values pinned in
+    tests/test_multimodal.py."""
+    return multimodal.decode_image_meta(
+        multimodal.binary_docs(_docs(spark, sf_dir)), fake=True
+    )
+
+
+LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "similarity_bruteforce": q_similarity_bruteforce,
+    "similarity_ivf": q_similarity_ivf,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_digest": q_multimodal_digest,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+# shared SQL fragments -----------------------------------------------------
+
+_SQL_SHINGLES = f"""
+shingles AS (
+    SELECT DISTINCT doc_id AS id, sh FROM (
+        SELECT doc_id, unnest(
+            list_transform(
+                generate_series(1, greatest(len(toks) - 2, 1)),
+                i -> array_to_string(toks[i:least(i + 2, len(toks))], ' ')
+            )) AS sh
+        FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks FROM documents) t
+    ) u
+)
+"""
+
+_SQL_MARKER = "len(string_split(' ' || lower(text) || ' ', ' {w} ')) - 1"
+
+
+def _marker_sum(words: list[str]) -> str:
+    return " + ".join(_SQL_MARKER.format(w=w) for w in words)
+
+
+_S_EN = _marker_sum(textstats.LANG_MARKERS["en"])
+_S_DE = _marker_sum(textstats.LANG_MARKERS["de"])
+_S_ES = _marker_sum(textstats.LANG_MARKERS["es"])
+_S_FR = _marker_sum(textstats.LANG_MARKERS["fr"])
+
+_SQL_N_WS = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT"
+)
+_SQL_STOPSUM = _marker_sum(STOPWORDS)
+_SQL_PUNCT_RATIO = (
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE round("
+    "(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))"
+    " / length(text)::DOUBLE, 6) END"
+)
+_SQL_STOP_RATIO = (
+    f"CASE WHEN {_SQL_N_WS} = 0 THEN 0.0 ELSE round(({_SQL_STOPSUM})"
+    f" / ({_SQL_N_WS})::DOUBLE, 6) END"
+)
+_SQL_MEAN_WLEN = (
+    f"CASE WHEN {_SQL_N_WS} = 0 THEN 0.0 ELSE round("
+    f"length(regexp_replace(text, '\\s+', '', 'g')) / ({_SQL_N_WS})::DOUBLE, 6) END"
+)
+
+_SQL_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{_SQL_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_SQL_DOT.format(a=a, b=a)}) * sqrt({_SQL_DOT.format(a=b, b=b)}))"
+    )
+
+
+LLM_ORACLE_SQL: dict[str, str] = {
+    "dedup_exact": f"""
+        SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY {_SQL_NORM}""",
+    "ngram_jaccard": f"""
+        WITH {_SQL_SHINGLES},
+        sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+        kept AS (
+            SELECT s.id, s.sh FROM shingles s
+            JOIN (SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= 100) c
+              ON s.sh = c.sh
+        ),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+            FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b,
+               round(i / (sa.sz + sb.sz - i)::DOUBLE, 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE i / (sa.sz + sb.sz - i)::DOUBLE >= 0.6""",
+    "similarity_bruteforce": f"""
+        SELECT qid, vec_id, cosine, rank FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+                   round({_sql_cosine('q.embedding', 'c.embedding')}, 6) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_sql_cosine('q.embedding', 'c.embedding')}, 6)
+                                DESC, c.vec_id)::BIGINT AS rank
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id % 100 = 0
+        ) t WHERE rank <= 10""",
+    "lang_id": f"""
+        SELECT doc_id,
+               CASE
+                 WHEN ({_S_EN}) > 0 AND ({_S_EN}) >= ({_S_DE})
+                      AND ({_S_EN}) >= ({_S_ES}) AND ({_S_EN}) >= ({_S_FR}) THEN 'en'
+                 WHEN ({_S_DE}) > 0 AND ({_S_DE}) >= ({_S_ES})
+                      AND ({_S_DE}) >= ({_S_FR}) THEN 'de'
+                 WHEN ({_S_ES}) > 0 AND ({_S_ES}) >= ({_S_FR}) THEN 'es'
+                 WHEN ({_S_FR}) > 0 THEN 'fr'
+                 ELSE 'und'
+               END AS pred_lang
+        FROM documents""",
+    "quality_score": f"""
+        SELECT doc_id,
+               {_SQL_PUNCT_RATIO} AS punct_ratio,
+               {_SQL_STOP_RATIO} AS stopword_ratio,
+               {_SQL_MEAN_WLEN} AS mean_word_len,
+               round(0.4 * least(length(text) / 500.0, 1.0)
+                   + 0.3 * least({_SQL_STOP_RATIO} * 4, 1.0)
+                   + 0.3 * greatest(0.0, 1.0 - {_SQL_PUNCT_RATIO} * 5), 6)
+                   AS quality
+        FROM documents""",
+    "token_count": f"""
+        SELECT doc_id,
+               {_SQL_N_WS} AS n_ws_tokens,
+               len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_bpe_tokens
+        FROM documents""",
+    "doc_fingerprint": """
+        SELECT doc_id,
+               CASE WHEN length(text) = 0 THEN 0 ELSE
+                   list_reduce(
+                       list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
+                       (acc, x) -> (acc * 31 + x) % 1000000007)
+               END AS fp
+        FROM documents""",
+    "multimodal_meta": """
+        SELECT 'text/plain' AS media_type, count(*) AS n_docs,
+               sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+               max(octet_length(encode(text)))::BIGINT AS max_bytes
+        FROM documents""",
+    "multimodal_digest": """
+        SELECT doc_id, md5(text) AS digest,
+               octet_length(encode(text))::BIGINT AS n_bytes
+        FROM documents""",
+}

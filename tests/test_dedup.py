@@ -1,0 +1,101 @@
+"""Planted-fixture verification for the dedup ops whose hashing has no
+DuckDB twin (MinHash-LSH, SimHash, embedding-LSH) + property checks."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from hadoop_invertedindexer_spark.operators import dedup
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the hunter watches "
+    "from a distance and the river flows quietly past the old stone bridge "
+    "near the village where children play every single afternoon in summer"
+)
+NEAR = BASE.replace("quietly", "slowly").replace("children", "kids")
+OTHER = (
+    "completely different content about spark query engines and columnar "
+    "execution with vectorized readers shuffling partitions across a large "
+    "cluster of machines running adaptive plans for analytic workloads"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, NEAR),       # near-dup of 1
+        (3, BASE),       # exact dup of 1
+        (4, OTHER),
+        (5, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_groups_exact_copies(spark, docs):
+    out = {r.keep_id: r.n_dups for r in dedup.dedup_exact(docs).collect()}
+    assert out[1] == 2  # docs 1 and 3 collapse
+    assert out[2] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # exact dup: all sigs equal
+    assert (1, 2) in pairs  # near dup caught
+    assert all(4 not in p and 5 not in p for p in pairs)  # no false positives
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark, docs):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_df=1000).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.0).collect()
+    }
+    j, e = exact[(1, 2)], est[(1, 2)]
+    assert abs(j - e) < 0.25, f"minhash estimate {e} far from true jaccard {j}"
+
+
+def test_simhash_near_dup(spark, docs):
+    fps = {r.id: r.fp for r in dedup.simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[3]  # identical text, identical fingerprint
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dup_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs[(1, 3)] == 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 10
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-parallel to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),     # opposite
+        (5, [1.0, 0.0, 0.0, 0.0]),      # identical to 1
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_near_dup_pairs(emb, threshold=0.95, nbits=8).collect()
+    }
+    assert (1, 5) in pairs and pairs[(1, 5)] == 1.0
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.99
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_ngram_jaccard_pair_symmetry_and_bounds(spark, docs):
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_df=1000).collect()
+    for r in out:
+        assert r.id_a < r.id_b
+        assert 0.0 <= r.jaccard <= 1.0
