@@ -41,6 +41,9 @@ from hadoop_invertedindexer_spark.functions.textprep import lowercase, strip_pun
 # --------------------------------------------------------------- helpers
 
 
+from hadoop_invertedindexer_spark.sources.tables import spread_partitions as _spread
+
+
 def normalized_text(col="text"):
     """Dedup normalization: lowercase, strip punctuation, collapse runs of
     whitespace — so trivial formatting differences don't defeat dedup."""
@@ -99,9 +102,12 @@ def ngram_jaccard_pairs(
     (stop-shingles) — the fanout bound that keeps the self-join linear-ish
     at scale; dropped shingles can only lower recall, never precision.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("sh")
-    ).distinct()
+    sh = (
+        _spread(docs, id_col)
+        .select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("sh"))
+        .distinct()
+        .persist()  # read by sizes, the df-cap, and both join sides
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     df_cap = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= max_df
@@ -143,9 +149,11 @@ def minhash_signatures(
     ``xxhash64(shingle, seed_i)`` per permutation. 64 parallel min
     aggregates in one pass, fully JVM-side; the classic one-hash-per-perm
     MinHash (Broder '97) without any UDF."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("sh")
-    ).distinct()
+    sh = (
+        _spread(docs, id_col)
+        .select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("sh"))
+        .distinct()
+    )
     mins = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}") for i in range(num_perm)
     ]
@@ -170,7 +178,11 @@ def minhash_lsh_pairs(
     the work. Estimated jaccard = fraction of equal signature positions.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, num_perm, n, id_col, text_col)
+    # persist: the banded self-join reads the signatures from both sides
+    # and Spark will not reuse the (expensive) signature subplan otherwise.
+    # At corpus scale, signatures would be written to a parquet stage
+    # instead — same idea, durable form.
+    sig = minhash_signatures(docs, num_perm, n, id_col, text_col).persist()
     banded = sig.select(
         "id",
         "sig",
@@ -234,16 +246,24 @@ def _simhash64(tokens: pd.Series) -> pd.Series:
     does the bit unpacking — this is the documented slow-path exception
     (SURVEY §2B UDF policy) since a 64-way bit vote has no builtin form."""
 
+    bit_cache: dict[str, np.ndarray] = {}  # token -> ±1 bit vector (Zipf-friendly)
+
+    def token_bits(t: str) -> np.ndarray:
+        bits = bit_cache.get(t)
+        if bits is None:
+            digest = hashlib.md5(t.encode("utf-8")).digest()[:8]
+            bits = 2 * np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(
+                np.int64
+            ) - 1
+            bit_cache[t] = bits
+        return bits
+
     def one(toks) -> int:
         if toks is None or len(toks) == 0:
             return 0
         acc = np.zeros(64, dtype=np.int64)
         for t in toks:
-            h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
-            bits = np.unpackbits(
-                np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
-            ).astype(np.int64)
-            acc += 2 * bits - 1
+            acc += token_bits(t)
         fp = int.from_bytes(np.packbits((acc > 0).astype(np.uint8)).tobytes(), "big")
         return fp - (1 << 64) if fp >= (1 << 63) else fp  # to signed long
 
@@ -273,7 +293,9 @@ def simhash_near_dup_pairs(
     """
     nbands = max_hamming + 1
     width = 64 // nbands
-    fps = simhash_fingerprints(docs, id_col, text_col)
+    fps = simhash_fingerprints(
+        _spread(docs, id_col), id_col, text_col
+    ).persist()  # both band-join sides; avoids re-running the pandas UDF
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -349,13 +371,19 @@ def embedding_near_dup_pairs(
     planes = F.array(
         *[F.array(*[F.lit(x) for x in row]) for row in _hyperplanes(dim, nbits, seed)]
     )
-    bucketed = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.concat_ws(
-            "",
-            F.transform(planes, lambda p: (_dot(F.col(vec_col), p) > 0).cast("int").cast("string")),
-        ).alias("bucket"),
+    bucketed = (
+        _spread(emb, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    planes, lambda p: (_dot(F.col(vec_col), p) > 0).cast("int").cast("string")
+                ),
+            ).alias("bucket"),
+        )
+        .persist()  # both sides of the bucket self-join
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (

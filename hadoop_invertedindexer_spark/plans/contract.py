@@ -37,7 +37,7 @@ from hadoop_invertedindexer_spark.operators.index import (
     postings_via_window,
     term_doc_counts,
 )
-from hadoop_invertedindexer_spark.sources.tables import read_table
+from hadoop_invertedindexer_spark.sources.tables import read_table, spread_partitions
 
 # Demo stop list for the documents corpus (the reference's 319-word file
 # belongs to its own corpus; the contract needs a deterministic list that
@@ -77,8 +77,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tokens_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cleaned + tokenized, pre-filter: (doc_id, word)."""
-    d = _docs(spark, sf_dir).select(
+    """Cleaned + tokenized, pre-filter: (doc_id, word). Spread across the
+    session parallelism first — a small single-file table otherwise
+    tokenizes on one core."""
+    d = spread_partitions(_docs(spark, sf_dir), "doc_id").select(
         "doc_id", strip_punct(lowercase("text")).alias("line")
     )
     return tokenize(d, col="line", out="word").select("doc_id", "word")

@@ -26,6 +26,7 @@ from hadoop_invertedindexer_spark.operators.index import (
     term_doc_counts,
 )
 from hadoop_invertedindexer_spark.sources.sinks import sink_text
+from hadoop_invertedindexer_spark.sources.tables import spread_partitions
 from hadoop_invertedindexer_spark.sources.text import (
     load_stopwords,
     scan_text,
@@ -78,7 +79,9 @@ def inverted_index_over_documents(
     """The flagship re-targeted at the driver's ``documents`` table
     (doc identity = ``doc_id`` instead of file basename). Used by
     ``__spark_entry__.entry``."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = spread_partitions(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    ).select(
         F.col("doc_id").cast("string").alias("filename"), F.col("text").alias("line")
     )
     toks = prepare_tokens(docs, text_col="line", stopwords=stopwords or [])

@@ -41,3 +41,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def spread_partitions(df: DataFrame, key: str) -> DataFrame:
+    """Repartition to the session's default parallelism by key.
+
+    Small single-file sources arrive as one split, which serializes
+    CPU-heavy per-row work (tokenize, shingle, hash) onto one core; the
+    tiny up-front shuffle buys full-width parallelism. At 100 TB inputs
+    are already many-splits and AQE coalescing makes this a near-no-op —
+    the shuffle is proportional to the *input*, not to any blow-up the
+    downstream explode produces.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
