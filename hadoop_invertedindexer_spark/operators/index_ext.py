@@ -1,0 +1,55 @@
+"""Index-derived EXT operators: TF-IDF and per-document top-k terms.
+
+Natural extensions of the inverted index (SURVEY §7 step 4): the same
+(word, doc, count) aggregate feeds document-frequency statistics and
+ranking windows — no new shuffle shape beyond groupBy/window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tf_idf(
+    counts: DataFrame,
+    n_docs_df: DataFrame | None = None,
+    word_col: str = "word",
+    doc_col: str = "doc",
+) -> DataFrame:
+    """TF-IDF over (word, doc, count).
+
+    tf = count / doc token total; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    sklearn-style). The doc-total and df aggregates are two cheap
+    reshuffles of the already-aggregated counts frame — at 100 TB both
+    move (word,doc,count) triples, never raw text.
+    """
+    doc_totals = counts.groupBy(doc_col).agg(F.sum("count").alias("doc_total"))
+    dfreq = counts.groupBy(word_col).agg(F.count(F.lit(1)).alias("df"))
+    n_docs = (n_docs_df or counts.select(doc_col).distinct()).count()
+    return (
+        counts.join(doc_totals, doc_col)
+        .join(dfreq, word_col)
+        .select(
+            word_col,
+            doc_col,
+            F.round(
+                (F.col("count") / F.col("doc_total"))
+                * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def top_k_terms_per_doc(
+    counts: DataFrame, k: int = 5, word_col: str = "word", doc_col: str = "doc"
+) -> DataFrame:
+    """Top-k terms per document by count (ranking window; deterministic
+    word-asc tie-break)."""
+    w = Window.partitionBy(doc_col).orderBy(F.desc("count"), F.asc(word_col))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(doc_col, word_col, F.col("count").alias("cnt"), "rank")
+    )

@@ -253,6 +253,20 @@ def q_postings_via_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: TF-IDF from the (word, doc, count) aggregate (SURVEY §7.4)."""
+    from hadoop_invertedindexer_spark.operators.index_ext import tf_idf
+
+    return tf_idf(_doc_counts(spark, sf_dir))
+
+
+def q_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: top-5 terms per document via ranking window."""
+    from hadoop_invertedindexer_spark.operators.index_ext import top_k_terms_per_doc
+
+    return top_k_terms_per_doc(_doc_counts(spark, sf_dir), k=5)
+
+
 REFERENCE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_text": q_scan_text,
     "doc_provenance": q_doc_provenance,
@@ -273,6 +287,8 @@ REFERENCE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flush_last_group": q_flush_last_group,
     "sink_text": q_sink_text,
     "postings_via_window": q_postings_via_window,
+    "tf_idf": q_tf_idf,
+    "top_terms_per_doc": q_top_terms_per_doc,
 }
 
 _POSTING_ELEM = "cnt::VARCHAR || '#' || doc"
@@ -356,4 +372,24 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
                row_number() OVER (PARTITION BY word ORDER BY {_POSTING_ELEM} DESC)::BIGINT
                    AS rank
         FROM doc_counts""",
+    "tf_idf": f"""
+        WITH {_SQL_DOC_COUNTS},
+        doc_totals AS (SELECT doc, sum(cnt) AS doc_total FROM doc_counts GROUP BY doc),
+        dfreq AS (SELECT word, count(*) AS df FROM doc_counts GROUP BY word),
+        n AS (SELECT count(DISTINCT doc) AS n_docs FROM doc_counts)
+        SELECT c.word, c.doc,
+               round((c.cnt / dt.doc_total::DOUBLE)
+                     * (ln((n.n_docs + 1) / (f.df + 1)::DOUBLE) + 1), 6) AS tfidf
+        FROM doc_counts c
+        JOIN doc_totals dt ON c.doc = dt.doc
+        JOIN dfreq f ON c.word = f.word
+        CROSS JOIN n""",
+    "top_terms_per_doc": f"""
+        WITH {_SQL_DOC_COUNTS}
+        SELECT doc, word, cnt, rank FROM (
+            SELECT doc, word, cnt,
+                   row_number() OVER (PARTITION BY doc
+                                      ORDER BY cnt DESC, word)::BIGINT AS rank
+            FROM doc_counts) t
+        WHERE rank <= 5""",
 }
