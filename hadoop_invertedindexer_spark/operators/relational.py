@@ -33,6 +33,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ------------------------------------------------------------------ joins
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side's key into
+    ``salt_buckets`` sub-keys and replicate the small side once per salt,
+    so one hot key spreads over ``salt_buckets`` tasks instead of
+    stalling a single reducer. AQE's skew-join handles moderate skew
+    automatically; explicit salting is for the pathological hot-key case
+    (a null-key flood, a celebrity user) where even split partitions
+    exceed executor memory. Result is identical to ``big.join(small,
+    key)`` — proven by test.
+    """
+    salted_big = big.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt")
+    salted_small = small.select("*", salts)
+    return salted_big.join(salted_small, [key, "_salt"]).drop("_salt")
+
+
 def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-hash join chain fact→dims: revenue per region.
 
@@ -149,6 +170,30 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under cube/rollup)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL++ distinct, t-digest-ish percentile).
+    Rows-only in the contract — sketch internals differ across engines by
+    design; tests/test_relational_ext.py bounds them against exact."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_p50"),
     )
 
 
@@ -326,6 +371,8 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_distinct": q_group_distinct,
     "cube_agg": q_cube_agg,
     "rollup_agg": q_rollup_agg,
+    "grouping_sets": q_grouping_sets,
+    "approx_aggs": q_approx_aggs,
     "percentiles": q_percentiles,
     "window_rank": q_window_rank,
     "window_running_sum": q_window_running_sum,
@@ -393,6 +440,11 @@ RELATIONAL_ORACLE_SQL: dict[str, str] = {
         SELECT o_orderstatus, o_orderpriority,
                round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
     "percentiles": """
         SELECT l_returnflag,
                round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,

