@@ -23,6 +23,7 @@ from hadoop_invertedindexer_spark.operators import relational  # noqa: E402
 from hadoop_invertedindexer_spark.plans import contract  # noqa: E402
 from hadoop_invertedindexer_spark.plans import contract_llm  # noqa: E402
 from hadoop_invertedindexer_spark.plans import contract_streaming  # noqa: E402
+from hadoop_invertedindexer_spark.plans import contract_temporal  # noqa: E402
 from hadoop_invertedindexer_spark.plans.flagship import (  # noqa: E402
     inverted_index_over_documents,
 )
@@ -41,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.RELATIONAL_QUERIES)
     out.update(contract_streaming.STREAMING_QUERIES)
     out.update(contract_llm.LLM_QUERIES)
+    out.update(contract_temporal.TEMPORAL_QUERIES)
     return out
 
 
@@ -52,4 +54,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.RELATIONAL_ORACLE_SQL)
     out.update(contract_streaming.STREAMING_ORACLE_SQL)
     out.update(contract_llm.LLM_ORACLE_SQL)
+    out.update(contract_temporal.TEMPORAL_ORACLE_SQL)
     return out

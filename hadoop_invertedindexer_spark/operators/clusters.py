@@ -1,0 +1,79 @@
+"""Connected components over near-dup pairs → dedup clusters (EXT).
+
+Completes the dedup story: pairwise near-dup ops emit edges; choosing one
+canonical document per *cluster* needs the transitive closure. Iterative
+hash-min label propagation on DataFrames — each iteration is one
+groupBy-min + join, localCheckpoint truncates the growing lineage (the
+standard pattern for iterative DataFrame algorithms; on a cluster,
+``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for durability).
+
+Convergence: O(diameter) iterations; dedup-cluster diameters are tiny
+(chains of near-dups), so ``max_iter`` 20 is generous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) where component = min node id reachable.
+
+    ``edges`` is undirected input (each pair once is fine).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    for _ in range(max_iter):
+        # each node adopts the min label among itself and its neighbors
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Resolve near-dup pairs into (doc_id, keep_id): every doc maps to the
+    canonical (min-id) member of its near-dup cluster; singletons map to
+    themselves."""
+    comps = connected_components(pairs)
+    return (
+        docs.select(F.col(id_col))
+        .join(comps, docs[id_col] == comps.node, "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("keep_id"),
+        )
+    )

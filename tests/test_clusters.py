@@ -1,0 +1,34 @@
+"""Connected components / dedup clusters: hand-computed fixtures for the
+iterative (non-SQL-expressible) fixpoint."""
+
+from __future__ import annotations
+
+from hadoop_invertedindexer_spark.operators.clusters import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter > 1 forces multiple iterations),
+    # pair 10-11, singleton 20 appears only via docs
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_maps_singletons_to_self(spark):
+    edges = spark.createDataFrame([(2, 1), (3, 2)], ["id_a", "id_b"])
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], ["doc_id"])
+    out = {r.doc_id: r.keep_id for r in dedup_clusters(edges, docs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_components_handle_cycles(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], ["id_a", "id_b"]
+    )
+    comps = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert set(comps.values()) == {1}
