@@ -38,6 +38,9 @@ HEADLINE = [
     "ngram_jaccard",
     "similarity_bruteforce",
     "doc_fingerprint",
+    "tf_idf",
+    "asof_join",
+    "range_join",
 ]
 
 

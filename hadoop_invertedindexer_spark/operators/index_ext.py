@@ -22,20 +22,35 @@ def tf_idf(
     tf = count / doc token total; idf = ln((N+1)/(df+1)) + 1 (smoothed,
     sklearn-style). The doc-total and df aggregates are two cheap
     reshuffles of the already-aggregated counts frame — at 100 TB both
-    move (word,doc,count) triples, never raw text.
+    move (word,doc,count) triples, never raw text. ``n_docs_df``
+    optionally supplies the frame whose distinct ``doc_col`` defines N
+    (e.g. the full corpus when ``counts`` was pre-filtered).
     """
+    # counts is read 4x (totals, df, N, join spine); measured at sf0.1 the
+    # recompute is cheaper than persisting — tokenize+agg pipelines fully.
+    # At corpus scale, write counts to a parquet stage first.
     doc_totals = counts.groupBy(doc_col).agg(F.sum("count").alias("doc_total"))
     dfreq = counts.groupBy(word_col).agg(F.count(F.lit(1)).alias("df"))
-    n_docs = (n_docs_df or counts.select(doc_col).distinct()).count()
+    # N as a broadcast 1-row frame, not a driver-side .count(): keeps the
+    # whole computation one lazy plan (no blocking job per invocation)
+    n_docs = (n_docs_df or counts).groupBy().agg(
+        F.countDistinct(doc_col).alias("n_docs")
+    )
     return (
         counts.join(doc_totals, doc_col)
         .join(dfreq, word_col)
+        .crossJoin(F.broadcast(n_docs))
         .select(
             word_col,
             doc_col,
             F.round(
                 (F.col("count") / F.col("doc_total"))
-                * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1),
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)
+                    )
+                    + 1
+                ),
                 6,
             ).alias("tfidf"),
         )

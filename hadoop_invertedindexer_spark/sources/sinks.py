@@ -29,6 +29,25 @@ def sink_text(df: DataFrame, path: str, single_file: bool = False, line_col: str
     df.write.mode("overwrite").text(path)
 
 
+def sink_bucketed_table(
+    df: DataFrame, name: str, bucket_key: str, n_buckets: int = 8
+) -> None:
+    """Persist as a bucketed+sorted catalog table.
+
+    Bucketing pre-shuffles the data once at write time: two tables
+    bucketed on the same key with the same bucket count join with NO
+    exchange on either side (verified in tests/test_plan_quality.py) —
+    the amortization that makes repeated big-big joins viable at 100 TB.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_key)
+        .sortBy(bucket_key)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
 def sink_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """Engine-native columnar sink; ``partition_by`` enables partition
     pruning for downstream readers."""

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from hadoop_invertedindexer_spark.session import get_spark
@@ -7,7 +9,11 @@ from hadoop_invertedindexer_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="hii-tests", shuffle_partitions=8)
+    s = get_spark(
+        app_name="hii-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="hii_wh_")},
+    )
     yield s
     s.stop()
 

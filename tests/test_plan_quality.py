@@ -70,6 +70,31 @@ def test_whole_stage_codegen_covers_flagship_tokenize(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bucketed_tables_join_without_exchange(spark):
+    """Co-located join: both sides bucketed on the join key -> no shuffle
+    exchange on either side of the SortMergeJoin."""
+    from hadoop_invertedindexer_spark.sources.sinks import sink_bucketed_table
+
+    li = read_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    sink_bucketed_table(li, "li_bkt", "l_orderkey", 4)
+    sink_bucketed_table(o, "o_bkt", "o_orderkey", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        j = spark.table("li_bkt").join(
+            spark.table("o_bkt"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # bucketing removed both shuffles
+    assert "SelectedBucketsCount" in plan
+
+
 def test_stopword_antijoin_broadcasts(spark):
     from hadoop_invertedindexer_spark.functions.textprep import filter_stopwords
 
