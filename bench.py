@@ -55,6 +55,24 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+
+    # The reference's own workload (BASELINE.md: 324s on single-node YARN):
+    # full inverted index over the 4.8 MiB Shakespeare corpus, written to
+    # a single sorted file exactly like the reference run.
+    ref_input = "/root/reference/input"
+    ref_stop = "/root/reference/skip/stop-word-list.txt"
+    if os.path.isdir(ref_input):
+        import shutil
+        import tempfile
+
+        from hadoop_invertedindexer_spark.plans.flagship import build_inverted_index
+
+        out = tempfile.mkdtemp(prefix="hii_bench_golden_")
+        t0 = time.perf_counter()
+        build_inverted_index(spark, ref_input, f"{out}/index", ref_stop, single_file=True)
+        timings["golden_corpus_index"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(out, ignore_errors=True)
+
     for name in HEADLINE:
         if name not in qs:
             continue
