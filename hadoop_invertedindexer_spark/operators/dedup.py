@@ -113,6 +113,10 @@ def ngram_jaccard_pairs(
         F.col("df") <= max_df
     )
     sh_kept = sh.join(df_cap.select("sh"), "sh")
+    # Measured alternative (sf0.1): collect_list per shingle + nested
+    # transform/flatten combination explode has one fewer shuffle but runs
+    # 3x SLOWER — higher-order array functions are interpreted, while this
+    # self-join + groupBy stays in whole-stage codegen. Keep the join.
     a, b = sh_kept.alias("a"), sh_kept.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))

@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hadoop_invertedindexer_spark.operators.dedup import cosine_expr
+from hadoop_invertedindexer_spark.operators.dedup import _dot, cosine_expr
+
+
+def _norm(col) -> "F.Column":
+    return F.sqrt(_dot(col, col))
 
 
 def cosine_topk_bruteforce(
@@ -30,14 +34,24 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k: broadcast queries x corpus, cosine in double, window
     top-k with deterministic (sim desc, id asc) tie-break.
-    Output: (qid, vec_id, cosine, rank)."""
-    joined = corpus.crossJoin(F.broadcast(queries)).where(
-        F.col(qid_col) != F.col(id_col)
+
+    Norms are hoisted into the per-side projections (O(N+Q) norm
+    computations instead of O(N*Q) — per *pair* only the dot product
+    remains). Output: (qid, vec_id, cosine, rank)."""
+    c = corpus.select(
+        id_col, vec_col, _norm(F.col(vec_col)).alias("_cnorm")
     )
+    q = queries.select(
+        qid_col, qvec_col, _norm(F.col(qvec_col)).alias("_qnorm")
+    )
+    joined = c.crossJoin(F.broadcast(q)).where(F.col(qid_col) != F.col(id_col))
     scored = joined.select(
         qid_col,
         id_col,
-        F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6).alias("cosine"),
+        F.round(
+            _dot(F.col(qvec_col), F.col(vec_col)) / (F.col("_qnorm") * F.col("_cnorm")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -83,7 +97,9 @@ def cosine_topk_ivf(
     """IVF approximate top-k: probe the nprobe nearest centroid buckets per
     query, exact cosine inside the probed buckets only.
     Output: (qid, vec_id, cosine, rank)."""
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).withColumn(
+        "_cnorm", _norm(F.col(vec_col))
+    )
     qw = Window.partitionBy(qid_col).orderBy(F.desc("qsim"), F.asc("cid"))
     probes = (
         queries.crossJoin(F.broadcast(centroids))
@@ -96,11 +112,15 @@ def cosine_topk_ivf(
         .withColumn("rn", F.row_number().over(qw))
         .where(F.col("rn") <= nprobe)
         .select(qid_col, qvec_col, "cid")
+        .withColumn("_qnorm", _norm(F.col(qvec_col)))
     )
     scored = probes.join(assigned, "cid").where(F.col(qid_col) != F.col(id_col)).select(
         qid_col,
         id_col,
-        F.round(cosine_expr(F.col(qvec_col), F.col(vec_col)), 6).alias("cosine"),
+        F.round(
+            _dot(F.col(qvec_col), F.col(vec_col)) / (F.col("_qnorm") * F.col("_cnorm")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

@@ -95,6 +95,26 @@ def test_bucketed_tables_join_without_exchange(spark):
     assert "SelectedBucketsCount" in plan
 
 
+def test_partitioned_sink_enables_partition_pruning(spark, tmp_path):
+    """write.partitionBy -> a filter on the partition column becomes a
+    PartitionFilter (pruned directories), not a data filter."""
+    from hadoop_invertedindexer_spark.sources.sinks import sink_parquet
+
+    docs = read_table(spark, SF, "documents")
+    path = str(tmp_path / "by_lang")
+    sink_parquet(docs, path, partition_by=["lang"])
+    back = spark.read.parquet(path).where(F.col("lang") == "en")
+    scan_line = next(
+        line for line in _plan(back).splitlines() if "FileScan parquet" in line
+    )
+    assert "PartitionFilters" in scan_line and "lang" in scan_line.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # correctness of the round trip under partitioning
+    n_direct = docs.where(F.col("lang") == "en").count()
+    assert back.count() == n_direct
+
+
 def test_stopword_antijoin_broadcasts(spark):
     from hadoop_invertedindexer_spark.functions.textprep import filter_stopwords
 
