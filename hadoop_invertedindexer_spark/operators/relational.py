@@ -348,6 +348,21 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array fn coverage (sort/distinct/slice/contains over token arrays);
+    array outputs rendered as strings so the oracle compare is
+    representation-stable across engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.concat_ws(",", F.slice(F.sort_array(toks), 1, 3)).alias("first3"),
+        F.array_contains(toks, "the").cast("int").cast("bigint").alias("has_the"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+
+
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math fn coverage."""
     li = _t(spark, sf_dir, "lineitem")
@@ -385,6 +400,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_parts": q_date_parts,
     "json_extract": q_json_extract,
     "string_funcs": q_string_funcs,
+    "array_funcs": q_array_funcs,
     "math_funcs": q_math_funcs,
 }
 
@@ -512,6 +528,15 @@ RELATIONAL_ORACLE_SQL: dict[str, str] = {
                concat_ws('|', p_brand, p_type) AS brand_type,
                regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel
         FROM part""",
+    "array_funcs": """
+        SELECT doc_id,
+               len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct,
+               array_to_string(list_sort(string_split(text, ' '))[1:3], ',')
+                   AS first3,
+               list_contains(string_split(text, ' '), 'the')::INT::BIGINT
+                   AS has_the,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents""",
     "math_funcs": """
         SELECT l_orderkey, l_linenumber,
                round(sqrt(l_extendedprice), 6) AS sqrt_price,
