@@ -23,47 +23,56 @@ from hadoop_invertedindexer_spark.operators.temporal import (
 from hadoop_invertedindexer_spark.sources.tables import read_table
 
 
-def _orders_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One order row per (custkey, orderdate): keep the max-orderkey row —
-    the as-of right side must be unique per (key, time)."""
-    o = read_table(spark, sf_dir, "orders")
+def _purchases_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase events, unique per (user, ts) (max event_id on the
+    astronomically-unlikely collision) — the as-of right side must be
+    unique per (key, time). Events-vs-events keeps the timelines truly
+    interleaved (orders and events don't overlap in the testdata, which
+    would make a cross-table as-of degenerate)."""
+    e = read_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     return (
-        o.groupBy("o_custkey", "o_orderdate")
-        .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("m"))
+        e.groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("m"))
         .select(
-            "o_custkey",
-            "o_orderdate",
-            F.col("m.o_orderkey").alias("o_orderkey"),
-            F.round("m.o_totalprice", 2).alias("o_totalprice"),
+            "user_id",
+            F.col("ts").alias("pts"),
+            F.col("m.event_id").alias("purchase_id"),
+            F.round("m.value", 6).alias("purchase_value"),
         )
     )
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each event paired with the user's most recent order at event time."""
+    """Each event paired with the same user's most recent purchase at
+    event time (ASOF LEFT semantics: events before the first purchase get
+    nulls)."""
     e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    o = _orders_unique(spark, sf_dir).withColumnRenamed("o_custkey", "user_id")
+    p = _purchases_unique(spark, sf_dir)
     out = asof_join(
-        e, o, key="user_id", left_ts="ts", right_ts="o_orderdate",
-        right_cols=["o_orderkey", "o_totalprice"],
+        e, p, key="user_id", left_ts="ts", right_ts="pts",
+        right_cols=["purchase_id", "purchase_value"],
     )
-    return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    return out.select("event_id", "user_id", "purchase_id", "purchase_value")
 
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events within 7 days after each order of the same user, aggregated
-    per order — via the bucketed range join."""
+    """Activity in the 7 days after each signup: events of the same user
+    with signup_ts <= ts < signup_ts + 7d — via the bucketed range join."""
     e = read_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("k"), "ts", "value"
     )
-    o = read_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("k"), "o_orderkey", "o_orderdate"
+    s = read_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "signup"
+    ).select(
+        F.col("user_id").alias("k"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("signup_ts"),
     )
     joined = range_join_bucketed(
-        e, o, key="k", left_ts="ts", right_start="o_orderdate",
+        e, s, key="k", left_ts="ts", right_start="signup_ts",
         width_expr="INTERVAL 7 DAYS",
     )
-    return joined.groupBy("o_orderkey").agg(
+    return joined.groupBy("signup_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
@@ -86,21 +95,24 @@ TEMPORAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 TEMPORAL_ORACLE_SQL: dict[str, str] = {
     "asof_join": """
-        WITH o AS (
-            SELECT o_custkey AS user_id, o_orderdate,
-                   max_by(o_orderkey, o_orderkey) AS o_orderkey,
-                   round(max_by(o_totalprice, o_orderkey), 2) AS o_totalprice
-            FROM orders GROUP BY o_custkey, o_orderdate
+        WITH p AS (
+            SELECT user_id, ts AS pts,
+                   max_by(event_id, event_id) AS purchase_id,
+                   round(max_by(value, event_id), 6) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
         )
-        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        SELECT e.event_id, e.user_id, p.purchase_id, p.purchase_value
         FROM events e
-        ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate""",
+        ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.pts""",
     "range_join": """
-        SELECT o_orderkey, count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
-        FROM events e JOIN orders o
-          ON e.user_id = o.o_custkey
-         AND e.ts >= o.o_orderdate
-         AND e.ts < o.o_orderdate + INTERVAL 7 DAYS
-        GROUP BY o_orderkey""",
+        SELECT s.event_id AS signup_id, count(*) AS n_events,
+               round(sum(e.value), 2) AS sum_value
+        FROM events e
+        JOIN events s
+          ON e.user_id = s.user_id
+         AND s.event_type = 'signup'
+         AND e.ts >= s.ts
+         AND e.ts < s.ts + INTERVAL 7 DAYS
+        GROUP BY s.event_id""",
 }

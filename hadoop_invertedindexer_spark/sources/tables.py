@@ -26,6 +26,23 @@ TABLES = (
 )
 
 
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Self-provision the session confs the engine's semantics depend on.
+
+    The driver harness (and any embedding application) builds its own
+    SparkSession; these two are load-bearing and runtime-settable, so the
+    engine sets them at the source boundary rather than hoping the host
+    session was configured:
+
+    * ``nanosAsLong`` — events.ts is parquet TIMESTAMP(NANOS), which the
+      reader otherwise rejects outright (PARQUET_TYPE_ILLEGAL);
+    * UTC session timezone — window/date_trunc alignment on LTZ
+      timestamps must match the oracle's timezone-naive arithmetic.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one named table from an sf directory (TESTDATA.md layout).
 
@@ -36,6 +53,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos ≈ 1.7e18 exceeds double's 53-bit mantissa). Truncation matches
     DuckDB's ns→µs cast, keeping the oracle comparable.
     """
+    ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":

@@ -84,6 +84,9 @@ def run_streaming_tumbling(
     data processed in a single trigger the result must equal the batch
     twin — which is exactly how the contract checks it.
     """
+    from hadoop_invertedindexer_spark.sources.tables import ensure_session_conf
+
+    ensure_session_conf(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource wants a directory; stage the single parquet file
     # into one (symlink — no data copy; real deployments stream a dir of
