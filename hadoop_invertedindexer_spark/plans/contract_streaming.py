@@ -17,9 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_invertedindexer_spark.sources.tables import read_table
 from hadoop_invertedindexer_spark.streaming.events import (
+    run_streaming_session,
     run_streaming_tumbling,
     session_window_agg,
     sliding_window_agg,
+    streaming_dedup,
     tumbling_window_agg,
 )
 
@@ -41,11 +43,23 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_tumbling(spark, sf_dir, ckpt)
 
 
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ckpt = tempfile.mkdtemp(prefix="hii_stream_ckpt_")
+    return run_streaming_session(spark, sf_dir, ckpt)
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ckpt = tempfile.mkdtemp(prefix="hii_stream_ckpt_")
+    return streaming_dedup(spark, sf_dir, ckpt)
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
     "stream_tumbling": q_stream_tumbling,
+    "stream_session": q_stream_session,
+    "stream_dedup": q_stream_dedup,
 }
 
 _TUMBLING_SQL = """
@@ -92,6 +106,10 @@ STREAMING_ORACLE_SQL: dict[str, str] = {
     "events_tumbling": _TUMBLING_SQL,
     "events_sliding": _SLIDING_SQL,
     "events_session": _SESSION_SQL,
-    # the streaming twin must reproduce the batch tumbling result exactly
+    # the streaming twins must reproduce their batch results exactly
     "stream_tumbling": _TUMBLING_SQL,
+    "stream_session": _SESSION_SQL,
+    # which physical row survives streaming dedup is nondeterministic;
+    # the surviving KEY SET equals plain DISTINCT
+    "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
 }

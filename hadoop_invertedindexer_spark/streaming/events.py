@@ -69,6 +69,78 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def _staged_events_stream(spark: SparkSession, sf_dir: str):
+    """File-stream over the events parquet (staged into a dir — the
+    FileStreamSource wants directories), with the ns→µs ts conversion."""
+    from hadoop_invertedindexer_spark.sources.tables import ensure_session_conf
+
+    ensure_session_conf(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = tempfile.mkdtemp(prefix="hii_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    ts_type = {f.name: f.dataType.simpleString() for f in raw_schema}["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long, as in read_table
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_streaming_session(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_session",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """Structured-streaming twin of :func:`session_window_agg` — session
+    windows are merge-on-arrival stateful aggregation, the canonical
+    'needs a watermark to finalize' operator."""
+    stream = _staged_events_stream(spark, sf_dir)
+    agg = session_window_agg(stream.withWatermark("ts", watermark), gap=gap)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_dedup",
+    watermark: str = "1 hour",
+):
+    """Streaming exact dedup: first occurrence of each (user_id, event_type)
+    within the watermark horizon. dropDuplicatesWithinWatermark keeps
+    state only for the horizon — bounded regardless of stream length
+    (the streaming face of the dedup surface)."""
+    stream = _staged_events_stream(spark, sf_dir)
+    # project to the dedup key only: WHICH physical row survives within a
+    # batch is nondeterministic, the surviving key set is deterministic
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_streaming_tumbling(
     spark: SparkSession,
     sf_dir: str,
@@ -84,19 +156,7 @@ def run_streaming_tumbling(
     data processed in a single trigger the result must equal the batch
     twin — which is exactly how the contract checks it.
     """
-    from hadoop_invertedindexer_spark.sources.tables import ensure_session_conf
-
-    ensure_session_conf(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # FileStreamSource wants a directory; stage the single parquet file
-    # into one (symlink — no data copy; real deployments stream a dir of
-    # arriving files, which is exactly this shape).
-    stage = tempfile.mkdtemp(prefix="hii_stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    stream = spark.readStream.schema(raw_schema).parquet(stage)
-    ts_type = {f.name: f.dataType.simpleString() for f in raw_schema}["ts"]
-    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long, as in read_table
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _staged_events_stream(spark, sf_dir)
     agg = _windowed(stream.withWatermark("ts", watermark), F.window("ts", width))
     q = (
         agg.writeStream.format("memory")
