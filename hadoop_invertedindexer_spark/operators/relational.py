@@ -348,6 +348,29 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_Q3 = """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+
+def q_sql_api_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape through the engine's SQL front door: the identical
+    ANSI text runs on Spark (via register_sf_tables + spark.sql) and on
+    the DuckDB oracle — same string, two engines, same rows."""
+    from hadoop_invertedindexer_spark.sources.tables import register_sf_tables
+
+    register_sf_tables(spark, sf_dir)
+    return spark.sql(_SQL_Q3)
+
+
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array fn coverage (sort/distinct/slice/contains over token arrays);
     array outputs rendered as strings so the oracle compare is
@@ -400,6 +423,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_parts": q_date_parts,
     "json_extract": q_json_extract,
     "string_funcs": q_string_funcs,
+    "sql_api_q3": q_sql_api_q3,
     "array_funcs": q_array_funcs,
     "math_funcs": q_math_funcs,
 }
@@ -528,6 +552,7 @@ RELATIONAL_ORACLE_SQL: dict[str, str] = {
                concat_ws('|', p_brand, p_type) AS brand_type,
                regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel
         FROM part""",
+    "sql_api_q3": _SQL_Q3,
     "array_funcs": """
         SELECT doc_id,
                len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct,

@@ -61,6 +61,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def register_sf_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register every star-schema table as a temp view, enabling the SQL
+    front door (``spark.sql``) over the same sources — the engine exposes
+    both the DataFrame API and plain SQL."""
+    for name in TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def spread_partitions(df: DataFrame, key: str) -> DataFrame:
     """Repartition to the session's default parallelism by key.
 

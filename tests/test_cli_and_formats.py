@@ -81,6 +81,16 @@ def test_jsonl_round_trip(spark, tmp_path):
     assert len(glob.glob(path + "/part-*")) >= 1
 
 
+def test_orc_round_trip(spark, tmp_path):
+    d = spark.range(100).select(
+        "id", (F.col("id") * 2.5).alias("v"), F.concat(F.lit("r"), "id").alias("s")
+    )
+    path = str(tmp_path / "orc")
+    formats.write_orc(d, path)
+    back = formats.read_orc(spark, path)
+    assert sorted(back.collect()) == sorted(d.collect())
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem").withColumnRenamed(
         "l_orderkey", "okey"
