@@ -150,6 +150,26 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: stubbed resize plumbing (tests pin exact dimensions)."""
+    return multimodal.resize_image(
+        multimodal.binary_docs(_docs(spark, sf_dir)), width=16, height=16, fake=True
+    ).drop("payload")
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: stubbed frame sampling (1 row -> N frames fan-out)."""
+    return multimodal.frame_sample(
+        multimodal.binary_docs(_docs(spark, sf_dir)), every=4, fake=True
+    ).drop("frame")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: deterministic byte-histogram feature extraction."""
+    f = multimodal.feature_extract(multimodal.binary_docs(_docs(spark, sf_dir)))
+    return f.select("doc_id", F.round(F.element_at("features", 1), 6).alias("f0"))
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
@@ -165,6 +185,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_digest": q_multimodal_digest,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_features": q_multimodal_features,
 }
 
 # shared SQL fragments -----------------------------------------------------

@@ -38,6 +38,31 @@ def test_real_decode_raises_not_implemented(spark):
         df.collect()
 
 
+def test_resize_produces_requested_dimensions(spark):
+    docs = spark.createDataFrame([(1, "x" * 100), (2, "y")], ["doc_id", "text"])
+    out = multimodal.resize_image(
+        multimodal.binary_docs(docs), width=8, height=4, fake=True
+    ).collect()
+    assert all(len(r.payload) == 32 and r.width == 8 and r.height == 4 for r in out)
+
+
+def test_frame_sample_fans_out(spark):
+    docs = spark.createDataFrame([(1, "a" * 256)], ["doc_id", "text"])
+    frames = multimodal.frame_sample(
+        multimodal.binary_docs(docs), every=2, frame_bytes=32, fake=True
+    ).collect()
+    # 256 bytes / 32 = 8 frames, every 2nd -> indices 0,2,4,6
+    assert [r.frame_idx for r in frames] == [0, 2, 4, 6]
+    assert all(len(r.frame) == 32 for r in frames)
+
+
+def test_feature_extract_schema_and_norm(spark):
+    docs = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    row = multimodal.feature_extract(multimodal.binary_docs(docs), dim=8).first()
+    assert len(row.features) == 8
+    assert abs(sum(row.features) - 1.0) < 1e-6  # normalized histogram
+
+
 def test_decode_matches_input_cardinality(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     decoded = multimodal.decode_image_meta(multimodal.binary_docs(docs), fake=True)
