@@ -70,6 +70,21 @@ def test_whole_stage_codegen_covers_flagship_tokenize(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_big_big_join_goes_sort_merge_when_broadcast_off(spark):
+    """At 100 TB neither lineitem nor orders broadcasts; the plan must be
+    a SortMergeJoin (simulated by disabling the broadcast threshold)."""
+    li = read_table(spark, SF, "lineitem")
+    o = read_table(spark, SF, "orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(li.join(o, li.l_orderkey == o.o_orderkey))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+
+
 def test_bucketed_tables_join_without_exchange(spark):
     """Co-located join: both sides bucketed on the join key -> no shuffle
     exchange on either side of the SortMergeJoin."""

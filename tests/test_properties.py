@@ -89,6 +89,25 @@ def test_window_and_array_posting_paths_agree(spark, corpus_counts):
     assert win.exceptAll(arr).count() == 0
 
 
+def test_incremental_merge_equals_full_rebuild(spark):
+    """Index maintenance: tokenize two corpus halves separately, merge the
+    aggregates — must equal a full rebuild (associativity of the sum)."""
+    sw = load_stopwords(f"{REF}/skip/stop-word-list.txt")
+    lines = scan_text(spark, f"{REF}/input").persist()
+    full = term_doc_counts(prepare_tokens(lines, stopwords=sw))
+    half_a = lines.where(F.substring("filename", 13, 1) < "m")
+    half_b = lines.where(F.substring("filename", 13, 1) >= "m")
+    from hadoop_invertedindexer_spark.operators.index import merge_term_doc_counts
+
+    merged = merge_term_doc_counts(
+        term_doc_counts(prepare_tokens(half_a, stopwords=sw)),
+        term_doc_counts(prepare_tokens(half_b, stopwords=sw)),
+    )
+    assert full.exceptAll(merged).count() == 0
+    assert merged.exceptAll(full).count() == 0
+    lines.unpersist()
+
+
 def test_format_round_trip_parses_back(spark, corpus_counts):
     """Every formatted line parses back to (word, postings) with counts
     summing to the term's corpus frequency."""
