@@ -122,6 +122,67 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    quarter. lineitem⋈orders carries the only big shuffle; customer and
+    nation broadcast. The returnflag + date filters push to the scans."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            # decimal accumulation: exact, so the 2-dp rounding is
+            # independent of partial-agg order (a double sum here lands on
+            # a .xx5 boundary and flips the last digit between engines)
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
+    an aggregate-then-join-back (HAVING feeding a join). The heavy groupBy
+    runs on lineitem alone; the surviving keys (~1%) then join orders, so
+    the second join's left side is already tiny."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
 # ------------------------------------------------------------ aggregation
 
 
@@ -143,6 +204,46 @@ def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, no join — every
+    predicate (date range, discount band, quantity cap) is pushdown-
+    eligible, so at 100 TB this reads only row groups whose min/max
+    statistics intersect the filters."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (CASE inside SUM) — the
+    promo revenue share for one month. part broadcasts; the month filter
+    pushes to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01"))
+    )
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"),
     )
 
 
@@ -406,6 +507,10 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anti_join": q_anti_join,
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+    "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+    "tpch_q10_returned_items": q_tpch_q10_returned_items,
+    "tpch_q14_promo_effect": q_tpch_q14_promo_effect,
+    "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "group_distinct": q_group_distinct,
     "cube_agg": q_cube_agg,
     "rollup_agg": q_rollup_agg,
@@ -467,6 +572,39 @@ RELATIONAL_ORACLE_SQL: dict[str, str] = {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
         GROUP BY l_returnflag, l_linestatus""",
+    "tpch_q6_forecast_revenue": f"""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24""",
+    "tpch_q10_returned_items": f"""
+        SELECT c_custkey, c_name, n_name,
+               round(sum(({_REV})::DECIMAL(18,6)), 2)::DOUBLE AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "tpch_q14_promo_effect": f"""
+        SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV}
+                                      ELSE 0.0 END) / sum({_REV}), 6)
+                   AS promo_pct,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-03-01'""",
+    "tpch_q18_large_orders": """
+        SELECT c_custkey, o_orderkey,
+               round(o_totalprice, 2) AS totalprice, sum_qty
+        FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 2) > 250) big
+        JOIN orders   ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey""",
     "group_distinct": """
         SELECT o_orderpriority,
                count(DISTINCT o_custkey) AS n_customers,

@@ -1,0 +1,119 @@
+"""Deterministic sampling / splitting / n-gram mining for training-data
+pipelines (EXT, SURVEY §2B north-star rows).
+
+A 100 TB corpus is split, subsampled, and mixture-balanced *by content
+hash*, never by ``rand()``: the assignment must be reproducible across
+reruns, engines, and partitionings, and must not require a global sort or
+any coordination. All three operators here are narrow per-row projections
+plus one aggregation — no shuffle beyond what the aggregation itself
+needs — and every formula has an exact DuckDB twin (md5 is identical
+everywhere), so the contract checks them value-for-value.
+
+Reference cite: the reference has no sampling surface (its only dataset
+is the full corpus, src/InvertedIndexer.java:259); these are the
+north-star extension rows from BASELINE.json:6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def md5_hex(col: Column) -> Column:
+    """Portable deterministic content hash: lowercase hex md5 of the
+    value's canonical string form. Identical in Spark and DuckDB, unlike
+    xxhash64/murmur — this is what makes split assignment oracle-checkable
+    and stable across engine versions."""
+    return F.md5(F.encode(col.cast("string"), "UTF-8"))
+
+
+def hash_bucket16(col: Column) -> Column:
+    """First hex nibble of md5 → 16 uniform buckets ('0'..'f')."""
+    return F.substring(md5_hex(col), 1, 1)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_nibbles: int = 12,
+    val_nibbles: int = 2,
+) -> DataFrame:
+    """Deterministic train/val/test split on the id's md5 nibble:
+    first ``train_nibbles`` of the 16 buckets → train, next
+    ``val_nibbles`` → val, rest → test (default 75/12.5/12.5).
+
+    Properties relied on downstream: (a) assignment is a pure function of
+    the id — re-ingesting a document never migrates it between splits, so
+    no test-set leakage across pipeline runs; (b) no shuffle — the label
+    is a projection."""
+    hexchars = "0123456789abcdef"
+    train_set = list(hexchars[:train_nibbles])
+    val_set = list(hexchars[train_nibbles : train_nibbles + val_nibbles])
+    nib = hash_bucket16(F.col(id_col))
+    return df.withColumn(
+        "split",
+        F.when(nib.isin(train_set), F.lit("train"))
+        .when(nib.isin(val_set), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_take(
+    df: DataFrame,
+    strata_col: str = "source",
+    n_per_stratum: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_stratum`` rows of each
+    stratum that sort first by (md5(id), id). Equivalent to a uniform
+    per-stratum random sample, but reproducible — this is how a training
+    mixture takes "N documents per source" without ``rand()``.
+
+    One hash-partitioned window per stratum; no stratum ever needs more
+    than its own partition's memory, and skewed strata parallelize with
+    AQE because the rank filter drops rows before any downstream join."""
+    w = Window.partitionBy(strata_col).orderBy(
+        md5_hex(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= n_per_stratum)
+    )
+
+
+def bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """(bigram, n) counts over space-separated text — the n-gram mining
+    primitive under phrase heavy-hitters and contamination checks.
+
+    The adjacent-pair construction is a single JVM-side array expression
+    (transform over an index sequence); no posexplode self-join, so the
+    only shuffle is the final count aggregation, which Catalyst runs
+    partial-then-final (the 100 TB-safe shape: map-side combine shrinks
+    the exchange to the distinct-bigram cardinality)."""
+    toks = F.split(F.col(text_col), sep)
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def topk_bigrams(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Global top-k bigrams with deterministic (n desc, bigram asc)
+    tiebreak — TakeOrderedAndProject at scale, never a full sort."""
+    return bigram_counts(df, text_col).orderBy(
+        F.desc("n"), F.asc("bigram")
+    ).limit(k)

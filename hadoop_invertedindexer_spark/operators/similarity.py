@@ -129,6 +129,94 @@ def cosine_topk_ivf(
     )
 
 
+def lsh_bucket(
+    vec_col: str,
+    dim: int,
+    nbits: int,
+    seed: int = 42,
+) -> "F.Column":
+    """Random-hyperplane signature: nbits sign bits of <v, r_i>, as a
+    bit-string bucket key. The planes enter the plan as a literal array
+    constant — no UDF, no side table, identical on every executor."""
+    from hadoop_invertedindexer_spark.operators.dedup import _hyperplanes
+
+    planes = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in _hyperplanes(dim, nbits, seed)]
+    )
+    return F.concat_ws(
+        "",
+        F.transform(
+            planes, lambda p: (_dot(F.col(vec_col), p) > 0).cast("int").cast("string")
+        ),
+    )
+
+
+def _lsh_tables(vec_col: str, dim: int, nbits: int, ntables: int, seed: int):
+    """(table_idx, bucket) pairs, one signature per independent table —
+    exploded so the bucket join key is (table, signature)."""
+    sigs = F.array(
+        *[lsh_bucket(vec_col, dim, nbits, seed + 1000 * t) for t in range(ntables)]
+    )
+    return F.posexplode(sigs)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 8,
+    ntables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Multi-table LSH approximate top-k: the second scale path next to
+    IVF (SURVEY §2B). Corpus and queries are signed by ntables independent
+    sets of nbits random hyperplanes; candidates are rows sharing any
+    table's bucket, so per-table the pair count drops from N·Q to
+    ~N·Q/2^nbits and the tables union away boundary misses (a vector
+    sitting on one table's hyperplane still collides in the others —
+    miss prob (1-(1-θ/π)^nbits)^ntables). Unlike IVF there is no centroid
+    pass — the signatures are pure projections, so a write-once corpus
+    persists them and each incremental query batch is a co-partitioned
+    lookup, not a rescan. Output: (qid, vec_id, cosine, rank)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(
+        id_col,
+        vec_col,
+        _norm(F.col(vec_col)).alias("_cnorm"),
+        _lsh_tables(vec_col, dim, nbits, ntables, seed).alias("_table", "_bucket"),
+    )
+    q = queries.select(
+        qid_col,
+        qvec_col,
+        _norm(F.col(qvec_col)).alias("_qnorm"),
+        _lsh_tables(qvec_col, dim, nbits, ntables, seed).alias("_table", "_bucket"),
+    )
+    candidates = (
+        c.join(F.broadcast(q), ["_table", "_bucket"])
+        .where(F.col(qid_col) != F.col(id_col))
+        # a pair colliding in several tables must score once, not ntables×
+        .dropDuplicates([qid_col, id_col])
+    )
+    scored = candidates.select(
+        qid_col,
+        id_col,
+        F.round(
+            _dot(F.col(qvec_col), F.col(vec_col))
+            / (F.col("_qnorm") * F.col("_cnorm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def centroids_by_sampling(
     corpus: DataFrame,
     every: int = 100,

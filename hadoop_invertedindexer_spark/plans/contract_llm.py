@@ -94,6 +94,17 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_ivf(emb, queries, cents, k=10, nprobe=4)
 
 
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: hyperplane-bucketed ANN (the projection-only scale path
+    next to IVF); planted-cluster recall in tests/test_similarity.py.
+    nbits=4 so the near-orthogonal synthetic vectors still collide."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk_lsh(emb, queries, k=10, nbits=4)
+
+
 # ----------------------------------------------------------- text analysis
 
 
@@ -178,6 +189,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "similarity_bruteforce": q_similarity_bruteforce,
     "similarity_ivf": q_similarity_ivf,
+    "similarity_lsh": q_similarity_lsh,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,

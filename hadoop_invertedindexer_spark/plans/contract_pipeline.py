@@ -1,0 +1,116 @@
+"""Contract queries for the training-data pipeline surface: deterministic
+splits, stratified sampling, n-gram heavy hitters, quality filtering
+(EXT, SURVEY §2B north-star rows; no reference analogue — the reference
+always consumes its full corpus, src/InvertedIndexer.java:259).
+
+Everything here is hash-deterministic (md5, identical bit-for-bit in
+Spark and DuckDB), so every query gets a full value-hash oracle — none
+fall back to rows-only checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_invertedindexer_spark.functions import textstats
+from hadoop_invertedindexer_spark.operators import sampling
+from hadoop_invertedindexer_spark.plans.contract_llm import (
+    STOPWORDS,
+    _SQL_PUNCT_RATIO,
+    _SQL_STOP_RATIO,
+)
+from hadoop_invertedindexer_spark.sources.tables import read_table
+
+QUALITY_THRESHOLD = 0.5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 split on md5(doc_id); per-split doc
+    count and char mass prove both the fractions and the (hash-pinned)
+    assignment."""
+    split = sampling.hash_split(_docs(spark, sf_dir))
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic quota: the 5 hash-first docs per source —
+    the 'N docs per source' training-mixture primitive."""
+    return sampling.stratified_take(
+        _docs(spark, sf_dir), strata_col="source", n_per_stratum=5
+    ).select("doc_id", "source", "rk")
+
+
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams (phrase heavy-hitters) with deterministic
+    tiebreak."""
+    return sampling.topk_bigrams(_docs(spark, sf_dir), k=20)
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate retention per source: how much of each source survives
+    the quality threshold — the go/no-go dashboard of a filtering run."""
+    d = _docs(spark, sf_dir)
+    kept = (
+        textstats.quality_score(F.col("text"), STOPWORDS) >= QUALITY_THRESHOLD
+    ).cast("int")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.round(F.sum(kept) / F.count(F.lit(1)), 6).alias("retention"),
+    )
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "train_test_split": q_train_test_split,
+    "stratified_sample": q_stratified_sample,
+    "bigram_topk": q_bigram_topk,
+    "quality_filter": q_quality_filter,
+}
+
+_SQL_NIB = "substring(md5(doc_id::VARCHAR), 1, 1)"
+_SQL_QUALITY = f"""round(0.4 * least(length(text) / 500.0, 1.0)
+    + 0.3 * least({_SQL_STOP_RATIO} * 4, 1.0)
+    + 0.3 * greatest(0.0, 1.0 - {_SQL_PUNCT_RATIO} * 5), 6)"""
+
+PIPELINE_ORACLE_SQL: dict[str, str] = {
+    "train_test_split": f"""
+        SELECT CASE WHEN {_SQL_NIB} <= 'b' THEN 'train'
+                    WHEN {_SQL_NIB} <= 'd' THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        FROM documents GROUP BY 1""",
+    "stratified_sample": """
+        SELECT doc_id, source, rk FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT
+                       AS rk
+            FROM documents) t
+        WHERE rk <= 5""",
+    "bigram_topk": """
+        WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+        bg AS (SELECT unnest(list_transform(range(1, len(l)),
+                                            i -> l[i] || ' ' || l[i + 1]))
+                   AS bigram
+               FROM toks)
+        SELECT bigram, count(*) AS n FROM bg
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    "quality_filter": f"""
+        SELECT source, count(*) AS n_total,
+               sum(CASE WHEN {_SQL_QUALITY} >= {QUALITY_THRESHOLD}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               round(sum(CASE WHEN {_SQL_QUALITY} >= {QUALITY_THRESHOLD}
+                              THEN 1 ELSE 0 END)
+                     / count(*)::DOUBLE, 6) AS retention
+        FROM documents GROUP BY source""",
+}

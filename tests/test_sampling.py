@@ -1,0 +1,63 @@
+"""Training-pipeline sampling ops: deterministic split, stratified take,
+bigram mining. The contract oracle-checks values at sf0.01; here the
+invariants that make them safe to run twice on 100 TB: determinism,
+disjointness, quota exactness, and a hand-computed bigram fixture."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hadoop_invertedindexer_spark.operators import sampling
+from hadoop_invertedindexer_spark.sources.tables import read_table
+
+
+def test_hash_split_deterministic_and_partitioning_invariant(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    a = sampling.hash_split(d).select("doc_id", "split")
+    b = sampling.hash_split(d.repartition(13)).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_hash_split_covers_all_rows_once(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    s = sampling.hash_split(d)
+    assert s.count() == d.count()
+    fractions = {r["split"]: r["n"] for r in
+                 s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(fractions) == {"train", "val", "test"}
+    # 75/12.5/12.5 within loose binomial slack at 500 rows
+    total = sum(fractions.values())
+    assert 0.6 < fractions["train"] / total < 0.9
+
+
+def test_stratified_take_exact_quota_per_stratum(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    took = sampling.stratified_take(d, "source", n_per_stratum=3)
+    per = took.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    n_sources = d.select("source").distinct().count()
+    assert len(per) == n_sources
+    assert all(r["n"] == 3 for r in per)
+    # deterministic: same 3 ids under a different partitioning
+    again = sampling.stratified_take(d.repartition(7), "source", n_per_stratum=3)
+    assert took.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_bigram_counts_fixture(spark):
+    df = spark.createDataFrame(
+        [("a b a b",), ("a b",), ("x",)], ["text"]
+    )
+    got = {r["bigram"]: r["n"] for r in sampling.bigram_counts(df).collect()}
+    # "a b a b" -> [a b, b a, a b]; "a b" -> [a b]; "x" -> no bigrams
+    assert got == {"a b": 3, "b a": 1}
+
+
+def test_bigram_single_token_and_empty_safe(spark):
+    df = spark.createDataFrame([("solo",), ("",)], ["text"])
+    assert sampling.bigram_counts(df).count() == 0
+
+
+def test_topk_bigrams_deterministic_tiebreak(spark):
+    df = spark.createDataFrame([("b c",), ("a b",)], ["text"])
+    rows = sampling.topk_bigrams(df, k=1).collect()
+    # both bigrams have n=1; 'a b' < 'b c' wins the tiebreak
+    assert rows[0]["bigram"] == "a b"

@@ -33,6 +33,50 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert mean_recall >= 0.5, f"IVF mean recall {mean_recall:.2f} too low"
 
 
+def test_lsh_recovers_planted_near_duplicates(spark):
+    """Planted clusters: 8 base directions, 5 tiny perturbations each.
+    Same-cluster vectors have cosine ~1 (angle ~0), so single-probe
+    hyperplane buckets keep them together with prob (1 - θ/π)^nbits ≈ 1;
+    the LSH top-k must rank same-cluster members first."""
+    import random
+
+    rng = random.Random(7)
+    dim, rows = 16, []
+    for cluster in range(8):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        for member in range(5):
+            vec = [b + rng.gauss(0, 0.01) for b in base]
+            rows.append((cluster * 10 + member, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.cosine_topk_lsh(emb, queries, k=4, nbits=8)
+    got: dict[int, set[int]] = {}
+    for r in out.collect():
+        got.setdefault(r.qid, set()).add(r.vec_id)
+    for cluster in range(8):
+        qid = cluster * 10
+        expected = {qid + m for m in range(1, 5)}
+        assert got.get(qid) == expected, f"cluster {cluster}: {got.get(qid)}"
+
+
+def test_lsh_matches_bruteforce_within_bucket_budget(spark, sf_dir):
+    """On the near-orthogonal synthetic table, low-nbits LSH still returns
+    k well-formed rows per query and never exceeds cosine bounds."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.cosine_topk_lsh(emb, queries, k=10, nbits=2)
+    per_q = out.groupBy("qid").count().collect()
+    assert per_q and all(r["count"] <= 10 for r in per_q)
+    assert (
+        out.where((F.col("cosine") > 1.000001) | (F.col("cosine") < -1.000001)).count()
+        == 0
+    )
+
+
 def test_bruteforce_topk_shape(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
