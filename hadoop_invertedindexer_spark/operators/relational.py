@@ -487,6 +487,57 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: quantity by returnflag × linestatus, statuses as columns.
+    The value list is pinned (no discovery pass) — at scale an unpinned
+    pivot first runs a distinct over the pivot column."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+def q_unpivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: per-priority measures widened back to (metric, value)
+    rows — the inverse of pivot, used to normalize wide metric tables."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["sum_price", "n_orders"], "metric", "value"
+    )
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map fn coverage: construct, extract, keys, cardinality."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("price")),
+        F.array(F.col("l_quantity"), F.col("l_extendedprice")),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(m, "qty").alias("qty_val"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys"),
+    )
+
+
+def q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: exact median, sample stddev, Pearson corr."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.round(F.stddev("l_extendedprice"), 4).alias("stddev_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )
+
+
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math fn coverage."""
     li = _t(spark, sf_dir, "lineitem")
@@ -531,6 +582,10 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_api_q3": q_sql_api_q3,
     "array_funcs": q_array_funcs,
     "math_funcs": q_math_funcs,
+    "pivot_agg": q_pivot_agg,
+    "unpivot_agg": q_unpivot_agg,
+    "map_funcs": q_map_funcs,
+    "stats_aggs": q_stats_aggs,
 }
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -708,4 +763,38 @@ RELATIONAL_ORACLE_SQL: dict[str, str] = {
                floor(l_discount)::BIGINT AS floor_disc,
                abs(l_tax - 0.05) AS abs_tax_dev
         FROM lineitem""",
+    "pivot_agg": """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+                   AS "F",
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+                   AS "O"
+        FROM lineitem GROUP BY l_returnflag""",
+    "unpivot_agg": """
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   count(*)::DOUBLE AS n_orders
+            FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, 'sum_price' AS metric, sum_price AS value
+        FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value
+        FROM wide""",
+    "map_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               map(['qty', 'price'], [l_quantity, l_extendedprice])['qty'][1]
+                   AS qty_val,
+               cardinality(map(['qty', 'price'],
+                               [l_quantity, l_extendedprice]))::BIGINT AS n_keys,
+               array_to_string(map_keys(map(['qty', 'price'],
+                                            [l_quantity, l_extendedprice])), ',')
+                   AS keys
+        FROM lineitem""",
+    "stats_aggs": """
+        SELECT l_returnflag,
+               round(median(l_quantity), 6) AS median_qty,
+               round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        FROM lineitem GROUP BY l_returnflag""",
 }

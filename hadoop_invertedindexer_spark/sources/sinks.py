@@ -55,3 +55,32 @@ def sink_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory into
+    ~``target_file_bytes`` files. Streaming ingestion and per-trigger
+    micro-batch sinks leave thousands of KB-sized files; at 100 TB the
+    resulting task-per-file scheduling and footer-read overhead dominate
+    scan time, so periodic compaction is part of the engine's write path.
+
+    File count = ceil(input_bytes / target), measured from the source
+    files themselves (no data pass); the rewrite is one repartition —
+    a single round-robin shuffle, no skew by construction. Returns the
+    number of files written."""
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files

@@ -91,6 +91,24 @@ def test_orc_round_trip(spark, tmp_path):
     assert sorted(back.collect()) == sorted(d.collect())
 
 
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from hadoop_invertedindexer_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(10_000).select(
+        "id", (F.col("id") % 7).alias("k"), F.concat(F.lit("v"), "id").alias("s")
+    )
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    assert len(glob.glob(src + "/part-*.parquet")) == 64
+    n = compact_parquet(spark, src, dst, target_file_bytes=256 * 1024)
+    files = glob.glob(dst + "/part-*.parquet")
+    assert len(files) == n < 64
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem").withColumnRenamed(
         "l_orderkey", "okey"

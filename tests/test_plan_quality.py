@@ -36,6 +36,19 @@ def test_projection_pruned_at_scan(spark):
     assert "text" not in scan_line  # the big column is not read
 
 
+def test_q6_all_predicates_pushed_to_scan(spark):
+    """Q6 is pure scan-filter-agg: every predicate (date range, discount
+    band, quantity cap) must reach the parquet reader so row-group
+    min/max stats can skip data at scale."""
+    qs = entrymod.queries()
+    plan = _plan(qs["tpch_q6_forecast_revenue"](spark, SF))
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"isnotnull({col}" in plan, f"{col} filter not pushed"
+    # column pruning: only the four needed columns are read
+    assert "ReadSchema" in scan and "l_orderkey" not in scan
+
+
 def test_dim_joins_are_broadcast(spark):
     qs = entrymod.queries()
     plan = _plan(qs["join_broadcast"](spark, SF))
