@@ -26,6 +26,8 @@ from hadoop_invertedindexer_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "format_line",            # flagship: full inverted-index pipeline
     "tpch_q1_pricing_summary",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
     "join_broadcast",
     "tpch_q5_local_supplier",
     "group_distinct",
@@ -39,6 +41,8 @@ HEADLINE = [
     "similarity_bruteforce",
     "doc_fingerprint",
     "tf_idf",
+    "bigram_topk",
+    "train_test_split",
     "asof_join",
     "range_join",
 ]

@@ -22,7 +22,7 @@ from hadoop_invertedindexer_spark.plans.contract_llm import (
     _SQL_PUNCT_RATIO,
     _SQL_STOP_RATIO,
 )
-from hadoop_invertedindexer_spark.sources.tables import read_table
+from hadoop_invertedindexer_spark.sources.tables import read_table, spread_partitions
 
 QUALITY_THRESHOLD = 0.5
 
@@ -52,8 +52,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus bigrams (phrase heavy-hitters) with deterministic
-    tiebreak."""
-    return sampling.topk_bigrams(_docs(spark, sf_dir), k=20)
+    tiebreak. Spread first: a single-file table otherwise explodes its
+    bigrams on one core."""
+    return sampling.topk_bigrams(
+        spread_partitions(_docs(spark, sf_dir), "doc_id"), k=20
+    )
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

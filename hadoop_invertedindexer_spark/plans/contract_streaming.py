@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_invertedindexer_spark.sources.tables import read_table
 from hadoop_invertedindexer_spark.streaming.events import (
+    enrich_by_dim,
+    purchase_error_pairs,
+    run_streaming_enrich,
+    run_streaming_interval_join,
     run_streaming_session,
     run_streaming_tumbling,
     session_window_agg,
@@ -53,6 +57,34 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_dedup(spark, sf_dir, ckpt)
 
 
+def q_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    return enrich_by_dim(
+        read_table(spark, sf_dir, "events"), read_table(spark, sf_dir, "customer")
+    )
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ckpt = tempfile.mkdtemp(prefix="hii_stream_ckpt_")
+    return run_streaming_enrich(spark, sf_dir, ckpt)
+
+
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events")
+    return purchase_error_pairs(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "error"),
+    )
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ckpt = tempfile.mkdtemp(prefix="hii_stream_ckpt_")
+    return run_streaming_interval_join(spark, sf_dir, ckpt)
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
@@ -60,6 +92,10 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling": q_stream_tumbling,
     "stream_session": q_stream_session,
     "stream_dedup": q_stream_dedup,
+    "events_enrich": q_events_enrich,
+    "stream_enrich": q_stream_enrich,
+    "events_interval_join": q_events_interval_join,
+    "stream_interval_join": q_stream_interval_join,
 }
 
 _TUMBLING_SQL = """
@@ -102,6 +138,18 @@ _SESSION_SQL = """
            count(*) AS n, round(sum(value), 2) AS sum_value
     FROM numbered GROUP BY user_id, session_id"""
 
+_ENRICH_SQL = """
+    SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment"""
+
+_INTERVAL_JOIN_SQL = """
+    SELECT a.event_id AS p_id, b.event_id AS e_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'purchase' AND b.event_type = 'error'
+     AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts + INTERVAL 1 HOUR"""
+
 STREAMING_ORACLE_SQL: dict[str, str] = {
     "events_tumbling": _TUMBLING_SQL,
     "events_sliding": _SLIDING_SQL,
@@ -112,4 +160,10 @@ STREAMING_ORACLE_SQL: dict[str, str] = {
     # which physical row survives streaming dedup is nondeterministic;
     # the surviving KEY SET equals plain DISTINCT
     "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "events_enrich": _ENRICH_SQL,
+    # stream-static join on one availableNow pass == the batch twin
+    "stream_enrich": _ENRICH_SQL,
+    "events_interval_join": _INTERVAL_JOIN_SQL,
+    # stream-stream append emits each matched pair exactly once
+    "stream_interval_join": _INTERVAL_JOIN_SQL,
 }

@@ -141,6 +141,99 @@ def streaming_dedup(
     return spark.table(query_name)
 
 
+def enrich_by_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Dimension enrichment: events joined to the customer dim on
+    user_id, rolled up per market segment. The dim side broadcasts —
+    in streaming form this is the canonical stream-static join, where
+    the static side is re-read per micro-batch and never holds state."""
+    return (
+        events.join(F.broadcast(dim), events.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def run_streaming_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_enrich",
+) -> DataFrame:
+    """Structured-streaming twin of :func:`enrich_by_dim`: file-stream
+    events, static customer dim. Must equal the batch twin on one
+    availableNow pass — the contract reuses the batch oracle."""
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+
+    stream = _staged_events_stream(spark, sf_dir)
+    dim = read_table(spark, sf_dir, "customer")
+    agg = enrich_by_dim(stream, dim)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def purchase_error_pairs(purchases: DataFrame, errors: DataFrame) -> DataFrame:
+    """Interval equi-join: for each purchase, the same user's errors
+    within ±1 hour — (p_id, e_id) pairs. In streaming form this is a
+    stream-stream join: the time bound plus both watermarks lets Spark
+    evict buffered rows once they can no longer match, so state is
+    O(watermark horizon), not O(stream)."""
+    p = purchases.select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    e = errors.select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    return p.join(
+        e,
+        (p.user_id == e.e_user)
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("p_id", "e_id")
+
+
+def run_streaming_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_interval_join",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Structured-streaming twin of :func:`purchase_error_pairs`: both
+    sides are watermarked streams over the same staged source; append
+    mode emits each matched pair exactly once."""
+    stream = _staged_events_stream(spark, sf_dir)
+    purchases = stream.where(F.col("event_type") == "purchase").withWatermark(
+        "ts", watermark
+    )
+    errors = stream.where(F.col("event_type") == "error").withWatermark(
+        "ts", watermark
+    )
+    pairs = purchase_error_pairs(purchases, errors)
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_streaming_tumbling(
     spark: SparkSession,
     sf_dir: str,

@@ -80,3 +80,41 @@ def test_watermark_closes_windows_and_drops_late_rows(spark, tmp_path):
         "2024-01-01 13:00:00": (1, 8),
     }
     assert all(s != 100 and s != 103 for _, s in out3.values()), "late row leaked"
+
+
+def test_stream_enrich_equals_batch_twin(spark, sf_dir, tmp_path):
+    """Stream-static join on one availableNow pass == the batch twin."""
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+    from hadoop_invertedindexer_spark.streaming.events import (
+        enrich_by_dim,
+        run_streaming_enrich,
+    )
+
+    batch = enrich_by_dim(
+        read_table(spark, sf_dir, "events"), read_table(spark, sf_dir, "customer")
+    )
+    streamed = run_streaming_enrich(
+        spark, sf_dir, str(tmp_path / "ckpt_enrich"), query_name="t_enrich"
+    )
+    assert batch.exceptAll(streamed).count() == 0
+    assert streamed.exceptAll(batch).count() == 0
+
+
+def test_stream_interval_join_equals_batch_twin(spark, sf_dir, tmp_path):
+    """Stream-stream interval join emits exactly the batch pair set."""
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+    from hadoop_invertedindexer_spark.streaming.events import (
+        purchase_error_pairs,
+        run_streaming_interval_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    batch = purchase_error_pairs(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "error"),
+    )
+    streamed = run_streaming_interval_join(
+        spark, sf_dir, str(tmp_path / "ckpt_ssj"), query_name="t_ssj"
+    )
+    assert batch.exceptAll(streamed).count() == 0
+    assert streamed.exceptAll(batch).count() == 0
