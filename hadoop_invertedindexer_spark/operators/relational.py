@@ -538,6 +538,69 @@ def q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of extendedprice (fixed-width buckets via a
+    pure projection — no sampling pass, each row maps independently, so
+    the shuffle carries only bucket-count pairs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.least(F.floor(F.col("l_extendedprice") / 10000), F.lit(9)).cast(
+        "bigint"
+    )
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 10 heaviest o_custkey values and
+    their share of all orders — the profiling step that decides between
+    plain, AQE-skew, and salted join plans before a 100 TB run."""
+    o = _t(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = per_key.agg(F.sum("n").alias("total"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select("key", "n", F.round(F.col("n") / F.col("total"), 6).alias("share"))
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(10)
+    )
+
+
+def q_argmax_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max/arg-min aggregates: which order realizes each priority's
+    price extremes (max_by/min_by — ties impossible on this data, checked
+    before pinning the oracle)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("top_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("bottom_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+_SQL_CORRELATED = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+def q_sql_api_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL front door — the same
+    ANSI text on both engines (Catalyst decorrelates it to an aggregate
+    + join; no per-row re-execution)."""
+    from hadoop_invertedindexer_spark.sources.tables import register_sf_tables
+
+    register_sf_tables(spark, sf_dir)
+    return spark.sql(_SQL_CORRELATED)
+
+
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math fn coverage."""
     li = _t(spark, sf_dir, "lineitem")
@@ -586,6 +649,10 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_agg": q_unpivot_agg,
     "map_funcs": q_map_funcs,
     "stats_aggs": q_stats_aggs,
+    "histogram": q_histogram,
+    "skew_profile": q_skew_profile,
+    "argmax_aggs": q_argmax_aggs,
+    "sql_api_correlated": q_sql_api_correlated,
 }
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -797,4 +864,21 @@ RELATIONAL_ORACLE_SQL: dict[str, str] = {
                round(stddev_samp(l_extendedprice), 4) AS stddev_price,
                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
         FROM lineitem GROUP BY l_returnflag""",
+    "histogram": """
+        SELECT least(floor(l_extendedprice / 10000), 9)::BIGINT AS bucket,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY 1""",
+    "skew_profile": """
+        WITH per_key AS (SELECT o_custkey AS key, count(*) AS n
+                         FROM orders GROUP BY 1),
+             t AS (SELECT sum(n) AS total FROM per_key)
+        SELECT key, n, round(n / total::DOUBLE, 6) AS share
+        FROM per_key, t ORDER BY n DESC, key LIMIT 10""",
+    "argmax_aggs": """
+        SELECT o_orderpriority,
+               arg_max(o_orderkey, o_totalprice) AS top_order,
+               arg_min(o_orderkey, o_totalprice) AS bottom_order,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderpriority""",
+    "sql_api_correlated": _SQL_CORRELATED,
 }

@@ -91,6 +91,19 @@ def test_orc_round_trip(spark, tmp_path):
     assert sorted(back.collect()) == sorted(d.collect())
 
 
+def test_schema_evolution_merge_across_batches(spark, tmp_path):
+    """Ingestion batches gain columns over time; mergeSchema reads the
+    union schema with nulls where a batch lacks the column."""
+    path = str(tmp_path / "evolving")
+    spark.range(5).select("id", F.lit("a").alias("s")).write.parquet(path + "/batch=1")
+    spark.range(5).select("id", F.lit(2.5).alias("v")).write.parquet(path + "/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert {"id", "s", "v"} <= set(merged.columns)
+    assert merged.count() == 10
+    assert merged.where(F.col("v").isNull()).count() == 5
+    assert merged.where(F.col("s").isNull()).count() == 5
+
+
 def test_compact_parquet_merges_small_files(spark, tmp_path):
     from hadoop_invertedindexer_spark.sources.sinks import compact_parquet
 
