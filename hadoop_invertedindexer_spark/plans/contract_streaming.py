@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_invertedindexer_spark.sources.tables import read_table
 from hadoop_invertedindexer_spark.streaming.events import (
+    daily_from_hourly,
     enrich_by_dim,
+    hourly_rollup_exact,
     purchase_error_pairs,
     run_streaming_enrich,
     run_streaming_interval_join,
@@ -57,6 +59,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_dedup(spark, sf_dir, ckpt)
 
 
+def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate tiering: daily re-aggregated from the hourly
+    tier; the oracle computes daily directly from raw events, proving the
+    tiers compose without drift."""
+    return daily_from_hourly(hourly_rollup_exact(read_table(spark, sf_dir, "events")))
+
+
 def q_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F  # noqa: F401
 
@@ -92,6 +101,7 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling": q_stream_tumbling,
     "stream_session": q_stream_session,
     "stream_dedup": q_stream_dedup,
+    "events_daily_rollup": q_events_daily_rollup,
     "events_enrich": q_events_enrich,
     "stream_enrich": q_stream_enrich,
     "events_interval_join": q_events_interval_join,
@@ -160,6 +170,11 @@ STREAMING_ORACLE_SQL: dict[str, str] = {
     # which physical row survives streaming dedup is nondeterministic;
     # the surviving KEY SET equals plain DISTINCT
     "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "events_daily_rollup": """
+        SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+               count(*) AS n,
+               round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
+        FROM events GROUP BY 1, 2""",
     "events_enrich": _ENRICH_SQL,
     # stream-static join on one availableNow pass == the batch twin
     "stream_enrich": _ENRICH_SQL,

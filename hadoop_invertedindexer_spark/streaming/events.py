@@ -141,6 +141,33 @@ def streaming_dedup(
     return spark.table(query_name)
 
 
+def hourly_rollup_exact(events: DataFrame) -> DataFrame:
+    """Hour-grain base rollup with exact (decimal) partial sums — the
+    materialized tier of a hypertable-style continuous aggregate. Kept
+    unrounded so coarser tiers re-aggregate from it without drift."""
+    return events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value_exact"),
+    )
+
+
+def daily_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Day tier re-aggregated from the hour tier (counts and sums are
+    associative), so the daily view costs O(hours), not O(events) — at
+    100 TB the raw stream is touched once, every coarser grain reads the
+    tier below. Must equal direct daily aggregation; the contract oracle
+    checks exactly that."""
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("w.start")).alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_value_exact"), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def enrich_by_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Dimension enrichment: events joined to the customer dim on
     user_id, rolled up per market segment. The dim side broadcasts —

@@ -118,3 +118,27 @@ def test_stream_interval_join_equals_batch_twin(spark, sf_dir, tmp_path):
     )
     assert batch.exceptAll(streamed).count() == 0
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_daily_tier_equals_direct_daily(spark, sf_dir):
+    """Continuous-aggregate tiering: daily-from-hourly must equal daily
+    computed directly from raw events."""
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+    from hadoop_invertedindexer_spark.streaming.events import (
+        daily_from_hourly,
+        hourly_rollup_exact,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    tiered = daily_from_hourly(hourly_rollup_exact(ev))
+    direct = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    assert tiered.exceptAll(direct).count() == 0
+    assert direct.exceptAll(tiered).count() == 0
