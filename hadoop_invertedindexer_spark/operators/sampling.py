@@ -82,6 +82,34 @@ def stratified_take(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    budget: int = 2000,
+    strata_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-budget bins (training
+    batches) by next-fit over a deterministic order — pack boundaries fall
+    where the exclusive running weight crosses a budget multiple.
+
+    ``pack_id = floor(exclusive_cumsum(weight) / budget)`` per stratum:
+    a pure window cumsum, so packing parallelizes per stratum and is
+    reproducible across reruns/partitionings (same property as
+    ``hash_split``). A bin can exceed budget by at most one document —
+    the standard next-fit bound; callers that need hard caps split
+    oversized docs upstream. Adds ``pack_id``."""
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    excl_cumsum = F.sum(weight_col).over(w) - F.col(weight_col)
+    return df.withColumn(
+        "pack_id", F.floor(excl_cumsum / F.lit(budget)).cast("bigint")
+    )
+
+
 def bigram_counts(
     df: DataFrame,
     text_col: str = "text",

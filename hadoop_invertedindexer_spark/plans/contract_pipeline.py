@@ -59,6 +59,17 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source next-fit packing of documents into ~2000-char training
+    bins; the per-pack rollup (doc count, char mass) pins every
+    assignment."""
+    packed = sampling.pack_sequences(_docs(spark, sf_dir), budget=2000)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate retention per source: how much of each source survives
     the quality threshold — the go/no-go dashboard of a filtering run."""
@@ -77,6 +88,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
     "bigram_topk": q_bigram_topk,
+    "sequence_pack": q_sequence_pack,
     "quality_filter": q_quality_filter,
 }
 
@@ -108,6 +120,16 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                FROM toks)
         SELECT bigram, count(*) AS n FROM bg
         GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
+    "sequence_pack": """
+        WITH packed AS (
+            SELECT source, n_chars,
+                   floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_chars) / 2000)::BIGINT AS pack_id
+            FROM documents)
+        SELECT source, pack_id, count(*) AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM packed GROUP BY source, pack_id""",
     "quality_filter": f"""
         SELECT source, count(*) AS n_total,
                sum(CASE WHEN {_SQL_QUALITY} >= {QUALITY_THRESHOLD}

@@ -61,3 +61,37 @@ def test_topk_bigrams_deterministic_tiebreak(spark):
     rows = sampling.topk_bigrams(df, k=1).collect()
     # both bigrams have n=1; 'a b' < 'b c' wins the tiebreak
     assert rows[0]["bigram"] == "a b"
+
+
+def test_pack_sequences_next_fit_bound(spark, sf_dir):
+    """Every pack's weight is < budget + its largest member (next-fit
+    bound), packs are contiguous in doc_id order, and assignment is
+    partitioning-invariant."""
+    d = read_table(spark, sf_dir, "documents")
+    budget = 2000
+    packed = sampling.pack_sequences(d, budget=budget)
+    stats = (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.sum("n_chars").alias("w"),
+            F.max("n_chars").alias("mx"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .collect()
+    )
+    assert stats
+    for r in stats:
+        assert r["w"] < budget + r["mx"], f"pack over bound: {r}"
+    # contiguity: id ranges of consecutive packs in a source never overlap
+    by_source: dict[str, list] = {}
+    for r in stats:
+        by_source.setdefault(r["source"], []).append(r)
+    for rows in by_source.values():
+        rows.sort(key=lambda r: r["pack_id"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["hi"] < b["lo"]
+    again = sampling.pack_sequences(d.repartition(11), budget=budget).select(
+        "doc_id", "pack_id"
+    )
+    assert packed.select("doc_id", "pack_id").exceptAll(again).count() == 0
