@@ -351,6 +351,44 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile / percent_rank / cume_dist per
+    priority. The order key carries the orderkey tiebreak — one
+    (priority, totalprice) pair repeats in the data, and an ambiguous
+    order would make ntile assignment nondeterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching over the distinct name vocabulary,
+    blocked on the first character — the vocabulary-reconciliation op
+    (typo clusters, alias merging). Blocking bounds the candidate join;
+    levenshtein runs only inside blocks. At 100 TB the same shape holds:
+    distinct-vocab is orders of magnitude smaller than the corpus."""
+    p = _t(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    blocked = a.join(
+        b,
+        (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
+        & (F.col("name_a") < F.col("name_b")),
+    )
+    return blocked.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+    ).where(F.col("dist") <= 4)
+
+
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 parts by revenue — deterministic tiebreak on key.
 
@@ -651,6 +689,8 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_aggs": q_stats_aggs,
     "histogram": q_histogram,
     "skew_profile": q_skew_profile,
+    "window_distribution": q_window_distribution,
+    "fuzzy_match": q_fuzzy_match,
     "argmax_aggs": q_argmax_aggs,
     "sql_api_correlated": q_sql_api_correlated,
 }
@@ -881,4 +921,20 @@ RELATIONAL_ORACLE_SQL: dict[str, str] = {
                round(max(o_totalprice), 2) AS max_price
         FROM orders GROUP BY o_orderpriority""",
     "sql_api_correlated": _SQL_CORRELATED,
+    "window_distribution": """
+        SELECT o_orderkey, o_orderpriority,
+               ntile(4) OVER w::BIGINT AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)""",
+    "fuzzy_match": """
+        WITH names AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+        FROM names a JOIN names b
+          ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+         AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 4""",
 }
