@@ -168,6 +168,56 @@ def daily_from_hourly(hourly: DataFrame) -> DataFrame:
     )
 
 
+def maintain_hourly_tier(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    tier_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Incremental materialized-rollup maintenance: each micro-batch
+    appends its *partial* hourly aggregates to the tier. Because counts
+    and decimal sums are associative, the tier never needs read-modify-
+    write — append-only, so maintenance cost is O(batch), the streaming
+    face of :func:`merge_term_doc_counts`'s batch merge. Readers re-sum
+    partials (:func:`read_hourly_tier`); a periodic
+    :func:`~hadoop_invertedindexer_spark.sources.sinks.compact_parquet`
+    pass bounds the partial count."""
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    ts_type = {f.name: f.dataType.simpleString() for f in source_schema}["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def _append_partials(batch_df: DataFrame, batch_id: int) -> None:
+        hourly_rollup_exact(batch_df).write.mode("append").parquet(tier_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_append_partials)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_hourly_tier(spark: SparkSession, tier_path: str) -> DataFrame:
+    """Merge the tier's per-batch partials into final hourly aggregates
+    (associative re-sum — exact, any number of partials per window)."""
+    return (
+        spark.read.parquet(tier_path)
+        .groupBy("w", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value_exact").alias("sum_value_exact"),
+        )
+    )
+
+
 def enrich_by_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Dimension enrichment: events joined to the customer dim on
     user_id, rolled up per market segment. The dim side broadcasts —

@@ -142,3 +142,51 @@ def test_daily_tier_equals_direct_daily(spark, sf_dir):
     )
     assert tiered.exceptAll(direct).count() == 0
     assert direct.exceptAll(tiered).count() == 0
+
+
+def test_incremental_hourly_tier_maintenance(spark, sf_dir, tmp_path):
+    """foreachBatch appends per-batch hourly partials; the re-summed tier
+    re-aggregated to daily must equal direct daily over all events —
+    across MULTIPLE micro-batches (two staged source files)."""
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+    from hadoop_invertedindexer_spark.streaming.events import (
+        daily_from_hourly,
+        maintain_hourly_tier,
+        read_hourly_tier,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    # two disjoint halves as separate files -> two micro-batches
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src + "/a")
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src + "/b")
+    stage = str(tmp_path / "stage")
+    import glob as g
+    import os
+
+    os.makedirs(stage)
+    for i, f in enumerate(sorted(g.glob(src + "/*/part-*.parquet"))):
+        os.symlink(f, f"{stage}/batch{i}.parquet")
+
+    tier = str(tmp_path / "tier")
+    maintain_hourly_tier(
+        spark, stage, spark.read.parquet(stage).schema, tier,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    # at least two partial files appended (one per micro-batch)
+    n_partial_rows = spark.read.parquet(tier).count()
+    merged = read_hourly_tier(spark, tier)
+    assert n_partial_rows > merged.count()  # partials really were split
+
+    tiered_daily = daily_from_hourly(merged)
+    direct_daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    assert tiered_daily.exceptAll(direct_daily).count() == 0
+    assert direct_daily.exceptAll(tiered_daily).count() == 0
