@@ -82,6 +82,22 @@ def stratified_take(
     )
 
 
+def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Single-pass data-quality profile: row count plus per-column null
+    and distinct counts — the validation gate a training pipeline runs
+    before accepting an ingestion batch. One aggregation job; distinct
+    counts expand to Catalyst's multi-distinct rewrite (still one pass
+    over the data, no per-column scans)."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"{c}_nulls")
+        )
+        aggs.append(F.countDistinct(c).alias(f"{c}_distinct"))
+    return df.agg(*aggs)
+
+
 def pack_sequences(
     df: DataFrame,
     weight_col: str = "n_chars",

@@ -70,6 +70,20 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-gate validation report: profile + consistency checks
+    (duplicate ids, n_chars vs actual text length) in one pass."""
+    d = _docs(spark, sf_dir)
+    profile = sampling.table_profile(d, ["doc_id", "lang", "source"])
+    checks = d.agg(
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("dup_ids"),
+        F.sum((F.col("n_chars") != F.length("text")).cast("int"))
+        .cast("bigint")
+        .alias("bad_nchars"),
+    )
+    return profile.crossJoin(checks)
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-gate retention per source: how much of each source survives
     the quality threshold — the go/no-go dashboard of a filtering run."""
@@ -89,6 +103,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "bigram_topk": q_bigram_topk,
     "sequence_pack": q_sequence_pack,
+    "data_quality": q_data_quality,
     "quality_filter": q_quality_filter,
 }
 
@@ -130,6 +145,17 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         SELECT source, pack_id, count(*) AS n_docs,
                sum(n_chars)::BIGINT AS sum_chars
         FROM packed GROUP BY source, pack_id""",
+    "data_quality": """
+        SELECT count(*) AS n_rows,
+               sum((doc_id IS NULL)::INT)::BIGINT AS doc_id_nulls,
+               count(DISTINCT doc_id) AS doc_id_distinct,
+               sum((lang IS NULL)::INT)::BIGINT AS lang_nulls,
+               count(DISTINCT lang) AS lang_distinct,
+               sum((source IS NULL)::INT)::BIGINT AS source_nulls,
+               count(DISTINCT source) AS source_distinct,
+               (count(*) - count(DISTINCT doc_id)) AS dup_ids,
+               sum((n_chars <> length(text))::INT)::BIGINT AS bad_nchars
+        FROM documents""",
     "quality_filter": f"""
         SELECT source, count(*) AS n_total,
                sum(CASE WHEN {_SQL_QUALITY} >= {QUALITY_THRESHOLD}
