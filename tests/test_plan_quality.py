@@ -83,6 +83,29 @@ def test_whole_stage_codegen_covers_flagship_tokenize(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_all_oracle_queries_stay_jvm_side(spark):
+    """Engine-wide guard: no oracle-checked batch query may silently fall
+    back to a row-at-a-time or Arrow Python UDF — the hot path must stay
+    in codegen. (Python appears only in rows-only ops: SimHash's pandas
+    UDF and the multimodal mapInPandas stubs, none oracle-paired.)
+    Streaming twins are skipped: building their 'plan' executes the run."""
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    offenders = []
+    for name in sorted(qs):
+        if name not in oracles or name.startswith("stream_"):
+            continue
+        plan = _plan(qs[name](spark, SF))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python in hot path: {offenders}"
+
+
+def test_oracle_keys_subset_of_queries(spark):
+    """Contract hygiene: every oracle entry must pair with a query."""
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) <= set(qs), set(oracles) - set(qs)
+
+
 def test_big_big_join_goes_sort_merge_when_broadcast_off(spark):
     """At 100 TB neither lineitem nor orders broadcasts; the plan must be
     a SortMergeJoin (simulated by disabling the broadcast threshold)."""
