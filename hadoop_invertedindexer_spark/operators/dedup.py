@@ -84,6 +84,35 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: admit only new-batch documents that
+    duplicate neither the existing corpus nor an earlier row of the same
+    batch. The corpus side reduces to its distinct content hashes before
+    the anti-join, so cost is O(new + corpus-hash-scan) per batch — the
+    corpus is never re-paired against itself (the property that makes
+    daily ingestion against a 100 TB store affordable; same shape as
+    ``merge_term_doc_counts`` for the index and ``maintain_hourly_tier``
+    for rollups). Returns the admitted rows of ``new_docs``.
+    """
+    from pyspark.sql import Window
+
+    h = F.sha2(normalized_text(text_col), 256)
+    new_keyed = new_docs.withColumn("_h", h)
+    corpus_hashes = corpus.select(h.alias("_h")).distinct()
+    fresh = new_keyed.join(corpus_hashes, "_h", "left_anti")
+    w = Window.partitionBy("_h").orderBy(id_col)
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
 # --------------------------------------------------------- n-gram Jaccard
 
 

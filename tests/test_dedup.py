@@ -99,3 +99,26 @@ def test_ngram_jaccard_pair_symmetry_and_bounds(spark, docs):
     for r in out:
         assert r.id_a < r.id_b
         assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_dedup_incremental_admits_only_fresh_unique(spark):
+    """New batch vs existing corpus: corpus dups dropped (even with
+    formatting differences), within-batch dups keep the smallest id,
+    genuinely new docs admitted."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "hello world")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "The quick brown FOX!!"),   # dup of corpus 1 after normalize
+            (11, "fresh document one"),       # new
+            (12, "fresh document one"),       # within-batch dup of 11
+            (13, "another new doc"),          # new
+            (14, "Hello,   world"),           # dup of corpus 2 after normalize
+        ],
+        ["doc_id", "text"],
+    )
+    admitted = sorted(
+        r["doc_id"] for r in dedup.dedup_incremental(new, corpus).collect()
+    )
+    assert admitted == [11, 13]
