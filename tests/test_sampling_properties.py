@@ -1,0 +1,65 @@
+"""Hypothesis property tests for the sampling/packing ops: the
+invariants must hold for arbitrary ids and weights, not just the
+testdata fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+import pyspark.sql.functions as F
+
+from hadoop_invertedindexer_spark.operators import sampling
+
+HSETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+ids_strategy = st.lists(
+    st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40, unique=True
+)
+
+
+@HSETTINGS
+@given(ids=ids_strategy)
+def test_hash_split_partitions_any_id_set(spark, ids):
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    out = sampling.hash_split(df)
+    assert out.count() == len(ids)
+    assert out.where(~F.col("split").isin(["train", "val", "test"])).count() == 0
+    # pure function of the id: a second evaluation agrees row-for-row
+    a = out.select("doc_id", "split")
+    b = sampling.hash_split(df.repartition(3)).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0
+
+
+@HSETTINGS
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+    budget=st.integers(min_value=1, max_value=300),
+)
+def test_pack_next_fit_bound_any_weights(spark, weights, budget):
+    rows = [(i, "s", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    packed = sampling.pack_sequences(df, budget=budget)
+    stats = (
+        packed.groupBy("pack_id")
+        .agg(F.sum("n_chars").alias("w"), F.max("n_chars").alias("mx"))
+        .collect()
+    )
+    for r in stats:
+        # next-fit: a pack exceeds budget only by (part of) one document
+        assert r["w"] < budget + max(r["mx"], 1)
+
+
+@HSETTINGS
+@given(texts=st.lists(st.text(alphabet="ab ", max_size=30), min_size=1, max_size=10))
+def test_bigram_total_count_matches_token_arithmetic(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    total = (
+        sampling.bigram_counts(df).agg(F.sum("n").alias("s")).collect()[0]["s"] or 0
+    )
+    # split(' ') semantics: every doc contributes max(len(parts)-1, 0)
+    expected = sum(max(len(t.split(" ")) - 1, 0) for t in texts)
+    assert total == expected
