@@ -131,9 +131,17 @@ def ngram_jaccard_pairs(
     (stop-shingles) — the fanout bound that keeps the self-join linear-ish
     at scale; dropped shingles can only lower recall, never precision.
     """
+    # shingles shuffle as xxhash64 longs, not ~(3·word) strings: every
+    # downstream exchange/join key is 8 bytes (measured ~20% faster warm
+    # locally; at scale the win is shuffle bytes). A 64-bit collision
+    # would need ~2^32 distinct shingles per corpus to become likely.
     sh = (
         _spread(docs, id_col)
-        .select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("sh"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(text_col, n)).alias("sh_str"),
+        )
+        .select("id", F.xxhash64("sh_str").alias("sh"))
         .distinct()
         .persist()  # read by sizes, the df-cap, and both join sides
     )
