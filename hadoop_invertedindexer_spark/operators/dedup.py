@@ -187,16 +187,21 @@ def minhash_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_perm]) — min over shingles of
-    ``xxhash64(shingle, seed_i)`` per permutation. 64 parallel min
+    ``xxhash64(shingle_hash, seed_i)`` per permutation. 64 parallel min
     aggregates in one pass, fully JVM-side; the classic one-hash-per-perm
-    MinHash (Broder '97) without any UDF."""
+    MinHash (Broder '97) without any UDF. Shingles collapse to a 64-bit
+    pre-hash before anything shuffles: the distinct and groupBy exchanges
+    move 8-byte keys, and the num_perm per-permutation hashes each run
+    over a long instead of re-hashing the full string (double hashing is
+    still uniform, which is all MinHash needs)."""
     sh = (
         _spread(docs, id_col)
         .select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("sh"))
+        .select("id", F.xxhash64("sh").alias("shh"))
         .distinct()
     )
     mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}") for i in range(num_perm)
+        F.min(F.xxhash64(F.col("shh"), F.lit(i))).alias(f"m{i}") for i in range(num_perm)
     ]
     sig = sh.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
