@@ -190,3 +190,11 @@ def test_incremental_hourly_tier_maintenance(spark, sf_dir, tmp_path):
     )
     assert tiered_daily.exceptAll(direct_daily).count() == 0
     assert direct_daily.exceptAll(tiered_daily).count() == 0
+
+    # exactly-once: re-running against the same checkpoint sees no new
+    # source files and must append nothing to the tier
+    maintain_hourly_tier(
+        spark, stage, spark.read.parquet(stage).schema, tier,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    assert spark.read.parquet(tier).count() == n_partial_rows
