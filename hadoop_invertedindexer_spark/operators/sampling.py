@@ -82,10 +82,15 @@ def stratified_take(
     )
 
 
-def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def table_profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    extra_aggs: list[Column] | None = None,
+) -> DataFrame:
     """Single-pass data-quality profile: row count plus per-column null
     and distinct counts — the validation gate a training pipeline runs
-    before accepting an ingestion batch. One aggregation job; distinct
+    before accepting an ingestion batch. ``extra_aggs`` lets callers ride
+    their own checks on the same scan. One aggregation job; distinct
     counts expand to Catalyst's multi-distinct rewrite (still one pass
     over the data, no per-column scans)."""
     cols = cols or df.columns
@@ -95,7 +100,7 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             F.sum(F.col(c).isNull().cast("int")).cast("bigint").alias(f"{c}_nulls")
         )
         aggs.append(F.countDistinct(c).alias(f"{c}_distinct"))
-    return df.agg(*aggs)
+    return df.agg(*aggs, *(extra_aggs or []))
 
 
 def pack_sequences(

@@ -248,6 +248,12 @@ _SQL_MEAN_WLEN = (
     f"length(regexp_replace(text, '\\s+', '', 'g')) / ({_SQL_N_WS})::DOUBLE, 6) END"
 )
 
+# the composed quality formula — single source of truth for every oracle
+# that thresholds or reports the score (mirrors textstats.quality_score)
+_SQL_QUALITY = f"""round(0.4 * least(length(text) / 500.0, 1.0)
+                   + 0.3 * least({_SQL_STOP_RATIO} * 4, 1.0)
+                   + 0.3 * greatest(0.0, 1.0 - {_SQL_PUNCT_RATIO} * 5), 6)"""
+
 _SQL_DOT = (
     "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
 )
@@ -311,10 +317,7 @@ LLM_ORACLE_SQL: dict[str, str] = {
                {_SQL_PUNCT_RATIO} AS punct_ratio,
                {_SQL_STOP_RATIO} AS stopword_ratio,
                {_SQL_MEAN_WLEN} AS mean_word_len,
-               round(0.4 * least(length(text) / 500.0, 1.0)
-                   + 0.3 * least({_SQL_STOP_RATIO} * 4, 1.0)
-                   + 0.3 * greatest(0.0, 1.0 - {_SQL_PUNCT_RATIO} * 5), 6)
-                   AS quality
+               {_SQL_QUALITY} AS quality
         FROM documents""",
     "token_count": f"""
         SELECT doc_id,

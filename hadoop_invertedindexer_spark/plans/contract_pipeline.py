@@ -19,8 +19,7 @@ from hadoop_invertedindexer_spark.functions import textstats
 from hadoop_invertedindexer_spark.operators import sampling
 from hadoop_invertedindexer_spark.plans.contract_llm import (
     STOPWORDS,
-    _SQL_PUNCT_RATIO,
-    _SQL_STOP_RATIO,
+    _SQL_QUALITY,
 )
 from hadoop_invertedindexer_spark.sources.tables import read_table, spread_partitions
 
@@ -72,16 +71,18 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-gate validation report: profile + consistency checks
-    (duplicate ids, n_chars vs actual text length) in one pass."""
+    (duplicate ids, n_chars vs actual text length) riding one scan."""
     d = _docs(spark, sf_dir)
-    profile = sampling.table_profile(d, ["doc_id", "lang", "source"])
-    checks = d.agg(
-        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("dup_ids"),
-        F.sum((F.col("n_chars") != F.length("text")).cast("int"))
-        .cast("bigint")
-        .alias("bad_nchars"),
+    return sampling.table_profile(
+        d,
+        ["doc_id", "lang", "source"],
+        extra_aggs=[
+            (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("dup_ids"),
+            F.sum((F.col("n_chars") != F.length("text")).cast("int"))
+            .cast("bigint")
+            .alias("bad_nchars"),
+        ],
     )
-    return profile.crossJoin(checks)
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,9 +109,6 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _SQL_NIB = "substring(md5(doc_id::VARCHAR), 1, 1)"
-_SQL_QUALITY = f"""round(0.4 * least(length(text) / 500.0, 1.0)
-    + 0.3 * least({_SQL_STOP_RATIO} * 4, 1.0)
-    + 0.3 * greatest(0.0, 1.0 - {_SQL_PUNCT_RATIO} * 5), 6)"""
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
     "train_test_split": f"""

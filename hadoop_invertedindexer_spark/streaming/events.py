@@ -69,15 +69,27 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+_STAGE_CACHE: dict[str, str] = {}
+
+
 def _staged_events_stream(spark: SparkSession, sf_dir: str):
     """File-stream over the events parquet (staged into a dir — the
-    FileStreamSource wants directories), with the ns→µs ts conversion."""
+    FileStreamSource wants directories), with the ns→µs ts conversion.
+    Stage dirs are cached per sf_dir and removed at exit, so repeated
+    contract/test runs don't accumulate temp directories."""
     from hadoop_invertedindexer_spark.sources.tables import ensure_session_conf
 
     ensure_session_conf(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = tempfile.mkdtemp(prefix="hii_stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stage = _STAGE_CACHE.get(sf_dir)
+    if stage is None or not os.path.isdir(stage):
+        import atexit
+        import shutil
+
+        stage = tempfile.mkdtemp(prefix="hii_stream_src_")
+        os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+        _STAGE_CACHE[sf_dir] = stage
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     ts_type = {f.name: f.dataType.simpleString() for f in raw_schema}["ts"]
     if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long, as in read_table
@@ -177,13 +189,20 @@ def maintain_hourly_tier(
     max_files_per_trigger: int = 1,
 ) -> None:
     """Incremental materialized-rollup maintenance: each micro-batch
-    appends its *partial* hourly aggregates to the tier. Because counts
-    and decimal sums are associative, the tier never needs read-modify-
-    write — append-only, so maintenance cost is O(batch), the streaming
-    face of :func:`merge_term_doc_counts`'s batch merge. Readers re-sum
-    partials (:func:`read_hourly_tier`); a periodic
+    writes its *partial* hourly aggregates into a batch-keyed partition
+    of the tier. Because counts and decimal sums are associative, the
+    tier never needs read-modify-write, so maintenance cost is O(batch)
+    — the streaming face of :func:`merge_term_doc_counts`'s batch merge.
+    foreachBatch is at-least-once: overwriting ``batch=<id>`` (instead of
+    a blind append) makes a retried micro-batch idempotent — a replay
+    after a crash-between-write-and-checkpoint replaces its own partials
+    rather than double-counting them. Readers re-sum partials
+    (:func:`read_hourly_tier`); a periodic
     :func:`~hadoop_invertedindexer_spark.sources.sinks.compact_parquet`
     pass bounds the partial count."""
+    from hadoop_invertedindexer_spark.sources.tables import ensure_session_conf
+
+    ensure_session_conf(spark)
     stream = (
         spark.readStream.schema(source_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -194,7 +213,9 @@ def maintain_hourly_tier(
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     def _append_partials(batch_df: DataFrame, batch_id: int) -> None:
-        hourly_rollup_exact(batch_df).write.mode("append").parquet(tier_path)
+        hourly_rollup_exact(batch_df).write.mode("overwrite").parquet(
+            f"{tier_path}/batch={batch_id}"
+        )
 
     q = (
         stream.writeStream.foreachBatch(_append_partials)
@@ -207,7 +228,8 @@ def maintain_hourly_tier(
 
 def read_hourly_tier(spark: SparkSession, tier_path: str) -> DataFrame:
     """Merge the tier's per-batch partials into final hourly aggregates
-    (associative re-sum — exact, any number of partials per window)."""
+    (associative re-sum — exact, any number of partials per window; the
+    hive-style ``batch=N`` partition column is ignored by the re-sum)."""
     return (
         spark.read.parquet(tier_path)
         .groupBy("w", "event_type")
