@@ -379,6 +379,40 @@ def simhash_near_dup_pairs(
 # ------------------------------------------------- embedding near-dup
 
 
+def vector_dim(df: DataFrame, vec_col: str, dim: int | None = None) -> int:
+    """Resolve the embedding dimensionality: caller-supplied, else probed
+    from the first row (one tiny driver job — pass ``dim`` explicitly in
+    hot paths). Empty input resolves to 1: the literal planes are then
+    trivial and every downstream join is empty anyway, so empty-in →
+    empty-out instead of a TypeError."""
+    if dim is not None:
+        return dim
+    rows = df.select(vec_col).head(1)
+    return len(rows[0][0]) if rows else 1
+
+
+def lsh_bucket(
+    vec_col: str,
+    dim: int,
+    nbits: int,
+    seed: int = 42,
+) -> "F.Column":
+    """Random-hyperplane signature: nbits sign bits of <v, r_i>, as a
+    bit-string bucket key. The planes enter the plan as a literal array
+    constant — no UDF, no side table, identical on every executor.
+    Single source of truth for the signature encoding (used by both the
+    near-dup pair search here and the ANN top-k in similarity.py)."""
+    planes = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in _hyperplanes(dim, nbits, seed)]
+    )
+    return F.concat_ws(
+        "",
+        F.transform(
+            planes, lambda p: (_dot(F.col(vec_col), p) > 0).cast("int").cast("string")
+        ),
+    )
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(nbits, dim)).tolist()
@@ -411,23 +445,15 @@ def embedding_near_dup_pairs(
     key; only same-bucket pairs get the exact cosine check. Collision
     prob for angle θ is (1-θ/π)^nbits — tight buckets at 0.95+ cosine.
     All candidate math is built-in expressions (no UDF): the hyperplanes
-    enter the plan as a literal array constant.
+    enter the plan as a literal array constant (via :func:`lsh_bucket`).
     """
-    dim = len(emb.select(vec_col).first()[0])
-    planes = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in _hyperplanes(dim, nbits, seed)]
-    )
+    dim = vector_dim(emb, vec_col)
     bucketed = (
         _spread(emb, id_col)
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            F.concat_ws(
-                "",
-                F.transform(
-                    planes, lambda p: (_dot(F.col(vec_col), p) > 0).cast("int").cast("string")
-                ),
-            ).alias("bucket"),
+            lsh_bucket(vec_col, dim, nbits, seed).alias("bucket"),
         )
         .persist()  # both sides of the bucket self-join
     )

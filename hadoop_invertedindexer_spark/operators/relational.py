@@ -44,9 +44,10 @@ def salted_join(
     so one hot key spreads over ``salt_buckets`` tasks instead of
     stalling a single reducer. AQE's skew-join handles moderate skew
     automatically; explicit salting is for the pathological hot-key case
-    (a null-key flood, a celebrity user) where even split partitions
-    exceed executor memory. Result is identical to ``big.join(small,
-    key)`` — proven by test.
+    (a sentinel/default value, a celebrity user) where even split
+    partitions exceed executor memory. (Null keys are NOT such a case:
+    an inner equi-join drops them before the shuffle.) Result is
+    identical to ``big.join(small, key)`` — proven by test.
     """
     salted_big = big.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt")

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hadoop_invertedindexer_spark.operators.dedup import _dot, cosine_expr
+from hadoop_invertedindexer_spark.operators.dedup import (
+    _dot,
+    cosine_expr,
+    lsh_bucket,
+    vector_dim,
+)
 
 
 def _norm(col) -> "F.Column":
@@ -31,20 +36,27 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k: broadcast queries x corpus, cosine in double, window
     top-k with deterministic (sim desc, id asc) tie-break.
 
-    Norms are hoisted into the per-side projections (O(N+Q) norm
-    computations instead of O(N*Q) — per *pair* only the dot product
-    remains). Output: (qid, vec_id, cosine, rank)."""
+    ``exclude_self`` (default) assumes queries are drawn FROM the corpus
+    and share its id space, dropping the qid==vec_id identity match. For
+    an independent query set whose ids coincidentally overlap corpus
+    ids, pass ``exclude_self=False`` or a valid neighbor is silently
+    dropped. Norms are hoisted into the per-side projections (O(N+Q)
+    norm computations instead of O(N*Q) — per *pair* only the dot
+    product remains). Output: (qid, vec_id, cosine, rank)."""
     c = corpus.select(
         id_col, vec_col, _norm(F.col(vec_col)).alias("_cnorm")
     )
     q = queries.select(
         qid_col, qvec_col, _norm(F.col(qvec_col)).alias("_qnorm")
     )
-    joined = c.crossJoin(F.broadcast(q)).where(F.col(qid_col) != F.col(id_col))
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.where(F.col(qid_col) != F.col(id_col))
     scored = joined.select(
         qid_col,
         id_col,
@@ -93,9 +105,11 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe nearest centroid buckets per
-    query, exact cosine inside the probed buckets only.
+    query, exact cosine inside the probed buckets only. ``exclude_self``
+    as in :func:`cosine_topk_bruteforce` (queries-from-corpus id space).
     Output: (qid, vec_id, cosine, rank)."""
     assigned = ivf_assign(corpus, centroids, id_col, vec_col).withColumn(
         "_cnorm", _norm(F.col(vec_col))
@@ -114,7 +128,10 @@ def cosine_topk_ivf(
         .select(qid_col, qvec_col, "cid")
         .withColumn("_qnorm", _norm(F.col(qvec_col)))
     )
-    scored = probes.join(assigned, "cid").where(F.col(qid_col) != F.col(id_col)).select(
+    scored = probes.join(assigned, "cid")
+    if exclude_self:
+        scored = scored.where(F.col(qid_col) != F.col(id_col))
+    scored = scored.select(
         qid_col,
         id_col,
         F.round(
@@ -126,28 +143,6 @@ def cosine_topk_ivf(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
-    )
-
-
-def lsh_bucket(
-    vec_col: str,
-    dim: int,
-    nbits: int,
-    seed: int = 42,
-) -> "F.Column":
-    """Random-hyperplane signature: nbits sign bits of <v, r_i>, as a
-    bit-string bucket key. The planes enter the plan as a literal array
-    constant — no UDF, no side table, identical on every executor."""
-    from hadoop_invertedindexer_spark.operators.dedup import _hyperplanes
-
-    planes = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in _hyperplanes(dim, nbits, seed)]
-    )
-    return F.concat_ws(
-        "",
-        F.transform(
-            planes, lambda p: (_dot(F.col(vec_col), p) > 0).cast("int").cast("string")
-        ),
     )
 
 
@@ -171,6 +166,8 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    dim: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Multi-table LSH approximate top-k: the second scale path next to
     IVF (SURVEY §2B). Corpus and queries are signed by ntables independent
@@ -181,8 +178,10 @@ def cosine_topk_lsh(
     miss prob (1-(1-θ/π)^nbits)^ntables). Unlike IVF there is no centroid
     pass — the signatures are pure projections, so a write-once corpus
     persists them and each incremental query batch is a co-partitioned
-    lookup, not a rescan. Output: (qid, vec_id, cosine, rank)."""
-    dim = len(corpus.select(vec_col).first()[0])
+    lookup, not a rescan. Pass ``dim`` to skip the first-row probe;
+    ``exclude_self`` as in :func:`cosine_topk_bruteforce`.
+    Output: (qid, vec_id, cosine, rank)."""
+    dim = vector_dim(corpus, vec_col, dim)
     c = corpus.select(
         id_col,
         vec_col,
@@ -195,12 +194,11 @@ def cosine_topk_lsh(
         _norm(F.col(qvec_col)).alias("_qnorm"),
         _lsh_tables(qvec_col, dim, nbits, ntables, seed).alias("_table", "_bucket"),
     )
-    candidates = (
-        c.join(F.broadcast(q), ["_table", "_bucket"])
-        .where(F.col(qid_col) != F.col(id_col))
-        # a pair colliding in several tables must score once, not ntables×
-        .dropDuplicates([qid_col, id_col])
-    )
+    candidates = c.join(F.broadcast(q), ["_table", "_bucket"])
+    if exclude_self:
+        candidates = candidates.where(F.col(qid_col) != F.col(id_col))
+    # a pair colliding in several tables must score once, not ntables×
+    candidates = candidates.dropDuplicates([qid_col, id_col])
     scored = candidates.select(
         qid_col,
         id_col,

@@ -86,3 +86,24 @@ def test_bruteforce_topk_shape(spark, sf_dir):
     per_q = out.groupBy("qid").count().collect()
     assert all(r["count"] == 10 for r in per_q)
     assert out.where((F.col("cosine") > 1.000001) | (F.col("cosine") < -1.000001)).count() == 0
+
+
+def test_lsh_and_neardup_empty_corpus_returns_empty(spark):
+    """Empty input must yield an empty result, not a driver TypeError
+    from dimension probing."""
+    from pyspark.sql import types as T
+
+    from hadoop_invertedindexer_spark.operators.dedup import embedding_near_dup_pairs
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    queries = empty.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    assert similarity.cosine_topk_lsh(empty, queries, k=3, nbits=4).count() == 0
+    assert embedding_near_dup_pairs(empty, threshold=0.9).count() == 0
