@@ -98,14 +98,18 @@ def merge_term_doc_counts(*counts: DataFrame) -> DataFrame:
     """Incremental index maintenance: merge (word, doc, count) aggregates
     from separate corpus batches — union + re-sum, associative, so a 100 TB
     index is maintained by aggregating only the new batch and merging,
-    never re-tokenizing the full corpus. Identical columns required."""
+    never re-tokenizing the full corpus. Identical columns required.
+    Group keys are the non-'count' columns BY NAME (a positional pick
+    would silently mis-group a frame selected in a different order)."""
     if not counts:
         raise ValueError("need at least one counts frame")
     merged = counts[0]
     for c in counts[1:]:
         merged = merged.unionByName(c)
-    word_col, doc_col = merged.columns[0], merged.columns[1]
-    return merged.groupBy(word_col, doc_col).agg(F.sum("count").alias("count"))
+    if "count" not in merged.columns:
+        raise ValueError(f"expected a 'count' column, got {merged.columns}")
+    group_cols = [c for c in merged.columns if c != "count"]
+    return merged.groupBy(*group_cols).agg(F.sum("count").alias("count"))
 
 
 def postings_via_window(

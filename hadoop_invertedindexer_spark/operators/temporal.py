@@ -30,15 +30,27 @@ def asof_join(
     regular join, no inequality-join blowup; this is how as-of joins are
     done at market-data scale.
 
+    Each right column is carried inside a struct wrapper: a struct is
+    non-null even when its field is null, so ``ignorenulls`` skips only
+    the union-injected nulls on LEFT rows — a legitimately-NULL right
+    value is still attached (matching ASOF semantics) instead of falling
+    through to a stale older value.
+
     ``right`` must be unique per (key, right_ts) — pre-aggregate if not;
     duplicate timestamps would make "the" most recent row ambiguous.
     """
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right_cols {sorted(overlap)} collide with left columns; "
+            "rename before joining"
+        )
     lt = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
     rt = (
         right.select(
             F.col(key),
             F.col(right_ts).alias("_t"),
-            *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+            *[F.struct(F.col(c)).alias(f"_r_{c}") for c in right_cols],
         )
         .withColumn("_side", F.lit(0))
     )
@@ -51,7 +63,8 @@ def asof_join(
     carried = merged.select(
         "*",
         *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c) for c in right_cols
+            F.last(f"_r_{c}", ignorenulls=True).over(w).getField(c).alias(c)
+            for c in right_cols
         ],
     )
     return carried.where(F.col("_side") == 1).drop(
@@ -65,26 +78,31 @@ def range_join_bucketed(
     key: str,
     left_ts: str,
     right_start: str,
-    width_expr: str = "INTERVAL 7 DAYS",
+    width_seconds: int = 7 * 24 * 3600,
 ) -> DataFrame:
     """Inner join on key with ``right_start <= left_ts < right_start +
-    width``: equi-join on (key, coarse time bucket) with the right side
-    replicated into each bucket its window overlaps, then the exact range
-    predicate refines. Fanout is window/bucket + 1 copies of the right
-    side — bounded — instead of the |left| x |right| nested-loop Spark
-    would otherwise plan for a pure inequality join.
+    width_seconds``: equi-join on (key, coarse time bucket) with the
+    right side replicated into each bucket its window overlaps, then the
+    exact range predicate refines. Fanout is 2 copies of the right side
+    — bounded — instead of the |left| x |right| nested-loop Spark would
+    otherwise plan for a pure inequality join.
 
-    The bucket width equals the window width, so each right window spans
-    at most 2 buckets.
+    The bucket modulus IS ``width_seconds``, so each right window spans
+    at most 2 buckets regardless of the width chosen — the bucket
+    arithmetic and the replication fanout derive from the same
+    parameter (a fixed bucket width would silently drop matches for any
+    wider window).
     """
     bucket = lambda c: F.unix_timestamp(c).cast("long") - (  # noqa: E731
-        F.unix_timestamp(c).cast("long") % F.lit(7 * 24 * 3600)
+        F.unix_timestamp(c).cast("long") % F.lit(width_seconds)
     )
     lb = left.withColumn("_bk", bucket(F.col(left_ts)))
     rb = right.withColumn(
         "_bk0", bucket(F.col(right_start))
-    ).withColumn("_end", F.col(right_start) + F.expr(width_expr))
-    rb = rb.withColumn("_bks", F.array("_bk0", F.col("_bk0") + 7 * 24 * 3600)).select(
+    ).withColumn(
+        "_end", F.col(right_start) + F.expr(f"INTERVAL {width_seconds} SECONDS")
+    )
+    rb = rb.withColumn("_bks", F.array("_bk0", F.col("_bk0") + width_seconds)).select(
         "*", F.explode("_bks").alias("_bk")
     ).drop("_bks", "_bk0")
     joined = lb.join(rb, [key, "_bk"]).where(

@@ -70,7 +70,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = range_join_bucketed(
         e, s, key="k", left_ts="ts", right_start="signup_ts",
-        width_expr="INTERVAL 7 DAYS",
+        width_seconds=7 * 24 * 3600,
     )
     return joined.groupBy("signup_id").agg(
         F.count(F.lit(1)).alias("n_events"),

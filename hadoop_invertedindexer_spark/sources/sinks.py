@@ -74,7 +74,13 @@ def compact_parquet(
     a single round-robin shuffle, no skew by construction. Returns the
     number of files written."""
     import math
+    import os
 
+    if os.path.abspath(src_path) == os.path.abspath(dst_path):
+        raise ValueError(
+            "compact_parquet cannot compact in place: overwrite would "
+            "delete the source mid-read; write to a new path and swap"
+        )
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(src_path)

@@ -55,9 +55,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # the ns→µs rewrite is scoped to events — the one table whose ts is
+    # TIMESTAMP(NANOS); a blanket name+type heuristic would corrupt any
+    # future table storing epoch seconds/millis in a bigint 'ts'
+    if name == "events":
+        for field in df.schema.fields:
+            if field.name == "ts" and field.dataType.simpleString() == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -151,3 +151,50 @@ def test_approx_aggs_within_tolerance(spark, sf_dir):
         assert abs(au - users) / users <= 0.05, f"{et}: HLL error too big"
         spread = max(abs(p50), 1.0)
         assert abs(ap50 - p50) / spread <= 0.25, f"{et}: approx p50 off"
+
+
+def test_asof_attaches_legit_null_not_stale_value(spark):
+    """ASOF semantics: the most recent right row wins even when its value
+    is NULL — ignorenulls must only skip union-injected left-row nulls."""
+    from hadoop_invertedindexer_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 3)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, None)], ["k", "rt", "v"]
+    )
+    out = asof_join(left, right, key="k", left_ts="t", right_ts="rt",
+                    right_cols=["v"]).collect()
+    assert len(out) == 1 and out[0]["v"] is None
+
+
+def test_asof_rejects_colliding_right_cols(spark):
+    import pytest
+
+    from hadoop_invertedindexer_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 3, 9.0)], ["k", "t", "v"])
+    right = spark.createDataFrame([(1, 1, 5.0)], ["k", "rt", "v"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, key="k", left_ts="t", right_ts="rt",
+                  right_cols=["v"])
+
+
+def test_range_join_respects_wider_window_widths(spark):
+    """A 30-day window must find a match 20 days out — the bucket modulus
+    has to follow the width parameter."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from hadoop_invertedindexer_spark.operators.temporal import range_join_bucketed
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base + dt.timedelta(days=20))], ["k", "ts"]
+    )
+    right = spark.createDataFrame([(1, 7, base)], ["k", "rid", "start"])
+    out = range_join_bucketed(
+        left, right, key="k", left_ts="ts", right_start="start",
+        width_seconds=30 * 24 * 3600,
+    )
+    assert out.count() == 1
