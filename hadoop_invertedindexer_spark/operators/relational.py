@@ -654,7 +654,323 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- TPC-H remainder (adapted)
+#
+# The driver's star schema trims TPC-H (no partsupp, no commit/receipt
+# dates, no phone/comment/container columns), so the remaining TPC-H
+# queries are adapted to the available columns while keeping each query's
+# *shape* — the plan pattern Catalyst must get right — intact:
+# q4 EXISTS-semi-join, q7/q8/q9 multi-way dim joins with derived grouping,
+# q13 outer-join + distribution, q15 scalar-max view join-back, q17
+# correlated-avg join-back, q19 OR-of-ANDs pushdown, q21 double
+# existential, q22 anti-join + global scalar. "Late" stands in for the
+# missing commit/receipt lateness: l_shipdate > o_orderdate + 60 days.
+
+
+def q_tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join. Orders in one quarter with
+    at least one late lineitem, counted per priority. The semi-join keeps
+    orders' columns only, so no dedup of multi-match lineitems is needed —
+    exactly why EXISTS compiles to LeftSemi and not an inner join."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-04-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dim table (nation) joined twice under two
+    roles (supplier's vs customer's nation) — alias hygiene plus a
+    symmetric pair filter. Both nation sides broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue per year —
+    conditional numerator over a grouped total (CASE inside SUM over a
+    6-way join). Customer-side region restricts; supplier-side nation is
+    the share subject."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = F.broadcast(_t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    subject = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("c_nationkey") == F.col("c_nkey"))
+        .join(r, F.col("c_rkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n2, F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(subject) / F.sum(rev), 6).alias("mkt_share"))
+    )
+
+
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (sans partsupp): profit per supplier-nation per year
+    over parts matching a name substring. The LIKE filter lands on the
+    broadcast part side, shrinking the probe before the fact join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+def q_tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join preserving zero-order customers, then a
+    distribution-of-counts (two stacked groupBys). count(o_orderkey) —
+    not count(*) — so NULL probe misses count as 0."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a revenue view joined back against its own scalar
+    max. The max is computed once over the (tiny, post-agg) view and
+    broadcast — no window-over-everything, no second scan of lineitem.
+    Decimal accumulation makes the max comparison engine-exact."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    top = F.broadcast(rev.agg(F.max("total_revenue").alias("max_rev")))
+    return (
+        rev.join(top, F.col("total_revenue") == F.col("max_rev"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average decorrelated into an
+    aggregate + join-back. The per-part avg runs over the brand-filtered
+    lineitems only (join first, then agg), and l_quantity is integral in
+    this corpus so the double avg is order-exact."""
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#7").select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(p, F.col("l_partkey") == F.col("p_partkey"))
+    avg_qty = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    return (
+        li.join(F.broadcast(avg_qty), "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 4.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive bands (brand × size ×
+    quantity). The part-side legs of each disjunct prune the broadcast
+    build side; the OR over mixed-side predicates evaluates post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(band)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double existential (EXISTS another supplier on the
+    order, NOT EXISTS another *late* supplier) decorrelated into one
+    order-level aggregate — n_suppliers and n_late_suppliers per order —
+    instead of two correlated re-scans of lineitem. One shuffle replaces
+    the EXISTS pair; the oracle keeps the correlated form to prove the
+    rewrite. Late = shipped >60 days after the order date."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    stats = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    late_pairs = (
+        flagged.where(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    )
+    return (
+        late_pairs.join(stats, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: anti-join against orders plus a global scalar
+    threshold (avg positive balance). The scalar is carried as exact
+    (sum DECIMAL, count BIGINT) and compared cross-multiplied —
+    acctbal * n_pos > sum_pos — so no engine-dependent double division
+    decides membership. "Lapsed" = no order since mid-2000 (every
+    customer in this corpus has *some* order, so the classic no-orders
+    form would be vacuously empty)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("2000-07-01"))
+    target = c.where(F.col("c_nationkey").isin(1, 3, 5, 7))
+    pos = F.broadcast(
+        target.where(F.col("c_acctbal") > 0.0).agg(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_pos"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+    )
+    return (
+        target.join(o, target.c_custkey == o.o_custkey, "left_anti")
+        .crossJoin(pos)
+        .where(F.col("c_acctbal").cast("decimal(18,2)") * F.col("n_pos") > F.col("sum_pos"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tpch_q4_priority_check": q_tpch_q4_priority_check,
+    "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+    "tpch_q8_market_share": q_tpch_q8_market_share,
+    "tpch_q9_product_profit": q_tpch_q9_product_profit,
+    "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
+    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
+    "tpch_q19_discounted_revenue": q_tpch_q19_discounted_revenue,
+    "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+    "tpch_q22_global_sales": q_tpch_q22_global_sales,
     "join_broadcast": q_join_broadcast,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
@@ -699,6 +1015,120 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _REV = "l_extendedprice * (1 - l_discount)"
 
 RELATIONAL_ORACLE_SQL: dict[str, str] = {
+    "tpch_q4_priority_check": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= '1997-04-01' AND o_orderdate < '1997-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority""",
+    "tpch_q7_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate)::INTEGER AS l_year,
+               round(sum({_REV}), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY supp_nation, cust_nation, l_year""",
+    "tpch_q8_market_share": f"""
+        SELECT year(o_orderdate)::INTEGER AS o_year,
+               round(sum(CASE WHEN n2.n_name = 'NATION_3' THEN {_REV}
+                              ELSE 0.0 END) / sum({_REV}), 6) AS mkt_share
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+        GROUP BY o_year""",
+    "tpch_q9_product_profit": f"""
+        SELECT n_name AS nation, year(o_orderdate)::INTEGER AS o_year,
+               round(sum(({_REV})::DECIMAL(18,6)), 2)::DOUBLE AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, year(o_orderdate)""",
+    "tpch_q13_customer_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer
+              LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority <> '4-NOT SPECIFIED'
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count""",
+    "tpch_q15_top_supplier": f"""
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   round(sum(({_REV})::DECIMAL(18,6)), 2)::DOUBLE AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+    "tpch_q17_small_qty_revenue": """
+        SELECT round(sum(l_extendedprice) / 4.0, 2) AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#7'
+          AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                            FROM lineitem l2 JOIN part p2
+                              ON l2.l_partkey = p2.p_partkey
+                            WHERE l2.l_partkey = lineitem.l_partkey
+                              AND p2.p_brand = 'Brand#7')""",
+    "tpch_q19_discounted_revenue": f"""
+        SELECT round(sum({_REV}), 2) AS revenue, count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1  AND 15
+               AND l_quantity BETWEEN 1  AND 11)
+           OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#21' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 30)""",
+    "tpch_q21_waiting_suppliers": """
+        SELECT s_name, count(*) AS numwait
+        FROM (SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+              FROM lineitem l1
+              JOIN orders ON o_orderkey = l1.l_orderkey
+              WHERE o_orderstatus = 'F'
+                AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+                AND EXISTS (SELECT 1 FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.l_orderkey
+                              AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                                WHERE l3.l_orderkey = l1.l_orderkey
+                                  AND l3.l_suppkey <> l1.l_suppkey
+                                  AND l3.l_shipdate >
+                                      o_orderdate + INTERVAL 60 DAY)) waiters
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name""",
+    "tpch_q22_global_sales": """
+        WITH target AS (SELECT * FROM customer
+                        WHERE c_nationkey IN (1, 3, 5, 7)),
+             pos AS (SELECT sum(c_acctbal::DECIMAL(18,2)) AS sum_pos,
+                            count(*) AS n_pos
+                     FROM target WHERE c_acctbal > 0.0)
+        SELECT c_nationkey, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM target, pos
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = target.c_custkey
+                            AND o.o_orderdate >= '2000-07-01')
+          AND c_acctbal::DECIMAL(18,2) * n_pos > sum_pos
+        GROUP BY c_nationkey""",
     "join_broadcast": f"""
         SELECT r_name, round(sum({_REV}), 2) AS revenue, count(*) AS n_items
         FROM lineitem
