@@ -62,6 +62,51 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan  # per-partition top-k + k-row merge
 
 
+def test_q4_exists_compiles_to_semi_join(spark):
+    """EXISTS must become LeftSemi (probe rows pass through at most once),
+    never an inner join + distinct."""
+    qs = entrymod.queries()
+    plan = _plan(qs["tpch_q4_priority_check"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_q22_not_exists_compiles_to_anti_join(spark):
+    qs = entrymod.queries()
+    plan = _plan(qs["tpch_q22_global_sales"](spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_q21_decorrelated_form_has_no_correlated_rescans(spark):
+    """The double-existential rewrite: exactly one order-level aggregate
+    feeds the late-pairs join; lineitem appears in the plan twice (stats
+    + late pairs), not three times as the correlated EXISTS/NOT EXISTS
+    pair would scan it."""
+    qs = entrymod.queries()
+    plan = _plan(qs["tpch_q21_waiting_suppliers"](spark, SF))
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln and "lineitem" in ln]
+    assert len(scans) == 2, f"expected 2 lineitem scans, got {len(scans)}"
+
+
+def test_q19_part_side_predicates_prune_broadcast_build(spark):
+    """The brand legs of the OR land on the part scan (each disjunct
+    constrains p_brand, so Catalyst derives a pushable brand-IN filter)."""
+    qs = entrymod.queries()
+    plan = _plan(qs["tpch_q19_discounted_revenue"](spark, SF))
+    part_scan = next(
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "part.parquet" in ln
+    )
+    assert "p_brand" in part_scan
+    # the quantity legs symmetrically land on the lineitem scan
+    li_scan = next(
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "lineite" in ln
+    )
+    assert "l_quantity" in li_scan
+
+
 def test_aggregation_is_partial_then_final(spark):
     qs = entrymod.queries()
     plan = _plan(qs["agg_term_doc"](spark, SF))
