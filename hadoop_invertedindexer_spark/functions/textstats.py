@@ -108,6 +108,39 @@ def quality_score(col, stopwords: list[str]) -> Column:
     return F.round(0.4 * length_term + 0.3 * stop_term + 0.3 * punct_term, 6)
 
 
+# PII patterns, written in the Java-regex ∩ RE2 common dialect so Spark
+# and the DuckDB oracle match the exact same spans. Applied email → ip →
+# phone: emails contain dot-separated digits an IP pattern could clip,
+# and IPs contain digit runs a phone pattern could clip, so the more
+# specific pattern always redacts first.
+EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_REGEX = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PHONE_REGEX = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def count_pii(col, pattern: str) -> Column:
+    """Occurrences of one PII pattern (pre-redaction)."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("bigint")
+
+
+def redact_pii(col) -> Column:
+    """Replace emails/IPv4s/phone-like digit runs with typed placeholder
+    tokens. Pure regexp_replace chain — JVM-side, whole-stage codegen,
+    no Python in the hot path of a 100 TB scrub."""
+    out = F.regexp_replace(col, EMAIL_REGEX, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_REGEX, "<IP>")
+    return F.regexp_replace(out, PHONE_REGEX, "<PHONE>")
+
+
+def dedup_repeated_tokens(col) -> Column:
+    """Repetition removal: keep each whitespace token's first occurrence,
+    preserving document order (the cheap intra-document analog of
+    boilerplate stripping). ``array_distinct`` is order-preserving in
+    Spark, so this stays a single narrow codegen'd projection — no
+    explode/shuffle, no window function."""
+    return F.array_join(F.array_distinct(F.split(col, " ")), " ")
+
+
 def fingerprint(col) -> Column:
     """Order-sensitive polynomial rolling hash of the whole string:
     fold(acc*31 + ascii(char)) mod 1e9+7 — the classic Karp-Rabin shape,

@@ -140,6 +140,52 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_pii():
+    """The synthetic corpus carries no natural PII, so the scrub would be
+    a no-op over raw ``text``. Derive a deterministic PII-bearing column
+    from doc_id (same expression in the oracle) so every row exercises
+    all three redaction patterns with known counts."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.2."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 tel +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: typed placeholder redaction of emails / IPv4s / phone
+    runs, plus per-pattern hit counts. Pure regexp chain — JVM-side for
+    the 100 TB scrub path."""
+    d = _docs(spark, sf_dir)
+    planted = _planted_pii()
+    return d.select(
+        "doc_id",
+        textstats.count_pii(planted, textstats.EMAIL_REGEX).alias("n_emails"),
+        textstats.count_pii(planted, textstats.IPV4_REGEX).alias("n_ips"),
+        textstats.count_pii(planted, textstats.PHONE_REGEX).alias("n_phones"),
+        textstats.redact_pii(planted).alias("redacted"),
+    )
+
+
+def q_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal: first occurrence of each token
+    kept in document order. array_distinct keeps it a narrow projection —
+    no explode, no shuffle; the oracle proves the order-preserving
+    semantics positionally (min(ord) per token)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+        textstats.dedup_repeated_tokens(F.col("text")).alias("dedup_text"),
+    )
+
+
 # -------------------------------------------------------------- multimodal
 
 
@@ -194,6 +240,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "pii_redact": q_pii_redact,
+    "repetition_removal": q_repetition_removal,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_digest": q_multimodal_digest,
     "multimodal_decode": q_multimodal_decode,
@@ -333,6 +381,41 @@ LLM_ORACLE_SQL: dict[str, str] = {
                        (acc, x) -> (acc * 31 + x) % 1000000007)
                END AS fp
         FROM documents""",
+    "pii_redact": f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id::VARCHAR
+                        || '@example.com from 10.2.' || (doc_id % 200)::VARCHAR
+                        || '.7 tel +1 (555) 010-'
+                        || lpad((doc_id % 100)::VARCHAR, 2, '0') AS t
+            FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{textstats.EMAIL_REGEX}'))::BIGINT
+                   AS n_emails,
+               len(regexp_extract_all(t, '{textstats.IPV4_REGEX}'))::BIGINT
+                   AS n_ips,
+               len(regexp_extract_all(t, '{textstats.PHONE_REGEX}'))::BIGINT
+                   AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '{textstats.EMAIL_REGEX}', '<EMAIL>', 'g'),
+                   '{textstats.IPV4_REGEX}', '<IP>', 'g'),
+                   '{textstats.PHONE_REGEX}', '<PHONE>', 'g') AS redacted
+        FROM planted""",
+    "repetition_removal": """
+        WITH pos AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+            FROM documents),
+        firsts AS (
+            SELECT doc_id, tok, min(ord) AS first_ord
+            FROM pos GROUP BY doc_id, tok)
+        SELECT d.doc_id,
+               len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+               (SELECT count(*) FROM firsts f
+                WHERE f.doc_id = d.doc_id)::BIGINT AS n_unique,
+               (SELECT string_agg(tok, ' ' ORDER BY first_ord)
+                FROM firsts f WHERE f.doc_id = d.doc_id) AS dedup_text
+        FROM documents d""",
     "multimodal_meta": """
         SELECT 'text/plain' AS media_type, count(*) AS n_docs,
                sum(octet_length(encode(text)))::BIGINT AS total_bytes,

@@ -1,0 +1,73 @@
+"""Planted-fixture tests for the PII-redaction and repetition-removal
+functions (the contract oracle checks them over the corpus; these pin
+the edge cases the word-soup corpus can't reach)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_invertedindexer_spark.functions import textstats as ts
+
+
+def _one(spark, text: str, col):
+    return spark.createDataFrame([(text,)], "t: string").select(
+        col.alias("out")
+    ).first()["out"]
+
+
+def _redact(spark, text: str) -> str:
+    return _one(spark, text, ts.redact_pii(F.col("t")))
+
+
+class TestRedactPii:
+    def test_email(self, spark):
+        assert (
+            _redact(spark, "mail a.b+c_d%e@sub.example.co.uk now")
+            == "mail <EMAIL> now"
+        )
+
+    def test_ipv4(self, spark):
+        assert _redact(spark, "host 192.168.0.1 up") == "host <IP> up"
+
+    def test_phone_variants(self, spark):
+        assert _redact(spark, "call +1 (555) 010-42") == "call <PHONE>"
+        assert _redact(spark, "call 555-010-4242 now") == "call <PHONE> now"
+
+    def test_email_wins_over_ip_and_phone(self, spark):
+        # the address contains dotted digits an IP/phone pattern could
+        # clip; email must redact first, atomically
+        assert _redact(spark, "x 10.0.0.1@example.com y") == "x <EMAIL> y"
+
+    def test_ip_wins_over_phone(self, spark):
+        assert _redact(spark, "ip 10.20.30.40 end") == "ip <IP> end"
+
+    def test_clean_text_unchanged(self, spark):
+        clean = "no pii here, just words and 42 numbers"
+        assert _redact(spark, clean) == clean
+
+    def test_short_digit_runs_kept(self, spark):
+        # 6 digits total — below the phone pattern's minimum length
+        assert _redact(spark, "year 2024 id 12345") == "year 2024 id 12345"
+
+    def test_counts(self, spark):
+        text = "a@b.io and c@d.io from 1.2.3.4"
+        n = _one(spark, text, ts.count_pii(F.col("t"), ts.EMAIL_REGEX))
+        assert n == 2
+        n = _one(spark, text, ts.count_pii(F.col("t"), ts.IPV4_REGEX))
+        assert n == 1
+
+
+class TestDedupRepeatedTokens:
+    def test_first_occurrence_order_kept(self, spark):
+        assert (
+            _one(spark, "b a b c a d", ts.dedup_repeated_tokens(F.col("t")))
+            == "b a c d"
+        )
+
+    def test_no_dups_is_identity(self, spark):
+        assert (
+            _one(spark, "x y z", ts.dedup_repeated_tokens(F.col("t"))) == "x y z"
+        )
+
+    def test_single_token(self, spark):
+        assert _one(spark, "solo", ts.dedup_repeated_tokens(F.col("t"))) == "solo"
