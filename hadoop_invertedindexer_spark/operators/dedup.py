@@ -176,6 +176,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: train docs sharing at least one word
+    n-gram with the eval set, with the count of distinct shared shingles
+    (the evidence strength a removal decision is based on).
+
+    Same inverted-join skeleton as :func:`ngram_jaccard_pairs` — shingles
+    shuffle as xxhash64 longs — but the eval side is first reduced to its
+    distinct shingle set. At 100 TB the eval set (benchmarks are ~MBs) is
+    tiny, so the semi-style join broadcasts: the train shingle stream
+    never shuffles, making decontamination a map-side scan-and-filter.
+    """
+    tr = (
+        _spread(train, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(text_col, n)).alias("sh_str"),
+        )
+        .select("id", F.xxhash64("sh_str").alias("sh"))
+        .distinct()
+    )
+    ev = F.broadcast(
+        evalset.select(F.explode(word_ngrams(text_col, n)).alias("sh_str"))
+        .select(F.xxhash64("sh_str").alias("sh"))
+        .distinct()
+    )
+    return (
+        tr.join(ev, "sh")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 # ----------------------------------------------------------- MinHash LSH
 
 

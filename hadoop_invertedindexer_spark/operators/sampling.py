@@ -131,6 +131,42 @@ def pack_sequences(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    chunk_chars: int = 200,
+    overlap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size overlapping character chunks
+    (the embedding-pipeline windowing step). ``n_chunks = max(1,
+    ceil((len - overlap) / stride))`` with ``stride = chunk_chars -
+    overlap``; chunk *i* covers ``[i*stride, i*stride + chunk_chars)``,
+    so consecutive chunks share ``overlap`` chars and the tail chunk may
+    run short. Pure sequence + substr projection — per-row fanout with
+    no shuffle; a 100 TB corpus chunks map-side."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(F.col(text_col)) - F.lit(overlap)) / F.lit(float(stride))),
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.col(text_col).substr(i * stride + 1, F.lit(chunk_chars)),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "chunk",
+        F.length("chunk").cast("bigint").alias("n_chars"),
+    )
+
+
 def bigram_counts(
     df: DataFrame,
     text_col: str = "text",

@@ -140,6 +140,19 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every-50th doc plays the eval set; the
+    query reports each train doc sharing a word 3-gram with it, with the
+    distinct-shared-shingle count. Eval shingles broadcast, so the train
+    side never shuffles (dedup.contamination)."""
+    d = _docs(spark, sf_dir)
+    return dedup.contamination(
+        train=d.where(F.col("doc_id") % 50 != 0),
+        evalset=d.where(F.col("doc_id") % 50 == 0),
+        n=3,
+    )
+
+
 def _planted_pii():
     """The synthetic corpus carries no natural PII, so the scrub would be
     a no-op over raw ``text``. Derive a deterministic PII-bearing column
@@ -233,6 +246,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "decontaminate": q_decontaminate,
     "similarity_bruteforce": q_similarity_bruteforce,
     "similarity_ivf": q_similarity_ivf,
     "similarity_lsh": q_similarity_lsh,
@@ -381,6 +395,13 @@ LLM_ORACLE_SQL: dict[str, str] = {
                        (acc, x) -> (acc * 31 + x) % 1000000007)
                END AS fp
         FROM documents""",
+    "decontaminate": f"""
+        WITH {_SQL_SHINGLES},
+        ev AS (SELECT DISTINCT sh FROM shingles WHERE id % 50 = 0)
+        SELECT s.id AS doc_id, count(*)::BIGINT AS n_shared
+        FROM shingles s JOIN ev USING (sh)
+        WHERE s.id % 50 <> 0
+        GROUP BY s.id""",
     "pii_redact": f"""
         WITH planted AS (
             SELECT doc_id,

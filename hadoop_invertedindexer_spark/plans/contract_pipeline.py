@@ -99,7 +99,14 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-pipeline chunking: 200-char windows with 50-char overlap
+    (stride 150); pure sequence+substr fanout, no shuffle."""
+    return sampling.chunk_text(_docs(spark, sf_dir), chunk_chars=200, overlap=50)
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_chunks": q_text_chunks,
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
     "bigram_topk": q_bigram_topk,
@@ -111,6 +118,16 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _SQL_NIB = "substring(md5(doc_id::VARCHAR), 1, 1)"
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
+    "text_chunks": """
+        WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        idx AS (SELECT doc_id, text,
+                       unnest(range(0, greatest(ceil((n - 50) / 150.0)::INT, 1)))
+                           AS i
+                FROM base)
+        SELECT doc_id, i::BIGINT AS chunk_id,
+               substr(text, i * 150 + 1, 200) AS chunk,
+               length(substr(text, i * 150 + 1, 200))::BIGINT AS n_chars
+        FROM idx""",
     "train_test_split": f"""
         SELECT CASE WHEN {_SQL_NIB} <= 'b' THEN 'train'
                     WHEN {_SQL_NIB} <= 'd' THEN 'val'

@@ -122,3 +122,26 @@ def test_dedup_incremental_admits_only_fresh_unique(spark):
         r["doc_id"] for r in dedup.dedup_incremental(new, corpus).collect()
     )
     assert admitted == [11, 13]
+
+
+def test_contamination_flags_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # shares 3-grams with eval
+            (2, "completely different words here"),
+            (3, "ends with alpha beta gamma"),    # shares one 3-gram
+        ],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.n_shared for r in dedup.contamination(train, evalset).collect()}
+    # doc 1: shingles {abg, bgd} both in eval; doc 3: {ewa, wab, abg} -> abg only
+    assert out == {1: 2, 3: 1}
+
+
+def test_contamination_clean_train_empty(spark):
+    train = spark.createDataFrame([(1, "x y z w")], ["doc_id", "text"])
+    evalset = spark.createDataFrame([(2, "p q r s")], ["doc_id", "text"])
+    assert dedup.contamination(train, evalset).count() == 0

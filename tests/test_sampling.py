@@ -95,3 +95,45 @@ def test_pack_sequences_next_fit_bound(spark, sf_dir):
         "doc_id", "pack_id"
     )
     assert packed.select("doc_id", "pack_id").exceptAll(again).count() == 0
+
+
+def test_chunk_text_windows_and_overlap(spark):
+    df = spark.createDataFrame([(1, "a" * 350)], ["doc_id", "text"])
+    rows = sorted(
+        sampling.chunk_text(df, chunk_chars=200, overlap=50).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # ceil((350-50)/150) = 2 chunks; second starts at stride 150, runs short
+    assert [r.n_chars for r in rows] == [200, 200]
+    assert rows[1].chunk_id == 1
+    df2 = spark.createDataFrame([(1, "b" * 351)], ["doc_id", "text"])
+    rows2 = sampling.chunk_text(df2, chunk_chars=200, overlap=50).collect()
+    assert [r.n_chars for r in sorted(rows2, key=lambda r: r.chunk_id)] == [200, 200, 51]
+
+
+def test_chunk_text_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "short")], ["doc_id", "text"])
+    rows = sampling.chunk_text(df, chunk_chars=200, overlap=50).collect()
+    assert len(rows) == 1 and rows[0].chunk == "short" and rows[0].n_chars == 5
+
+
+def test_chunk_text_reassembles_document(spark):
+    text = "".join(chr(97 + i % 26) for i in range(487))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        sampling.chunk_text(df, chunk_chars=100, overlap=20).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # stitching chunk[0] + each subsequent chunk minus its 20-char overlap
+    # reproduces the document exactly — no gaps, no repeats
+    stitched = rows[0].chunk + "".join(r.chunk[20:] for r in rows[1:])
+    assert stitched == text
+
+
+def test_chunk_text_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    try:
+        sampling.chunk_text(df, chunk_chars=50, overlap=50)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
