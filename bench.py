@@ -28,6 +28,8 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue",
     "tpch_q18_large_orders",
+    "tpch_q9_product_profit",   # widest multi-way join of the suite
+    "tpch_q21_waiting_suppliers",  # double existential over two lineitem derivations
     "join_broadcast",
     "tpch_q5_local_supplier",
     "group_distinct",
@@ -41,6 +43,8 @@ HEADLINE = [
     "similarity_bruteforce",
     "doc_fingerprint",
     "tf_idf",
+    "decontaminate",          # shingle broadcast semi-join
+    "pii_redact",             # regex scrub over every document
     "bigram_topk",
     "train_test_split",
     "asof_join",
