@@ -82,6 +82,43 @@ def stratified_take(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    docs_per_sqrt: int = 3,
+) -> DataFrame:
+    """Temperature-weighted corpus mixing at T=0.5: each stratum's quota
+    is ``docs_per_sqrt * floor(sqrt(n_stratum))`` (capped at the stratum
+    size), so over-represented strata are down-weighted relative to rare
+    ones — the multilingual-training rebalancing move, made reproducible.
+
+    Integer-exact on purpose: ``floor(sqrt(n))`` of an integer-valued
+    double is deterministic across engines (IEEE sqrt is correctly
+    rounded, and the floor boundary only lands on perfect squares, where
+    sqrt is exact) — no normalized-probability double whose last-ulp
+    difference could flip a quota. Selection within a stratum reuses the
+    (md5(id), id) order of :func:`stratified_take`; the per-stratum
+    stats side is tiny (|strata| rows) and broadcasts."""
+    quotas = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_stratum"),
+        F.least(
+            F.count(F.lit(1)),
+            (
+                F.floor(F.sqrt(F.count(F.lit(1)).cast("double")))
+                * docs_per_sqrt
+            ).cast("bigint"),
+        ).alias("quota"),
+    )
+    w = Window.partitionBy(strata_col).orderBy(md5_hex(F.col(id_col)), F.col(id_col))
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(quotas), strata_col)
+        .where(F.col("rk") <= F.col("quota"))
+        .select(id_col, strata_col, "rk", "quota")
+    )
+
+
 def table_profile(
     df: DataFrame,
     cols: list[str] | None = None,

@@ -99,6 +99,13 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T=0.5 corpus mixing over the skewed ``lang`` strata (en is ~3x any
+    other): per-lang quota 3*floor(sqrt(n)), deterministic (md5, id)
+    selection order."""
+    return sampling.temperature_mix(_docs(spark, sf_dir))
+
+
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-pipeline chunking: 200-char windows with 50-char overlap
     (stride 150); pure sequence+substr fanout, no shuffle."""
@@ -106,6 +113,7 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "temperature_mix": q_temperature_mix,
     "text_chunks": q_text_chunks,
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
@@ -118,6 +126,21 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _SQL_NIB = "substring(md5(doc_id::VARCHAR), 1, 1)"
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
+    "temperature_mix": """
+        WITH quotas AS (
+            SELECT lang, count(*) AS n_stratum,
+                   least(count(*),
+                         (floor(sqrt(count(*)::DOUBLE)) * 3)::BIGINT) AS quota
+            FROM documents GROUP BY lang),
+        ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY md5(doc_id::VARCHAR),
+                                               doc_id)::BIGINT AS rk
+            FROM documents)
+        SELECT doc_id, ranked.lang, rk, quota
+        FROM ranked JOIN quotas ON ranked.lang = quotas.lang
+        WHERE rk <= quota""",
     "text_chunks": """
         WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents),
         idx AS (SELECT doc_id, text,

@@ -137,3 +137,25 @@ def test_chunk_text_rejects_bad_overlap(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_temperature_mix_rebalances_toward_rare_strata(spark):
+    rows = [(i, "big" if i < 100 else "small") for i in range(104)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = sampling.temperature_mix(df, docs_per_sqrt=1).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, []).append(r)
+    # quotas: big floor(sqrt(100))=10 of 100 (10%), small sqrt(4)=2 of 4 (50%)
+    assert len(by["big"]) == 10 and len(by["small"]) == 2
+    assert all(r.quota == 10 for r in by["big"])
+    # selection is deterministic: rerun picks the identical ids
+    again = {r.doc_id for r in sampling.temperature_mix(df, docs_per_sqrt=1).collect()}
+    assert again == {r.doc_id for r in out}
+
+
+def test_temperature_mix_quota_capped_at_stratum_size(spark):
+    df = spark.createDataFrame([(i, "only") for i in range(5)], ["doc_id", "lang"])
+    out = sampling.temperature_mix(df, docs_per_sqrt=10).collect()
+    # 10*floor(sqrt(5))=20 > 5 -> capped, every row kept exactly once
+    assert sorted(r.doc_id for r in out) == [0, 1, 2, 3, 4]
