@@ -960,7 +960,40 @@ def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis over the events stream: users whose first
+    view precedes their first click precedes their first purchase, plus
+    the mean view→purchase latency for converters. One shuffle (groupBy
+    user) carrying five conditional-min timestamps; the funnel
+    comparisons then run on the tiny per-user frame. Time math stays in
+    integer microseconds (unix_micros) so every sum is exact — no
+    floating-point timestamp drift between engines."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.unix_micros("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_view") < F.col("t_click"))
+    converted = clicked & (F.col("t_click") < F.col("t_purchase"))
+    conv_us = F.when(converted, F.col("t_purchase") - F.col("t_view"))
+    return per_user.agg(
+        F.count(F.when(viewed, 1)).alias("n_viewers"),
+        F.count(F.when(clicked, 1)).alias("n_clicked_after_view"),
+        F.count(F.when(converted, 1)).alias("n_converted"),
+        F.round(
+            F.sum(conv_us) / (F.lit(1000000.0) * F.count(conv_us)), 6
+        ).alias("avg_seconds_to_convert"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "funnel_conversion": q_funnel_conversion,
     "tpch_q4_priority_check": q_tpch_q4_priority_check,
     "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
     "tpch_q8_market_share": q_tpch_q8_market_share,
@@ -1015,6 +1048,29 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _REV = "l_extendedprice * (1 - l_discount)"
 
 RELATIONAL_ORACLE_SQL: dict[str, str] = {
+    "funnel_conversion": """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view'
+                            THEN epoch_us(ts) END) AS t_view,
+                   min(CASE WHEN event_type = 'click'
+                            THEN epoch_us(ts) END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(ts) END) AS t_purchase
+            FROM events GROUP BY user_id)
+        SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_viewers,
+               count(CASE WHEN t_view < t_click THEN 1 END)
+                   AS n_clicked_after_view,
+               count(CASE WHEN t_view < t_click AND t_click < t_purchase
+                          THEN 1 END) AS n_converted,
+               round(sum(CASE WHEN t_view < t_click AND t_click < t_purchase
+                              THEN t_purchase - t_view END)
+                     / (1000000.0 *
+                        count(CASE WHEN t_view < t_click
+                                    AND t_click < t_purchase
+                                   THEN 1 END)), 6)
+                   AS avg_seconds_to_convert
+        FROM per_user""",
     "tpch_q4_priority_check": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders o
