@@ -992,8 +992,35 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based trailing window (RANGE frame, not ROWS): per event, the
+    count and value-sum of the same user's events in the preceding hour.
+    The frame is value-based on integer epoch-seconds — tie rows are
+    peers in both engines — and the windowed sum accumulates in DECIMAL
+    so frame-internal addition order can't drift the output."""
+    ev = _t(spark, sf_dir, "events")
+    t_sec = (F.unix_micros("ts") / F.lit(1000000)).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return (
+        ev.withColumn("t_sec", t_sec)
+        .select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).over(w), 2)
+            .cast("double")
+            .alias("sum_1h"),
+        )
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
+    "window_trailing_range": q_window_trailing_range,
     "tpch_q4_priority_check": q_tpch_q4_priority_check,
     "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
     "tpch_q8_market_share": q_tpch_q8_market_share,
@@ -1048,6 +1075,15 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _REV = "l_extendedprice * (1 - l_discount)"
 
 RELATIONAL_ORACLE_SQL: dict[str, str] = {
+    "window_trailing_range": """
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_1h,
+               round(sum(value::DECIMAL(18,2)) OVER w, 2)::DOUBLE AS sum_1h
+        FROM (SELECT event_id, user_id, value,
+                     epoch_us(ts) // 1000000 AS t_sec
+              FROM events) e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t_sec
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""",
     "funnel_conversion": """
         WITH per_user AS (
             SELECT user_id,
