@@ -107,6 +107,29 @@ def test_q19_part_side_predicates_prune_broadcast_build(spark):
     assert "l_quantity" in li_scan
 
 
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The train shingle stream must filter map-side against a broadcast
+    of the (small) eval shingle set — no shuffle of the big side for
+    the join."""
+    qs = entrymod.queries()
+    plan = _plan(qs["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_temperature_mix_broadcasts_quota_side(spark):
+    qs = entrymod.queries()
+    plan = _plan(qs["temperature_mix"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_trailing_range_window_single_exchange(spark):
+    """The RANGE-frame window costs exactly one hash exchange (by
+    user_id); no join, no extra sort shuffles."""
+    qs = entrymod.queries()
+    plan = _plan(qs["window_trailing_range"](spark, SF))
+    assert plan.count("Exchange") == 1
+
+
 def test_aggregation_is_partial_then_final(spark):
     qs = entrymod.queries()
     plan = _plan(qs["agg_term_doc"](spark, SF))
