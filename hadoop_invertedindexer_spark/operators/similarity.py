@@ -114,6 +114,26 @@ def cosine_topk_ivf(
     assigned = ivf_assign(corpus, centroids, id_col, vec_col).withColumn(
         "_cnorm", _norm(F.col(vec_col))
     )
+    return _ivf_topk_from_assigned(
+        assigned, queries, centroids, k, nprobe, id_col, vec_col, qid_col,
+        qvec_col, exclude_self,
+    )
+
+
+def _ivf_topk_from_assigned(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Probe-and-score over an already-assigned corpus — shared by the
+    in-memory path and the persisted-index path."""
     qw = Window.partitionBy(qid_col).orderBy(F.desc("qsim"), F.asc("cid"))
     probes = (
         queries.crossJoin(F.broadcast(centroids))
@@ -143,6 +163,53 @@ def cosine_topk_ivf(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: assignments written *partitioned by
+    cid* plus the centroid table. The one expensive pass (assignment)
+    runs once at build time; at query time the bucket join hits the
+    partition column, so Spark's dynamic partition pruning reads only
+    the ~nprobe·|Q| probed bucket directories off disk — the on-disk
+    analog of an inverted file. Precomputed norms ride along so queries
+    never touch the raw corpus."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).withColumn(
+        "_cnorm", _norm(F.col(vec_col))
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        f"{path}/assignments"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Query a persisted IVF index without re-assigning the corpus.
+    Results are identical to :func:`cosine_topk_ivf` over the same
+    corpus/centroids (proven by test); the corpus-side work drops to a
+    pruned read of the probed buckets."""
+    assigned = spark.read.parquet(f"{path}/assignments")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    return _ivf_topk_from_assigned(
+        assigned, queries, centroids, k, nprobe, id_col, vec_col, qid_col,
+        qvec_col, exclude_self,
     )
 
 

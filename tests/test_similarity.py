@@ -107,3 +107,29 @@ def test_lsh_and_neardup_empty_corpus_returns_empty(spark):
     )
     assert similarity.cosine_topk_lsh(empty, queries, k=3, nbits=4).count() == 0
     assert embedding_near_dup_pairs(empty, threshold=0.9).count() == 0
+
+
+def test_persisted_ivf_index_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = similarity.centroids_by_sampling(emb, every=50)
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, cents, path)
+
+    direct = similarity.cosine_topk_ivf(emb, queries, cents, k=5, nprobe=3)
+    disk = similarity.query_ivf_index(spark, path, queries, k=5, nprobe=3)
+    canon = lambda df: sorted(map(tuple, df.toPandas().sort_index(axis=1).values.tolist()))  # noqa: E731
+    assert canon(disk) == canon(direct)
+
+    # the probed-bucket join must prune partitions dynamically: only
+    # ~nprobe*|Q| bucket dirs are read, not the whole index
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    # (the index scan is identified by its _cnorm column — the Location
+    # field is truncated at 100 chars, so the path may not be visible)
+    scan = next(
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "_cnorm" in ln
+    )
+    assert "dynamicpruning" in scan.lower()
