@@ -1018,9 +1018,34 @@ def q_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation: orders placed vs lineitems shipped per
+    month. The two calendars overhang each other (shipments trail
+    orders by months), so both null sides are exercised; counts
+    coalesce to 0 the way a reconciliation report would. Both inputs
+    are pre-aggregated to month grain before the join, so the full
+    outer join moves |months| rows, not fact rows."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
+    )
+    return o.join(li, "month", "full_outer").select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     "window_trailing_range": q_window_trailing_range,
+    "full_outer_reconcile": q_full_outer_reconcile,
     "tpch_q4_priority_check": q_tpch_q4_priority_check,
     "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
     "tpch_q8_market_share": q_tpch_q8_market_share,
@@ -1075,6 +1100,18 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _REV = "l_extendedprice * (1 - l_discount)"
 
 RELATIONAL_ORACLE_SQL: dict[str, str] = {
+    "full_outer_reconcile": """
+        SELECT strftime(coalesce(o.month, l.month), '%Y-%m') AS month,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(n_shipped, 0) AS n_shipped
+        FROM (SELECT date_trunc('month', o_orderdate) AS month,
+                     count(*) AS n_orders
+              FROM orders GROUP BY 1) o
+        FULL OUTER JOIN
+             (SELECT date_trunc('month', l_shipdate) AS month,
+                     count(*) AS n_shipped
+              FROM lineitem GROUP BY 1) l
+          USING (month)""",
     "window_trailing_range": """
         SELECT event_id, user_id,
                count(*) OVER w AS n_1h,
