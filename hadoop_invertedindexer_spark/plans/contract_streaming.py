@@ -17,9 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_invertedindexer_spark.sources.tables import read_table
 from hadoop_invertedindexer_spark.streaming.events import (
+    daily_distinct_users_from_sketches,
     daily_from_hourly,
     enrich_by_dim,
     hourly_rollup_exact,
+    hourly_user_sketches,
     purchase_error_pairs,
     run_streaming_enrich,
     run_streaming_interval_join,
@@ -66,6 +68,15 @@ def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_from_hourly(hourly_rollup_exact(read_table(spark, sf_dir, "events")))
 
 
+def q_events_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tiering for the non-associative aggregate: daily distinct
+    users estimated by merging hourly HLL sketches. Rows-only at the
+    driver (DuckDB's HLL is a different implementation); the ±2%
+    estimate-vs-exact bound is pinned in tests/test_streaming.py."""
+    ev = read_table(spark, sf_dir, "events")
+    return daily_distinct_users_from_sketches(hourly_user_sketches(ev))
+
+
 def q_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F  # noqa: F401
 
@@ -102,6 +113,7 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_session": q_stream_session,
     "stream_dedup": q_stream_dedup,
     "events_daily_rollup": q_events_daily_rollup,
+    "events_daily_distinct_users": q_events_daily_distinct_users,
     "events_enrich": q_events_enrich,
     "stream_enrich": q_stream_enrich,
     "events_interval_join": q_events_interval_join,

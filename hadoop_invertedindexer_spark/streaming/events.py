@@ -180,6 +180,36 @@ def daily_from_hourly(hourly: DataFrame) -> DataFrame:
     )
 
 
+def hourly_user_sketches(events: DataFrame) -> DataFrame:
+    """Hour-grain HLL sketches of distinct users — the tier for distinct
+    counts, which (unlike counts and sums) are NOT associative exactly:
+    a day's distinct users can't be summed from hourly distincts. HLL
+    sketches ARE mergeable, so the hourly tier stores a ~KB sketch per
+    (hour, type) and every coarser grain merges sketches instead of
+    rescanning raw events."""
+    return events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("users_sketch"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def daily_distinct_users_from_sketches(hourly: DataFrame) -> DataFrame:
+    """Day-grain distinct-user estimates by merging the hourly sketches
+    (hll_union_agg) — O(hours) work, ±~2% standard HLL error, bounded in
+    tests against the exact distinct."""
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("w.start")).alias("day"), "event_type"
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("users_sketch")).alias(
+                "approx_users"
+            ),
+            F.sum("n").alias("n_events"),
+        )
+    )
+
+
 def maintain_hourly_tier(
     spark: SparkSession,
     source_dir: str,

@@ -198,3 +198,28 @@ def test_incremental_hourly_tier_maintenance(spark, sf_dir, tmp_path):
         str(tmp_path / "ckpt"), max_files_per_trigger=1,
     )
     assert spark.read.parquet(tier).count() == n_partial_rows
+
+
+def test_daily_sketch_distinct_within_hll_error(spark, sf_dir):
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+    from hadoop_invertedindexer_spark.streaming.events import (
+        daily_distinct_users_from_sketches,
+        hourly_user_sketches,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    est = {
+        (r.day, r.event_type): r.approx_users
+        for r in daily_distinct_users_from_sketches(hourly_user_sketches(ev)).collect()
+    }
+    exact = {
+        (r.day, r.event_type): r.exact
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for key, e in exact.items():
+        assert abs(est[key] - e) <= max(2, 0.05 * e), (key, est[key], e)
