@@ -23,6 +23,7 @@ from hadoop_invertedindexer_spark.operators import relational  # noqa: E402
 from hadoop_invertedindexer_spark.plans import contract  # noqa: E402
 from hadoop_invertedindexer_spark.plans import contract_llm  # noqa: E402
 from hadoop_invertedindexer_spark.plans import contract_pipeline  # noqa: E402
+from hadoop_invertedindexer_spark.plans import contract_retrieval  # noqa: E402
 from hadoop_invertedindexer_spark.plans import contract_streaming  # noqa: E402
 from hadoop_invertedindexer_spark.plans import contract_temporal  # noqa: E402
 from hadoop_invertedindexer_spark.plans.flagship import (  # noqa: E402
@@ -44,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(contract_streaming.STREAMING_QUERIES)
     out.update(contract_llm.LLM_QUERIES)
     out.update(contract_pipeline.PIPELINE_QUERIES)
+    out.update(contract_retrieval.RETRIEVAL_QUERIES)
     out.update(contract_temporal.TEMPORAL_QUERIES)
     return out
 
@@ -57,5 +59,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(contract_streaming.STREAMING_ORACLE_SQL)
     out.update(contract_llm.LLM_ORACLE_SQL)
     out.update(contract_pipeline.PIPELINE_ORACLE_SQL)
+    out.update(contract_retrieval.RETRIEVAL_ORACLE_SQL)
     out.update(contract_temporal.TEMPORAL_ORACLE_SQL)
     return out

@@ -43,6 +43,8 @@ HEADLINE = [
     "similarity_bruteforce",
     "doc_fingerprint",
     "tf_idf",
+    "bm25_search",            # retrieval: corpus stats + DECIMAL-exact top-k
+    "phrase_search",          # positional-index adjacency joins
     "decontaminate",          # shingle broadcast semi-join
     "pii_redact",             # regex scrub over every document
     "bigram_topk",

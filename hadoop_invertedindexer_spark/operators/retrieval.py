@@ -1,0 +1,220 @@
+"""Ranked retrieval over the inverted index.
+
+The reference builds a frequency-ranked inverted index
+(``/root/reference/src/InvertedIndexer.java:170-201``) but never queries
+it.  These operators close that loop — the natural "read side" of an
+inverted indexer: boolean search, BM25 relevance ranking, and positional
+phrase search.  All are compositions of the same (word, doc, count)
+aggregate the index already produces (``operators/index.py``), so no new
+shuffle shapes appear: document/term statistics are two cheap re-groupings
+of the pre-aggregated counts, query-term selection is a pushed-down
+``isin`` filter, and the corpus-level constants travel as a broadcast
+1-row frame — never a driver-side ``.collect()``.
+
+Scale posture (100 TB): every query-time operator here filters the counts
+frame to the query's terms *before* any join, so the joined sides are
+posting lists (|docs per term|), not the corpus.  With the counts frame
+persisted bucketed-by-word (``sources/sinks.py:sink_bucketed``), that
+filter becomes a bucket-pruned scan; the per-doc statistics (``dl``) are
+corpus-wide but join on ``doc`` after the query-term filter has already
+shrunk the left side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def corpus_stats(
+    counts: DataFrame, doc_col: str = "doc", count_col: str = "count"
+) -> tuple[DataFrame, DataFrame]:
+    """Per-document lengths and corpus-level constants from the
+    (word, doc, count) aggregate.
+
+    Returns ``(doc_lengths, stats)``: ``doc_lengths`` is (doc, dl);
+    ``stats`` is a 1-row (n_docs, avgdl) frame meant to be broadcast.
+    ``avgdl`` is computed as one double division of two exact integers
+    (total tokens / doc count) so it is bit-identical across engines —
+    an ``avg()`` over doubles would be accumulation-order-dependent.
+    """
+    doc_lengths = counts.groupBy(doc_col).agg(F.sum(count_col).alias("dl"))
+    stats = counts.groupBy().agg(
+        F.countDistinct(doc_col).alias("n_docs"),
+        (
+            F.sum(count_col).cast("double") / F.countDistinct(doc_col)
+        ).alias("avgdl"),
+    )
+    return doc_lengths, stats
+
+
+def bm25_scores(
+    counts: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    word_col: str = "word",
+    doc_col: str = "doc",
+    count_col: str = "count",
+) -> DataFrame:
+    """Okapi BM25 score per (word, doc), Lucene-style non-negative idf:
+
+        idf  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        norm = cnt + k1 * ((1 - b) + b * dl / avgdl)
+        bm25 = round(idf * (cnt * (k1 + 1)) / norm, 6)
+
+    The doc-frequency and doc-length aggregates re-shuffle the already
+    aggregated counts (triples, not raw text); the 1-row corpus stats are
+    broadcast.  Output: (word, doc, bm25).
+    """
+    doc_lengths, stats = corpus_stats(counts, doc_col, count_col)
+    dfreq = counts.groupBy(word_col).agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col(count_col) + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        counts.join(doc_lengths, doc_col)
+        .join(dfreq, word_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            word_col,
+            doc_col,
+            F.round(idf * (F.col(count_col) * F.lit(k1 + 1.0)) / norm, 6).alias(
+                "bm25"
+            ),
+        )
+    )
+
+
+def bm25_search(
+    counts: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    word_col: str = "word",
+    doc_col: str = "doc",
+    count_col: str = "count",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query by summed BM25.
+
+    Per-term scores are rounded then summed in DECIMAL(18,6) so the total
+    is exact and associative (a double sum would depend on partial-agg
+    order).  The top-k is ``orderBy().limit(k)`` — Spark plans
+    TakeOrderedAndProject, a per-partition heap + driver merge, never a
+    global sort — and the rank window then runs on ≤ k rows.
+    Output: (doc, score, rank).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    per_doc = (
+        bm25_scores(counts, word_col=word_col, doc_col=doc_col, count_col=count_col)
+        .where(F.col(word_col).isin([t.lower() for t in query_terms]))
+        .groupBy(doc_col)
+        .agg(F.sum(F.col("bm25").cast(DecimalType(18, 6))).alias("score_dec"))
+    )
+    top = per_doc.orderBy(F.desc("score_dec"), F.asc(doc_col)).limit(k)
+    w = Window.orderBy(F.desc("score_dec"), F.asc(doc_col))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(doc_col, F.col("score_dec").cast("double").alias("score"), "rank")
+    )
+
+
+def boolean_search(
+    counts: DataFrame,
+    must: list[str],
+    must_not: list[str] | None = None,
+    word_col: str = "word",
+    doc_col: str = "doc",
+    count_col: str = "count",
+) -> DataFrame:
+    """Boolean retrieval: documents containing ALL ``must`` terms and none
+    of ``must_not``.
+
+    Conjunction = filter to the query terms + groupBy(doc) + exact
+    distinct-term count (posting-list intersection without a self-join —
+    one shuffle of the pre-filtered postings).  Exclusion = anti-join
+    against the ``must_not`` posting docs.  Output: (doc, occurrences)
+    where occurrences sums the matched must-term counts.
+    """
+    if not must:
+        raise ValueError("must terms required")
+    must_l = [t.lower() for t in must]
+    hits = (
+        counts.where(F.col(word_col).isin(must_l))
+        .groupBy(doc_col)
+        .agg(
+            F.countDistinct(word_col).alias("matched"),
+            F.sum(count_col).alias("occurrences"),
+        )
+        .where(F.col("matched") == len(set(must_l)))
+        .select(doc_col, "occurrences")
+    )
+    if must_not:
+        excl = (
+            counts.where(F.col(word_col).isin([t.lower() for t in must_not]))
+            .select(doc_col)
+            .distinct()
+        )
+        hits = hits.join(excl, doc_col, "left_anti")
+    return hits
+
+
+def positional_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Positional index input: (doc, pos, word) with 0-based token ordinals.
+
+    Reuses the reference's exact cleaning pipeline (lowercase → punct
+    class → StringTokenizer delimiters; ``functions/textprep.py``) but
+    keeps ALL non-empty tokens — phrase adjacency is defined on the raw
+    token stream, before the length/numeric/stopword filters drop tokens
+    (dropping would create false adjacencies).  posexplode assigns the
+    ordinal inside the array, so positions never depend on row order.
+    """
+    from hadoop_invertedindexer_spark.functions.textprep import (
+        TOKEN_DELIM_CLASS,
+        lowercase,
+        strip_punct,
+    )
+
+    arr = F.filter(
+        F.split(strip_punct(lowercase(text_col)), TOKEN_DELIM_CLASS),
+        lambda t: t != F.lit(""),
+    )
+    return docs.select(
+        doc_col, F.posexplode(arr).alias("pos", "word")
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+
+
+def phrase_search(
+    pos_tokens: DataFrame, phrase: list[str], doc_col: str = "doc_id"
+) -> DataFrame:
+    """Exact phrase search over the positional index: documents where the
+    phrase's tokens occur at consecutive positions; counts every starting
+    position.
+
+    Classic positional-intersection: each term's postings are filtered
+    first (at scale: a bucket-pruned read of the positional index), the
+    i-th term's positions are shifted back by i, and consecutive-position
+    hits become equi-joins on (doc, pos) — all sides tiny relative to the
+    corpus, so Catalyst broadcasts.  Output: (doc, n_matches).
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    terms = [t.lower() for t in phrase]
+    cur = pos_tokens.where(F.col("word") == terms[0]).select(doc_col, "pos")
+    for i, term in enumerate(terms[1:], start=1):
+        nxt = pos_tokens.where(F.col("word") == term).select(
+            doc_col, (F.col("pos") - i).alias("pos")
+        )
+        cur = cur.join(nxt, [doc_col, "pos"])
+    return cur.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n_matches"))

@@ -1,0 +1,149 @@
+"""Driver-contract queries for the retrieval surface (read side of the
+inverted index): BM25 scoring/ranking, boolean search, positional phrase
+search.  Spark implementations in ``operators/retrieval.py``; every float
+literal in the oracle SQL is cast ``::DOUBLE`` so DuckDB does not promote
+the expression into DECIMAL arithmetic (which rounds differently from the
+IEEE-double math Spark does).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_invertedindexer_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_search,
+    boolean_search,
+    phrase_search,
+    positional_tokens,
+)
+from hadoop_invertedindexer_spark.plans.contract import (
+    _SQL_DELIM,
+    _SQL_DOC_COUNTS,
+    _SQL_PUNCT,
+    _doc_counts,
+    _docs,
+)
+
+QUERY_TERMS = ["hash", "join", "spark"]
+EXCLUDE_TERMS = ["vector"]
+PHRASE = ["sort", "merge"]
+TOP_K = 10
+
+
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: BM25 per (word, doc) over the accepted-token counts."""
+    return bm25_scores(_doc_counts(spark, sf_dir))
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: top-10 docs for a bag-of-words query by summed BM25
+    (DECIMAL-exact sum, TakeOrderedAndProject top-k)."""
+    return bm25_search(_doc_counts(spark, sf_dir), QUERY_TERMS, k=TOP_K)
+
+
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: conjunctive boolean retrieval with exclusion."""
+    return boolean_search(_doc_counts(spark, sf_dir), QUERY_TERMS, EXCLUDE_TERMS)
+
+
+def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: positional index — (doc_id, pos, word) token ordinals."""
+    return positional_tokens(_docs(spark, sf_dir))
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: exact-phrase match counts via positional intersection."""
+    return phrase_search(positional_tokens(_docs(spark, sf_dir)), PHRASE)
+
+
+RETRIEVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_score": q_bm25_score,
+    "bm25_search": q_bm25_search,
+    "boolean_search": q_boolean_search,
+    "positional_index": q_positional_index,
+    "phrase_search": q_phrase_search,
+}
+
+_SQL_TERMS = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+_SQL_EXCLUDE = ", ".join(f"'{t}'" for t in EXCLUDE_TERMS)
+
+# BM25 building blocks over doc_counts(word, doc, cnt).  avgdl is one
+# double division of two exact integers (see operators/retrieval.py).
+_SQL_BM25_STATS = """
+dls AS (SELECT doc, sum(cnt)::BIGINT AS dl FROM doc_counts GROUP BY doc),
+dfreq AS (SELECT word, count(*) AS df FROM doc_counts GROUP BY word),
+stats AS (SELECT count(DISTINCT doc) AS n_docs,
+                 sum(cnt)::BIGINT::DOUBLE / count(DISTINCT doc) AS avgdl
+          FROM doc_counts)
+"""
+
+_SQL_BM25_EXPR = (
+    "round(ln(1.0::DOUBLE + (s.n_docs - f.df + 0.5::DOUBLE)"
+    " / (f.df + 0.5::DOUBLE))"
+    " * (c.cnt * 2.2::DOUBLE)"
+    " / (c.cnt + 1.2::DOUBLE"
+    "    * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / s.avgdl)), 6)"
+)
+
+_SQL_BM25_SCORES = f"""
+scores AS (
+    SELECT c.word, c.doc, {_SQL_BM25_EXPR} AS bm25
+    FROM doc_counts c
+    JOIN dls d ON c.doc = d.doc
+    JOIN dfreq f ON c.word = f.word
+    CROSS JOIN stats s)
+"""
+
+# Positional token stream: list_filter keeps StringTokenizer semantics
+# (no empty tokens); the positional unnest-zip is order-preserving.
+_SQL_POS = f"""
+cleaned AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(
+               regexp_replace(lower(text), '{_SQL_PUNCT}', ' ', 'g'),
+               '{_SQL_DELIM}'), t -> t <> '') AS toks
+    FROM documents),
+pos AS (
+    SELECT doc_id, unnest(toks) AS word, unnest(range(len(toks))) AS pos
+    FROM cleaned)
+"""
+
+RETRIEVAL_ORACLE_SQL: dict[str, str] = {
+    "bm25_score": f"""
+        WITH {_SQL_DOC_COUNTS}, {_SQL_BM25_STATS}, {_SQL_BM25_SCORES}
+        SELECT word, doc, bm25 FROM scores""",
+    "bm25_search": f"""
+        WITH {_SQL_DOC_COUNTS}, {_SQL_BM25_STATS}, {_SQL_BM25_SCORES},
+        perdoc AS (
+            SELECT doc, sum(bm25::DECIMAL(18,6)) AS score_dec
+            FROM scores WHERE word IN ({_SQL_TERMS}) GROUP BY doc)
+        SELECT doc, score, rank FROM (
+            SELECT doc, score_dec::DOUBLE AS score,
+                   row_number() OVER (ORDER BY score_dec DESC, doc)::BIGINT
+                       AS rank
+            FROM perdoc) t
+        WHERE rank <= {TOP_K}""",
+    "boolean_search": f"""
+        WITH {_SQL_DOC_COUNTS}
+        SELECT doc, occurrences FROM (
+            SELECT doc, count(DISTINCT word) AS matched,
+                   sum(cnt)::BIGINT AS occurrences
+            FROM doc_counts WHERE word IN ({_SQL_TERMS}) GROUP BY doc) h
+        WHERE matched = {len(QUERY_TERMS)}
+          AND doc NOT IN (
+              SELECT doc FROM doc_counts WHERE word IN ({_SQL_EXCLUDE}))""",
+    "positional_index": f"""
+        WITH {_SQL_POS}
+        SELECT doc_id, pos, word FROM pos""",
+    "phrase_search": f"""
+        WITH {_SQL_POS}
+        SELECT a.doc_id, count(*)::BIGINT AS n_matches
+        FROM pos a
+        JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                  AND b.word = '{PHRASE[1]}'
+        WHERE a.word = '{PHRASE[0]}'
+        GROUP BY a.doc_id""",
+}

@@ -1,0 +1,102 @@
+"""Planted-fixture tests for the retrieval surface (BM25, boolean,
+positional phrase search).  Oracle parity at sf0.01 is covered by
+test_contract_reference.py; these pin the semantics on hand-computed
+inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_invertedindexer_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_search,
+    boolean_search,
+    phrase_search,
+    positional_tokens,
+)
+
+
+def _counts(spark, rows):
+    return spark.createDataFrame(rows, "word string, doc string, count long")
+
+
+def test_bm25_matches_hand_computation(spark):
+    # 2 docs: d1 = {cat:2, dog:1} (dl=3), d2 = {cat:1} (dl=1)
+    # N=2, avgdl=2.0; df(cat)=2, df(dog)=1
+    counts = _counts(
+        spark, [("cat", "d1", 2), ("dog", "d1", 1), ("cat", "d2", 1)]
+    )
+    got = {
+        (r.word, r.doc): r.bm25 for r in bm25_scores(counts).collect()
+    }
+
+    def expected(cnt, df, dl, n=2, avgdl=2.0, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return round(idf * (cnt * (k1 + 1.0)) / (cnt + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    assert got[("cat", "d1")] == pytest.approx(expected(2, 2, 3), abs=1e-6)
+    assert got[("dog", "d1")] == pytest.approx(expected(1, 1, 3), abs=1e-6)
+    assert got[("cat", "d2")] == pytest.approx(expected(1, 2, 1), abs=1e-6)
+    # rarer term outranks common term at equal tf and dl
+    assert got[("dog", "d1")] > got[("cat", "d1")] / 2  # idf(dog) > idf(cat)
+
+
+def test_bm25_search_ranks_and_caps(spark):
+    counts = _counts(
+        spark,
+        [("cat", "d1", 5), ("dog", "d1", 5), ("cat", "d2", 1), ("emu", "d3", 9)],
+    )
+    rows = bm25_search(counts, ["cat", "dog"], k=2).collect()
+    assert [r.doc for r in rows] == ["d1", "d2"]  # d3 has no query term
+    assert [r.rank for r in rows] == [1, 2]
+    assert rows[0].score > rows[1].score
+
+
+def test_boolean_search_conjunction_and_exclusion(spark):
+    counts = _counts(
+        spark,
+        [
+            ("cat", "d1", 2), ("dog", "d1", 1),
+            ("cat", "d2", 1),                      # missing dog
+            ("cat", "d3", 1), ("dog", "d3", 4), ("bad", "d3", 1),
+        ],
+    )
+    got = {r.doc: r.occurrences for r in
+           boolean_search(counts, ["cat", "dog"], ["bad"]).collect()}
+    assert got == {"d1": 3}  # d2 fails AND; d3 excluded by NOT
+
+
+def test_phrase_search_counts_every_start_and_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma, alpha beta!"),  # 2 matches; punct stripped
+            (2, "beta alpha"),                     # wrong order: 0
+            (3, "go go go"),                       # overlapping starts
+        ],
+        "doc_id long, text string",
+    )
+    pos = positional_tokens(docs)
+    got = {r.doc_id: r.n_matches for r in phrase_search(pos, ["alpha", "beta"]).collect()}
+    assert got == {1: 2}
+    overlap = {r.doc_id: r.n_matches for r in phrase_search(pos, ["go", "go"]).collect()}
+    assert overlap == {3: 2}  # positions (0,1) and (1,2)
+
+
+def test_positional_tokens_ordinals_ignore_row_and_filter_noise(spark):
+    docs = spark.createDataFrame(
+        [(7, "  One,  two   THREE ")], "doc_id long, text string"
+    )
+    rows = sorted(
+        positional_tokens(docs).select("pos", "word").collect(),
+        key=lambda r: r.pos,
+    )
+    assert [(r.pos, r.word) for r in rows] == [(0, "one"), (1, "two"), (2, "three")]
+
+
+def test_bm25_search_topk_plan_is_take_ordered(spark):
+    counts = _counts(spark, [("cat", "d1", 1)])
+    plan = bm25_search(counts, ["cat"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
