@@ -33,6 +33,44 @@ def hash_bucket16(col: Column) -> Column:
     return F.substring(md5_hex(col), 1, 1)
 
 
+HASH60_MAX = 1 << 60
+
+
+def hash_uniform60(col: Column) -> Column:
+    """60-bit uniform integer from the md5 hash (first 15 hex chars) —
+    portable exactly: Spark ``conv(hex,16,10)`` and DuckDB
+    ``('0x'||hex)::BIGINT`` parse the same value, and 60 bits fits a
+    BIGINT with headroom for the cross-multiplication below."""
+    return F.conv(F.substring(md5_hex(col), 1, 15), 16, 10).cast("decimal(38,0)")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    denom: int = 700,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: each row is kept with
+    probability ``min(1, weight/denom)`` — e.g. length-weighted document
+    sampling where a ``denom``-char doc is always kept and shorter docs
+    proportionally less often.
+
+    The decision is the exact integer cross-multiplication
+    ``h * denom < 2^60 * min(weight, denom)`` in DECIMAL — never the
+    double division ``h/2^60 < w/denom`` whose last-ulp rounding could
+    flip a row between engines or releases. Like :func:`hash_split`,
+    inclusion is a pure function of the id: reruns, repartitions, and
+    incremental re-ingestions keep exactly the same rows, and the filter
+    is a shuffle-free projection that pushes to the scan.
+    """
+    dec = "decimal(38,0)"
+    h = hash_uniform60(F.col(id_col))
+    w = F.least(F.col(weight_col).cast(dec), F.lit(denom).cast(dec))
+    return df.where(
+        h * F.lit(denom).cast(dec) < F.lit(HASH60_MAX).cast(dec) * w
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",

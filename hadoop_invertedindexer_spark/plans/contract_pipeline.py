@@ -49,6 +49,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "rk")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic Bernoulli sample: P(keep) =
+    min(1, n_chars/700), decided by exact integer cross-multiplication
+    (no double division to drift between engines). Full kept-row list
+    pins the assignment."""
+    return sampling.weighted_sample(_docs(spark, sf_dir), denom=700).select(
+        "doc_id", "n_chars"
+    )
+
+
 def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus bigrams (phrase heavy-hitters) with deterministic
     tiebreak. Spread first: a single-file table otherwise explodes its
@@ -117,6 +127,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunks": q_text_chunks,
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     "bigram_topk": q_bigram_topk,
     "sequence_pack": q_sequence_pack,
     "data_quality": q_data_quality,
@@ -157,6 +168,11 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                     ELSE 'test' END AS split,
                count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
         FROM documents GROUP BY 1""",
+    "weighted_sample": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT
+                  * 700
+              < 1152921504606846976::HUGEINT * least(n_chars, 700)""",
     "stratified_sample": """
         SELECT doc_id, source, rk FROM (
             SELECT doc_id, source,

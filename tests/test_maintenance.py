@@ -1,0 +1,94 @@
+"""Partition-pruned upsert/delete maintenance: correctness of the merge
+semantics AND the only-touched-partitions-rewritten guarantee (asserted
+on the untouched partition's actual files)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from hadoop_invertedindexer_spark.operators.maintenance import (
+    delete_keys,
+    upsert_partitioned,
+)
+
+
+def _seed_table(spark, path: str) -> None:
+    rows = [
+        (1, "a", "one"), (2, "a", "two"),
+        (3, "b", "three"), (4, "b", "four"),
+        (5, "c", "five"),
+    ]
+    spark.createDataFrame(rows, "id long, p string, payload string").write.mode(
+        "overwrite"
+    ).partitionBy("p").parquet(path)
+
+
+def _files(path: str, part: str) -> dict[str, float]:
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/p={part}/*.parquet")
+    }
+
+
+def _rows(spark, path: str) -> set[tuple]:
+    return {
+        (r.id, r.p, r.payload)
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_upsert_replaces_inserts_and_prunes_rewrite(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _seed_table(spark, path)
+    before_b = _files(path, "b")
+    before_c = _files(path, "c")
+
+    updates = spark.createDataFrame(
+        [(2, "a", "TWO v2"), (6, "a", "six new")],
+        "id long, p string, payload string",
+    )
+    upsert_partitioned(spark, path, updates, ["id"], "p")
+
+    assert _rows(spark, path) == {
+        (1, "a", "one"), (2, "a", "TWO v2"), (6, "a", "six new"),
+        (3, "b", "three"), (4, "b", "four"), (5, "c", "five"),
+    }
+    # untouched partitions were not rewritten: same files, same mtimes
+    assert _files(path, "b") == before_b
+    assert _files(path, "c") == before_c
+
+
+def test_upsert_empty_batch_is_noop(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _seed_table(spark, path)
+    before = {p: _files(path, p) for p in ("a", "b", "c")}
+    empty = spark.createDataFrame([], "id long, p string, payload string")
+    upsert_partitioned(spark, path, empty, ["id"], "p")
+    assert {p: _files(path, p) for p in ("a", "b", "c")} == before
+
+
+def test_delete_discovers_partitions_from_keys(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _seed_table(spark, path)
+    before_a = _files(path, "a")
+
+    # tombstones carry only keys — partition membership is probed
+    tombs = spark.createDataFrame([(3,), (5,), (99,)], "id long")
+    delete_keys(spark, path, tombs, ["id"], "p")
+
+    assert _rows(spark, path) == {
+        (1, "a", "one"), (2, "a", "two"), (4, "b", "four"),
+    }
+    assert _files(path, "a") == before_a  # id 99 absent, a untouched
+
+
+def test_delete_probe_scan_is_partition_pruned(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _seed_table(spark, path)
+    # the rewrite scan must carry a partition filter, not a full scan
+    table = spark.read.parquet(path).where(F.col("p").isin(["b"]))
+    plan = table._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "= b)" in plan, plan

@@ -159,3 +159,30 @@ def test_temperature_mix_quota_capped_at_stratum_size(spark):
     out = sampling.temperature_mix(df, docs_per_sqrt=10).collect()
     # 10*floor(sqrt(5))=20 > 5 -> capped, every row kept exactly once
     assert sorted(r.doc_id for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_weighted_sample_boundary_weights(spark):
+    # weight 0 -> never kept; weight >= denom -> always kept (h < 2^60 strictly)
+    rows = [(i, 0) for i in range(50)] + [(i, 700 + i) for i in range(100, 150)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    kept = {r.doc_id for r in sampling.weighted_sample(df, denom=700).collect()}
+    assert kept == set(range(100, 150))
+
+
+def test_weighted_sample_rate_tracks_weight_and_is_deterministic(spark):
+    # half-weight rows should be kept at ~50%; exact set stable across runs
+    df = spark.createDataFrame([(i, 350) for i in range(2000)], ["doc_id", "n_chars"])
+    kept = {r.doc_id for r in sampling.weighted_sample(df, denom=700).collect()}
+    assert 0.42 <= len(kept) / 2000 <= 0.58
+    again = {r.doc_id for r in sampling.weighted_sample(df, denom=700).collect()}
+    assert kept == again
+
+
+def test_weighted_sample_is_scan_level_filter(spark, sf_dir):
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+
+    plan = (
+        sampling.weighted_sample(read_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure projection+filter, no shuffle
