@@ -46,6 +46,10 @@ def _rewrite_partitions(
     ckpt.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy(partition_col).parquet(table_dir)
+    # drop the session's cached file listing for the path — later reads
+    # would otherwise try the replaced part files (FileStatusCache has no
+    # TTL by default)
+    ckpt.sparkSession.catalog.refreshByPath(table_dir)
     return ckpt
 
 
@@ -127,3 +131,5 @@ def delete_keys(
     }
     emptied = [p for p in parts if p not in survived]
     _drop_partition_dirs(spark, table_dir, partition_col, emptied)
+    if emptied:
+        spark.catalog.refreshByPath(table_dir)
