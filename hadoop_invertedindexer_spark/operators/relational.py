@@ -1042,8 +1042,31 @@ def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the customer→supplier transaction graph
+    (edges = distinct (o_custkey, l_suppkey) pairs). Driver check is
+    rows-only — a driver-coordinated iterative loop is exactly the
+    non-SQL-expressible case; the recurrence itself is pinned against a
+    pure-Python reference loop in test_graph.py."""
+    from hadoop_invertedindexer_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    return pagerank(edges, iters=5).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
+    "pagerank": q_pagerank,
     "window_trailing_range": q_window_trailing_range,
     "full_outer_reconcile": q_full_outer_reconcile,
     "tpch_q4_priority_check": q_tpch_q4_priority_check,
