@@ -59,6 +59,7 @@ def bm25_scores(
     word_col: str = "word",
     doc_col: str = "doc",
     count_col: str = "count",
+    materialize: bool = True,
 ) -> DataFrame:
     """Okapi BM25 score per (word, doc), Lucene-style non-negative idf:
 
@@ -69,7 +70,16 @@ def bm25_scores(
     The doc-frequency and doc-length aggregates re-shuffle the already
     aggregated counts (triples, not raw text); the 1-row corpus stats are
     broadcast.  Output: (word, doc, bm25).
+
+    ``materialize`` (default) computes the counts pipeline once via a
+    lazy localCheckpoint and fans the 4 consumers out from it — without
+    it, a query-term filter makes the branches non-identical, defeats
+    Catalyst's exchange reuse, and the upstream tokenize pipeline runs
+    4x (measured 6.9x slower for bm25_search at sf0.1). The cluster-
+    scale equivalent is staging counts to parquet.
     """
+    if materialize:
+        counts = counts.localCheckpoint(eager=False)
     doc_lengths, stats = corpus_stats(counts, doc_col, count_col)
     dfreq = counts.groupBy(word_col).agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
