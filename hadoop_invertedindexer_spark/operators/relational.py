@@ -640,6 +640,28 @@ def q_sql_api_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_CORRELATED)
 
 
+_SQL_LATERAL = """
+    SELECT c.c_custkey, c.c_name,
+           round(t.total_spend, 2) AS total_spend, t.n_orders
+    FROM customer c, LATERAL (
+        SELECT sum(o.o_totalprice) AS total_spend, count(*) AS n_orders
+        FROM orders o WHERE o.o_custkey = c.c_custkey
+    ) t
+    WHERE t.n_orders >= 20
+"""
+
+
+def q_sql_api_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table through the SQL front door — the
+    same ANSI text on both engines. Catalyst decorrelates the lateral
+    aggregate into a grouped join (no per-row subquery execution), so
+    the shape survives at fact-table scale."""
+    from hadoop_invertedindexer_spark.sources.tables import register_sf_tables
+
+    register_sf_tables(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL)
+
+
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math fn coverage."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1118,6 +1140,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_match": q_fuzzy_match,
     "argmax_aggs": q_argmax_aggs,
     "sql_api_correlated": q_sql_api_correlated,
+    "sql_api_lateral": q_sql_api_lateral,
 }
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -1504,6 +1527,7 @@ RELATIONAL_ORACLE_SQL: dict[str, str] = {
                round(max(o_totalprice), 2) AS max_price
         FROM orders GROUP BY o_orderpriority""",
     "sql_api_correlated": _SQL_CORRELATED,
+    "sql_api_lateral": _SQL_LATERAL,
     "window_distribution": """
         SELECT o_orderkey, o_orderpriority,
                ntile(4) OVER w::BIGINT AS quartile,

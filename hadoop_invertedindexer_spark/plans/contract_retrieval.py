@@ -59,12 +59,27 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(positional_tokens(_docs(spark, sf_dir)), PHRASE)
 
 
+def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the Python UDTF extension point — trigram table function via
+    SQL LATERAL, token semantics identical to the codegen paths (so the
+    same DuckDB CTE oracles it)."""
+    from hadoop_invertedindexer_spark.functions.udtfs import ngram_udtf
+
+    spark.udtf.register("ngrams_tf", ngram_udtf())
+    _docs(spark, sf_dir).createOrReplaceTempView("documents_udtf_v")
+    return spark.sql(
+        "SELECT d.doc_id, n.ngram, n.pos "
+        "FROM documents_udtf_v d, LATERAL ngrams_tf(d.text, 3) n"
+    )
+
+
 RETRIEVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_score": q_bm25_score,
     "bm25_search": q_bm25_search,
     "boolean_search": q_boolean_search,
     "positional_index": q_positional_index,
     "phrase_search": q_phrase_search,
+    "udtf_ngrams": q_udtf_ngrams,
 }
 
 _SQL_TERMS = ", ".join(f"'{t}'" for t in QUERY_TERMS)
@@ -99,13 +114,17 @@ scores AS (
 
 # Positional token stream: list_filter keeps StringTokenizer semantics
 # (no empty tokens); the positional unnest-zip is order-preserving.
-_SQL_POS = f"""
+_SQL_CLEANED = f"""
 cleaned AS (
     SELECT doc_id,
            list_filter(string_split_regex(
                regexp_replace(lower(text), '{_SQL_PUNCT}', ' ', 'g'),
                '{_SQL_DELIM}'), t -> t <> '') AS toks
-    FROM documents),
+    FROM documents)
+"""
+
+_SQL_POS = f"""
+{_SQL_CLEANED},
 pos AS (
     SELECT doc_id, unnest(toks) AS word, unnest(range(len(toks))) AS pos
     FROM cleaned)
@@ -146,4 +165,12 @@ RETRIEVAL_ORACLE_SQL: dict[str, str] = {
                   AND b.word = '{PHRASE[1]}'
         WHERE a.word = '{PHRASE[0]}'
         GROUP BY a.doc_id""",
+    "udtf_ngrams": f"""
+        WITH {_SQL_CLEANED}
+        SELECT doc_id,
+               unnest(list_transform(range(len(toks) - 2),
+                      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))
+                   AS ngram,
+               unnest(range(len(toks) - 2)) AS pos
+        FROM cleaned WHERE len(toks) >= 3""",
 }

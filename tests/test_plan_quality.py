@@ -156,11 +156,14 @@ def test_all_oracle_queries_stay_jvm_side(spark):
     back to a row-at-a-time or Arrow Python UDF — the hot path must stay
     in codegen. (Python appears only in rows-only ops: SimHash's pandas
     UDF and the multimodal mapInPandas stubs, none oracle-paired.)
-    Streaming twins are skipped: building their 'plan' executes the run."""
+    Streaming twins are skipped: building their 'plan' executes the run.
+    udtf_ngrams is exempt by design: it IS the documented Python-UDTF
+    extension point (functions/udtfs.py), oracle-paired on purpose."""
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    deliberate_python = {"udtf_ngrams"}
     offenders = []
     for name in sorted(qs):
-        if name not in oracles or name.startswith("stream_"):
+        if name not in oracles or name.startswith("stream_") or name in deliberate_python:
             continue
         plan = _plan(qs[name](spark, SF))
         if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
@@ -243,3 +246,17 @@ def test_stopword_antijoin_broadcasts(spark):
     sw = spark.createDataFrame([("the",), ("and",)], ["word"])
     plan = _plan(filter_stopwords(docs, sw))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_join_hints_override_strategy(spark):
+    """Join-strategy hints are honored: MERGE forces SortMergeJoin on a
+    broadcastable dim; SHUFFLE_HASH forces ShuffledHashJoin."""
+    li = read_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    p = read_table(spark, SF, "part").select("p_partkey")
+    merged = li.join(p.hint("merge"), li.l_partkey == p.p_partkey)
+    assert "SortMergeJoin" in _plan(merged)
+    hashed = li.join(p.hint("shuffle_hash"), li.l_partkey == p.p_partkey)
+    assert "ShuffledHashJoin" in _plan(hashed)
+    # and without hints the small dim broadcasts
+    free = li.join(p, li.l_partkey == p.p_partkey)
+    assert "BroadcastHashJoin" in _plan(free)
