@@ -9,6 +9,7 @@ notebooks and a full extra pass over the data at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -36,6 +37,40 @@ def read_jsonl(
 ) -> DataFrame:
     """Newline-delimited JSON with explicit schema."""
     return spark.read.schema(schema).json(path)
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl_audited(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> tuple[DataFrame, DataFrame]:
+    """Ingestion gate for untrusted JSONL: returns ``(good, bad)``.
+
+    A 100 TB ingest can't die on one malformed line (FAILFAST) and must
+    not silently null it out either (plain PERMISSIVE): the corrupt raw
+    text is captured in ``_corrupt_record`` so the bad rows are routed to
+    a quarantine sink for replay after the producer is fixed. Spark
+    requires the corrupt column to be part of the declared schema, and a
+    caching quirk means the captured column is only reliably populated
+    when the frame is read with the column explicitly selected — both
+    handled here so callers can't hold it wrong.
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if CORRUPT_COL not in schema.names:
+        schema = schema.add(T.StructField(CORRUPT_COL, T.StringType()))
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        .cache()  # one pass serves both splits; also avoids the
+        # referencing-only-the-corrupt-column analysis restriction
+    )
+    good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:

@@ -198,3 +198,22 @@ def test_range_join_respects_wider_window_widths(spark):
         width_seconds=30 * 24 * 3600,
     )
     assert out.count() == 1
+
+
+def test_jsonl_audited_splits_good_and_quarantine(spark, tmp_path):
+    from hadoop_invertedindexer_spark.sources.formats import read_jsonl_audited
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": "NOT_A_NUMBER", "name": "bad type"}\n'
+        "this is not json at all\n"
+        '{"id": 3, "name": "also ok"}\n'
+    )
+    good, bad = read_jsonl_audited(spark, str(src), "id long, name string")
+    assert {(r.id, r.name) for r in good.collect()} == {(1, "ok"), (3, "also ok")}
+    quarantined = [r[0] for r in bad.collect()]
+    assert len(quarantined) == 2
+    # the raw source text survives verbatim for replay
+    assert "this is not json at all" in quarantined
+    assert any("NOT_A_NUMBER" in q for q in quarantined)
