@@ -176,6 +176,31 @@ def boolean_search(
     return hits
 
 
+def build_term_index(
+    counts: DataFrame, table_name: str, n_buckets: int = 32
+) -> None:
+    """Persist the (word, doc, count) aggregate as the serving-side term
+    index: a catalog table bucketed AND sorted by word. This is the
+    'index build' the reference's whole job amounts to, persisted the
+    way a query engine wants it: a term-filtered query then reads only
+    the buckets its terms hash to (``SelectedBucketsCount`` in the scan,
+    asserted in tests), so query cost tracks posting-list size while the
+    corpus grows."""
+    from hadoop_invertedindexer_spark.sources.sinks import sink_bucketed_table
+
+    sink_bucketed_table(counts, table_name, "word", n_buckets)
+
+
+def query_term_index(spark, table_name: str, terms: list[str]) -> DataFrame:
+    """Read the persisted term index bucket-pruned to the query terms —
+    the serving path for :func:`boolean_search` / :func:`bm25_search`
+    (pass the result as their ``counts``, with ``materialize=False``
+    since the index is already a table)."""
+    return spark.table(table_name).where(
+        F.col("word").isin([t.lower() for t in terms])
+    )
+
+
 def positional_tokens(
     docs: DataFrame,
     text_col: str = "text",

@@ -34,6 +34,11 @@ DEFAULT_CONF: dict[str, str] = {
     # Parquet TIMESTAMP(NANOS) (events.ts) is read as long; read_table
     # converts to a microsecond timestamp (matching DuckDB's truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DisableUnnecessaryBucketedScan only counts shuffle/sort avoidance as
+    # a bucketed-scan benefit, not bucket PRUNING — with it on, a pure
+    # term-filter over the bucketed term index reads all buckets. Keep
+    # bucketed scans so `word IN (...)` prunes to SelectedBucketsCount.
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled": "false",
 }
 
 

@@ -100,3 +100,27 @@ def test_bm25_search_topk_plan_is_take_ordered(spark):
     counts = _counts(spark, [("cat", "d1", 1)])
     plan = bm25_search(counts, ["cat"], k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_persisted_term_index_bucket_prunes(spark, sf_dir):
+    from hadoop_invertedindexer_spark.operators.retrieval import (
+        build_term_index,
+        query_term_index,
+    )
+    from hadoop_invertedindexer_spark.plans.contract import _doc_counts
+
+    counts = _doc_counts(spark, sf_dir)
+    build_term_index(counts, "term_idx_test", n_buckets=16)
+    q = query_term_index(spark, "term_idx_test", ["hash", "JOIN"])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the scan reads only the buckets the two terms hash to
+    assert "SelectedBucketsCount" in plan, plan
+    n_sel = int(plan.split("SelectedBucketsCount: ")[1].split(" ")[0])
+    assert n_sel < 16
+    # pruned read ≡ unbucketed filter (lowercasing included)
+    got = {(r.word, r.doc, r["count"]) for r in q.collect()}
+    want = {
+        (r.word, r.doc, r["count"])
+        for r in counts.where(F.col("word").isin(["hash", "join"])).collect()
+    }
+    assert got == want and got
