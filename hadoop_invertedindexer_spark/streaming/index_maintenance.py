@@ -1,0 +1,78 @@
+"""Incremental maintenance of the inverted index itself.
+
+The reference recomputes its index with one full batch job per run
+(``/root/reference/src/InvertedIndexer.java:259-261``). Because the
+index's aggregate — count per (word, doc) — is associative, the engine
+maintains it as a streaming materialized view instead: each arriving
+document batch is tokenized with the exact reference pipeline
+(``functions/textprep.py``) and its PARTIAL counts appended to a
+batch-keyed tier; readers re-sum. Ingesting a batch costs O(batch),
+never O(corpus) — the same partial/merge design as
+``streaming/events.py:maintain_hourly_tier`` and the batch-side
+``operators/index.py:merge_term_doc_counts``, applied to the flagship.
+
+Idempotency: overwriting ``batch=<id>`` makes foreachBatch's
+at-least-once replay replace its own partials instead of double
+counting. Compaction (``sources/sinks.py:compact_parquet``) bounds the
+partial count; a full re-sort/re-bucket (``retrieval.build_term_index``)
+turns the tier into the serving index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_invertedindexer_spark.functions.textprep import prepare_tokens
+from hadoop_invertedindexer_spark.operators.index import term_doc_counts
+
+
+def maintain_term_index(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    tier_path: str,
+    checkpoint_dir: str,
+    stopwords: list[str] | None = None,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain new document files with availableNow; append each batch's
+    partial (word, doc, count) aggregate under ``batch=<id>``."""
+    from hadoop_invertedindexer_spark.sources.tables import ensure_session_conf
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def _append_partials(batch_df: DataFrame, batch_id: int) -> None:
+        toks = prepare_tokens(
+            batch_df.select(doc_col, F.col(text_col).alias("line")),
+            stopwords=stopwords,
+        )
+        counts = term_doc_counts(toks, word_col="word", doc_col=doc_col)
+        counts.write.mode("overwrite").parquet(f"{tier_path}/batch={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(_append_partials)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_term_index_tier(
+    spark: SparkSession, tier_path: str, doc_col: str = "doc_id"
+) -> DataFrame:
+    """Serve the index from the tier: re-sum the partials (associative, so
+    equal to a from-scratch build — asserted in tests)."""
+    return (
+        spark.read.parquet(tier_path)
+        .groupBy("word", doc_col)
+        .agg(F.sum("count").alias("count"))
+    )

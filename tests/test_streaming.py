@@ -223,3 +223,57 @@ def test_daily_sketch_distinct_within_hll_error(spark, sf_dir):
     assert set(est) == set(exact)
     for key, e in exact.items():
         assert abs(est[key] - e) <= max(2, 0.05 * e), (key, est[key], e)
+
+
+def test_incremental_index_equals_batch_rebuild(spark, sf_dir, tmp_path):
+    """The flagship as a streaming materialized view: documents arriving
+    in two batches produce, after partial re-sum, exactly the index a
+    from-scratch batch build computes over the full corpus."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from hadoop_invertedindexer_spark.functions.textprep import prepare_tokens
+    from hadoop_invertedindexer_spark.operators.index import term_doc_counts
+    from hadoop_invertedindexer_spark.plans.contract import STOPWORDS_DEMO
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+    from hadoop_invertedindexer_spark.streaming.index_maintenance import (
+        maintain_term_index,
+        read_term_index_tier,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/even")
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/odd")
+    import glob as g
+    import os
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    for i, f in enumerate(sorted(g.glob(f"{src}/*/part-*.parquet"))):
+        os.symlink(f, f"{stage}/batch{i}.parquet")
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    tier = str(tmp_path / "tier")
+    maintain_term_index(
+        spark, stage, schema, tier, str(tmp_path / "ckpt"), stopwords=STOPWORDS_DEMO
+    )
+    # two batch partitions were written (one per file trigger)
+    assert spark.read.parquet(tier).select("batch").distinct().count() == 2
+
+    served = {
+        (r.word, r.doc_id, r["count"])
+        for r in read_term_index_tier(spark, tier).collect()
+    }
+    scratch = {
+        (r.word, r.doc_id, r["count"])
+        for r in term_doc_counts(
+            prepare_tokens(
+                docs.select("doc_id", F.col("text").alias("line")),
+                stopwords=STOPWORDS_DEMO,
+            ),
+            doc_col="doc_id",
+        ).collect()
+    }
+    assert served == scratch and served
