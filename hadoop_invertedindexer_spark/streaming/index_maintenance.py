@@ -66,13 +66,49 @@ def maintain_term_index(
     q.awaitTermination()
 
 
+def retract_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    tier_path: str,
+    batch_key: str,
+    stopwords: list[str] | None = None,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Remove documents from the index WITHOUT touching existing
+    partials: append their counts NEGATED under ``batch=<batch_key>``.
+    Re-summing then nets the doc's postings to zero and the reader drops
+    them — deletion stays O(deleted docs), append-only, and idempotent
+    per batch key (overwrite replaces a replayed retraction).
+
+    Requires the retracted text verbatim (the tier stores aggregates,
+    not text); re-tokenizing it with the same pipeline guarantees the
+    negation matches the original insertion exactly."""
+    toks = prepare_tokens(
+        docs.select(doc_col, F.col(text_col).alias("line")), stopwords=stopwords
+    )
+    counts = term_doc_counts(toks, word_col="word", doc_col=doc_col)
+    counts.withColumn("count", -F.col("count")).write.mode("overwrite").parquet(
+        f"{tier_path}/batch={batch_key}"
+    )
+
+
 def read_term_index_tier(
     spark: SparkSession, tier_path: str, doc_col: str = "doc_id"
 ) -> DataFrame:
     """Serve the index from the tier: re-sum the partials (associative, so
-    equal to a from-scratch build — asserted in tests)."""
-    return (
+    equal to a from-scratch build — asserted in tests). Postings netted
+    to zero by retractions are dropped; a negative net (double retract /
+    retract-before-insert misuse) raises on read rather than serving a
+    corrupt index."""
+    summed = (
         spark.read.parquet(tier_path)
         .groupBy("word", doc_col)
         .agg(F.sum("count").alias("count"))
+    )
+    assert_ok = F.when(
+        F.col("count") < 0, F.raise_error(F.lit("negative net posting count"))
+    ).otherwise(F.col("count"))
+    return summed.where(F.col("count") != 0).select(
+        "word", doc_col, assert_ok.cast("bigint").alias("count")
     )

@@ -277,3 +277,54 @@ def test_incremental_index_equals_batch_rebuild(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert served == scratch and served
+
+
+def test_index_retraction_nets_out_deleted_docs(spark, sf_dir, tmp_path):
+    """Deleting documents = appending negated partials: the served index
+    equals a from-scratch build over the surviving corpus; a replayed
+    retraction (same batch key) is idempotent; a double retraction under
+    a new key is caught on read instead of serving a corrupt index."""
+    import pytest as _pytest
+
+    from hadoop_invertedindexer_spark.functions.textprep import prepare_tokens
+    from hadoop_invertedindexer_spark.operators.index import term_doc_counts
+    from hadoop_invertedindexer_spark.plans.contract import STOPWORDS_DEMO
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+    from hadoop_invertedindexer_spark.streaming.index_maintenance import (
+        read_term_index_tier,
+        retract_documents,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tier = str(tmp_path / "tier")
+    # seed the tier with a full-corpus partial (batch 0)
+    toks = prepare_tokens(
+        docs.select("doc_id", F.col("text").alias("line")), stopwords=STOPWORDS_DEMO
+    )
+    term_doc_counts(toks, doc_col="doc_id").write.parquet(f"{tier}/batch=0")
+
+    gone = docs.where(F.col("doc_id") % 2 == 1)
+    retract_documents(spark, gone, tier, "retract1", stopwords=STOPWORDS_DEMO)
+    retract_documents(spark, gone, tier, "retract1", stopwords=STOPWORDS_DEMO)  # replay
+
+    served = {
+        (r.word, r.doc_id, r["count"])
+        for r in read_term_index_tier(spark, tier).collect()
+    }
+    survivors = docs.where(F.col("doc_id") % 2 == 0)
+    scratch = {
+        (r.word, r.doc_id, r["count"])
+        for r in term_doc_counts(
+            prepare_tokens(
+                survivors.select("doc_id", F.col("text").alias("line")),
+                stopwords=STOPWORDS_DEMO,
+            ),
+            doc_col="doc_id",
+        ).collect()
+    }
+    assert served == scratch and served
+
+    # double retraction under a DIFFERENT key -> negative net -> read fails
+    retract_documents(spark, gone, tier, "retract2", stopwords=STOPWORDS_DEMO)
+    with _pytest.raises(Exception, match="negative net posting count"):
+        read_term_index_tier(spark, tier).collect()
