@@ -34,6 +34,12 @@ def interleave_bits(cols: list[Column], bits: int = DEFAULT_BITS) -> Column:
     ``i * n_cols + j``. Built as a flat OR-tree of shift/mask exprs —
     constant-folded, codegen'd, no Python per row."""
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} z-bits > 63: the key "
+            f"must fit a non-negative long (Java shifts mask by 63, so "
+            f"overflow silently corrupts curve order). Use bits <= {63 // n}."
+        )
     parts = [
         F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
         for j, c in enumerate(cols)

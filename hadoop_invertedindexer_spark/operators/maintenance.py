@@ -35,6 +35,16 @@ def _affected_partitions(changes: DataFrame, partition_col: str) -> list:
     return [r[0] for r in rows]
 
 
+def _pruned_existing(
+    spark: SparkSession, table_dir: str, partition_col: str, parts: list
+) -> DataFrame:
+    """The rewrite's read side: the table scanned with the touched
+    partitions as a partition filter (the plan-level guarantee that a
+    rewrite never reads untouched partitions — asserted on THIS function
+    in tests)."""
+    return spark.read.parquet(table_dir).where(F.col(partition_col).isin(parts))
+
+
 def _rewrite_partitions(
     merged: DataFrame, table_dir: str, partition_col: str
 ) -> DataFrame:
@@ -60,12 +70,23 @@ def _drop_partition_dirs(
     on any supported filesystem, not just local paths). Needed because
     dynamic partition overwrite only replaces partitions PRESENT in the
     written data — a partition whose rows were all deleted produces no
-    output and would otherwise keep its stale files."""
+    output and would otherwise keep its stale files.
+
+    Directory names use Spark's own Hive-style escaping (special chars
+    percent-encoded, NULL as the default-partition sentinel) so values
+    like ``a:b`` or None target the directory the writer actually
+    created, not a raw-interpolated near-miss."""
     sc = spark.sparkContext
     jvm = sc._jvm
     conf = sc._jsc.hadoopConfiguration()
+    escape = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     for v in values:
-        p = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{partition_col}={v}")
+        # getPartitionPathString escapes specials and maps null/empty to
+        # the __HIVE_DEFAULT_PARTITION__ sentinel, matching the writer
+        part = escape.getPartitionPathString(
+            partition_col, "" if v is None else str(v)
+        )
+        p = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{part}")
         fs = p.getFileSystem(conf)
         if fs.exists(p):
             fs.delete(p, True)
@@ -89,9 +110,7 @@ def upsert_partitioned(
     parts = _affected_partitions(updates, partition_col)
     if not parts:
         return
-    existing = spark.read.parquet(table_dir).where(
-        F.col(partition_col).isin(parts)
-    )
+    existing = _pruned_existing(spark, table_dir, partition_col, parts)
     merged = existing.join(
         F.broadcast(updates.select(key_cols).distinct()), key_cols, "left_anti"
     ).unionByName(updates)
@@ -121,7 +140,7 @@ def delete_keys(
     parts = _affected_partitions(probe, partition_col)
     if not parts:
         return
-    existing = table.where(F.col(partition_col).isin(parts))
+    existing = _pruned_existing(spark, table_dir, partition_col, parts)
     merged = existing.join(
         F.broadcast(tombstones.select(key_cols).distinct()), key_cols, "left_anti"
     )
@@ -133,3 +152,23 @@ def delete_keys(
     _drop_partition_dirs(spark, table_dir, partition_col, emptied)
     if emptied:
         spark.catalog.refreshByPath(table_dir)
+        _drop_table_dir_if_empty(spark, table_dir, partition_col)
+
+
+def _drop_table_dir_if_empty(
+    spark: SparkSession, table_dir: str, partition_col: str
+) -> None:
+    """If a delete emptied EVERY partition, remove the table directory
+    itself: a directory holding only commit markers is unreadable as
+    parquet and would wedge every later merge — removing it restores the
+    'table does not exist yet' state the bootstrap path handles."""
+    jvm = spark.sparkContext._jvm
+    root = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return
+    for status in fs.listStatus(root):
+        if status.getPath().getName().startswith(f"{partition_col}="):
+            return  # data remains
+    fs.delete(root, True)
+    spark.catalog.refreshByPath(table_dir)

@@ -110,6 +110,7 @@ def bm25_search(
     word_col: str = "word",
     doc_col: str = "doc",
     count_col: str = "count",
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-k documents for a bag-of-words query by summed BM25.
 
@@ -123,7 +124,13 @@ def bm25_search(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     per_doc = (
-        bm25_scores(counts, word_col=word_col, doc_col=doc_col, count_col=count_col)
+        bm25_scores(
+            counts,
+            word_col=word_col,
+            doc_col=doc_col,
+            count_col=count_col,
+            materialize=materialize,
+        )
         .where(F.col(word_col).isin([t.lower() for t in query_terms]))
         .groupBy(doc_col)
         .agg(F.sum(F.col("bm25").cast(DecimalType(18, 6))).alias("score_dec"))
@@ -192,10 +199,15 @@ def build_term_index(
 
 
 def query_term_index(spark, table_name: str, terms: list[str]) -> DataFrame:
-    """Read the persisted term index bucket-pruned to the query terms —
-    the serving path for :func:`boolean_search` / :func:`bm25_search`
-    (pass the result as their ``counts``, with ``materialize=False``
-    since the index is already a table)."""
+    """Read the persisted term index bucket-pruned to the query terms.
+
+    Serving paths: :func:`boolean_search` takes this result directly as
+    its ``counts`` (it needs only the query terms' postings). BM25 must
+    NOT be fed the filtered result — its corpus statistics (N, avgdl,
+    df) are corpus-wide; serve it as
+    ``bm25_search(spark.table(table_name), terms, materialize=False)``
+    so each stat branch reads the (already-aggregated, bucketed) table
+    with its own pushed-down filter instead of re-checkpointing it."""
     return spark.table(table_name).where(
         F.col("word").isin([t.lower() for t in terms])
     )

@@ -60,13 +60,18 @@ def read_jsonl_audited(
         schema = T.StructType.fromDDL(schema)
     if CORRUPT_COL not in schema.names:
         schema = schema.add(T.StructField(CORRUPT_COL, T.StringType()))
+    # localCheckpoint (not cache): one parse pass serves both splits,
+    # satisfies the can't-reference-only-the-corrupt-column analysis
+    # restriction, and the blocks are released when the frames are
+    # garbage-collected — a .cache() here would pin every ingested file
+    # in executor storage for the session's lifetime with no unpersist
+    # handle exposed to the caller.
     df = (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
-        .cache()  # one pass serves both splits; also avoids the
-        # referencing-only-the-corrupt-column analysis restriction
+        .localCheckpoint(eager=True)
     )
     good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)

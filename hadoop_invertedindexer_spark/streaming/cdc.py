@@ -52,8 +52,18 @@ def apply_cdc_batch(
     the key itself are impossible post-winner). With ``version_guard``,
     changes older than the table's current ``order_col`` for that key are
     dropped — out-of-order replay protection at the cost of one
-    column-pruned probe of the table."""
-    w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+    column-pruned probe of the table.
+
+    Ties on ``order_col`` (same key, same version — CDC sources can emit
+    an update and a delete with one timestamp) resolve deterministically:
+    the delete wins, then a content hash breaks any remaining tie. A
+    nondeterministic pick would let a foreachBatch replay converge on a
+    different winner than the original run."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(order_col),
+        F.desc(F.col(op_col) == DELETE_OP),
+        F.xxhash64(F.struct(*batch_df.columns)),
+    )
     latest = (
         batch_df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -76,7 +86,11 @@ def apply_cdc_batch(
     deletes = latest.where(F.col(op_col) == DELETE_OP)
 
     if not _table_exists(spark, table_dir):
-        # bootstrap: first batch creates the table from its upserts
+        if upserts.isEmpty():
+            # a delete-only first batch (replay starting mid-history) must
+            # not bootstrap: writing an empty frame would create a
+            # parquet-less directory that wedges every later read
+            return
         upserts.write.partitionBy(partition_col).parquet(table_dir)
     else:
         upsert_partitioned(spark, table_dir, upserts, key_cols, partition_col)

@@ -107,3 +107,49 @@ def test_cdc_version_guard_rejects_stale_updates(spark, tmp_path):
     # without the guard, source order wins (documented CDC default)
     apply_cdc_batch(spark, table, stale.where(F.col("id") == 1), ["id"], "p", "version")
     assert (1, "a", "stale replay", 2) in _rows(spark, table)
+
+
+def test_delete_only_first_batch_does_not_wedge(spark, tmp_path):
+    """A delete-only batch before the table exists must be a no-op, not a
+    parquet-less bootstrap directory that breaks every later read."""
+    table = str(tmp_path / "table")
+    only_deletes = spark.createDataFrame([(9, "a", None, 1, "D")], DDL)
+    apply_cdc_batch(spark, table, only_deletes, ["id"], "p", "version")
+    import os
+
+    assert not os.path.exists(table)
+    # the pipeline proceeds normally afterwards
+    apply_cdc_batch(
+        spark, table,
+        spark.createDataFrame([(1, "a", "one", 1, "U")], DDL),
+        ["id"], "p", "version",
+    )
+    assert _rows(spark, table) == {(1, "a", "one", 1)}
+
+
+def test_same_version_update_and_delete_resolves_to_delete(spark, tmp_path):
+    """order_col ties resolve deterministically with delete winning, so a
+    foreachBatch replay converges on the same table state."""
+    table = str(tmp_path / "table")
+    apply_cdc_batch(
+        spark, table,
+        spark.createDataFrame([(1, "a", "v1", 1, "U")], DDL),
+        ["id"], "p", "version",
+    )
+    tied = spark.createDataFrame(
+        [(1, "a", "update at 2", 2, "U"), (1, "a", None, 2, "D")], DDL
+    )
+    import os
+
+    for _ in range(2):  # apply + replay
+        apply_cdc_batch(spark, table, tied, ["id"], "p", "version")
+        # the delete emptied the whole table -> directory removed, so the
+        # next batch bootstraps cleanly instead of wedging on a
+        # parquet-less dir
+        assert not os.path.exists(table)
+    apply_cdc_batch(
+        spark, table,
+        spark.createDataFrame([(3, "b", "back", 1, "U")], DDL),
+        ["id"], "p", "version",
+    )
+    assert _rows(spark, table) == {(3, "b", "back", 1)}

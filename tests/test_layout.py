@@ -69,3 +69,13 @@ def test_zorder_layout_preserves_rows_exactly(spark, tmp_path):
     assert back.count() == 500
     assert set(back.columns) == {"x", "y", "s"}
     assert {r.s for r in back.select("s").collect()} == {f"r{x}" for x in range(500)}
+
+
+def test_interleave_bits_rejects_long_overflow(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in ("a", "b", "c", "d")]
+    with pytest.raises(ValueError, match="z-bits > 63"):
+        interleave_bits(cols, bits=16)  # 64 bits would hit the sign bit

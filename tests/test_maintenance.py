@@ -85,10 +85,32 @@ def test_delete_discovers_partitions_from_keys(spark, tmp_path):
     assert _files(path, "a") == before_a  # id 99 absent, a untouched
 
 
-def test_delete_probe_scan_is_partition_pruned(spark, tmp_path):
+def test_rewrite_read_side_is_partition_pruned(spark, tmp_path):
+    from hadoop_invertedindexer_spark.operators.maintenance import (
+        _pruned_existing,
+    )
+
     path = str(tmp_path / "tbl")
     _seed_table(spark, path)
-    # the rewrite scan must carry a partition filter, not a full scan
-    table = spark.read.parquet(path).where(F.col("p").isin(["b"]))
-    plan = table._jdf.queryExecution().executedPlan().toString()
+    # the exact frame upsert/delete rewrites from must carry a partition
+    # filter, not a full scan
+    plan = (
+        _pruned_existing(spark, path, "p", ["b"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "PartitionFilters" in plan and "= b)" in plan, plan
+
+
+def test_delete_empties_partition_with_escaped_value(spark, tmp_path):
+    """Partition values Hive escapes in dir names (here ':') must still
+    have their emptied directories dropped."""
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a:b", "colon"), (2, "ok", "plain")],
+        "id long, p string, payload string",
+    ).write.partitionBy("p").parquet(path)
+    assert (tmp_path / "tbl" / "p=a%3Ab").exists()
+
+    delete_keys(spark, path, spark.createDataFrame([(1,)], "id long"), ["id"], "p")
+    assert _rows(spark, path) == {(2, "ok", "plain")}
+    assert not (tmp_path / "tbl" / "p=a%3Ab").exists()
