@@ -93,6 +93,28 @@ def retract_documents(
     )
 
 
+def compact_term_index_tier(
+    spark: SparkSession, tier_path: str, doc_col: str = "doc_id"
+) -> None:
+    """Fold all accumulated partials (including retractions) into one
+    ``batch=compacted`` partition, bounding tier growth. The fold is the
+    same re-sum the reader does, so serving is unchanged before/after
+    (asserted in tests); zero-net postings are dropped for good. Runs as
+    a maintenance job between ingest drains — not concurrently with one
+    (parquet has no snapshot isolation; same caveat as
+    ``operators/maintenance.py``)."""
+    folded = (
+        read_term_index_tier(spark, tier_path, doc_col)
+        .localCheckpoint(eager=True)  # sever lineage before the dir is replaced
+    )
+    jvm = spark.sparkContext._jvm
+    root = jvm.org.apache.hadoop.fs.Path(tier_path)
+    fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(root, True)
+    folded.write.parquet(f"{tier_path}/batch=compacted")
+    spark.catalog.refreshByPath(tier_path)
+
+
 def read_term_index_tier(
     spark: SparkSession, tier_path: str, doc_col: str = "doc_id"
 ) -> DataFrame:

@@ -124,3 +124,20 @@ def test_persisted_term_index_bucket_prunes(spark, sf_dir):
         for r in counts.where(F.col("word").isin(["hash", "join"])).collect()
     }
     assert got == want and got
+
+
+def test_bm25_served_from_persisted_index_matches_direct(spark, sf_dir):
+    """The documented serving path — bm25_search over the persisted term
+    table with materialize=False — returns exactly the direct result."""
+    from hadoop_invertedindexer_spark.operators.retrieval import build_term_index
+    from hadoop_invertedindexer_spark.plans.contract import _doc_counts
+
+    counts = _doc_counts(spark, sf_dir)
+    build_term_index(counts, "term_idx_serve", n_buckets=8)
+    direct = bm25_search(counts, ["hash", "join"], k=5).collect()
+    served = bm25_search(
+        spark.table("term_idx_serve"), ["hash", "join"], k=5, materialize=False
+    ).collect()
+    assert [(r.doc, r.score, r.rank) for r in direct] == [
+        (r.doc, r.score, r.rank) for r in served
+    ]

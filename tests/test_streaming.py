@@ -328,3 +328,42 @@ def test_index_retraction_nets_out_deleted_docs(spark, sf_dir, tmp_path):
     retract_documents(spark, gone, tier, "retract2", stopwords=STOPWORDS_DEMO)
     with _pytest.raises(Exception, match="negative net posting count"):
         read_term_index_tier(spark, tier).collect()
+
+
+def test_tier_compaction_preserves_served_index(spark, sf_dir, tmp_path):
+    """Compacting the partial tier (insertions + a retraction) changes
+    neither the served postings nor their counts, and leaves one batch."""
+    from hadoop_invertedindexer_spark.functions.textprep import prepare_tokens
+    from hadoop_invertedindexer_spark.operators.index import term_doc_counts
+    from hadoop_invertedindexer_spark.plans.contract import STOPWORDS_DEMO
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+    from hadoop_invertedindexer_spark.streaming.index_maintenance import (
+        compact_term_index_tier,
+        read_term_index_tier,
+        retract_documents,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tier = str(tmp_path / "tier")
+    for i, half in enumerate((docs.where(F.col("doc_id") % 2 == 0),
+                              docs.where(F.col("doc_id") % 2 == 1))):
+        toks = prepare_tokens(
+            half.select("doc_id", F.col("text").alias("line")),
+            stopwords=STOPWORDS_DEMO,
+        )
+        term_doc_counts(toks, doc_col="doc_id").write.parquet(f"{tier}/batch={i}")
+    retract_documents(
+        spark, docs.where(F.col("doc_id") < 5), tier, "r1", stopwords=STOPWORDS_DEMO
+    )
+
+    before = {
+        (r.word, r.doc_id, r["count"])
+        for r in read_term_index_tier(spark, tier).collect()
+    }
+    compact_term_index_tier(spark, tier)
+    after = {
+        (r.word, r.doc_id, r["count"])
+        for r in read_term_index_tier(spark, tier).collect()
+    }
+    assert after == before and after
+    assert spark.read.parquet(tier).select("batch").distinct().count() == 1
