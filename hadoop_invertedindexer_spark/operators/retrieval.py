@@ -183,6 +183,89 @@ def boolean_search(
     return hits
 
 
+def boolean_or_search(
+    counts: DataFrame,
+    terms: list[str],
+    min_should_match: int = 1,
+    word_col: str = "word",
+    doc_col: str = "doc",
+    count_col: str = "count",
+) -> DataFrame:
+    """Disjunctive retrieval with min-should-match: documents containing
+    at least ``min_should_match`` distinct query terms. Same
+    filter-then-group shape as the conjunctive path (a conjunction is
+    just ``min_should_match = len(terms)``), so the same posting-list
+    cost model applies. Output: (doc, matched, occurrences)."""
+    if not terms:
+        raise ValueError("terms required")
+    return (
+        counts.where(F.col(word_col).isin([t.lower() for t in terms]))
+        .groupBy(doc_col)
+        .agg(
+            F.countDistinct(word_col).alias("matched"),
+            F.sum(count_col).alias("occurrences"),
+        )
+        .where(F.col("matched") >= min_should_match)
+    )
+
+
+def prefix_search(
+    counts: DataFrame,
+    prefix: str,
+    word_col: str = "word",
+    doc_col: str = "doc",
+    count_col: str = "count",
+) -> DataFrame:
+    """Wildcard-right term lookup (``mer*``): aggregate matches per doc.
+    A ``startswith`` cannot bucket-prune the hashed term index, but on
+    the bucket-SORTED files it stays a tight contiguous range read, and
+    parquet min/max on the sorted word column skips non-overlapping row
+    groups. Output: (doc, n_terms, occurrences)."""
+    if not prefix:
+        raise ValueError("prefix required")
+    return (
+        counts.where(F.col(word_col).startswith(prefix.lower()))
+        .groupBy(doc_col)
+        .agg(
+            F.countDistinct(word_col).alias("n_terms"),
+            F.sum(count_col).alias("occurrences"),
+        )
+    )
+
+
+def proximity_search(
+    pos_tokens: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_distance: int,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Unordered proximity: documents where ``term_a`` and ``term_b``
+    occur within ``max_distance`` token positions, counting qualifying
+    (posA, posB) pairs. The join is an equi-join on doc with a bounded
+    |posA - posB| band — both sides pre-filtered to one term each, so
+    the pair fanout is |postings_a| x |postings_b| per doc, bounded in
+    practice by term selectivity (use phrase_search for adjacency).
+    Output: (doc, n_pairs)."""
+    if max_distance < 1:
+        raise ValueError("max_distance must be >= 1")
+    a = pos_tokens.where(F.col("word") == term_a.lower()).select(
+        doc_col, F.col("pos").alias("pos_a")
+    )
+    b = pos_tokens.where(F.col("word") == term_b.lower()).select(
+        doc_col, F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(b, doc_col)
+        .where(
+            (F.abs(F.col("pos_a") - F.col("pos_b")) <= max_distance)
+            & (F.col("pos_a") != F.col("pos_b"))
+        )
+        .groupBy(doc_col)
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def build_term_index(
     counts: DataFrame, table_name: str, n_buckets: int = 32
 ) -> None:

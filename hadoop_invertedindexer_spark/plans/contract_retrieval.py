@@ -15,9 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from hadoop_invertedindexer_spark.operators.retrieval import (
     bm25_scores,
     bm25_search,
+    boolean_or_search,
     boolean_search,
     phrase_search,
     positional_tokens,
+    prefix_search,
+    proximity_search,
 )
 from hadoop_invertedindexer_spark.plans.contract import (
     _SQL_DELIM,
@@ -59,6 +62,25 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(positional_tokens(_docs(spark, sf_dir)), PHRASE)
 
 
+def q_boolean_or_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: disjunctive retrieval, at least 2 of the 3 query terms."""
+    return boolean_or_search(
+        _doc_counts(spark, sf_dir), QUERY_TERMS, min_should_match=2
+    )
+
+
+def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: wildcard-right term lookup (mer* — merge and friends)."""
+    return prefix_search(_doc_counts(spark, sf_dir), "mer")
+
+
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: unordered proximity — 'sort' within 3 tokens of 'merge'."""
+    return proximity_search(
+        positional_tokens(_docs(spark, sf_dir)), "sort", "merge", max_distance=3
+    )
+
+
 def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: the Python UDTF extension point — trigram table function via
     SQL LATERAL, token semantics identical to the codegen paths (so the
@@ -79,6 +101,9 @@ RETRIEVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boolean_search": q_boolean_search,
     "positional_index": q_positional_index,
     "phrase_search": q_phrase_search,
+    "boolean_or_search": q_boolean_or_search,
+    "prefix_search": q_prefix_search,
+    "proximity_search": q_proximity_search,
     "udtf_ngrams": q_udtf_ngrams,
 }
 
@@ -162,6 +187,27 @@ RETRIEVAL_ORACLE_SQL: dict[str, str] = {
         SELECT a.doc_id, count(*)::BIGINT AS n_matches
         FROM pos a
         JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                  AND b.word = '{PHRASE[1]}'
+        WHERE a.word = '{PHRASE[0]}'
+        GROUP BY a.doc_id""",
+    "boolean_or_search": f"""
+        WITH {_SQL_DOC_COUNTS}
+        SELECT doc, matched, occurrences FROM (
+            SELECT doc, count(DISTINCT word) AS matched,
+                   sum(cnt)::BIGINT AS occurrences
+            FROM doc_counts WHERE word IN ({_SQL_TERMS}) GROUP BY doc) h
+        WHERE matched >= 2""",
+    "prefix_search": f"""
+        WITH {_SQL_DOC_COUNTS}
+        SELECT doc, count(DISTINCT word) AS n_terms,
+               sum(cnt)::BIGINT AS occurrences
+        FROM doc_counts WHERE word LIKE 'mer%' GROUP BY doc""",
+    "proximity_search": f"""
+        WITH {_SQL_POS}
+        SELECT a.doc_id, count(*)::BIGINT AS n_pairs
+        FROM pos a
+        JOIN pos b ON b.doc_id = a.doc_id
+                  AND abs(a.pos - b.pos) <= 3 AND a.pos <> b.pos
                   AND b.word = '{PHRASE[1]}'
         WHERE a.word = '{PHRASE[0]}'
         GROUP BY a.doc_id""",

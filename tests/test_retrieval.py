@@ -141,3 +141,37 @@ def test_bm25_served_from_persisted_index_matches_direct(spark, sf_dir):
     assert [(r.doc, r.score, r.rank) for r in direct] == [
         (r.doc, r.score, r.rank) for r in served
     ]
+
+
+def test_boolean_or_min_should_match_semantics(spark):
+    counts = _counts(
+        spark,
+        [("cat", "d1", 1), ("dog", "d1", 1),
+         ("cat", "d2", 4),
+         ("emu", "d3", 1)],
+    )
+    from hadoop_invertedindexer_spark.operators.retrieval import boolean_or_search
+
+    got = {r.doc: (r.matched, r.occurrences)
+           for r in boolean_or_search(counts, ["cat", "dog"], 2).collect()}
+    assert got == {"d1": (2, 2)}
+    any_match = {r.doc for r in boolean_or_search(counts, ["cat", "dog"], 1).collect()}
+    assert any_match == {"d1", "d2"}
+
+
+def test_proximity_counts_pairs_within_band(spark):
+    from hadoop_invertedindexer_spark.operators.retrieval import (
+        positional_tokens,
+        proximity_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha x x beta"),     # distance 3: in band
+         (2, "alpha x x x beta"),   # distance 4: out
+         (3, "beta alpha beta")],   # distances 1 and 1: two pairs
+        "doc_id long, text string",
+    )
+    pos = positional_tokens(docs)
+    got = {r.doc_id: r.n_pairs
+           for r in proximity_search(pos, "alpha", "beta", 3).collect()}
+    assert got == {1: 1, 3: 2}
