@@ -105,6 +105,19 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, queries, k=10, nbits=4)
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding column; arrays rendered
+    as strings for the value-hash compare (scale rounded to 6)."""
+    qz = similarity.quantize_embeddings(_emb(spark, sf_dir))
+    return qz.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.concat_ws(",", F.transform("q", lambda v: v.cast("string"))).alias(
+            "q_str"
+        ),
+    )
+
+
 # ----------------------------------------------------------- text analysis
 
 
@@ -250,6 +263,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_bruteforce": q_similarity_bruteforce,
     "similarity_ivf": q_similarity_ivf,
     "similarity_lsh": q_similarity_lsh,
+    "quantize_embeddings": q_quantize_embeddings,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -362,6 +376,15 @@ LLM_ORACLE_SQL: dict[str, str] = {
             FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
             WHERE q.vec_id % 100 = 0
         ) t WHERE rank <= 10""",
+    "quantize_embeddings": """
+        SELECT vec_id,
+               round(list_max(list_transform(embedding, y -> abs(y))) / 127.0, 6)
+                   AS scale,
+               array_to_string(list_transform(embedding,
+                   x -> round(x / greatest(
+                            list_max(list_transform(embedding, y -> abs(y))) / 127.0,
+                            1e-30))::INT::VARCHAR), ',') AS q_str
+        FROM embeddings""",
     "lang_id": f"""
         SELECT doc_id,
                CASE

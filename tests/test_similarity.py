@@ -133,3 +133,38 @@ def test_persisted_ivf_index_matches_inmemory_and_prunes(spark, sf_dir, tmp_path
         if "FileScan" in ln and "_cnorm" in ln
     )
     assert "dynamicpruning" in scan.lower()
+
+
+def test_quantization_roundtrip_error_bounded(spark, sf_dir):
+    """Dequantized vectors stay close: per-element error <= scale/2, and
+    cosine(original, dequantized) > 0.999 for every vector; the zero
+    vector roundtrips exactly."""
+    from hadoop_invertedindexer_spark.operators.dedup import cosine_expr
+    from hadoop_invertedindexer_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    zero_dim = emb.select(F.size("embedding").alias("d")).first().d
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * zero_dim, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    emb = emb.unionByName(zero)
+
+    deq = dequantize_embeddings(quantize_embeddings(emb)).join(
+        emb.select("vec_id", F.col("embedding").alias("orig")), "vec_id"
+    )
+    stats = deq.select(
+        F.array_max(
+            F.zip_with("embedding", "orig", lambda a, b: F.abs(a - b))
+        ).alias("max_err"),
+        F.col("scale"),
+        F.when(
+            F.col("scale") > 0, cosine_expr(F.col("embedding"), F.col("orig"))
+        ).otherwise(F.lit(1.0)).alias("cos"),
+    ).collect()
+    for r in stats:
+        assert r.max_err <= r.scale / 2 + 1e-6, (r.max_err, r.scale)
+        assert r.cos > 0.999, r.cos
