@@ -23,6 +23,7 @@ from hadoop_invertedindexer_spark.streaming.events import (
     hourly_rollup_exact,
     hourly_user_sketches,
     purchase_error_pairs,
+    resample_hourly_gapfill,
     run_streaming_enrich,
     run_streaming_interval_join,
     run_streaming_session,
@@ -77,6 +78,12 @@ def q_events_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     return daily_distinct_users_from_sketches(hourly_user_sketches(ev))
 
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly grid per event_type (n = 0 on silent hours) —
+    densification before grid-assuming window analytics."""
+    return resample_hourly_gapfill(read_table(spark, sf_dir, "events"))
+
+
 def q_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F  # noqa: F401
 
@@ -113,6 +120,7 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_session": q_stream_session,
     "stream_dedup": q_stream_dedup,
     "events_daily_rollup": q_events_daily_rollup,
+    "events_resample": q_events_resample,
     "events_daily_distinct_users": q_events_daily_distinct_users,
     "events_enrich": q_events_enrich,
     "stream_enrich": q_stream_enrich,
@@ -182,6 +190,21 @@ STREAMING_ORACLE_SQL: dict[str, str] = {
     # which physical row survives streaming dedup is nondeterministic;
     # the surviving KEY SET equals plain DISTINCT
     "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "events_resample": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+            FROM events GROUP BY 1, 2),
+        spans AS (
+            SELECT event_type, min(hour) AS h0, max(hour) AS h1
+            FROM hourly GROUP BY 1),
+        grid AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM spans)
+        SELECT g.event_type, g.hour, coalesce(h.n, 0)::BIGINT AS n
+        FROM grid g
+        LEFT JOIN hourly h
+          ON h.event_type = g.event_type AND h.hour = g.hour""",
     "events_daily_rollup": """
         SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
                count(*) AS n,

@@ -390,3 +390,34 @@ def run_streaming_tumbling(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def resample_hourly_gapfill(events: DataFrame) -> DataFrame:
+    """Gap-filled hourly resample per event_type: every hour between the
+    type's first and last event appears exactly once, with n = 0 for
+    silent hours — the densification step before window/lag analytics
+    that assume a regular grid (a LAG over sparse hours silently spans
+    gaps).
+
+    The dense grid is generated with ``sequence()`` + explode from each
+    type's (min, max) hour — |types| rows explode to |types x hours|,
+    never a shuffle of the events — and the sparse rollup left-joins
+    onto it. At 100 TB the rollup side is the already-tiny hourly tier,
+    so the join is broadcast. Output: (event_type, hour, n)."""
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    return grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
