@@ -17,9 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_invertedindexer_spark.sources.tables import read_table
 from hadoop_invertedindexer_spark.streaming.events import (
+    cohort_retention,
     daily_distinct_users_from_sketches,
     daily_from_hourly,
     enrich_by_dim,
+    hourly_anomalies,
     hourly_rollup_exact,
     hourly_user_sketches,
     purchase_error_pairs,
@@ -84,6 +86,17 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_hourly_gapfill(read_table(spark, sf_dir, "events"))
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events."""
+    return cohort_retention(read_table(spark, sf_dir, "events"))
+
+
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose volume deviates > 2σ from the trailing gap-filled day
+    (integer-exact moment sums → deterministic z-scores)."""
+    return hourly_anomalies(read_table(spark, sf_dir, "events"), z=2.0)
+
+
 def q_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F  # noqa: F401
 
@@ -121,6 +134,8 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": q_stream_dedup,
     "events_daily_rollup": q_events_daily_rollup,
     "events_resample": q_events_resample,
+    "cohort_retention": q_cohort_retention,
+    "hourly_anomalies": q_hourly_anomalies,
     "events_daily_distinct_users": q_events_daily_distinct_users,
     "events_enrich": q_events_enrich,
     "stream_enrich": q_stream_enrich,
@@ -190,6 +205,55 @@ STREAMING_ORACLE_SQL: dict[str, str] = {
     # which physical row survives streaming dedup is nondeterministic;
     # the surviving KEY SET equals plain DISTINCT
     "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "cohort_retention": """
+        WITH first AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort
+            FROM events GROUP BY user_id),
+        active AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            FROM events),
+        sizes AS (SELECT cohort, count(*) AS n_users FROM first GROUP BY cohort),
+        ret AS (
+            SELECT f.cohort,
+                   (date_diff('day', f.cohort, a.week) / 7)::BIGINT AS week_n,
+                   count(DISTINCT a.user_id) AS n_active
+            FROM active a JOIN first f ON a.user_id = f.user_id
+            GROUP BY 1, 2)
+        SELECT r.cohort, r.week_n, r.n_active,
+               round(r.n_active / s.n_users::DOUBLE, 6) AS retention
+        FROM ret r JOIN sizes s ON r.cohort = s.cohort""",
+    "hourly_anomalies": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+            FROM events GROUP BY 1, 2),
+        spans AS (
+            SELECT event_type, min(hour) AS h0, max(hour) AS h1
+            FROM hourly GROUP BY 1),
+        grid AS (
+            SELECT s.event_type,
+                   unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS hour
+            FROM spans s),
+        dense AS (
+            SELECT g.event_type, g.hour, coalesce(h.n, 0)::BIGINT AS n
+            FROM grid g
+            LEFT JOIN hourly h
+              ON h.event_type = g.event_type AND h.hour = g.hour),
+        windowed AS (
+            SELECT event_type, hour, n,
+                   count(*) OVER w AS m,
+                   sum(n) OVER w AS s1,
+                   sum(n * n) OVER w AS s2
+            FROM dense
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, hour, n, zscore FROM (
+            SELECT event_type, hour, n,
+                   round((n - s1 / m::DOUBLE)
+                         / sqrt(greatest((s2 - s1 * s1 / m::DOUBLE)
+                                         / (m - 1)::DOUBLE, 1e-12)), 6)
+                       AS zscore
+            FROM windowed WHERE m = 24) t
+        WHERE abs(zscore) > 2.0""",
     "events_resample": """
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n

@@ -421,3 +421,72 @@ def resample_hourly_gapfill(events: DataFrame) -> DataFrame:
         "hour",
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
     )
+
+
+def cohort_retention(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week;
+    retention(cohort, k) = share of the cohort active in week k after.
+    Two aggregations of (user, week) pairs — the fact stream collapses
+    to per-user-week rows before any join, so the joins move |users x
+    active-weeks|, not events. Output: (cohort, week_n, n_active,
+    retention)."""
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort")
+    )
+    active = events.select(
+        user_col, F.date_trunc("week", ts_col).alias("week")
+    ).distinct()
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            "cohort",
+            (F.datediff("week", "cohort") / 7).cast("bigint").alias("week_n"),
+        )
+        .agg(F.countDistinct(user_col).alias("n_active"))
+        .join(sizes, "cohort")
+        .select(
+            "cohort",
+            "week_n",
+            "n_active",
+            F.round(F.col("n_active") / F.col("n_users"), 6).alias("retention"),
+        )
+    )
+
+
+def hourly_anomalies(events: DataFrame, z: float = 3.0) -> DataFrame:
+    """Volume anomalies per event_type: hours whose count deviates more
+    than ``z`` sample standard deviations from the trailing 24 gap-FILLED
+    hours (without densification a LAG/frame would silently span silent
+    periods and under-estimate variance).
+
+    The trailing moment sums (Σn, Σn²) are EXACT integer window
+    aggregates — variance and the z-score derive from them in one double
+    expression, so the flag is bit-deterministic across engines and
+    partitionings, unlike a windowed stddev whose double accumulation
+    order varies. Output: (event_type, hour, n, zscore)."""
+    from pyspark.sql import Window
+
+    grid = resample_hourly_gapfill(events)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    windowed = grid.select(
+        "event_type", "hour", "n",
+        cnt.alias("m"), s1.alias("s1"), s2.alias("s2"),
+    ).where(F.col("m") == 24)  # full trailing day only
+    mean = F.col("s1") / F.col("m")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("m")) / (F.col("m") - 1)
+    zscore = (F.col("n") - mean) / F.sqrt(F.greatest(var, F.lit(1e-12)))
+    return (
+        windowed.withColumn("zscore", F.round(zscore, 6))
+        .where(F.abs(F.col("zscore")) > z)
+        .select("event_type", "hour", "n", "zscore")
+    )

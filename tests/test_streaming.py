@@ -367,3 +367,50 @@ def test_tier_compaction_preserves_served_index(spark, sf_dir, tmp_path):
     }
     assert after == before and after
     assert spark.read.parquet(tier).select("batch").distinct().count() == 1
+
+
+def test_hourly_anomalies_flags_planted_spike(spark):
+    """Constant 5-events/hour background with one 60-event spike: the
+    spike (and only hours near it whose baseline it inflates) is
+    flagged; in particular the spike hour itself must be flagged."""
+    import datetime as dtt
+
+    from hadoop_invertedindexer_spark.streaming.events import hourly_anomalies
+
+    base = dtt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(72):
+        n = 60 if h == 48 else 5
+        for i in range(n):
+            rows.append((eid, "click", 7, base + dtt.timedelta(hours=h, minutes=i % 60)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, user_id long, ts timestamp")
+    got = {r.hour for r in hourly_anomalies(ev, z=3.0).collect()}
+    assert base + dtt.timedelta(hours=48) in got
+    # quiet hours before the spike are never flagged
+    assert not any(h < base + dtt.timedelta(hours=48) for h in got)
+
+
+def test_cohort_retention_hand_computed(spark):
+    """Two users: user 10 starts week 0 and returns week 1; user 20
+    starts week 1 -> retention(w0,0)=1.0, (w0,1)=1.0, (w1,0)=1.0."""
+    import datetime as dtt
+
+    from hadoop_invertedindexer_spark.streaming.events import cohort_retention
+
+    w0 = dtt.datetime(2024, 1, 1)  # a Monday
+    w1 = w0 + dtt.timedelta(days=7)
+    ev = spark.createDataFrame(
+        [(1, 10, w0), (2, 10, w0 + dtt.timedelta(days=2)),
+         (3, 10, w1 + dtt.timedelta(days=1)), (4, 20, w1)],
+        "event_id long, user_id long, ts timestamp",
+    ).selectExpr("event_id", "user_id % 100 as user_id", "ts")
+    # user 10: weeks 0 and 1; user 20: week 1 only
+    got = {(str(r.cohort.date()), r.week_n): (r.n_active, r.retention)
+           for r in cohort_retention(ev).collect()}
+    assert got == {
+        ("2024-01-01", 0): (1, 1.0),
+        ("2024-01-01", 1): (1, 1.0),
+        ("2024-01-08", 0): (1, 1.0),
+    }
