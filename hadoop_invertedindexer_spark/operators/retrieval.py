@@ -266,6 +266,34 @@ def proximity_search(
     )
 
 
+def suggest_terms(
+    counts: DataFrame,
+    query: str,
+    max_distance: int = 2,
+    k: int = 5,
+    word_col: str = "word",
+    doc_col: str = "doc",
+) -> DataFrame:
+    """Did-you-mean: the k vocabulary terms closest to a (possibly
+    misspelled) query term — levenshtein <= max_distance, ranked by
+    document frequency then distance. The vocabulary (term, df) is a
+    tiny aggregate of the counts frame, and the length-band prefilter
+    (|len(w) - len(q)| <= d) bounds the edit-distance evaluations the
+    same way the fuzzy-join blocks do. Output: (term, df, dist, rank).
+    """
+    q = query.lower()
+    vocab = counts.groupBy(word_col).agg(F.count(F.lit(1)).alias("df"))
+    cand = vocab.where(
+        F.abs(F.length(word_col) - F.lit(len(q))) <= max_distance
+    ).withColumn("dist", F.levenshtein(F.col(word_col), F.lit(q)).cast("bigint"))
+    cand = cand.where(F.col("dist") <= max_distance)
+    top = cand.orderBy(F.asc("dist"), F.desc("df"), F.asc(word_col)).limit(k)
+    w = Window.orderBy(F.asc("dist"), F.desc("df"), F.asc(word_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        F.col(word_col).alias("term"), "df", "dist", "rank"
+    )
+
+
 def build_term_index(
     counts: DataFrame, table_name: str, n_buckets: int = 32
 ) -> None:

@@ -21,6 +21,7 @@ from hadoop_invertedindexer_spark.operators.retrieval import (
     positional_tokens,
     prefix_search,
     proximity_search,
+    suggest_terms,
 )
 from hadoop_invertedindexer_spark.plans.contract import (
     _SQL_DELIM,
@@ -81,6 +82,11 @@ def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: did-you-mean for a misspelled query term ('mergw')."""
+    return suggest_terms(_doc_counts(spark, sf_dir), "mergw")
+
+
 def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: the Python UDTF extension point — trigram table function via
     SQL LATERAL, token semantics identical to the codegen paths (so the
@@ -104,6 +110,7 @@ RETRIEVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boolean_or_search": q_boolean_or_search,
     "prefix_search": q_prefix_search,
     "proximity_search": q_proximity_search,
+    "suggest_terms": q_suggest_terms,
     "udtf_ngrams": q_udtf_ngrams,
 }
 
@@ -211,6 +218,20 @@ RETRIEVAL_ORACLE_SQL: dict[str, str] = {
                   AND b.word = '{PHRASE[1]}'
         WHERE a.word = '{PHRASE[0]}'
         GROUP BY a.doc_id""",
+    "suggest_terms": f"""
+        WITH {_SQL_DOC_COUNTS},
+        vocab AS (SELECT word, count(*) AS df FROM doc_counts GROUP BY word),
+        cand AS (
+            SELECT word, df, levenshtein(word, 'mergw')::BIGINT AS dist
+            FROM vocab
+            WHERE abs(length(word) - 5) <= 2
+              AND levenshtein(word, 'mergw') <= 2)
+        SELECT word AS term, df, dist, rank FROM (
+            SELECT word, df, dist,
+                   row_number() OVER (ORDER BY dist, df DESC, word)::BIGINT
+                       AS rank
+            FROM cand) t
+        WHERE rank <= 5""",
     "udtf_ngrams": f"""
         WITH {_SQL_CLEANED}
         SELECT doc_id,

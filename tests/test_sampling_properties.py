@@ -63,3 +63,27 @@ def test_bigram_total_count_matches_token_arithmetic(spark, texts):
     # split(' ') semantics: every doc contributes max(len(parts)-1, 0)
     expected = sum(max(len(t.split(" ")) - 1, 0) for t in texts)
     assert total == expected
+
+
+@HSETTINGS
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=60),
+    denom=st.integers(min_value=1, max_value=1500),
+)
+def test_weighted_sample_monotone_in_weight(spark, weights, denom):
+    """Raising a row's weight can only ADD it to the sample, never evict
+    it (the hash threshold grows with min(w, denom)); weight >= denom is
+    always kept, weight 0 never."""
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    kept = {r.doc_id for r in sampling.weighted_sample(df, denom=denom).collect()}
+    bumped = spark.createDataFrame(
+        [(i, w + 50) for i, w in rows], "doc_id long, n_chars long"
+    )
+    kept_bumped = {
+        r.doc_id for r in sampling.weighted_sample(bumped, denom=denom).collect()
+    }
+    assert kept <= kept_bumped
+    assert {i for i, w in rows if w >= denom} <= kept
+    weight_of = dict(rows)
+    assert all(weight_of[i] > 0 for i in kept)
