@@ -162,17 +162,14 @@ def boolean_search(
     """
     if not must:
         raise ValueError("must terms required")
-    must_l = [t.lower() for t in must]
-    hits = (
-        counts.where(F.col(word_col).isin(must_l))
-        .groupBy(doc_col)
-        .agg(
-            F.countDistinct(word_col).alias("matched"),
-            F.sum(count_col).alias("occurrences"),
-        )
-        .where(F.col("matched") == len(set(must_l)))
-        .select(doc_col, "occurrences")
-    )
+    hits = boolean_or_search(
+        counts,
+        must,
+        min_should_match=len({t.lower() for t in must}),
+        word_col=word_col,
+        doc_col=doc_col,
+        count_col=count_col,
+    ).select(doc_col, "occurrences")
     if must_not:
         excl = (
             counts.where(F.col(word_col).isin([t.lower() for t in must_not]))
@@ -194,10 +191,16 @@ def boolean_or_search(
     """Disjunctive retrieval with min-should-match: documents containing
     at least ``min_should_match`` distinct query terms. Same
     filter-then-group shape as the conjunctive path (a conjunction is
-    just ``min_should_match = len(terms)``), so the same posting-list
-    cost model applies. Output: (doc, matched, occurrences)."""
+    just ``min_should_match = len(terms)`` — :func:`boolean_search`
+    delegates here), so the same posting-list cost model applies.
+    Output: (doc, matched, occurrences)."""
     if not terms:
         raise ValueError("terms required")
+    n_distinct = len({t.lower() for t in terms})
+    if not 1 <= min_should_match <= n_distinct:
+        raise ValueError(
+            f"min_should_match={min_should_match} outside [1, {n_distinct}]"
+        )
     return (
         counts.where(F.col(word_col).isin([t.lower() for t in terms]))
         .groupBy(doc_col)
@@ -249,6 +252,11 @@ def proximity_search(
     Output: (doc, n_pairs)."""
     if max_distance < 1:
         raise ValueError("max_distance must be >= 1")
+    if term_a.lower() == term_b.lower():
+        raise ValueError(
+            "term_a == term_b would count every unordered pair twice; "
+            "use phrase_search for adjacency of a repeated term"
+        )
     a = pos_tokens.where(F.col("word") == term_a.lower()).select(
         doc_col, F.col("pos").alias("pos_a")
     )
@@ -272,11 +280,11 @@ def suggest_terms(
     max_distance: int = 2,
     k: int = 5,
     word_col: str = "word",
-    doc_col: str = "doc",
 ) -> DataFrame:
     """Did-you-mean: the k vocabulary terms closest to a (possibly
     misspelled) query term — levenshtein <= max_distance, ranked by
-    document frequency then distance. The vocabulary (term, df) is a
+    distance first, then document frequency (a closer term always
+    outranks a more common farther one). The vocabulary (term, df) is a
     tiny aggregate of the counts frame, and the length-band prefilter
     (|len(w) - len(q)| <= d) bounds the edit-distance evaluations the
     same way the fuzzy-join blocks do. Output: (term, df, dist, rank).

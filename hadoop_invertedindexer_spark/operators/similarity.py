@@ -306,16 +306,29 @@ def quantize_embeddings(
     distributions (bounded in tests). Pure array expressions — codegen,
     no Python. Output: (id, scale, q) with q int8-valued ints.
 
-    The zero vector gets scale 0 and quantizes to zeros (guarded
-    division); dequantization q * scale reproduces it exactly.
+    The zero vector gets scale 0 and quantizes to zeros; subnormal-tiny
+    vectors (max|x| < 1.27e-28) get the clamp value AS their scale, so
+    dequantization q * scale always uses the same divisor that produced
+    q and the error bound holds for every input.
+
+    The scale is staged as a plain column BEFORE the transform: a
+    non-trivial expression referenced inside a higher-order-function
+    lambda is re-inlined per element (O(d^2) per vector — the measured
+    trap noted on the bigram path), while a column reference is O(1).
     """
     max_abs = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
-    scale = (max_abs / F.lit(127.0)).alias("scale")
-    safe = F.greatest(max_abs / F.lit(127.0), F.lit(1e-30))
+    staged = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.when(max_abs == 0.0, F.lit(0.0))
+        .otherwise(F.greatest(max_abs / F.lit(127.0), F.lit(1e-30)))
+        .alias("scale"),
+    )
     q = F.transform(
-        F.col(vec_col), lambda x: F.round(x / safe).cast("int")
+        F.col(vec_col),
+        lambda x: F.round(x / F.greatest(F.col("scale"), F.lit(1e-30))).cast("int"),
     ).alias("q")
-    return df.select(F.col(id_col), scale, q)
+    return staged.select(F.col(id_col), F.col("scale"), q)
 
 
 def dequantize_embeddings(

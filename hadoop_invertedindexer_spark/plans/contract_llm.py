@@ -377,14 +377,20 @@ LLM_ORACLE_SQL: dict[str, str] = {
             WHERE q.vec_id % 100 = 0
         ) t WHERE rank <= 10""",
     "quantize_embeddings": """
-        SELECT vec_id,
-               round(list_max(list_transform(embedding, y -> abs(y))) / 127.0, 6)
-                   AS scale,
-               array_to_string(list_transform(embedding,
-                   x -> round(x / greatest(
+        WITH staged AS (
+            SELECT vec_id, embedding,
+                   CASE WHEN list_max(list_transform(embedding, y -> abs(y))) = 0.0
+                        THEN 0.0
+                        ELSE greatest(
                             list_max(list_transform(embedding, y -> abs(y))) / 127.0,
-                            1e-30))::INT::VARCHAR), ',') AS q_str
-        FROM embeddings""",
+                            1e-30)
+                   END AS scale
+            FROM embeddings)
+        SELECT vec_id, round(scale, 6) AS scale,
+               array_to_string(list_transform(embedding,
+                   x -> round(x / greatest(scale, 1e-30))::INT::VARCHAR), ',')
+                   AS q_str
+        FROM staged""",
     "lang_id": f"""
         SELECT doc_id,
                CASE

@@ -102,16 +102,24 @@ def compact_term_index_tier(
     (asserted in tests); zero-net postings are dropped for good. Runs as
     a maintenance job between ingest drains — not concurrently with one
     (parquet has no snapshot isolation; same caveat as
-    ``operators/maintenance.py``)."""
-    folded = (
-        read_term_index_tier(spark, tier_path, doc_col)
-        .localCheckpoint(eager=True)  # sever lineage before the dir is replaced
-    )
+    ``operators/maintenance.py``).
+
+    Crash-safe ordering: the folded result is written DURABLY to a
+    staging directory while the old tier is still intact; only then is
+    the tier swapped (delete + rename). A crash before the swap leaves
+    the tier untouched (orphan staging is overwritten on retry); a crash
+    between delete and rename loses no data — the full fold sits in
+    ``<tier>.compacting`` for manual rename. Deleting the tier first and
+    writing after would destroy the only copy on any mid-write failure."""
+    staging = f"{tier_path.rstrip('/')}.compacting"
+    read_term_index_tier(spark, tier_path, doc_col).write.mode(
+        "overwrite"
+    ).parquet(f"{staging}/batch=compacted")
     jvm = spark.sparkContext._jvm
     root = jvm.org.apache.hadoop.fs.Path(tier_path)
     fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     fs.delete(root, True)
-    folded.write.parquet(f"{tier_path}/batch=compacted")
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), root)
     spark.catalog.refreshByPath(tier_path)
 
 

@@ -175,3 +175,30 @@ def test_proximity_counts_pairs_within_band(spark):
     got = {r.doc_id: r.n_pairs
            for r in proximity_search(pos, "alpha", "beta", 3).collect()}
     assert got == {1: 1, 3: 2}
+
+
+def test_boolean_or_validates_min_should_match(spark):
+    import pytest
+
+    from hadoop_invertedindexer_spark.operators.retrieval import boolean_or_search
+
+    counts = _counts(spark, [("cat", "d1", 1)])
+    with pytest.raises(ValueError, match="outside"):
+        boolean_or_search(counts, ["cat", "dog"], 0)
+    with pytest.raises(ValueError, match="outside"):
+        boolean_or_search(counts, ["cat", "dog"], 3)
+
+
+def test_proximity_rejects_same_term(spark):
+    import pytest
+
+    from hadoop_invertedindexer_spark.operators.retrieval import (
+        positional_tokens,
+        proximity_search,
+    )
+
+    pos = positional_tokens(
+        spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    )
+    with pytest.raises(ValueError, match="twice"):
+        proximity_search(pos, "a", "A", 2)

@@ -168,3 +168,25 @@ def test_quantization_roundtrip_error_bounded(spark, sf_dir):
     for r in stats:
         assert r.max_err <= r.scale / 2 + 1e-6, (r.max_err, r.scale)
         assert r.cos > 0.999, r.cos
+
+
+def test_quantization_tiny_vector_scale_is_consistent_divisor(spark):
+    """For max|x| below the clamp, the emitted scale IS the divisor used
+    for q, so dequantization honors the error bound; the zero vector
+    stays exactly zero with scale 0."""
+    from hadoop_invertedindexer_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1e-28, 5e-29]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in dequantize_embeddings(quantize_embeddings(emb))
+            .collect()}
+    assert rows[2].scale == 0.0 and list(rows[2].embedding) == [0.0, 0.0]
+    tiny = rows[1]
+    assert tiny.scale >= 1e-30
+    for orig, deq in zip([1e-28, 5e-29], tiny.embedding):
+        assert abs(orig - deq) <= tiny.scale / 2 * 1.01, (orig, deq, tiny.scale)
