@@ -45,6 +45,11 @@ HEADLINE = [
     "tf_idf",
     "bm25_search",            # retrieval: corpus stats + DECIMAL-exact top-k
     "phrase_search",          # positional-index adjacency joins
+    "weighted_sample",        # hash-deterministic weighted Bernoulli
+    "quantize_embeddings",    # int8 scalar quantization (bandwidth lever)
+    "cohort_retention",       # per-user-week collapse + retention matrix
+    "hourly_anomalies",       # gap-filled grid + integer-exact z-scores
+    "pagerank",               # iterative: 5 lineage-truncated rounds
     "decontaminate",          # shingle broadcast semi-join
     "pii_redact",             # regex scrub over every document
     "bigram_topk",
@@ -86,9 +91,12 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
-        df = qs[name](spark, sf_dir)
+        # construction inside the timer: lazy queries pay only analysis
+        # there, but eager-materializing ops (pagerank's checkpointed
+        # iterations) do their real work at build time and would
+        # otherwise report only the final noop write
         t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -38,7 +38,15 @@ def pagerank(
 
     rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u)/deg(u) + dangling/N)
     """
-    edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # materialize the deduped edge list once: every iteration joins it
+    # twice, and without the checkpoint the caller's whole edge
+    # derivation (e.g. a fact-table join) re-runs per round — measured
+    # 1.4x end-to-end on the sf0.1 transaction graph (22.8s -> 16.9s)
+    edges = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
