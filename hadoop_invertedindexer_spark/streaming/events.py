@@ -490,3 +490,64 @@ def hourly_anomalies(events: DataFrame, z: float = 3.0) -> DataFrame:
         .where(F.abs(F.col("zscore")) > z)
         .select("event_type", "hour", "n", "zscore")
     )
+
+
+def maintain_user_sketch_tier(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    tier_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming maintenance of the distinct-users tier: each micro-batch
+    appends its hour-grain HLL sketches under ``batch=<id>``. HLL
+    register-merge is exact and order-independent (element-wise max), so
+    the tier's merged sketches equal the sketches of the full stream no
+    matter how batches split it — asserted estimate-for-estimate in
+    tests. Same idempotent overwrite-own-batch contract as
+    :func:`maintain_hourly_tier`."""
+    from hadoop_invertedindexer_spark.sources.tables import ensure_session_conf
+
+    ensure_session_conf(spark)
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    ts_type = {f.name: f.dataType.simpleString() for f in source_schema}["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def _append_sketches(batch_df: DataFrame, batch_id: int) -> None:
+        hourly_user_sketches(batch_df).select(
+            F.col("w.start").alias("hour"), "event_type", "users_sketch", "n"
+        ).write.mode("overwrite").parquet(f"{tier_path}/batch={batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(_append_sketches)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_user_sketch_tier(spark: SparkSession, tier_path: str) -> DataFrame:
+    """Merge the tier's per-batch sketch partials back to one sketch per
+    (hour, event_type) — shaped like :func:`hourly_user_sketches` output
+    so :func:`daily_distinct_users_from_sketches` consumes it directly."""
+    merged = (
+        spark.read.parquet(tier_path)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.hll_union_agg("users_sketch").alias("users_sketch"),
+            F.sum("n").alias("n"),
+        )
+    )
+    return merged.select(
+        F.struct(F.col("hour").alias("start")).alias("w"),
+        "event_type",
+        "users_sketch",
+        "n",
+    )

@@ -414,3 +414,49 @@ def test_cohort_retention_hand_computed(spark):
         ("2024-01-01", 1): (1, 1.0),
         ("2024-01-08", 0): (1, 1.0),
     }
+
+
+def test_sketch_tier_estimates_equal_batch_path(spark, sf_dir, tmp_path):
+    """HLL register-merge is exact: daily distinct-user estimates from
+    the streamed two-batch sketch tier equal the single-pass batch
+    estimates, value for value."""
+    import glob as g
+    import os
+
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+    from hadoop_invertedindexer_spark.streaming.events import (
+        daily_distinct_users_from_sketches,
+        hourly_user_sketches,
+        maintain_user_sketch_tier,
+        read_user_sketch_tier,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src + "/a")
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src + "/b")
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    for i, f in enumerate(sorted(g.glob(src + "/*/part-*.parquet"))):
+        os.symlink(f, f"{stage}/batch{i}.parquet")
+
+    tier = str(tmp_path / "tier")
+    maintain_user_sketch_tier(
+        spark, stage, spark.read.parquet(stage).schema, tier,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    assert spark.read.parquet(tier).select("batch").distinct().count() == 2
+
+    streamed = {
+        (r.day, r.event_type): (r.approx_users, r.n_events)
+        for r in daily_distinct_users_from_sketches(
+            read_user_sketch_tier(spark, tier)
+        ).collect()
+    }
+    direct = {
+        (r.day, r.event_type): (r.approx_users, r.n_events)
+        for r in daily_distinct_users_from_sketches(
+            hourly_user_sketches(ev)
+        ).collect()
+    }
+    assert streamed == direct and streamed
