@@ -122,3 +122,19 @@ def test_format_round_trip_parses_back(spark, corpus_counts):
     re_summed = parsed.groupBy("word").agg(F.sum("cnt").alias("total"))
     direct = corpus_counts.groupBy("word").agg(F.sum("count").alias("total"))
     assert re_summed.exceptAll(direct).count() == 0
+
+
+def test_null_key_semantics_pinned(spark):
+    """Engine-level null contracts: equi-joins drop null keys on both
+    sides, eqNullSafe matches them, and groupBy collects nulls into one
+    group — the semantics every maintenance/dedup op here relies on."""
+    import pyspark.sql.functions as F
+
+    left = spark.createDataFrame([(1, "a"), (None, "b"), (None, "c")], "k int, v string")
+    right = spark.createDataFrame([(1, "x"), (None, "y")], "k int, w string")
+
+    assert left.join(right, "k").count() == 1  # null keys never equi-match
+    null_safe = left.join(right, left.k.eqNullSafe(right.k)).count()
+    assert null_safe == 1 + 2 * 1  # (1,x) plus both null rows x (None,y)
+    groups = {r.k: r.n for r in left.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert groups == {1: 1, None: 2}  # one combined null group
