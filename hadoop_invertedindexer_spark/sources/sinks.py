@@ -90,3 +90,71 @@ def compact_parquet(
     df = spark.read.parquet(src_path)
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def write_dataset_manifest(df: DataFrame, table_dir: str) -> dict:
+    """Write ``_MANIFEST.json`` next to a dataset: row count, schema, and
+    an ORDER-INDEPENDENT content checksum (sum of per-row xxhash64 over
+    all columns, accumulated in DECIMAL(38) so it never overflows and
+    never depends on partitioning). The integrity handshake between
+    pipeline stages: a re-read that lost, duplicated, or mutated rows
+    fails verification no matter how the data was repartitioned.
+
+    Returns the manifest dict. Written via the Hadoop FS API so it works
+    on any supported filesystem.
+    """
+    import json
+
+    manifest = write_manifest_stats(df)
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_MANIFEST.json")
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(path, True)
+    out.write(bytearray(json.dumps(manifest, sort_keys=True).encode()))
+    out.close()
+    return manifest
+
+
+def verify_dataset_manifest(spark, table_dir: str) -> dict:
+    """Recompute the manifest over the dataset at ``table_dir`` and
+    compare with the stored ``_MANIFEST.json``; raises ValueError naming
+    every mismatched field. Returns the stored manifest on success."""
+    import json
+
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_MANIFEST.json")
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = fs.open(path)
+    try:
+        stored = json.loads(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+    actual = write_manifest_stats(spark.read.parquet(table_dir))
+    bad = [k for k in ("rows", "checksum", "columns") if stored[k] != actual[k]]
+    if bad:
+        raise ValueError(
+            f"manifest mismatch at {table_dir}: "
+            + ", ".join(f"{k} stored={stored[k]} actual={actual[k]}" for k in bad)
+        )
+    return stored
+
+
+def write_manifest_stats(df: DataFrame) -> dict:
+    """The manifest's computed fields only (no write) — shared by writer
+    and verifier so they can never drift."""
+    from pyspark.sql import functions as F
+
+    row = df.select(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(
+            F.xxhash64(F.struct(*[F.col(c) for c in sorted(df.columns)])).cast(
+                "decimal(38,0)"
+            )
+        ).alias("checksum"),
+    ).first()
+    return {
+        "rows": row["rows"],
+        "checksum": str(row["checksum"] if row["checksum"] is not None else 0),
+        "columns": sorted(df.columns),
+    }
