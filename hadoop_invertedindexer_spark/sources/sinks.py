@@ -92,34 +92,48 @@ def compact_parquet(
     return n_files
 
 
-def write_dataset_manifest(df: DataFrame, table_dir: str) -> dict:
-    """Write ``_MANIFEST.json`` next to a dataset: row count, schema, and
-    an ORDER-INDEPENDENT content checksum (sum of per-row xxhash64 over
-    all columns, accumulated in DECIMAL(38) so it never overflows and
-    never depends on partitioning). The integrity handshake between
-    pipeline stages: a re-read that lost, duplicated, or mutated rows
-    fails verification no matter how the data was repartitioned.
+def write_dataset_manifest(df: DataFrame, table_dir: str, fmt: str = "parquet") -> dict:
+    """Write ``_MANIFEST.json`` next to a dataset: row count, schema, an
+    ORDER-INDEPENDENT content checksum, and the storage format. The
+    integrity handshake between pipeline stages: a re-read that lost,
+    duplicated, or mutated rows fails verification no matter how the
+    data was repartitioned.
+
+    Checksum design (see :func:`compute_manifest_stats`): every cell is
+    canonicalized to a prefixed string before hashing, so (a) type drift
+    from a write/read round trip (partition-column inference turning a
+    bigint into an int) does not change the checksum of identical
+    values, and (b) NULLs participate — Spark's hash skips null struct
+    fields, which would otherwise let a value silently migrate between
+    same-typed columns undetected.
 
     Returns the manifest dict. Written via the Hadoop FS API so it works
     on any supported filesystem.
     """
     import json
 
-    manifest = write_manifest_stats(df)
+    manifest = compute_manifest_stats(df)
+    manifest["format"] = fmt
     spark = df.sparkSession
     jvm = spark.sparkContext._jvm
     path = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/_MANIFEST.json")
     fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     out = fs.create(path, True)
-    out.write(bytearray(json.dumps(manifest, sort_keys=True).encode()))
-    out.close()
+    try:
+        out.write(bytearray(json.dumps(manifest, sort_keys=True).encode()))
+    finally:
+        out.close()
     return manifest
 
 
-def verify_dataset_manifest(spark, table_dir: str) -> dict:
+def verify_dataset_manifest(spark, table_dir: str, df: DataFrame | None = None) -> dict:
     """Recompute the manifest over the dataset at ``table_dir`` and
     compare with the stored ``_MANIFEST.json``; raises ValueError naming
-    every mismatched field. Returns the stored manifest on success."""
+    every mismatched field. Returns the stored manifest on success.
+
+    The dataset is re-read with the format recorded at write time
+    (parquet/orc/json); pass ``df`` to verify a frame you already hold
+    (or a format needing reader options, e.g. CSV with headers)."""
     import json
 
     jvm = spark.sparkContext._jvm
@@ -130,7 +144,9 @@ def verify_dataset_manifest(spark, table_dir: str) -> dict:
         stored = json.loads(bytes(stream.readAllBytes()).decode())
     finally:
         stream.close()
-    actual = write_manifest_stats(spark.read.parquet(table_dir))
+    if df is None:
+        df = spark.read.format(stored.get("format", "parquet")).load(table_dir)
+    actual = compute_manifest_stats(df)
     bad = [k for k in ("rows", "checksum", "columns") if stored[k] != actual[k]]
     if bad:
         raise ValueError(
@@ -140,18 +156,22 @@ def verify_dataset_manifest(spark, table_dir: str) -> dict:
     return stored
 
 
-def write_manifest_stats(df: DataFrame) -> dict:
+def compute_manifest_stats(df: DataFrame) -> dict:
     """The manifest's computed fields only (no write) — shared by writer
-    and verifier so they can never drift."""
+    and verifier so they can never drift. Cells are canonicalized to
+    'v<string form>' (or 'n' for NULL) before hashing: type-drift-proof
+    and null-visible (struct-hash skips null fields)."""
     from pyspark.sql import functions as F
 
+    canon = [
+        F.coalesce(
+            F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("n")
+        ).alias(c)
+        for c in sorted(df.columns)
+    ]
     row = df.select(
         F.count(F.lit(1)).alias("rows"),
-        F.sum(
-            F.xxhash64(F.struct(*[F.col(c) for c in sorted(df.columns)])).cast(
-                "decimal(38,0)"
-            )
-        ).alias("checksum"),
+        F.sum(F.xxhash64(F.struct(*canon)).cast("decimal(38,0)")).alias("checksum"),
     ).first()
     return {
         "rows": row["rows"],

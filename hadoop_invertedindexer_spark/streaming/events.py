@@ -230,6 +230,32 @@ def maintain_hourly_tier(
     (:func:`read_hourly_tier`); a periodic
     :func:`~hadoop_invertedindexer_spark.sources.sinks.compact_parquet`
     pass bounds the partial count."""
+
+    def _append_partials(batch_df: DataFrame, batch_id: int) -> None:
+        hourly_rollup_exact(batch_df).write.mode("overwrite").parquet(
+            f"{tier_path}/batch={batch_id}"
+        )
+
+    run_tier_maintenance(
+        spark, source_dir, source_schema, checkpoint_dir,
+        _append_partials, max_files_per_trigger,
+    )
+
+
+def run_tier_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    checkpoint_dir: str,
+    per_batch,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Shared scaffolding for every foreachBatch tier maintainer
+    (hourly rollup, user sketches, the inverted-index tier): availableNow
+    drain of a schema'd file stream, ns→µs ``ts`` normalization when the
+    source stores nano-longs, checkpointed exactly-once batch ids.
+    ``per_batch(batch_df, batch_id)`` owns the overwrite-own-batch
+    idempotency contract."""
     from hadoop_invertedindexer_spark.sources.tables import ensure_session_conf
 
     ensure_session_conf(spark)
@@ -238,17 +264,11 @@ def maintain_hourly_tier(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    ts_type = {f.name: f.dataType.simpleString() for f in source_schema}["ts"]
-    if ts_type == "bigint":
+    ts_types = {f.name: f.dataType.simpleString() for f in source_schema}
+    if ts_types.get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-
-    def _append_partials(batch_df: DataFrame, batch_id: int) -> None:
-        hourly_rollup_exact(batch_df).write.mode("overwrite").parquet(
-            f"{tier_path}/batch={batch_id}"
-        )
-
     q = (
-        stream.writeStream.foreachBatch(_append_partials)
+        stream.writeStream.foreachBatch(per_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -506,37 +526,26 @@ def maintain_user_sketch_tier(
     the tier's merged sketches equal the sketches of the full stream no
     matter how batches split it — asserted estimate-for-estimate in
     tests. Same idempotent overwrite-own-batch contract as
-    :func:`maintain_hourly_tier`."""
-    from hadoop_invertedindexer_spark.sources.tables import ensure_session_conf
-
-    ensure_session_conf(spark)
-    stream = (
-        spark.readStream.schema(source_schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
-    ts_type = {f.name: f.dataType.simpleString() for f in source_schema}["ts"]
-    if ts_type == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    :func:`maintain_hourly_tier` (scaffolding shared via
+    :func:`run_tier_maintenance`)."""
 
     def _append_sketches(batch_df: DataFrame, batch_id: int) -> None:
         hourly_user_sketches(batch_df).select(
             F.col("w.start").alias("hour"), "event_type", "users_sketch", "n"
         ).write.mode("overwrite").parquet(f"{tier_path}/batch={batch_id}")
 
-    q = (
-        stream.writeStream.foreachBatch(_append_sketches)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    run_tier_maintenance(
+        spark, source_dir, source_schema, checkpoint_dir,
+        _append_sketches, max_files_per_trigger,
     )
-    q.awaitTermination()
 
 
 def read_user_sketch_tier(spark: SparkSession, tier_path: str) -> DataFrame:
     """Merge the tier's per-batch sketch partials back to one sketch per
     (hour, event_type) — shaped like :func:`hourly_user_sketches` output
-    so :func:`daily_distinct_users_from_sketches` consumes it directly."""
+    (full ``w.start``/``w.end`` window struct, reconstructed since the
+    tier stores only the start) so every sketch consumer works on either
+    path."""
     merged = (
         spark.read.parquet(tier_path)
         .groupBy("hour", "event_type")
@@ -546,7 +555,10 @@ def read_user_sketch_tier(spark: SparkSession, tier_path: str) -> DataFrame:
         )
     )
     return merged.select(
-        F.struct(F.col("hour").alias("start")).alias("w"),
+        F.struct(
+            F.col("hour").alias("start"),
+            (F.col("hour") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+        ).alias("w"),
         "event_type",
         "users_sketch",
         "n",

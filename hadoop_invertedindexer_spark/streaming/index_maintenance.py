@@ -39,15 +39,10 @@ def maintain_term_index(
     max_files_per_trigger: int = 1,
 ) -> None:
     """Drain new document files with availableNow; append each batch's
-    partial (word, doc, count) aggregate under ``batch=<id>``."""
-    from hadoop_invertedindexer_spark.sources.tables import ensure_session_conf
-
-    ensure_session_conf(spark)
-    stream = (
-        spark.readStream.schema(source_schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
+    partial (word, doc, count) aggregate under ``batch=<id>``. Stream
+    scaffolding shared with the event tiers
+    (:func:`~hadoop_invertedindexer_spark.streaming.events.run_tier_maintenance`)."""
+    from hadoop_invertedindexer_spark.streaming.events import run_tier_maintenance
 
     def _append_partials(batch_df: DataFrame, batch_id: int) -> None:
         toks = prepare_tokens(
@@ -57,13 +52,10 @@ def maintain_term_index(
         counts = term_doc_counts(toks, word_col="word", doc_col=doc_col)
         counts.write.mode("overwrite").parquet(f"{tier_path}/batch={batch_id}")
 
-    q = (
-        stream.writeStream.foreachBatch(_append_partials)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    run_tier_maintenance(
+        spark, source_dir, source_schema, checkpoint_dir,
+        _append_partials, max_files_per_trigger,
     )
-    q.awaitTermination()
 
 
 def retract_documents(
