@@ -38,7 +38,10 @@ def load_stopwords(path: str) -> list[str]:
     ``herse"``. 319 entries for the reference file.
     """
     with open(path, encoding="utf-8") as f:
-        return [line.rstrip("\n") for line in f]
+        # rstrip("\r\n") mirrors BufferedReader.readLine, which strips the
+        # terminator whether it is \n or \r\n — a CRLF stop-word file must
+        # not leave a trailing \r on every entry.
+        return [line.rstrip("\r\n") for line in f]
 
 
 def load_punctuation_class(path: str) -> str:
@@ -53,7 +56,7 @@ def load_punctuation_class(path: str) -> str:
     chars: list[str] = []
     with open(path, encoding="utf-8") as f:
         for line in f:
-            pat = line.rstrip("\n")
+            pat = line.rstrip("\r\n")  # readLine semantics: \n or \r\n
             if not pat:
                 continue
             chars.append(pat[-1])  # '\X' -> X

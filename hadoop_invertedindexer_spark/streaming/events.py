@@ -503,7 +503,11 @@ def hourly_anomalies(events: DataFrame, z: float = 3.0) -> DataFrame:
         cnt.alias("m"), s1.alias("s1"), s2.alias("s2"),
     ).where(F.col("m") == 24)  # full trailing day only
     mean = F.col("s1") / F.col("m")
-    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("m")) / (F.col("m") - 1)
+    # s1 is a bigint window sum; squaring it in bigint overflows once the
+    # trailing-day total passes ~3e9 events. Square in double — still a
+    # deterministic single multiply of one exactly-summed value.
+    s1d = F.col("s1").cast("double")
+    var = (F.col("s2") - s1d * s1d / F.col("m")) / (F.col("m") - 1)
     zscore = (F.col("n") - mean) / F.sqrt(F.greatest(var, F.lit(1e-12)))
     return (
         windowed.withColumn("zscore", F.round(zscore, 6))

@@ -110,8 +110,20 @@ def compact_term_index_tier(
     jvm = spark.sparkContext._jvm
     root = jvm.org.apache.hadoop.fs.Path(tier_path)
     fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    fs.delete(root, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), root)
+    # Hadoop FileSystem reports many failures via a false return instead of
+    # an exception; an unchecked false here would leave the tier silently
+    # missing (data intact only in the staging dir). Fail loudly, naming
+    # the staging path so an operator can finish the swap by hand.
+    if not fs.delete(root, True) and fs.exists(root):
+        raise IOError(
+            f"compact_term_index_tier: delete({tier_path}) returned false; "
+            f"folded tier preserved at {staging}"
+        )
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), root):
+        raise IOError(
+            f"compact_term_index_tier: rename({staging} -> {tier_path}) "
+            f"returned false; folded tier preserved at {staging}"
+        )
     spark.catalog.refreshByPath(tier_path)
 
 

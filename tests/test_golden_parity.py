@@ -41,6 +41,17 @@ def test_stopwords_verbatim():
     assert 'herse"' in sw  # quirk entries loaded verbatim, not "fixed"
 
 
+def test_side_inputs_crlf_line_endings(tmp_path):
+    # BufferedReader.readLine strips \r\n as well as \n — a CRLF-saved
+    # file must yield identical entries, with no trailing \r (ADVICE r1).
+    crlf_sw = tmp_path / "stop.txt"
+    crlf_sw.write_bytes(b"the\r\nof\r\nherse\"\r\n")
+    assert load_stopwords(str(crlf_sw)) == ["the", "of", 'herse"']
+    crlf_punct = tmp_path / "punct.txt"
+    crlf_punct.write_bytes(b"\\!\r\n\\.\r\n\\-\r\n")
+    assert load_punctuation_class(str(crlf_punct)) == "[!.-]"
+
+
 def test_golden_byte_parity(spark, golden_lines):
     sw = load_stopwords(f"{REF}/skip/stop-word-list.txt")
     df = inverted_index_lines(spark, f"{REF}/input", sw)
