@@ -1066,10 +1066,12 @@ def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank over the customer→supplier transaction graph
-    (edges = distinct (o_custkey, l_suppkey) pairs). Driver check is
-    rows-only — a driver-coordinated iterative loop is exactly the
-    non-SQL-expressible case; the recurrence itself is pinned against a
-    pure-Python reference loop in test_graph.py."""
+    (edges = distinct (o_custkey, l_suppkey) pairs). The driver oracle
+    unrolls the same 5 matrix-vector steps as chained CTEs in DuckDB
+    (:func:`_pagerank_oracle`); round(rank, 6) on both sides absorbs the
+    ulp-level double-summation-order differences between engines. The
+    recurrence is additionally pinned against a pure-Python reference
+    loop in test_graph.py."""
     from hadoop_invertedindexer_spark.operators.graph import pagerank
 
     o = _t(spark, sf_dir, "orders")
@@ -1145,7 +1147,54 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _REV = "l_extendedprice * (1 - l_discount)"
 
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Exact SQL twin of :func:`q_pagerank`: the PageRank recurrence
+    unrolled as ``iters`` chained CTEs (DuckDB recursive CTEs disallow
+    aggregation in the recursive term, so unrolling is the portable
+    spelling). Doubles throughout, mirroring the Spark op; the teleport
+    constant is spelled ``(1.0::DOUBLE - 0.85::DOUBLE)`` because Spark
+    evaluates ``F.lit(1.0 - damping)`` in Python double arithmetic —
+    a DuckDB DECIMAL ``0.15`` literal is one ulp away."""
+    steps = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        steps.append(f"""
+        c{k} AS (
+            SELECT e.dst AS node, sum(r.rank / d.deg) AS contrib
+            FROM edges e
+            JOIN deg d ON e.src = d.src
+            JOIN {prev} r ON r.node = e.src
+            GROUP BY e.dst),
+        d{k} AS (
+            SELECT coalesce(sum(r.rank), 0.0::DOUBLE) AS dangling
+            FROM {prev} r LEFT JOIN deg d ON r.node = d.src
+            WHERE d.src IS NULL),
+        r{k} AS (
+            SELECT n.node,
+                   (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+                   + 0.85::DOUBLE * (coalesce(c.contrib, 0.0::DOUBLE)
+                        + (SELECT dangling FROM d{k}) / (SELECT n FROM nn))
+                       AS rank
+            FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)""")
+        prev = f"r{k}"
+    return f"""
+        WITH edges AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        nodes AS (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst FROM edges),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        r0 AS (
+            SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank
+            FROM nodes),{",".join(steps)}
+        SELECT node, round(rank, 6) AS rank FROM {prev}"""
+
+
 RELATIONAL_ORACLE_SQL: dict[str, str] = {
+    "pagerank": _pagerank_oracle(iters=5),
     "full_outer_reconcile": """
         SELECT strftime(coalesce(o.month, l.month), '%Y-%m') AS month,
                coalesce(n_orders, 0) AS n_orders,
