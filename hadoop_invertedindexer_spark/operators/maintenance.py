@@ -16,9 +16,10 @@ approximation of a table format's MERGE/DELETE:
 * the write uses dynamic partition overwrite, so only the selected
   partitions' directories are replaced.
 
-Scale posture: the read side is partition-pruned by the pushed
-``isin``/join on the partition column; the anti-join's right side is the
-change batch (small → broadcast). The known parquet-level gap vs a real
+Scale posture: the read side is partition-pruned by a dynamic-partition-
+pruning broadcast semi join on the partition column — the touched-
+partition list never lands on the driver; the anti-join's right side is
+the change batch (small → broadcast). The known parquet-level gap vs a real
 table format — no snapshot isolation for concurrent readers mid-rewrite —
 is a property of the storage layer, not of this plan shape; the same
 DataFrames drive a Delta/Iceberg MERGE unchanged.
@@ -30,19 +31,57 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _affected_partitions(changes: DataFrame, partition_col: str) -> list:
-    rows = changes.select(partition_col).distinct().collect()
-    return [r[0] for r in rows]
+def _affected_partitions(changes: DataFrame, partition_col: str) -> DataFrame:
+    """Distinct partition values of the change batch as an eagerly
+    materialized frame (never a driver-side list — the touched-partition
+    set scales with the batch, and the scan pruning consumes it as a
+    broadcast join, not an ``isin`` literal). Eager localCheckpoint
+    matters twice: the frame is re-read AFTER the rewrite replaces the
+    files a lazy plan might depend on, and DPP's broadcast reuses the
+    materialized relation."""
+    return (
+        changes.select(partition_col).distinct().localCheckpoint(eager=True)
+    )
+
+
+def _dpp_selective_marker(partition_col: str):
+    """A vacuously-true comparison on the partition column. Catalyst's
+    ``PartitionPruning`` rule only inserts a dynamic-pruning subquery
+    when the build side contains an ``isLikelySelective`` predicate
+    (BinaryComparison / In / string predicate …); a distinct'd change
+    batch is selective in fact but not in form, so without this marker
+    the semi join scans every partition. ``coalesce`` keeps the
+    predicate non-null so no row is dropped. The resulting
+    ``dynamicpruningexpression`` partition filter is asserted in tests."""
+    col = F.col(partition_col)
+    return F.coalesce(F.length(col.cast("string")), F.lit(0)) >= 0
 
 
 def _pruned_existing(
-    spark: SparkSession, table_dir: str, partition_col: str, parts: list
+    spark: SparkSession, table_dir: str, partition_col: str, parts_df: DataFrame
 ) -> DataFrame:
     """The rewrite's read side: the table scanned with the touched
     partitions as a partition filter (the plan-level guarantee that a
     rewrite never reads untouched partitions — asserted on THIS function
-    in tests)."""
-    return spark.read.parquet(table_dir).where(F.col(partition_col).isin(parts))
+    in tests).
+
+    Non-null partition values prune via a dynamic-partition-pruning
+    broadcast semi join — the partition list never lands on the driver.
+    A null partition value can't match any equi join, so that single
+    partition is unioned in behind an O(1) emptiness probe with a
+    statically-pruned ``IsNull`` scan (this also fixes the latent
+    ``isin``-era hazard where a null-partition change batch overwrote
+    the null partition dir without having scanned its existing rows)."""
+    table = spark.read.parquet(table_dir)
+    build = F.broadcast(
+        parts_df.where(F.col(partition_col).isNotNull()).where(
+            _dpp_selective_marker(partition_col)
+        )
+    )
+    pruned = table.join(build, partition_col, "left_semi")
+    if not parts_df.where(F.col(partition_col).isNull()).isEmpty():
+        pruned = pruned.unionByName(table.where(F.col(partition_col).isNull()))
+    return pruned
 
 
 def _rewrite_partitions(
@@ -107,10 +146,10 @@ def upsert_partitioned(
     is handled iff the update row lists its NEW partition (the old row is
     only removed when its old partition is also in the batch — same
     contract as Hive-style dynamic partition overwrite)."""
-    parts = _affected_partitions(updates, partition_col)
-    if not parts:
+    parts_df = _affected_partitions(updates, partition_col)
+    if parts_df.isEmpty():
         return
-    existing = _pruned_existing(spark, table_dir, partition_col, parts)
+    existing = _pruned_existing(spark, table_dir, partition_col, parts_df)
     merged = existing.join(
         F.broadcast(updates.select(key_cols).distinct()), key_cols, "left_anti"
     ).unionByName(updates)
@@ -137,18 +176,26 @@ def delete_keys(
         table.select(partition_col, *key_cols)
         .join(F.broadcast(tombstones.select(key_cols).distinct()), key_cols)
     )
-    parts = _affected_partitions(probe, partition_col)
-    if not parts:
+    parts_df = _affected_partitions(probe, partition_col)
+    if parts_df.isEmpty():
         return
-    existing = _pruned_existing(spark, table_dir, partition_col, parts)
+    existing = _pruned_existing(spark, table_dir, partition_col, parts_df)
     merged = existing.join(
         F.broadcast(tombstones.select(key_cols).distinct()), key_cols, "left_anti"
     )
     ckpt = _rewrite_partitions(merged, table_dir, partition_col)
-    survived = {
-        r[0] for r in ckpt.select(partition_col).distinct().collect()
-    }
-    emptied = [p for p in parts if p not in survived]
+    # emptied = touched partitions with no surviving rows, computed as a
+    # null-safe anti join (null is a real partition value here). The
+    # values stream to the driver only to issue the FS deletes — the
+    # same metadata-bounded commit-time work a table format's driver
+    # does; cardinality is bounded by the touched set, not the table.
+    survived = ckpt.select(partition_col).distinct()
+    emptied_df = parts_df.join(
+        survived,
+        parts_df[partition_col].eqNullSafe(survived[partition_col]),
+        "left_anti",
+    )
+    emptied = [row[0] for row in emptied_df.toLocalIterator()]
     _drop_partition_dirs(spark, table_dir, partition_col, emptied)
     if emptied:
         spark.catalog.refreshByPath(table_dir)

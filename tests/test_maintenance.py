@@ -87,18 +87,56 @@ def test_delete_discovers_partitions_from_keys(spark, tmp_path):
 
 def test_rewrite_read_side_is_partition_pruned(spark, tmp_path):
     from hadoop_invertedindexer_spark.operators.maintenance import (
+        _affected_partitions,
         _pruned_existing,
     )
 
     path = str(tmp_path / "tbl")
     _seed_table(spark, path)
-    # the exact frame upsert/delete rewrites from must carry a partition
-    # filter, not a full scan
+    # the exact frame upsert/delete rewrites from must carry a
+    # dynamic-partition-pruning filter, not a full scan — the touched
+    # partition list must never be collected to the driver
+    changes = spark.createDataFrame([(9, "b", "x")], "id long, p string, payload string")
+    parts_df = _affected_partitions(changes, "p")
     plan = (
-        _pruned_existing(spark, path, "p", ["b"])
+        _pruned_existing(spark, path, "p", parts_df)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "PartitionFilters" in plan and "= b)" in plan, plan
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_upsert_preserves_null_partition_rows(spark, tmp_path):
+    """A change batch touching the null partition must not drop the null
+    partition's existing rows (the isin-era scan skipped them while the
+    dynamic overwrite still replaced the directory)."""
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, None, "null-old"), (2, "a", "a-old")],
+        "id long, p string, payload string",
+    ).write.partitionBy("p").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(3, None, "null-new")], "id long, p string, payload string"
+    )
+    upsert_partitioned(spark, path, updates, ["id"], "p")
+    assert _rows(spark, path) == {
+        (1, None, "null-old"), (3, None, "null-new"), (2, "a", "a-old"),
+    }
+
+
+def test_delete_empties_null_partition(spark, tmp_path):
+    """Tombstoning every row of the null partition must drop its
+    __HIVE_DEFAULT_PARTITION__ directory like any other emptied one."""
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, None, "null-doomed"), (2, "a", "a-keep")],
+        "id long, p string, payload string",
+    ).write.partitionBy("p").parquet(path)
+    assert (tmp_path / "tbl" / "p=__HIVE_DEFAULT_PARTITION__").exists()
+
+    delete_keys(spark, path, spark.createDataFrame([(1,)], "id long"), ["id"], "p")
+    assert _rows(spark, path) == {(2, "a", "a-keep")}
+    assert not (tmp_path / "tbl" / "p=__HIVE_DEFAULT_PARTITION__").exists()
 
 
 def test_delete_empties_partition_with_escaped_value(spark, tmp_path):
