@@ -34,12 +34,24 @@ def ensure_session_conf(spark: SparkSession) -> None:
     engine sets them at the source boundary rather than hoping the host
     session was configured:
 
-    * ``nanosAsLong`` — events.ts is parquet TIMESTAMP(NANOS), which the
-      reader otherwise rejects outright (PARQUET_TYPE_ILLEGAL);
+    * ``nanosAsLong`` — events.ts was parquet TIMESTAMP(NANOS) in earlier
+      testdata generations, which the reader otherwise rejects outright
+      (PARQUET_TYPE_ILLEGAL);
+    * ``inferTimestampNTZ`` off — current testdata stores events.ts as
+      TIMESTAMP(MICROS, isAdjustedToUTC=false); Spark 4 infers that as
+      TIMESTAMP_NTZ by default, which breaks every ``unix_micros``/
+      ``unix_timestamp``/window consumer downstream. Reading it as plain
+      TIMESTAMP under the pinned UTC session is deterministic and matches
+      the oracle's timezone-naive arithmetic;
     * UTC session timezone — window/date_trunc alignment on LTZ
       timestamps must match the oracle's timezone-naive arithmetic.
+
+    All three are runtime-settable but must be applied before the first
+    read of the affected files — hence the call at the top of
+    ``read_table``, i.e. at the source boundary.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
@@ -62,6 +74,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for field in df.schema.fields:
             if field.name == "ts" and field.dataType.simpleString() == "bigint":
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
+                # belt-and-braces: if the host session read the file before
+                # ensure_session_conf ran (cached FileScan schema), the NTZ
+                # column still normalizes to TIMESTAMP here; under the
+                # pinned UTC session tz the cast is a deterministic
+                # wall-clock reinterpretation, identical to the oracle's
+                # timezone-naive reading
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
