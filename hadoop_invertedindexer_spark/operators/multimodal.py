@@ -2,15 +2,19 @@
 
 Images/audio/video are opaque ``binary`` columns plus typed metadata.
 The container has no decode libraries (PIL/ffmpeg/torchaudio), so the
-decode step is STUBBED — ``decode_image_meta`` raises
-``NotImplementedError`` unless given ``fake=True``, which produces a
-deterministic fake decode (dimensions derived from the bytes) so the
-Spark-side plumbing — schema, Arrow batch shape, ``mapInPandas``
-signature, partitioning — is real and tested end-to-end.
+engine defines its own self-describing raster container
+(``functions/media_codec.py``: SBM1 still images / SVD1 multi-frame
+videos, 11-byte header + raw uint8 pixels) and implements the REAL
+decode / resize / frame-sample paths against it in pure numpy. A payload
+whose magic is not recognized raises ``ValueError`` inside the task, the
+way a production decoder rejects a foreign codec. The legacy
+``fake=True`` path survives for arbitrary (non-media) payloads so the
+plumbing stays testable on any binary column.
 
-The testdata has no binary table, so ``binary_docs`` manufactures one
-from ``documents.text`` (utf-8 bytes as the opaque payload) — the
-plumbing is payload-agnostic by design.
+``synthesize_media`` renders ``documents.text`` into media payloads with
+SQL-expressible geometry, which is what lets the driver oracle-check the
+decode/resize/frame-sample output end-to-end (DuckDB recomputes the
+expected metadata from ``doc_id`` + ``octet_length(text)``).
 """
 
 from __future__ import annotations
@@ -21,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from hadoop_invertedindexer_spark.functions import media_codec
 
 DECODED_SCHEMA = T.StructType(
     [
@@ -47,24 +53,71 @@ def binary_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """documents -> a real binary media table: every doc rendered into an
+    SBM1/SVD1 payload (``media_codec.synth_payload``), with media_type and
+    n_bytes derived from the payload itself. The encode is a Pandas batch
+    over Arrow — the same shape a real transcode step would take."""
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                media_codec.synth_payload(int(i), t)
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": [
+                        "image/sbm1" if p[:4] == media_codec.MAGIC_IMAGE
+                        else "video/svd1"
+                        for p in payloads
+                    ],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(encode, schema)
+
+
 def decode_image_meta(binary_df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode step over the opaque payload via ``mapInPandas``.
 
-    Real decode needs an image library that is not in this container —
-    ``fake=False`` raises ``NotImplementedError`` *inside the task* the
-    way a missing codec would. ``fake=True`` derives deterministic
-    pseudo-dimensions from the payload bytes, exercising the identical
-    Arrow batch path, schema, and partition behavior.
+    ``fake=False`` (default, the real path) parses the SBM1/SVD1 container
+    header and validates the payload length; an unrecognized magic raises
+    ``ValueError`` *inside the task*, exactly where a missing/unknown codec
+    fails in production. ``fake=True`` derives deterministic
+    pseudo-dimensions from arbitrary bytes, exercising the identical Arrow
+    batch path, schema, and partition behavior for non-media payloads.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires PIL/libvips; not available in this "
-                    "container — run with fake=True for the plumbing path"
-                )
             payloads = pdf["payload"]
+            if not fake:
+                metas = [
+                    media_codec.decode_header(bytes(b))[1:] for b in payloads
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": payloads.map(len),
+                        "width": [m[0] for m in metas],
+                        "height": [m[1] for m in metas],
+                        "n_frames": [m[3] for m in metas],
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -106,22 +159,34 @@ FEATURES_SCHEMA = T.StructType(
 def resize_image(
     binary_df: DataFrame, width: int = 64, height: int = 64, fake: bool = False
 ) -> DataFrame:
-    """Resize step (stubbed like decode — no image libs in container).
-
-    The fake path truncates/pads the payload to width*height bytes, which
-    keeps the contract real: output payload size is a function of the
-    requested dimensions, batches flow through Arrow, and the schema is
-    what a real resizer would produce.
-    """
+    """Resize step. The real path (``fake=False``) decodes the SBM1/SVD1
+    container, nearest-neighbor-resizes every frame in numpy
+    (``media_codec.resize_nearest``), and re-encodes — output payload size
+    is exactly ``header + n_frames*height*width*channels``. The fake path
+    truncates/pads arbitrary payloads to width*height bytes, keeping the
+    plumbing testable on non-media binaries."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "image resize requires PIL/libvips; run with fake=True "
-                    "for the plumbing path"
+                payloads = [
+                    media_codec.encode_media(
+                        media_codec.resize_nearest(
+                            media_codec.decode_media(bytes(b)), width, height
+                        )
+                    )
+                    for b in pdf["payload"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "width": width,
+                        "height": height,
+                        "payload": payloads,
+                    }
                 )
+                continue
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -139,21 +204,27 @@ def resize_image(
 def frame_sample(
     binary_df: DataFrame, every: int = 4, frame_bytes: int = 32, fake: bool = False
 ) -> DataFrame:
-    """Frame sampling for video payloads: emit every ``every``-th fixed-size
-    chunk as a frame (fake path chunks the byte stream; a real
-    implementation would call the decoder's keyframe iterator). One input
-    row fans out to N output rows — the mapInPandas shape that matters."""
+    """Frame sampling for video payloads: one input row fans out to N
+    output rows — the mapInPandas shape that matters. The real path
+    (``fake=False``) decodes the SVD1/SBM1 container and emits every
+    ``every``-th decoded frame re-encoded as a standalone SBM1 still (what
+    a keyframe extractor hands downstream); ``frame_bytes`` only applies
+    to the fake path, which chunks arbitrary bytes instead."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video decode requires ffmpeg; run with fake=True for "
-                    "the plumbing path"
-                )
             out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
+                if not fake:
+                    pixels = media_codec.decode_media(b)
+                    for idx in range(0, pixels.shape[0], every):
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(idx)
+                        out["frame"].append(
+                            media_codec.encode_media(pixels[idx : idx + 1])
+                        )
+                    continue
                 frames = [
                     b[i : i + frame_bytes]
                     for i in range(0, len(b), frame_bytes)
@@ -167,10 +238,14 @@ def frame_sample(
     return binary_df.mapInPandas(work, FRAMES_SCHEMA)
 
 
-def feature_extract(binary_df: DataFrame, dim: int = 16) -> DataFrame:
-    """Feature extraction stub: a deterministic byte-histogram 'embedding'
+def feature_extract(
+    binary_df: DataFrame, dim: int = 16, decode: bool = False
+) -> DataFrame:
+    """Feature extraction: a deterministic normalized histogram 'embedding'
     (a real pipeline would run a vision/audio model here — this keeps the
-    output schema array<float> and the Arrow batching identical)."""
+    output schema array<float> and the Arrow batching identical). With
+    ``decode=True`` the histogram runs over DECODED pixel values of an
+    SBM1/SVD1 payload (header excluded) instead of raw container bytes."""
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -178,7 +253,10 @@ def feature_extract(binary_df: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if decode:
+                    b = media_codec.decode_media(bytes(payload)).ravel()
+                else:
+                    b = np.frombuffer(bytes(payload), dtype=np.uint8)
                 hist = np.bincount(b % dim, minlength=dim).astype("float32")
                 norm = float(hist.sum()) or 1.0
                 feats.append((hist / norm).tolist())

@@ -94,6 +94,19 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_ivf(emb, queries, cents, k=10, nprobe=4)
 
 
+def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (inherent: Lloyd means depend on fp accumulation across
+    iterations — no closed-form SQL twin): IVF probe over k-means-refined
+    centroids; distortion + recall improvement vs sampled init asserted
+    in tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = similarity.centroids_kmeans(emb, every=50, n_iters=2)
+    return similarity.cosine_topk_ivf(emb, queries, cents, k=10, nprobe=4)
+
+
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: hyperplane-bucketed ANN (the projection-only scale path
     next to IVF); planted-cluster recall in tests/test_similarity.py.
@@ -226,30 +239,55 @@ def q_multimodal_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: mapInPandas fake-decode plumbing; exact values pinned in
-    tests/test_multimodal.py."""
+    """REAL decode: documents rendered into SBM1/SVD1 containers
+    (synthesize_media), headers parsed back by the real codec path. The
+    synthesis geometry is SQL-expressible, so the oracle recomputes
+    width/height/n_frames/n_bytes from doc_id + octet_length(text)."""
     return multimodal.decode_image_meta(
-        multimodal.binary_docs(_docs(spark, sf_dir)), fake=True
+        multimodal.synthesize_media(_docs(spark, sf_dir)), fake=False
     )
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: stubbed resize plumbing (tests pin exact dimensions)."""
-    return multimodal.resize_image(
-        multimodal.binary_docs(_docs(spark, sf_dir)), width=16, height=16, fake=True
-    ).drop("payload")
+    """REAL resize: every frame nearest-neighbor-resized to 16x16 and
+    re-encoded; out_bytes proves the payload was actually rebuilt
+    (header + n_frames*16*16*channels)."""
+    return (
+        multimodal.resize_image(
+            multimodal.synthesize_media(_docs(spark, sf_dir)),
+            width=16,
+            height=16,
+            fake=False,
+        )
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            F.octet_length("payload").cast("bigint").alias("out_bytes"),
+        )
+    )
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: stubbed frame sampling (1 row -> N frames fan-out)."""
+    """REAL frame sampling: every 2nd decoded frame re-encoded as a
+    standalone SBM1 still (1 row -> N frames fan-out); frame_bytes proves
+    each emitted frame is a full single-frame container."""
     return multimodal.frame_sample(
-        multimodal.binary_docs(_docs(spark, sf_dir)), every=4, fake=True
-    ).drop("frame")
+        multimodal.synthesize_media(_docs(spark, sf_dir)), every=2, fake=False
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").cast("bigint").alias("frame_bytes"),
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: deterministic byte-histogram feature extraction."""
-    f = multimodal.feature_extract(multimodal.binary_docs(_docs(spark, sf_dir)))
+    """Rows-only (inherent: the pixel histogram over the cycled-byte raster
+    has no tractable SQL restatement): real decoded-pixel histogram
+    'embedding' over the synthesized media table."""
+    f = multimodal.feature_extract(
+        multimodal.synthesize_media(_docs(spark, sf_dir)), decode=True
+    )
     return f.select("doc_id", F.round(F.element_at("features", 1), 6).alias("f0"))
 
 
@@ -262,6 +300,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "similarity_bruteforce": q_similarity_bruteforce,
     "similarity_ivf": q_similarity_ivf,
+    "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     "similarity_lsh": q_similarity_lsh,
     "quantize_embeddings": q_quantize_embeddings,
     "lang_id": q_lang_id,
@@ -341,6 +380,17 @@ def _sql_cosine(a: str, b: str) -> str:
         f"(sqrt({_SQL_DOT.format(a=a, b=a)}) * sqrt({_SQL_DOT.format(a=b, b=b)}))"
     )
 
+
+# geometry of the synthesized SBM1/SVD1 media payloads — the SQL
+# restatement of media_codec.synth_params(doc_id, octet_length(text))
+_SQL_MEDIA_GEOM = """
+    SELECT doc_id,
+           8 + octet_length(encode(text)) % 24 AS w,
+           8 + (doc_id * 7) % 24 AS h,
+           1 + 2 * (doc_id % 2) AS c,
+           CASE WHEN doc_id % 5 = 0 THEN 2 + doc_id % 3 ELSE 1 END AS frames
+    FROM documents
+"""
 
 LLM_ORACLE_SQL: dict[str, str] = {
     "dedup_exact": f"""
@@ -475,4 +525,22 @@ LLM_ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, md5(text) AS digest,
                octet_length(encode(text))::BIGINT AS n_bytes
         FROM documents""",
+    # the three real-codec oracles restate media_codec.synth_params in SQL
+    # (11 = container header length) — keep in lockstep with
+    # functions/media_codec.py
+    "multimodal_decode": f"""
+        WITH geom AS ({_SQL_MEDIA_GEOM})
+        SELECT doc_id, (11 + frames * w * h * c)::BIGINT AS n_bytes,
+               w::INT AS width, h::INT AS height, frames::INT AS n_frames
+        FROM geom""",
+    "multimodal_resize": f"""
+        WITH geom AS ({_SQL_MEDIA_GEOM})
+        SELECT doc_id, 16::INT AS width, 16::INT AS height,
+               (11 + frames * 16 * 16 * c)::BIGINT AS out_bytes
+        FROM geom""",
+    "multimodal_frames": f"""
+        WITH geom AS ({_SQL_MEDIA_GEOM})
+        SELECT doc_id, unnest(range(0, frames, 2))::INT AS frame_idx,
+               (11 + w * h * c)::BIGINT AS frame_bytes
+        FROM geom""",
 }

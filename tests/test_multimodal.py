@@ -1,11 +1,14 @@
-"""Multimodal plumbing: binary column schema, mapInPandas decode path
-(stubbed), and the NotImplementedError gate for the real decode."""
+"""Multimodal: the real SBM1/SVD1 codec path (decode/resize/frame-sample
+over synthesized media), the foreign-codec ValueError gate, and the
+fake-path plumbing for arbitrary binary payloads."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql.utils import PythonException
 
+from hadoop_invertedindexer_spark.functions import media_codec
 from hadoop_invertedindexer_spark.operators import multimodal
 from hadoop_invertedindexer_spark.sources.tables import read_table
 
@@ -31,11 +34,102 @@ def test_fake_decode_values_deterministic(spark):
     assert row.n_frames == 1 + (len(payload) % 4)
 
 
-def test_real_decode_raises_not_implemented(spark):
-    docs = spark.createDataFrame([(1, "xyz")], ["doc_id", "text"])
+def test_real_decode_rejects_foreign_codec(spark):
+    # a text/plain payload is not SBM1/SVD1 — the real path must fail inside
+    # the task the way a production decoder rejects an unknown codec
+    docs = spark.createDataFrame([(1, "xyz plain text")], ["doc_id", "text"])
     df = multimodal.decode_image_meta(multimodal.binary_docs(docs), fake=False)
-    with pytest.raises(PythonException, match="NotImplementedError"):
+    with pytest.raises(PythonException, match="unsupported codec|too short"):
         df.collect()
+
+
+# ---------------------------------------------------------- real codec path
+
+
+def test_codec_roundtrip_exact():
+    rng = np.random.RandomState(7)
+    pixels = rng.randint(0, 256, size=(3, 5, 4, 3), dtype=np.uint8)
+    payload = media_codec.encode_media(pixels)
+    assert payload[:4] == media_codec.MAGIC_VIDEO
+    assert len(payload) == media_codec.HEADER_LEN + 3 * 5 * 4 * 3
+    np.testing.assert_array_equal(media_codec.decode_media(payload), pixels)
+
+
+def test_codec_rejects_corrupt_length():
+    pixels = np.zeros((1, 2, 2, 1), dtype=np.uint8)
+    payload = media_codec.encode_media(pixels)
+    with pytest.raises(ValueError, match="corrupt payload"):
+        media_codec.decode_media(payload + b"\x00")
+
+
+def test_resize_nearest_known_values():
+    # 1 frame, 2x2 gray checkerboard upscaled to 4x4 — each source pixel
+    # becomes a 2x2 block under nearest-neighbor
+    src = np.array([[[10], [20]], [[30], [40]]], dtype=np.uint8)[None, :, :, :]
+    out = media_codec.resize_nearest(src, width=4, height=4)
+    expect = np.array(
+        [
+            [10, 10, 20, 20],
+            [10, 10, 20, 20],
+            [30, 30, 40, 40],
+            [30, 30, 40, 40],
+        ],
+        dtype=np.uint8,
+    )
+    np.testing.assert_array_equal(out[0, :, :, 0], expect)
+
+
+def test_synthesize_and_real_decode_match_formulas(spark):
+    docs = spark.createDataFrame(
+        [(3, "hello world"), (5, "a video doc"), (10, "")], ["doc_id", "text"]
+    )
+    media = multimodal.synthesize_media(docs)
+    rows = {
+        r.doc_id: r
+        for r in multimodal.decode_image_meta(media, fake=False).collect()
+    }
+    for doc_id, text in [(3, "hello world"), (5, "a video doc"), (10, "")]:
+        nb = len(text.encode("utf-8"))
+        w, h, c, frames = media_codec.synth_params(doc_id, nb)
+        r = rows[doc_id]
+        assert (r.width, r.height, r.n_frames) == (w, h, frames)
+        assert r.n_bytes == media_codec.HEADER_LEN + frames * w * h * c
+    # doc 5 and 10 are videos (doc_id % 5 == 0), doc 3 a still image
+    media_types = {r.doc_id: r.media_type for r in media.collect()}
+    assert media_types == {3: "image/sbm1", 5: "video/svd1", 10: "video/svd1"}
+
+
+def test_real_resize_decodes_to_requested_dims(spark):
+    docs = spark.createDataFrame([(5, "some video text")], ["doc_id", "text"])
+    out = multimodal.resize_image(
+        multimodal.synthesize_media(docs), width=6, height=3, fake=False
+    ).first()
+    pixels = media_codec.decode_media(bytes(out.payload))
+    _, _, c, frames = media_codec.synth_params(5, len(b"some video text"))
+    assert pixels.shape == (frames, 3, 6, c)
+
+
+def test_real_frame_sample_roundtrips_frames(spark):
+    docs = spark.createDataFrame([(5, "frame sample doc")], ["doc_id", "text"])
+    media = multimodal.synthesize_media(docs)
+    src = media_codec.decode_media(bytes(media.first().payload))
+    frames = multimodal.frame_sample(media, every=2, fake=False).collect()
+    assert [r.frame_idx for r in frames] == list(range(0, src.shape[0], 2))
+    for r in frames:
+        # each emitted frame is a standalone single-frame SBM1 container
+        # whose pixels equal the source frame exactly
+        decoded = media_codec.decode_media(bytes(r.frame))
+        np.testing.assert_array_equal(decoded[0], src[r.frame_idx])
+
+
+def test_feature_extract_decoded_pixels(spark):
+    docs = spark.createDataFrame([(2, "ab")], ["doc_id", "text"])
+    media = multimodal.synthesize_media(docs)
+    row = multimodal.feature_extract(media, dim=8, decode=True).first()
+    # oracle in numpy: histogram of decoded pixels mod 8, normalized
+    pixels = media_codec.decode_media(bytes(media.first().payload)).ravel()
+    hist = np.bincount(pixels % 8, minlength=8).astype("float64")
+    np.testing.assert_allclose(row.features, hist / hist.sum(), atol=1e-6)
 
 
 def test_resize_produces_requested_dimensions(spark):
