@@ -6,12 +6,28 @@ Prints ONE JSON line:
 Each query is forced end-to-end with the noop sink (full computation, no
 result materialization on the driver), matching how a cluster job would
 be bounded by compute+shuffle rather than collect.
+
+Regression guard (the round-3 lesson: wall clock moved +56% on
+byte-identical code and only mtime archaeology could attribute it to
+sandbox contention):
+
+  python bench.py --repeats 3            # per-query median of 3 runs
+  python bench.py --check                # exit 1 if any query regresses
+                                         # >1.5x vs bench_baseline.json
+  python bench.py --update-baseline      # rewrite bench_baseline.json
+
+``--check`` compares per-query medians against the committed baseline,
+so a uniform environment shift shows up as MANY queries over threshold
+(reported, still failing — a contended box should fail loudly) while a
+plan regression shows up as one. Guard diagnostics go to stderr; stdout
+stays the single driver-parseable JSON line.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -59,7 +75,34 @@ HEADLINE = [
 ]
 
 
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+REGRESSION_FACTOR = 1.5
+
+
+def check_regressions(
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    factor: float = REGRESSION_FACTOR,
+) -> list[str]:
+    """Pure guard logic (unit-tested without Spark): names of queries whose
+    timing exceeds factor x their baseline. Queries absent from the
+    baseline are new — never flagged."""
+    return [
+        name
+        for name, sec in sorted(timings.items())
+        if name in baseline and baseline[name] > 0 and sec > factor * baseline[name]
+    ]
+
+
 def main() -> None:
+    repeats = 1
+    do_check = "--check" in sys.argv
+    do_update = "--update-baseline" in sys.argv
+    if "--repeats" in sys.argv:
+        repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
+    elif do_check or do_update:
+        repeats = 3  # medians by default whenever the numbers gate anything
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="hii-bench")
@@ -82,11 +125,16 @@ def main() -> None:
 
         from hadoop_invertedindexer_spark.plans.flagship import build_inverted_index
 
-        out = tempfile.mkdtemp(prefix="hii_bench_golden_")
-        t0 = time.perf_counter()
-        build_inverted_index(spark, ref_input, f"{out}/index", ref_stop, single_file=True)
-        timings["golden_corpus_index"] = round(time.perf_counter() - t0, 3)
-        shutil.rmtree(out, ignore_errors=True)
+        samples = []
+        for i in range(repeats):
+            out = tempfile.mkdtemp(prefix="hii_bench_golden_")
+            t0 = time.perf_counter()
+            build_inverted_index(
+                spark, ref_input, f"{out}/index", ref_stop, single_file=True
+            )
+            samples.append(time.perf_counter() - t0)
+            shutil.rmtree(out, ignore_errors=True)
+        timings["golden_corpus_index"] = round(statistics.median(samples), 3)
 
     for name in HEADLINE:
         if name not in qs:
@@ -95,9 +143,12 @@ def main() -> None:
         # there, but eager-materializing ops (pagerank's checkpointed
         # iterations) do their real work at build time and would
         # otherwise report only the final noop write
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for i in range(repeats):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -112,6 +163,39 @@ def main() -> None:
         )
     )
     spark.stop()
+
+    if do_update:
+        with open(BASELINE_PATH, "w") as fh:
+            json.dump(
+                {"sf": sf, "repeats": repeats, "queries": timings}, fh, indent=1
+            )
+            fh.write("\n")
+        print(f"baseline written: {BASELINE_PATH}", file=sys.stderr)
+
+    if do_check:
+        if not os.path.exists(BASELINE_PATH):
+            print(f"no baseline at {BASELINE_PATH}; run --update-baseline first",
+                  file=sys.stderr)
+            sys.exit(2)
+        with open(BASELINE_PATH) as fh:
+            base = json.load(fh)["queries"]
+        regressed = check_regressions(timings, base)
+        for name in regressed:
+            print(
+                f"REGRESSION {name}: {timings[name]:.3f}s vs baseline "
+                f"{base[name]:.3f}s (>{REGRESSION_FACTOR}x)",
+                file=sys.stderr,
+            )
+        if regressed:
+            if len(regressed) > len(timings) // 2:
+                print(
+                    "more than half the suite regressed together — likely "
+                    "environment contention, not a plan change; still failing",
+                    file=sys.stderr,
+                )
+            sys.exit(1)
+        print(f"bench check OK: {len(timings)} queries within "
+              f"{REGRESSION_FACTOR}x of baseline", file=sys.stderr)
 
 
 if __name__ == "__main__":
