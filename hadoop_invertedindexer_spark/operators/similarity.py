@@ -288,12 +288,68 @@ def centroids_by_sampling(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic coarse centroids: every ``every``-th vector by id.
-    (A k-means refinement would lower variance; sampling keeps the
-    contract deterministic and is the standard IVF bootstrap.)"""
+    """Deterministic coarse centroids: every ``every``-th vector by id —
+    the standard IVF bootstrap, and the init for
+    :func:`centroids_kmeans`, which lowers their variance."""
     return corpus.where(F.col(id_col) % every == 0).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
+
+
+def centroids_kmeans(
+    corpus: DataFrame,
+    init: DataFrame | None = None,
+    every: int = 100,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined IVF centroids, entirely as DataFrame ops (no MLlib,
+    no collect — the iterative loop pattern of ``operators/graph.py``).
+
+    Each iteration: (1) assign every vector to its nearest centroid by
+    cosine (broadcast centroids, one wide pass); (2) recompute each
+    centroid as the element-wise mean of its members — ``posexplode`` →
+    partial+final avg per (cid, pos) → re-assemble with
+    ``array_sort(collect_list(struct(pos, mean)))``, all JVM-side; (3) a
+    centroid that lost every member keeps its previous position (left
+    join + coalesce), so the centroid count — and therefore the IVF
+    bucket layout — is stable across iterations. The tiny centroid frame
+    is localCheckpoint-ed per iteration to truncate lineage, exactly as
+    in pagerank.
+
+    At 100 TB: per iteration the corpus-side cost is one broadcast
+    nearest-centroid pass plus one shuffle of (cid, pos, x) rows — the
+    same order as the single assignment pass IVF pays at build time
+    anyway, and the refinement runs only at index-build, never at query
+    time. Deterministic for a fixed init (means are order-insensitive up
+    to fp addition order; values are rounded by downstream consumers).
+    """
+    cents = (
+        init
+        if init is not None
+        else centroids_by_sampling(corpus, every, id_col, vec_col)
+    ).localCheckpoint()
+    for _ in range(n_iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        means = (
+            assigned.select("cid", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: s["mx"].cast("float"),
+                ).alias("_mean")
+            )
+        )
+        cents = (
+            cents.join(means, "cid", "left")
+            .select("cid", F.coalesce("_mean", "cvec").alias("cvec"))
+            .localCheckpoint()
+        )
+    return cents
 
 
 def quantize_embeddings(

@@ -33,6 +33,101 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert mean_recall >= 0.5, f"IVF mean recall {mean_recall:.2f} too low"
 
 
+def _recall(corpus, cents, nprobe, qmod=37):
+    queries = corpus.where(F.col("vec_id") % qmod == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    bf = similarity.cosine_topk_bruteforce(corpus, queries, k=10)
+    ivf = similarity.cosine_topk_ivf(corpus, queries, cents, k=10, nprobe=nprobe)
+    bf_sets: dict[int, set[int]] = {}
+    for r in bf.collect():
+        bf_sets.setdefault(r.qid, set()).add(r.vec_id)
+    ivf_sets: dict[int, set[int]] = {}
+    for r in ivf.collect():
+        ivf_sets.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [
+        len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    return sum(recalls) / len(recalls)
+
+
+def test_kmeans_improves_distortion_on_real_embeddings(spark, sf_dir):
+    """Lloyd's objective: mean cosine of each vector to its assigned
+    centroid must strictly improve over the sampled init (measured
+    0.216 -> 0.282 on the synthetic table; asserted with margin)."""
+    from hadoop_invertedindexer_spark.operators.dedup import cosine_expr
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    sampled = similarity.centroids_by_sampling(emb, every=50)
+    refined = similarity.centroids_kmeans(emb, init=sampled, n_iters=3)
+
+    def distortion(cents):
+        a = similarity.ivf_assign(emb, cents).join(cents, "cid")
+        return a.select(
+            F.avg(cosine_expr(F.col("embedding"), F.col("cvec"))).alias("d")
+        ).first().d
+
+    d_sampled, d_kmeans = distortion(sampled), distortion(refined)
+    assert d_kmeans > d_sampled + 0.01, (d_sampled, d_kmeans)
+    # and the refined centroids must not crater recall on well-spread data
+    # (floor 0.8: nprobe=4 of ~10 buckets; sampled init scores ~0.86-0.98
+    # across sf dirs, refined stays within noise of it)
+    assert _recall(emb, refined, nprobe=4, qmod=100) >= 0.8
+
+
+def test_kmeans_recall_beats_sampling_on_id_correlated_corpus(spark):
+    """The case sampling can't survive: ids correlate with content (one
+    homogeneous source owns every id the every=50 sampler picks), so all
+    sampled centroids are near-identical and bucket assignment for the
+    rest of the corpus is noise. Lloyd iterations specialize the
+    centroids to the real clusters (measured: nprobe=1 recall
+    0.62 -> 0.99, nprobe=2 0.85 -> 1.0)."""
+    import random
+
+    rng = random.Random(3)
+    dim, rows = 16, []
+    base_a = [rng.gauss(0, 1) for _ in range(dim)]
+    for i in range(0, 500, 50):
+        rows.append((i, [float(b + rng.gauss(0, 0.05)) for b in base_a]))
+    other_ids = [i for i in range(500) if i % 50 != 0]
+    for c in range(8):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        for _ in range(61):
+            if not other_ids:
+                break
+            rows.append(
+                (other_ids.pop(0), [float(b + rng.gauss(0, 0.3)) for b in base])
+            )
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    sampled = similarity.centroids_by_sampling(emb, every=50)
+    refined = similarity.centroids_kmeans(emb, init=sampled, n_iters=3)
+    r_sampled = _recall(emb, sampled, nprobe=2)
+    r_kmeans = _recall(emb, refined, nprobe=2)
+    assert r_kmeans >= r_sampled + 0.1, (r_sampled, r_kmeans)
+    assert r_kmeans >= 0.95, r_kmeans
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """A centroid that attracts no members must survive the iteration
+    unchanged (stable bucket layout), not drop out or go null."""
+    # two tight clusters far apart + one centroid placed orthogonally so
+    # it never wins an assignment
+    rows = [(i, [10.0, 0.0, 0.0]) for i in range(5)]
+    rows += [(10 + i, [0.0, 10.0, 0.0]) for i in range(5)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    init = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        ["cid", "cvec"],
+    )
+    out = {
+        r.cid: list(r.cvec)
+        for r in similarity.centroids_kmeans(emb, init=init, n_iters=2).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[2] == [0.0, 0.0, 1.0]  # untouched
+    assert out[0][0] > 9.9 and out[1][1] > 9.9  # moved to cluster means
+
+
 def test_lsh_recovers_planted_near_duplicates(spark):
     """Planted clusters: 8 base directions, 5 tiny perturbations each.
     Same-cluster vectors have cosine ~1 (angle ~0), so single-probe
