@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from hadoop_invertedindexer_spark.sources.tables import read_table
 from hadoop_invertedindexer_spark.streaming.events import (
     cohort_retention,
+    daily_distinct_users_exact,
     daily_distinct_users_from_sketches,
     daily_from_hourly,
     enrich_by_dim,
@@ -72,12 +73,18 @@ def q_events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch tiering for the non-associative aggregate: daily distinct
-    users estimated by merging hourly HLL sketches. Rows-only at the
-    driver (DuckDB's HLL is a different implementation); the ±2%
-    estimate-vs-exact bound is pinned in tests/test_streaming.py."""
+    """Rows-only (inherent: DuckDB's HLL is a different sketch
+    implementation, estimates differ): daily distinct users by merging
+    hourly HLL sketches. The ±2% estimate-vs-exact bound is pinned in
+    tests/test_streaming.py; the exact oracle-checked ground is
+    ``events_daily_distinct_users_exact``."""
     ev = read_table(spark, sf_dir, "events")
     return daily_distinct_users_from_sketches(hourly_user_sketches(ev))
+
+
+def q_events_daily_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-level distinct twin of the sketch tier (oracle-paired)."""
+    return daily_distinct_users_exact(read_table(spark, sf_dir, "events"))
 
 
 def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,6 +144,7 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "hourly_anomalies": q_hourly_anomalies,
     "events_daily_distinct_users": q_events_daily_distinct_users,
+    "events_daily_distinct_users_exact": q_events_daily_distinct_users_exact,
     "events_enrich": q_events_enrich,
     "stream_enrich": q_stream_enrich,
     "events_interval_join": q_events_interval_join,
@@ -273,6 +281,10 @@ STREAMING_ORACLE_SQL: dict[str, str] = {
         SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
                count(*) AS n,
                round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
+        FROM events GROUP BY 1, 2""",
+    "events_daily_distinct_users_exact": """
+        SELECT date_trunc('day', ts) AS day, event_type,
+               count(DISTINCT user_id)::BIGINT AS n_users
         FROM events GROUP BY 1, 2""",
     "events_enrich": _ENRICH_SQL,
     # stream-static join on one availableNow pass == the batch twin

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from hadoop_invertedindexer_spark.operators.clusters import dedup_clusters
 from hadoop_invertedindexer_spark.operators.dedup import ngram_jaccard_pairs
+from hadoop_invertedindexer_spark.plans.contract_llm import _SQL_SHINGLES
 from hadoop_invertedindexer_spark.operators.temporal import (
     asof_join,
     range_join_bucketed,
@@ -79,9 +80,10 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: iterative connected components over jaccard near-dup
-    edges (no SQL for the fixpoint loop); fixture-tested in
-    tests/test_clusters.py."""
+    """Iterative connected components over jaccard near-dup edges; the
+    oracle computes the same min-id component labels with a recursive-CTE
+    transitive closure over the identical pair set (fixtures additionally
+    in tests/test_clusters.py)."""
     docs = read_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.6, max_df=100)
     return dedup_clusters(pairs, docs)
@@ -115,4 +117,39 @@ TEMPORAL_ORACLE_SQL: dict[str, str] = {
          AND e.ts >= s.ts
          AND e.ts < s.ts + INTERVAL 7 DAYS
         GROUP BY s.event_id""",
+    # min-id connected-component labels over the SAME near-dup pair set as
+    # the ngram_jaccard oracle (contract_llm), closed transitively with a
+    # recursive CTE: symmetric edges -> full reachability -> min reachable
+    # id per node; docs with no edge keep themselves.
+    "dedup_clusters": f"""
+    WITH RECURSIVE {_SQL_SHINGLES},
+    sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+    kept AS (
+        SELECT s.id, s.sh FROM shingles s
+        JOIN (SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= 100) c
+          ON s.sh = c.sh
+    ),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY a.id, b.id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE i / (sa.sz + sb.sz - i)::DOUBLE >= 0.6
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS node, least(a, min(b)) AS keep FROM reach GROUP BY a)
+    SELECT d.doc_id, coalesce(c.keep, d.doc_id) AS keep_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""",
 }

@@ -210,6 +210,24 @@ def daily_distinct_users_from_sketches(hourly: DataFrame) -> DataFrame:
     )
 
 
+def daily_distinct_users_exact(events: DataFrame) -> DataFrame:
+    """Exact twin of the sketch tier: two-level distinct — pre-collapse to
+    one row per (day, event_type, user), then count. Same shuffle count as
+    ``count(DISTINCT)`` (Catalyst expands that to exactly this two-phase
+    aggregate), but stated explicitly because the first level is the
+    re-usable tier: the (day, type, user) frame also serves retention and
+    funnel queries without rescanning raw events. This is the
+    oracle-checkable ground the ±2% sketch estimate is bounded against."""
+    return (
+        events.select(
+            F.date_trunc("day", "ts").alias("day"), "event_type", "user_id"
+        )
+        .distinct()
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def maintain_hourly_tier(
     spark: SparkSession,
     source_dir: str,
