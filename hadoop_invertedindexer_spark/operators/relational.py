@@ -159,6 +159,61 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue for one market segment
+    (testdata has no o_shippriority column, so the projection drops it —
+    the join/agg skeleton is Q3's). customer broadcasts after its segment
+    filter; orders⋈lineitem is the one big shuffle, both date filters
+    pushed to the scans."""
+    cutoff = "1996-03-15"
+    c = F.broadcast(
+        _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    )
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit(cutoff))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit(cutoff))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: critical- vs normal-priority order counts among
+    late shipments, per line status (testdata has no l_shipmode /
+    l_commitdate / l_receiptdate, so 'late' is l_shipdate > o_orderdate
+    + 60 days and the grouping column is l_linestatus — the
+    join + conditional-sum skeleton is Q12's). One lineitem⋈orders
+    shuffle; the CASE sums fold into the partial aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(critical, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
     an aggregate-then-join-back (HAVING feeding a join). The heavy groupBy
@@ -1109,6 +1164,8 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
     "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+    "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
+    "tpch_q12_late_shipments": q_tpch_q12_late_shipments,
     "tpch_q10_returned_items": q_tpch_q10_returned_items,
     "tpch_q14_promo_effect": q_tpch_q14_promo_effect,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
@@ -1396,6 +1453,25 @@ RELATIONAL_ORACLE_SQL: dict[str, str] = {
         WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24""",
+    "tpch_q12_late_shipments": """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "tpch_q3_shipping_priority": f"""
+        SELECT l_orderkey, o_orderdate,
+               round(sum(({_REV})::DECIMAL(18,6)), 2)::DOUBLE AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < '1996-03-15' AND l_shipdate > '1996-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "tpch_q10_returned_items": f"""
         SELECT c_custkey, c_name, n_name,
                round(sum(({_REV})::DECIMAL(18,6)), 2)::DOUBLE AS revenue

@@ -155,18 +155,30 @@ def test_all_oracle_queries_stay_jvm_side(spark):
     """Engine-wide guard: no oracle-checked batch query may silently fall
     back to a row-at-a-time or Arrow Python UDF — the hot path must stay
     in codegen. (Python appears only in rows-only ops: SimHash's pandas
-    UDF and the multimodal mapInPandas stubs, none oracle-paired.)
+    UDF and the multimodal mapInPandas codec paths — the multimodal
+    queries ARE oracle-paired, so they're exempted by name: mapInPandas
+    is their documented Python extension point, like udtf_ngrams.)
     Streaming twins are skipped: building their 'plan' executes the run.
     udtf_ngrams is exempt by design: it IS the documented Python-UDTF
     extension point (functions/udtfs.py), oracle-paired on purpose."""
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    deliberate_python = {"udtf_ngrams"}
+    deliberate_python = {
+        "udtf_ngrams",
+        # the real-codec multimodal paths: mapInPandas IS the operator
+        "multimodal_decode",
+        "multimodal_resize",
+        "multimodal_frames",
+    }
     offenders = []
     for name in sorted(qs):
         if name not in oracles or name.startswith("stream_") or name in deliberate_python:
             continue
         plan = _plan(qs[name](spark, SF))
-        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+        if (
+            "BatchEvalPython" in plan
+            or "ArrowEvalPython" in plan
+            or "MapInPandas" in plan
+        ):
             offenders.append(name)
     assert not offenders, f"Python in hot path: {offenders}"
 
