@@ -151,17 +151,22 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # attach the committed offline scale-soak measurements (10x of sf0.1,
+    # tools/scale_soak.py — too long to run inside the per-round bench)
+    scale_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scale_results_r4.json"
     )
+    if os.path.exists(scale_path):
+        with open(scale_path) as fh:
+            payload["scale"] = json.load(fh)
+    print(json.dumps(payload))
     spark.stop()
 
     if do_update:

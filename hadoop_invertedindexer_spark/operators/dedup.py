@@ -267,9 +267,14 @@ def minhash_lsh_pairs(
     # At corpus scale, signatures would be written to a parquet stage
     # instead — same idea, durable form.
     sig = minhash_signatures(docs, num_perm, n, id_col, text_col).persist()
+    # the candidate join carries IDs ONLY: at high duplicate density every
+    # true pair collides in ~all bands, so the pre-dedup candidate stream
+    # is (pairs x bands) rows — shipping both 64-long signature arrays
+    # through it multiplies shuffle bytes ~16x (measured on the 10x scale
+    # soak, where candidates hit 3.3M). Signatures re-attach per UNIQUE
+    # pair below, after dropDuplicates has collapsed the band fanout.
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -287,7 +292,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("b"),
-    ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -296,13 +301,10 @@ def minhash_lsh_pairs(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
     est = F.round(
         F.size(
