@@ -530,6 +530,24 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` once into
+    the binary VariantType, typed ``variant_get`` extractions after —
+    the engine-native alternative to per-query string re-parsing. At
+    100 TB the parse happens at ingestion and the shredded binary column
+    is scanned, not the text; this query proves the typed-extraction
+    semantics match the string path bit-for-bit (same oracle shape as
+    json_extract)."""
+    e = _t(spark, sf_dir, "events")
+    v = e.withColumn("v", F.parse_json("props"))
+    k = F.variant_get("v", "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.when(k > 50, 1)).alias("n_gt50"),
+    )
+
+
 def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String fn coverage beyond the reference's lower/regex/split."""
     p = _t(spark, sf_dir, "part")
@@ -1185,6 +1203,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_trunc_agg": q_date_trunc_agg,
     "date_parts": q_date_parts,
     "json_extract": q_json_extract,
+    "variant_extract": q_variant_extract,
     "string_funcs": q_string_funcs,
     "sql_api_q3": q_sql_api_q3,
     "array_funcs": q_array_funcs,
@@ -1574,6 +1593,13 @@ RELATIONAL_ORACLE_SQL: dict[str, str] = {
                sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
                max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k,
                count(*) AS n
+        FROM events GROUP BY event_type""",
+    "variant_extract": """
+        SELECT event_type,
+               sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+               max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k,
+               count(CASE WHEN json_extract_string(props, '$.k')::BIGINT > 50
+                          THEN 1 END) AS n_gt50
         FROM events GROUP BY event_type""",
     "string_funcs": """
         SELECT p_partkey,
