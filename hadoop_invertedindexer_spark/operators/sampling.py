@@ -97,6 +97,33 @@ def hash_split(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_nibbles: int = 12,
+    val_nibbles: int = 2,
+) -> DataFrame:
+    """Train/val/test split that near-duplicates cannot straddle.
+
+    A per-document hash split leaks: a near-duplicate pair split across
+    train and test inflates eval scores (the model has effectively seen
+    the test doc). Here the split key is the near-dup CLUSTER's
+    canonical id (``dedup_clusters`` min-id label), so every member of a
+    cluster — and every exact re-ingest of one — lands in the same
+    split. Singletons degrade to the plain per-doc hash (keep_id ==
+    their own id). Same md5-nibble assignment as :func:`hash_split`,
+    so the whole composition stays exactly oracle-checkable.
+    Output: (doc_id, keep_id, split)."""
+    from hadoop_invertedindexer_spark.operators.clusters import dedup_clusters
+
+    comps = dedup_clusters(pairs, docs, id_col)
+    return hash_split(
+        comps, id_col="keep_id", train_nibbles=train_nibbles,
+        val_nibbles=val_nibbles,
+    ).select(id_col, "keep_id", "split")
+
+
 def stratified_take(
     df: DataFrame,
     strata_col: str = "source",

@@ -41,6 +41,19 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-keyed split: every member of a jaccard near-dup
+    cluster shares its canonical id's split, so no near-duplicate pair
+    can straddle train/test (eval leakage). Fully oracle-checkable:
+    cluster labels via the recursive-CTE closure (dedup_clusters oracle)
+    and the same md5-nibble assignment as train_test_split."""
+    from hadoop_invertedindexer_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.6, max_df=100)
+    return sampling.leakage_safe_split(docs, pairs)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source deterministic quota: the 5 hash-first docs per source —
     the 'N docs per source' training-mixture primitive."""
@@ -126,6 +139,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": q_temperature_mix,
     "text_chunks": q_text_chunks,
     "train_test_split": q_train_test_split,
+    "leakage_safe_split": q_leakage_safe_split,
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
     "bigram_topk": q_bigram_topk,
@@ -168,6 +182,7 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                     ELSE 'test' END AS split,
                count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
         FROM documents GROUP BY 1""",
+    "leakage_safe_split": None,  # assembled below (needs the clusters CTE)
     "weighted_sample": """
         SELECT doc_id, n_chars FROM documents
         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT::HUGEINT
@@ -219,3 +234,21 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                      / count(*)::DOUBLE, 6) AS retention
         FROM documents GROUP BY source""",
 }
+
+# the leakage-safe split oracle composes the dedup_clusters recursive-CTE
+# closure with the same md5-nibble assignment, keyed on keep_id
+from hadoop_invertedindexer_spark.plans.contract_temporal import (  # noqa: E402
+    SQL_CLUSTERS_CTE_PREFIX,
+)
+
+_SQL_KEEP_NIB = "substring(md5(keep_id::VARCHAR), 1, 1)"
+
+PIPELINE_ORACLE_SQL["leakage_safe_split"] = f"""{SQL_CLUSTERS_CTE_PREFIX},
+    labeled AS (
+        SELECT d.doc_id, coalesce(c.keep, d.doc_id) AS keep_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT doc_id, keep_id,
+           CASE WHEN {_SQL_KEEP_NIB} <= 'b' THEN 'train'
+                WHEN {_SQL_KEEP_NIB} <= 'd' THEN 'val'
+                ELSE 'test' END AS split
+    FROM labeled"""

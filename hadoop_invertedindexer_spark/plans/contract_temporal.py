@@ -121,7 +121,13 @@ TEMPORAL_ORACLE_SQL: dict[str, str] = {
     # the ngram_jaccard oracle (contract_llm), closed transitively with a
     # recursive CTE: symmetric edges -> full reachability -> min reachable
     # id per node; docs with no edge keep themselves.
-    "dedup_clusters": f"""
+    "dedup_clusters": None,  # assembled below from the shared CTE prefix
+}
+
+# shared between the dedup_clusters oracle and consumers that need the
+# cluster labels inside a bigger query (leakage_safe_split in
+# contract_pipeline): everything up to and including comp(node, keep)
+SQL_CLUSTERS_CTE_PREFIX = f"""
     WITH RECURSIVE {_SQL_SHINGLES},
     sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
     kept AS (
@@ -150,6 +156,8 @@ TEMPORAL_ORACLE_SQL: dict[str, str] = {
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
     ),
     comp AS (SELECT a AS node, least(a, min(b)) AS keep FROM reach GROUP BY a)
+"""
+
+TEMPORAL_ORACLE_SQL["dedup_clusters"] = f"""{SQL_CLUSTERS_CTE_PREFIX}
     SELECT d.doc_id, coalesce(c.keep, d.doc_id) AS keep_id
-    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""",
-}
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""

@@ -186,3 +186,29 @@ def test_weighted_sample_is_scan_level_filter(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure projection+filter, no shuffle
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """The property the operator exists for: near-dup cluster members can
+    NEVER straddle splits — and the fixture is built so a plain per-doc
+    hash split WOULD straddle them (ids 0..3 hash to different nibbles)."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], ["doc_id", "text"]
+    )
+    # one 4-doc cluster (chained pairs) + one 2-doc cluster
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (7, 8)], ["id_a", "id_b"]
+    )
+    out = {r.doc_id: r for r in sampling.leakage_safe_split(docs, pairs).collect()}
+    assert len(out) == 10
+    assert {out[i].keep_id for i in (0, 1, 2, 3)} == {0}
+    assert {out[i].split for i in (0, 1, 2, 3)} == {out[0].split}
+    assert {out[i].keep_id for i in (7, 8)} == {7}
+    assert out[7].split == out[8].split
+    # singletons keep their own id and the plain hash assignment
+    plain = {r.doc_id: r.split for r in sampling.hash_split(docs).collect()}
+    for i in (4, 5, 6, 9):
+        assert out[i].keep_id == i and out[i].split == plain[i]
+    # the fixture is non-trivial: a per-doc split WOULD have straddled
+    # the 4-doc cluster
+    assert len({plain[i] for i in (0, 1, 2, 3)}) > 1
