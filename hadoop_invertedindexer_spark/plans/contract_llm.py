@@ -61,12 +61,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: hyperplane LSH; exact-cosine verify in tests.
-
-    The synthetic embeddings are near-orthogonal (max real cosine ~0.5),
-    so the contract run uses the threshold/bits where the data actually
-    has pairs; the 0.95-threshold behavior is covered by planted-dup
-    fixtures in tests/test_dedup.py."""
+    """Hyperplane-bucketed embedding near-dup pairs + exact cosine
+    verify. Oracle-paired the same way as similarity_lsh: the 12
+    hyperplanes are identical literal constants in both plans, so bucket
+    signs and rounded cosines hash-match. The synthetic embeddings are
+    near-orthogonal (max real cosine ~0.5), so the contract run uses the
+    threshold/bits where the data actually has pairs; the 0.95-threshold
+    behavior is covered by planted-dup fixtures in tests/test_dedup.py."""
     return dedup.embedding_near_dup_pairs(
         _emb(spark, sf_dir), threshold=0.5, nbits=12
     )
@@ -85,7 +86,11 @@ def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF probe path; recall-vs-bruteforce in tests."""
+    """IVF probe path; recall-vs-bruteforce in tests. Oracle-paired: the
+    sampled centroids are corpus rows and every cosine is the same
+    sequential double fold in both engines, so nearest-centroid
+    assignment, the nprobe probe set, and the final rounded top-k all
+    hash-match."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
@@ -108,14 +113,20 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: hyperplane-bucketed ANN (the projection-only scale path
-    next to IVF); planted-cluster recall in tests/test_similarity.py.
-    nbits=4 so the near-orthogonal synthetic vectors still collide."""
+    """Hyperplane-bucketed ANN (the projection-only scale path next to
+    IVF); planted-cluster recall in tests/test_similarity.py. nbits=4 so
+    the near-orthogonal synthetic vectors still collide. Fully
+    oracle-paired: the hyperplanes are literal constants in BOTH plans —
+    the oracle SQL embeds the identical floats, and sequential double
+    summation (list_sum / F.aggregate fold) is bit-identical across
+    engines, so bucket signs, candidates, and rounded cosines all
+    hash-match. dim pinned to 64 (the testdata embedding width) so the
+    embedded literals agree with the probe-free Spark plan."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return similarity.cosine_topk_lsh(emb, queries, k=10, nbits=4)
+    return similarity.cosine_topk_lsh(emb, queries, k=10, nbits=4, dim=64)
 
 
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,6 +392,21 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
+def _sql_lsh_sig(vec: str, dim: int, nbits: int, seed: int) -> str:
+    """The EXACT hyperplane signature the Spark plan computes, restated
+    with the same float constants embedded as SQL literals (repr
+    round-trips to the identical double in both parsers; sequential
+    double summation is bit-identical, so the sign bits match)."""
+    from hadoop_invertedindexer_spark.operators.dedup import _hyperplanes
+
+    parts = []
+    for plane in _hyperplanes(dim, nbits, seed):
+        lits = ", ".join(repr(x) for x in plane)
+        dot = _SQL_DOT.format(a=vec, b=f"[{lits}]")
+        parts.append(f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(parts)
+
+
 # geometry of the synthesized SBM1/SVD1 media payloads — the SQL
 # restatement of media_codec.synth_params(doc_id, octet_length(text))
 _SQL_MEDIA_GEOM = """
@@ -525,6 +551,101 @@ LLM_ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, md5(text) AS digest,
                octet_length(encode(text))::BIGINT AS n_bytes
         FROM documents""",
+    # IVF: every-50th-id centroids, nearest-centroid assignment (rn=1),
+    # nprobe=4 probe buckets per query, exact rounded cosine inside the
+    # probed buckets — lockstep with q_similarity_ivf /
+    # similarity.cosine_topk_ivf (unrounded sims order identically:
+    # bit-identical doubles from the same sequential fold)
+    "similarity_ivf": f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id % 50 = 0),
+        assigned AS (
+            SELECT id, v, nrm, cid FROM (
+                SELECT e.vec_id AS id, e.embedding AS v,
+                       sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                           AS nrm,
+                       c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents c) t
+            WHERE rn = 1),
+        probes AS (
+            SELECT qid, qv, qnrm, cid FROM (
+                SELECT e.vec_id AS qid, e.embedding AS qv,
+                       sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                           AS qnrm,
+                       c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents c
+                WHERE e.vec_id % 100 = 0) t
+            WHERE rn <= 4),
+        scored AS (
+            SELECT p.qid, a.id AS vec_id,
+                   round({_SQL_DOT.format(a='p.qv', b='a.v')}
+                         / (p.qnrm * a.nrm), 6) AS cosine
+            FROM probes p JOIN assigned a USING (cid)
+            WHERE p.qid <> a.id)
+        SELECT qid, vec_id, cosine, rank FROM (
+            SELECT qid, vec_id, cosine,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, vec_id)::BIGINT
+                       AS rank
+            FROM scored) t
+        WHERE rank <= 10""",
+    # single-table hyperplane bucketing + exact verify (nbits=12, seed 42,
+    # dim=64, threshold on the ROUNDED cosine — lockstep with
+    # q_dedup_embedding / dedup.embedding_near_dup_pairs)
+    "dedup_embedding": f"""
+        WITH sig AS (
+            SELECT vec_id AS id, embedding AS v,
+                   {_sql_lsh_sig('embedding', 64, 12, 42)} AS bucket
+            FROM embeddings)
+        SELECT id_a, id_b, cosine FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round({_sql_cosine('a.v', 'b.v')}, 6) AS cosine
+            FROM sig a JOIN sig b
+              ON a.bucket = b.bucket AND a.id < b.id) t
+        WHERE cosine >= 0.5""",
+    # multi-table hyperplane LSH with the planes as shared literal
+    # constants (seeds 42 + 1000*t, t in 0..2; nbits=4, dim=64 — keep in
+    # lockstep with q_similarity_lsh and similarity._lsh_tables)
+    "similarity_lsh": f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   sqrt({_SQL_DOT.format(a='embedding', b='embedding')}) AS nrm,
+                   [{_sql_lsh_sig('embedding', 64, 4, 42)},
+                    {_sql_lsh_sig('embedding', 64, 4, 1042)},
+                    {_sql_lsh_sig('embedding', 64, 4, 2042)}] AS sigs
+            FROM embeddings),
+        banded AS (
+            SELECT vec_id, embedding, nrm,
+                   unnest([0, 1, 2]) AS t, unnest(sigs) AS b
+            FROM sig),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id
+            FROM banded q JOIN banded c
+              ON q.t = c.t AND q.b = c.b AND q.vec_id <> c.vec_id
+            WHERE q.vec_id % 100 = 0),
+        scored AS (
+            SELECT cand.qid, cand.vec_id,
+                   round({_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+                         / (q.nrm * c.nrm), 6) AS cosine
+            FROM cand
+            JOIN sig q ON q.vec_id = cand.qid
+            JOIN sig c ON c.vec_id = cand.vec_id)
+        SELECT qid, vec_id, cosine, rank FROM (
+            SELECT qid, vec_id, cosine,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, vec_id)::BIGINT
+                       AS rank
+            FROM scored) t
+        WHERE rank <= 10""",
     # the three real-codec oracles restate media_codec.synth_params in SQL
     # (11 = container header length) — keep in lockstep with
     # functions/media_codec.py
