@@ -56,7 +56,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: pandas-UDF fingerprint; see tests/test_dedup.py."""
+    """SimHash near-dup pairs. Oracle-paired despite the pandas-UDF
+    fingerprint: the fingerprint math is md5-derived bit votes, and md5 +
+    two's-complement popcount are engine-portable, so the oracle restates
+    the whole pipeline (votes -> signed fp -> pigeonhole bands ->
+    hamming) in SQL and hash-matches it. Fixtures in tests/test_dedup.py."""
     return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
@@ -392,6 +396,65 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
+def _sql_simhash_pairs(max_hamming: int = 3) -> str:
+    """The EXACT SimHash near-dup pipeline in SQL: per-token md5-derived
+    ±1 bit votes (tf-weighted — every occurrence votes), 64 majority
+    bits folded into a signed two's-complement BIGINT, pigeonhole
+    16-bit band candidates, bit_count(xor) hamming verify. md5 and
+    two's-complement popcount are engine-portable, so the pandas-UDF
+    fingerprint path is value-hash-checked end-to-end. Bit i counts
+    from the MSB (exponent 63-i), matching numpy unpackbits order in
+    dedup._simhash64."""
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN (('0x' || substr(h, {2 * (i // 8) + 1}, 2))::INT "
+        f">> {7 - i % 8}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << (63 - i)} ELSE 0 END)"
+        for i in range(1, 64)
+    )
+    fp = (
+        "(CASE WHEN v0 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END) + "
+        + fp_terms
+    )
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    piece_exprs = []
+    for bi in range(nbands):
+        terms = " + ".join(
+            f"(CASE WHEN v{63 - (bi * width + e)} > 0 THEN {1 << e} ELSE 0 END)"
+            for e in range(width)
+        )
+        piece_exprs.append(f"({terms})")
+    pieces = ", ".join(piece_exprs)
+    bands = ", ".join(str(b) for b in range(nbands))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS t
+            FROM documents),
+        hx AS (SELECT doc_id, md5(t) AS h FROM toks),
+        votes AS (
+            SELECT doc_id,
+                   {votes}
+            FROM hx GROUP BY doc_id),
+        fps AS (
+            SELECT doc_id AS id, {fp} AS fp, [{pieces}] AS pieces
+            FROM votes),
+        banded AS (
+            SELECT id, fp, unnest([{bands}]) AS band, unnest(pieces) AS piece
+            FROM fps),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                            a.fp AS fp_a, b.fp AS fp_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.piece = b.piece AND a.id < b.id)
+        SELECT id_a, id_b, hamming FROM (
+            SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
+            FROM cand) t
+        WHERE hamming <= {max_hamming}"""
+
+
 def _sql_lsh_sig(vec: str, dim: int, nbits: int, seed: int) -> str:
     """The EXACT hyperplane signature the Spark plan computes, restated
     with the same float constants embedded as SQL literals (repr
@@ -551,6 +614,7 @@ LLM_ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, md5(text) AS digest,
                octet_length(encode(text))::BIGINT AS n_bytes
         FROM documents""",
+    "dedup_simhash": _sql_simhash_pairs(max_hamming=3),
     # IVF: every-50th-id centroids, nearest-centroid assignment (rn=1),
     # nprobe=4 probe buckets per query, exact rounded cosine inside the
     # probed buckets — lockstep with q_similarity_ivf /
