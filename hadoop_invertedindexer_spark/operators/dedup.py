@@ -223,6 +223,7 @@ def minhash_signatures(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_perm]) — min over shingles of
     ``xxhash64(shingle_hash, seed_i)`` per permutation. 64 parallel min
@@ -231,16 +232,37 @@ def minhash_signatures(
     pre-hash before anything shuffles: the distinct and groupBy exchanges
     move 8-byte keys, and the num_perm per-permutation hashes each run
     over a long instead of re-hashing the full string (double hashing is
-    still uniform, which is all MinHash needs)."""
+    still uniform, which is all MinHash needs).
+
+    ``portable=True`` swaps the per-permutation hash for the md5-60-bit
+    construction (``conv(substr(md5(seed|shingle), 1, 15), 16, 10)``)
+    that DuckDB reproduces bit-for-bit — the oracle-checkable twin of
+    the xxhash64 scale path (md5 is ~3x the hash cost and the shuffle
+    keys stay strings; use it to VERIFY the algorithm, not to run it)."""
     sh = (
         _spread(docs, id_col)
         .select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("sh"))
-        .select("id", F.xxhash64("sh").alias("shh"))
-        .distinct()
     )
-    mins = [
-        F.min(F.xxhash64(F.col("shh"), F.lit(i))).alias(f"m{i}") for i in range(num_perm)
-    ]
+    if portable:
+        sh = sh.distinct()
+        mins = [
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.lit(str(i)), F.col("sh"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+            ).alias(f"m{i}")
+            for i in range(num_perm)
+        ]
+    else:
+        sh = sh.select("id", F.xxhash64("sh").alias("shh")).distinct()
+        mins = [
+            F.min(F.xxhash64(F.col("shh"), F.lit(i))).alias(f"m{i}")
+            for i in range(num_perm)
+        ]
     sig = sh.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
@@ -253,6 +275,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """Banded-LSH candidate pairs + signature-estimated Jaccard.
 
@@ -260,13 +283,31 @@ def minhash_lsh_pairs(
     jaccard s is 1-(1-s^4)^16 (S-curve knee ≈ 0.5). Candidates come from
     an equi-join on (band index, band hash) — bucket sizes, not n², bound
     the work. Estimated jaccard = fraction of equal signature positions.
+    ``portable=True`` uses the md5-based signatures and a raw
+    concatenated band key, making the entire pipeline reproducible in
+    ANSI SQL (the oracle twin — see :func:`minhash_signatures`).
     """
     rows_per_band = num_perm // bands
     # persist: the banded self-join reads the signatures from both sides
     # and Spark will not reuse the (expensive) signature subplan otherwise.
     # At corpus scale, signatures would be written to a parquet stage
     # instead — same idea, durable form.
-    sig = minhash_signatures(docs, num_perm, n, id_col, text_col).persist()
+    sig = minhash_signatures(
+        docs, num_perm, n, id_col, text_col, portable=portable
+    ).persist()
+
+    def band_key(bi):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        # the fast path hashes the band to an 8-byte join key; the
+        # portable path keeps the raw string (SQL-reproducible)
+        return joined if portable else F.xxhash64(joined)
+
     # the candidate join carries IDs ONLY: at high duplicate density every
     # true pair collides in ~all bands, so the pre-dedup candidate stream
     # is (pairs x bands) rows — shipping both 64-long signature arrays
@@ -278,18 +319,7 @@ def minhash_lsh_pairs(
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bh"),
-                ),
+                lambda bi: F.struct(bi.alias("band"), band_key(bi).alias("bh")),
             )
         ).alias("b"),
     ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))

@@ -55,6 +55,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with the md5-60-bit portable hash — the
+    oracle-checkable twin of dedup_minhash: identical banding, candidate
+    generation, and estimate formula, but every hash is reproducible in
+    ANSI SQL, so the driver value-checks the ALGORITHM end-to-end while
+    the xxhash64 variant stays the scale path (rows-only, inherent)."""
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, portable=True
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs. Oracle-paired despite the pandas-UDF
     fingerprint: the fingerprint math is md5-derived bit votes, and md5 +
@@ -310,6 +321,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_minhash_portable": q_dedup_minhash_portable,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "decontaminate": q_decontaminate,
@@ -614,6 +626,36 @@ LLM_ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, md5(text) AS digest,
                octet_length(encode(text))::BIGINT AS n_bytes
         FROM documents""",
+    # md5-60bit portable MinHash twin: same shingles as the jaccard
+    # oracle, min per permutation of the hash_uniform60 construction
+    # (proven portable by the weighted_sample oracle), raw concatenated
+    # band keys, positional-equality estimate
+    "dedup_minhash_portable": f"""
+        WITH {_SQL_SHINGLES},
+        sigs AS (
+            SELECT id, [{", ".join(
+                f"min(('0x' || substr(md5('{i}|' || sh), 1, 15))::BIGINT)"
+                for i in range(64))}] AS sig
+            FROM shingles GROUP BY id),
+        banded AS (
+            SELECT id, sig,
+                   unnest([{", ".join(str(b) for b in range(16))}]) AS band,
+                   unnest([{", ".join(
+                       f"array_to_string(sig[{4 * b + 1}:{4 * b + 4}], ',')"
+                       for b in range(16))}]) AS bh
+            FROM sigs),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                            a.sig AS sa, b.sig AS sb
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
+        SELECT id_a, id_b, est_jaccard FROM (
+            SELECT id_a, id_b,
+                   round(list_sum(list_transform(list_zip(sa, sb),
+                                                 x -> (x[1] = x[2])::INT))
+                         / 64.0, 6) AS est_jaccard
+            FROM cand) t
+        WHERE est_jaccard >= 0.5""",
     "dedup_simhash": _sql_simhash_pairs(max_hamming=3),
     # IVF: every-50th-id centroids, nearest-centroid assignment (rn=1),
     # nprobe=4 probe buckets per query, exact rounded cosine inside the
