@@ -168,6 +168,10 @@ def test_all_oracle_queries_stay_jvm_side(spark):
         "multimodal_decode",
         "multimodal_resize",
         "multimodal_frames",
+        # the documented pandas-UDF exception (64-way bit vote), now
+        # oracle-paired via the md5 bit-vote SQL restatement — Python
+        # by design, value-checked end-to-end
+        "dedup_simhash",
     }
     offenders = []
     for name in sorted(qs):
