@@ -94,6 +94,15 @@ def check_regressions(
     ]
 
 
+def missing_from_timings(
+    timings: dict[str, float], baseline: dict[str, float]
+) -> list[str]:
+    """Baseline queries that produced no timing this run. A query that
+    errors out or gets dropped from HEADLINE must not silently pass
+    ``--check`` while its baseline entry still exists."""
+    return sorted(set(baseline) - set(timings))
+
+
 def main() -> None:
     repeats = 1
     do_check = "--check" in sys.argv
@@ -105,7 +114,12 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="hii-bench")
+    # No \r progress frames on stdout/stderr: the driver tail-captures this
+    # process's output and the frames polluted the r3/r4 tails.
+    spark = get_spark(
+        app_name="hii-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
@@ -158,14 +172,18 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # attach the committed offline scale-soak measurements (10x of sf0.1,
-    # tools/scale_soak.py — too long to run inside the per-round bench)
-    scale_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "scale_results_r4.json"
+    # The offline scale-soak measurements (tools/scale_soak.py — too long
+    # to run inside the per-round bench) live in committed files; stdout
+    # carries only their NAMES. Round-4 lesson: inlining the blob made the
+    # single JSON line overflow the driver's tail capture (BENCH_r04.json
+    # ended up with parsed:null), so the stdout line must stay compact.
+    here = os.path.dirname(os.path.abspath(__file__))
+    scale_files = sorted(
+        f for f in os.listdir(here)
+        if f.startswith("scale_results_") and f.endswith(".json")
     )
-    if os.path.exists(scale_path):
-        with open(scale_path) as fh:
-            payload["scale"] = json.load(fh)
+    if scale_files:
+        payload["scale_results_files"] = scale_files
     print(json.dumps(payload))
     spark.stop()
 
@@ -191,6 +209,14 @@ def main() -> None:
                 f"{base[name]:.3f}s (>{REGRESSION_FACTOR}x)",
                 file=sys.stderr,
             )
+        missing = missing_from_timings(timings, base)
+        for name in missing:
+            print(
+                f"MISSING {name}: in baseline but produced no timing "
+                "(errored or dropped from HEADLINE) — treated as a failure",
+                file=sys.stderr,
+            )
+        regressed = regressed + missing
         if regressed:
             if len(regressed) > len(timings) // 2:
                 print(

@@ -22,6 +22,15 @@ def test_zero_baseline_never_divides():
     assert bench.check_regressions({"q": 5.0}, {"q": 0.0}) == []
 
 
+def test_missing_baseline_keys_are_reported():
+    base = {"q1": 1.0, "q2": 2.0, "q3": 0.5}
+    timings = {"q1": 1.0, "brand_new": 1.0}
+    # q2/q3 errored or were dropped from HEADLINE: --check must not let
+    # them silently pass while their baseline entries still exist
+    assert bench.missing_from_timings(timings, base) == ["q2", "q3"]
+    assert bench.missing_from_timings(base, base) == []
+
+
 def test_committed_baseline_parses_and_covers_headline():
     path = bench.BASELINE_PATH
     assert os.path.exists(path), "bench_baseline.json must be committed"
