@@ -77,8 +77,10 @@ def decode_media(payload: bytes) -> np.ndarray:
 
 def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize of every frame: (f, h, w, c) -> (f, height,
-    width, c). Same index arithmetic PIL's NEAREST uses (floor of the
-    center-less source grid)."""
+    width, c). Plain floor-scaled nearest neighbor: source index
+    floor(i*src/dst), clamped. (Not PIL-equivalent — PIL NEAREST samples
+    pixel centers; this codec is self-consistent and its oracles check
+    geometry, so the simpler arithmetic is the contract.)"""
     _, src_h, src_w, _ = pixels.shape
     rows = np.minimum((np.arange(height) * src_h) // height, src_h - 1)
     cols = np.minimum((np.arange(width) * src_w) // width, src_w - 1)

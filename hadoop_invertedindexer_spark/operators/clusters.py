@@ -22,11 +22,25 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    fixed_iters: int | None = None,
 ) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
     ``edges`` is undirected input (each pair once is fine).
+
+    ``fixed_iters`` switches to a fixed-round schedule: run exactly that
+    many label-propagation rounds with NO per-iteration convergence probe
+    — the ``limit(1).count()`` early-exit check is a driver action (a job
+    barrier) per round, and when the cluster diameter bound is known
+    (near-dup chains are short) the probe only adds latency. This is the
+    schedule the recursive-CTE oracle assumes; correctness needs
+    ``fixed_iters >= diameter`` (hash-min propagates the min label one
+    hop per round).
     """
+    if fixed_iters is not None:
+        if fixed_iters < 1:
+            raise ValueError(f"fixed_iters must be >= 1, got {fixed_iters}")
+        max_iter = fixed_iters
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -51,24 +65,33 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        if fixed_iters is None:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels
 
 
-def dedup_clusters(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    fixed_iters: int | None = None,
+) -> DataFrame:
     """Resolve near-dup pairs into (doc_id, keep_id): every doc maps to the
     canonical (min-id) member of its near-dup cluster; singletons map to
-    themselves."""
-    comps = connected_components(pairs)
+    themselves. ``fixed_iters`` passes through to
+    :func:`connected_components` (barrier-free fixed-round schedule)."""
+    comps = connected_components(pairs, fixed_iters=fixed_iters)
     return (
         docs.select(F.col(id_col))
         .join(comps, docs[id_col] == comps.node, "left")

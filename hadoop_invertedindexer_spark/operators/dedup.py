@@ -510,6 +510,7 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs via random-hyperplane LSH + exact verify.
 
@@ -518,8 +519,9 @@ def embedding_near_dup_pairs(
     prob for angle θ is (1-θ/π)^nbits — tight buckets at 0.95+ cosine.
     All candidate math is built-in expressions (no UDF): the hyperplanes
     enter the plan as a literal array constant (via :func:`lsh_bucket`).
+    Pass ``dim`` to skip the first-row driver probe (hot paths should).
     """
-    dim = vector_dim(emb, vec_col)
+    dim = vector_dim(emb, vec_col, dim)
     bucketed = (
         _spread(emb, id_col)
         .select(

@@ -50,8 +50,11 @@ def pagerank(
     cadence 3 ≈ 8.9-10.5 s — a consistent ~10-20% cut from halving the
     barrier count, flat beyond 2. Cadence 2 is the default: most of the
     win with a comfortable margin from the plan-growth cliff at wider
-    graphs.
+    graphs. Must be >= 1 (0 would divide by zero at the cadence check;
+    negatives would silently skip every intermediate checkpoint).
     """
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     # materialize the deduped edge list once: every iteration joins it
     # twice, and without the checkpoint the caller's whole edge
     # derivation (e.g. a fact-table join) re-runs per round — measured

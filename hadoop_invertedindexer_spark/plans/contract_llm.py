@@ -84,7 +84,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold/bits where the data actually has pairs; the 0.95-threshold
     behavior is covered by planted-dup fixtures in tests/test_dedup.py."""
     return dedup.embedding_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.5, nbits=12
+        _emb(spark, sf_dir), threshold=0.5, nbits=12, dim=64
     )
 
 

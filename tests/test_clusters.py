@@ -32,3 +32,31 @@ def test_components_handle_cycles(spark):
     )
     comps = {r.node: r.comp for r in connected_components(edges).collect()}
     assert set(comps.values()) == {1}
+
+
+def test_fixed_round_schedule_matches_probed(spark):
+    # fixed_iters >= diameter must give the identical labelling with zero
+    # per-iteration driver probes; the chain 1-2-3-4-5 has diameter 4
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (5, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    probed = {r.node: r.comp for r in connected_components(edges).collect()}
+    fixed = {
+        r.node: r.comp
+        for r in connected_components(edges, fixed_iters=4).collect()
+    }
+    assert fixed == probed
+    with pytest.raises(ValueError):
+        connected_components(edges, fixed_iters=0)
+
+
+def test_pagerank_validates_checkpoint_cadence(spark):
+    import pytest
+
+    from hadoop_invertedindexer_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        pagerank(edges, checkpoint_every=0)
