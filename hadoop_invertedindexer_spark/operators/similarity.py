@@ -261,7 +261,24 @@ def cosine_topk_lsh(
         _norm(F.col(qvec_col)).alias("_qnorm"),
         _lsh_tables(qvec_col, dim, nbits, ntables, seed).alias("_table", "_bucket"),
     )
-    candidates = c.join(F.broadcast(q), ["_table", "_bucket"])
+    return _lsh_topk_from_candidates(
+        c.join(F.broadcast(q), ["_table", "_bucket"]),
+        k, id_col, vec_col, qid_col, qvec_col, exclude_self,
+    )
+
+
+def _lsh_topk_from_candidates(
+    candidates: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Score-and-rank tail shared by the in-memory LSH path and the
+    persisted-index path: dedup multi-table collisions, exact cosine from
+    the precomputed norms, per-query window top-k."""
     if exclude_self:
         candidates = candidates.where(F.col(qid_col) != F.col(id_col))
     # a pair colliding in several tables must score once, not ntables×
@@ -279,6 +296,108 @@ def cosine_topk_lsh(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
+    )
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    nbits: int = 8,
+    ntables: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Materialize the multi-table LSH index: per-vector signatures written
+    *partitioned by (_table, _bucket)* plus a one-row params table pinning
+    (dim, nbits, ntables, seed) so queries regenerate the identical
+    hyperplane constants. The signature pass runs once at build time; at
+    query time the bucket join hits the partition columns, so dynamic
+    partition pruning reads only the collided bucket directories —
+    ntables·|distinct query buckets| dirs, never the whole corpus. The
+    IVF counterpart is :func:`build_ivf_index`; unlike IVF there is no
+    centroid model, so incremental corpus batches can append their
+    signatures without touching existing buckets.
+
+    The bucket key is stored with a ``b`` prefix: partition directory
+    values round-trip through path strings and Spark would otherwise
+    infer all-digit sign patterns ('0101') back as integers, corrupting
+    the equi-join key.
+    """
+    dim = vector_dim(corpus, vec_col, dim)
+    signed = corpus.select(
+        id_col,
+        vec_col,
+        _norm(F.col(vec_col)).alias("_cnorm"),
+        _lsh_tables(vec_col, dim, nbits, ntables, seed).alias("_table", "_bucket"),
+    ).withColumn("_bucket", F.concat(F.lit("b"), F.col("_bucket")))
+    signed.write.mode("overwrite").partitionBy("_table", "_bucket").parquet(
+        f"{path}/signatures"
+    )
+    params = corpus.sparkSession.createDataFrame(
+        [(dim, nbits, ntables, seed)], "dim int, nbits int, ntables int, seed int"
+    )
+    params.write.mode("overwrite").parquet(f"{path}/params")
+
+
+def append_lsh_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new corpus batch's signatures to a persisted LSH index —
+    the daily-ingest path: sign the batch with the index's pinned params
+    and append into the same bucket layout. No existing data is read or
+    rewritten (signatures are pure per-row projections, unlike IVF
+    centroids), so the cost is O(batch) regardless of index size."""
+    spark = batch.sparkSession
+    p = spark.read.parquet(f"{path}/params").head()
+    signed = batch.select(
+        id_col,
+        vec_col,
+        _norm(F.col(vec_col)).alias("_cnorm"),
+        _lsh_tables(vec_col, p.dim, p.nbits, p.ntables, p.seed).alias(
+            "_table", "_bucket"
+        ),
+    ).withColumn("_bucket", F.concat(F.lit("b"), F.col("_bucket")))
+    signed.write.mode("append").partitionBy("_table", "_bucket").parquet(
+        f"{path}/signatures"
+    )
+
+
+def query_lsh_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Query a persisted LSH index without re-signing the corpus. Results
+    are identical to :func:`cosine_topk_lsh` over the same corpus and
+    params (proven by test). The query batch is signed with the same
+    literal hyperplanes (params read once — one tiny driver job at query
+    setup, index metadata not data), broadcast, and equi-joined on the
+    partition columns, so the corpus side is a pruned read of the
+    collided bucket directories only."""
+    p = spark.read.parquet(f"{path}/params").head()
+    signed = spark.read.parquet(f"{path}/signatures")
+    q = queries.select(
+        qid_col,
+        qvec_col,
+        _norm(F.col(qvec_col)).alias("_qnorm"),
+        _lsh_tables(qvec_col, p.dim, p.nbits, p.ntables, p.seed).alias(
+            "_table", "_bucket"
+        ),
+    ).withColumn("_bucket", F.concat(F.lit("b"), F.col("_bucket")))
+    return _lsh_topk_from_candidates(
+        signed.join(F.broadcast(q), ["_table", "_bucket"]),
+        k, id_col, vec_col, qid_col, qvec_col, exclude_self,
     )
 
 

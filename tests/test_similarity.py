@@ -285,3 +285,50 @@ def test_quantization_tiny_vector_scale_is_consistent_divisor(spark):
     assert tiny.scale >= 1e-30
     for orig, deq in zip([1e-28, 5e-29], tiny.embedding):
         assert abs(orig - deq) <= tiny.scale / 2 * 1.01, (orig, deq, tiny.scale)
+
+
+def test_persisted_lsh_index_matches_inmemory_and_prunes(spark, sf_dir, tmp_path):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    path = str(tmp_path / "lsh")
+    similarity.build_lsh_index(emb, path, nbits=4, ntables=3, dim=64)
+
+    direct = similarity.cosine_topk_lsh(emb, queries, k=5, nbits=4, ntables=3, dim=64)
+    disk = similarity.query_lsh_index(spark, path, queries, k=5)
+    canon = lambda df: sorted(map(tuple, df.toPandas().sort_index(axis=1).values.tolist()))  # noqa: E731
+    assert canon(disk) == canon(direct)
+
+    # the bucket join must prune partitions dynamically: only the bucket
+    # dirs the broadcast query side collides with are read
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "_cnorm" in ln
+    )
+    assert "dynamicpruning" in scan.lower()
+
+
+def test_lsh_index_append_matches_rebuild(spark, sf_dir, tmp_path):
+    """Daily-ingest path: build from 90% of the corpus, append the other
+    10% — queries against the appended index must equal queries against
+    an index built from the full corpus in one shot."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 10 != 0)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    inc_path = str(tmp_path / "lsh_inc")
+    similarity.build_lsh_index(old, inc_path, nbits=4, ntables=2, dim=64)
+    similarity.append_lsh_index(batch, inc_path)
+
+    full_path = str(tmp_path / "lsh_full")
+    similarity.build_lsh_index(emb, full_path, nbits=4, ntables=2, dim=64)
+
+    canon = lambda df: sorted(map(tuple, df.toPandas().sort_index(axis=1).values.tolist()))  # noqa: E731
+    inc = similarity.query_lsh_index(spark, inc_path, queries, k=5)
+    full = similarity.query_lsh_index(spark, full_path, queries, k=5)
+    assert canon(inc) == canon(full)
