@@ -269,6 +269,68 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
+def _banded_signatures(
+    sig: DataFrame, bands: int, rows_per_band: int, portable: bool
+) -> DataFrame:
+    """(id, band, bh) banded LSH keys from a (id, sig) signature frame.
+    The fast path hashes each band to an 8-byte join key; the portable
+    path keeps the raw comma-joined string (SQL-reproducible). Single
+    source of truth for the band-key encoding — shared by the in-memory
+    pair search and the persisted-index incremental path, so index and
+    batch always agree."""
+
+    def band_key(bi):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return joined if portable else F.xxhash64(joined)
+
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(bi.alias("band"), band_key(bi).alias("bh")),
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
+def _estimate_pairs(
+    cand: DataFrame, sigs: DataFrame, num_perm: int, threshold: float
+) -> DataFrame:
+    """Attach signatures to unique candidate pairs and keep those whose
+    positional-equality Jaccard estimate clears the threshold."""
+    cand = (
+        cand.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+            )
+        )
+        / F.lit(float(num_perm)),
+        6,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_perm: int = 64,
@@ -293,38 +355,18 @@ def minhash_lsh_pairs(
     # persist: the banded self-join reads the signatures from both sides
     # and Spark will not reuse the (expensive) signature subplan otherwise.
     # At corpus scale, signatures would be written to a parquet stage
-    # instead — same idea, durable form.
+    # instead — exactly what build_minhash_index does.
     sig = minhash_signatures(
         docs, num_perm, n, id_col, text_col, portable=portable
     ).persist()
-
-    def band_key(bi):
-        joined = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-        )
-        # the fast path hashes the band to an 8-byte join key; the
-        # portable path keeps the raw string (SQL-reproducible)
-        return joined if portable else F.xxhash64(joined)
-
     # the candidate join carries IDs ONLY: at high duplicate density every
     # true pair collides in ~all bands, so the pre-dedup candidate stream
     # is (pairs x bands) rows — shipping both 64-long signature arrays
     # through it multiplies shuffle bytes ~16x (measured on the 10x scale
     # soak, where candidates hit 3.3M). Signatures re-attach per UNIQUE
-    # pair below, after dropDuplicates has collapsed the band fanout.
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(bi.alias("band"), band_key(bi).alias("bh")),
-            )
-        ).alias("b"),
-    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    # pair (in _estimate_pairs), after dropDuplicates has collapsed the
+    # band fanout.
+    banded = _banded_signatures(sig, bands, rows_per_band, portable)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -335,23 +377,120 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
-        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
-            )
-        )
-        / F.lit(float(num_perm)),
-        6,
+    return _estimate_pairs(cand, sig, num_perm, threshold)
+
+
+# ------------------------------------------- persisted MinHash index
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> None:
+    """Materialize the MinHash-LSH state for incremental near-dup dedup:
+    per-doc signatures, their banded join keys, and a one-row params
+    table pinning (num_perm, bands, n, portable) so batches always hash
+    identically to the index. This is the durable form of the persist()
+    inside :func:`minhash_lsh_pairs` — at 100 TB the signature pass over
+    the corpus runs ONCE here, and every daily batch afterwards pays
+    only O(batch) signature work plus a join against these tables
+    (:func:`minhash_index_pairs`), never a corpus rescan. Same tier
+    pattern as streaming/index_maintenance.py and the IVF/LSH ANN
+    indexes in operators/similarity.py."""
+    sig = minhash_signatures(
+        docs, num_perm, n, id_col, text_col, portable=portable
+    ).persist()  # feeds both writes below
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    _banded_signatures(sig, bands, num_perm // bands, portable).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/banded")
+    docs.sparkSession.createDataFrame(
+        [(num_perm, bands, n, portable)],
+        "num_perm int, bands int, n int, portable boolean",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+    sig.unpersist()
+
+
+def append_minhash_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a new batch's signatures + banded keys to a persisted
+    MinHash index (the admit step after :func:`minhash_index_pairs` has
+    flagged the batch's near-dups). Signatures are per-doc projections,
+    so nothing existing is read or rewritten — O(batch) regardless of
+    index size."""
+    spark = new_docs.sparkSession
+    p = spark.read.parquet(f"{path}/params").head()
+    sig = minhash_signatures(
+        new_docs, p.num_perm, p.n, id_col, text_col, portable=p.portable
+    ).persist()
+    sig.write.mode("append").parquet(f"{path}/signatures")
+    _banded_signatures(sig, p.bands, p.num_perm // p.bands, p.portable).write.mode(
+        "append"
+    ).parquet(f"{path}/banded")
+    sig.unpersist()
+
+
+def minhash_index_pairs(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs touching a new batch, against a persisted MinHash
+    index — the incremental twin of :func:`minhash_lsh_pairs`: batch
+    signatures are computed fresh (O(batch)), candidates are the union of
+    batch-vs-index band collisions and batch-internal ones, and the
+    estimate formula is identical — so the result equals the full
+    rebuild's pairs restricted to pairs with >= 1 batch member (proven by
+    test, and by the SQL oracle of the portable contract twin).
+
+    Scale shape: the batch's banded keys BROADCAST to the index side, so
+    the (huge) index banded table never shuffles — each index partition
+    is scanned once, hashes the tiny batch table, and emits only
+    collisions. Ids must be unique across index and batch (same contract
+    as dedup_incremental). Output: (id_a, id_b, est_jaccard), a < b."""
+    p = spark.read.parquet(f"{path}/params").head()
+    idx_sigs = spark.read.parquet(f"{path}/signatures")
+    idx_banded = spark.read.parquet(f"{path}/banded")
+    batch_sig = minhash_signatures(
+        new_docs, p.num_perm, p.n, id_col, text_col, portable=p.portable
+    ).persist()
+    batch_banded = _banded_signatures(
+        batch_sig, p.bands, p.num_perm // p.bands, p.portable
     )
-    return (
-        cand.withColumn("est_jaccard", est)
-        .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+    a, b = idx_banded.alias("a"), F.broadcast(batch_banded).alias("b")
+    cross = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+        F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
     )
+    ba, bb = batch_banded.alias("a"), batch_banded.alias("b")
+    within = ba.join(
+        bb,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    cand = cross.union(within).dropDuplicates(["id_a", "id_b"])
+    sigs_all = idx_sigs.union(batch_sig)
+    return _estimate_pairs(cand, sigs_all, p.num_perm, threshold)
 
 
 # --------------------------------------------------------------- SimHash

@@ -66,6 +66,27 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash near-dup dedup against a persisted signature
+    index (the daily-ingest path): corpus = doc_id % 10 != 0 is indexed
+    once with the portable md5-60bit hashes; the batch = doc_id % 10 == 0
+    is signed fresh (O(batch)) and joined against the index without any
+    corpus rescan. Fully oracle-paired: signatures are per-doc
+    projections, so the result is exactly the full portable pipeline's
+    pairs restricted to pairs with >= 1 batch member — which is what the
+    SQL twin computes."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="mhidx_") + "/mh"
+    dedup.build_minhash_index(
+        d.where(F.col("doc_id") % 10 != 0), path, portable=True
+    )
+    return dedup.minhash_index_pairs(
+        spark, d.where(F.col("doc_id") % 10 == 0), path, threshold=0.5
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs. Oracle-paired despite the pandas-UDF
     fingerprint: the fingerprint math is md5-derived bit votes, and md5 +
@@ -322,6 +343,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_portable": q_dedup_minhash_portable,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "decontaminate": q_decontaminate,
@@ -482,6 +504,39 @@ def _sql_lsh_sig(vec: str, dim: int, nbits: int, seed: int) -> str:
     return " || ".join(parts)
 
 
+def _sql_minhash_portable(cand_filter: str = "") -> str:
+    """The portable (md5-60bit) MinHash-LSH pipeline in SQL: signatures,
+    16 raw-string band keys, distinct candidate pairs, positional-equality
+    estimate. ``cand_filter`` is appended to the candidate join condition
+    — the incremental twin restricts to pairs touching the batch ids."""
+    return f"""
+        WITH {_SQL_SHINGLES},
+        sigs AS (
+            SELECT id, [{", ".join(
+                f"min(('0x' || substr(md5('{i}|' || sh), 1, 15))::BIGINT)"
+                for i in range(64))}] AS sig
+            FROM shingles GROUP BY id),
+        banded AS (
+            SELECT id, sig,
+                   unnest([{", ".join(str(b) for b in range(16))}]) AS band,
+                   unnest([{", ".join(
+                       f"array_to_string(sig[{4 * b + 1}:{4 * b + 4}], ',')"
+                       for b in range(16))}]) AS bh
+            FROM sigs),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                            a.sig AS sa, b.sig AS sb
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bh = b.bh AND a.id < b.id{cand_filter})
+        SELECT id_a, id_b, est_jaccard FROM (
+            SELECT id_a, id_b,
+                   round(list_sum(list_transform(list_zip(sa, sb),
+                                                 x -> (x[1] = x[2])::INT))
+                         / 64.0, 6) AS est_jaccard
+            FROM cand) t
+        WHERE est_jaccard >= 0.5"""
+
+
 # geometry of the synthesized SBM1/SVD1 media payloads — the SQL
 # restatement of media_codec.synth_params(doc_id, octet_length(text))
 _SQL_MEDIA_GEOM = """
@@ -630,32 +685,14 @@ LLM_ORACLE_SQL: dict[str, str] = {
     # oracle, min per permutation of the hash_uniform60 construction
     # (proven portable by the weighted_sample oracle), raw concatenated
     # band keys, positional-equality estimate
-    "dedup_minhash_portable": f"""
-        WITH {_SQL_SHINGLES},
-        sigs AS (
-            SELECT id, [{", ".join(
-                f"min(('0x' || substr(md5('{i}|' || sh), 1, 15))::BIGINT)"
-                for i in range(64))}] AS sig
-            FROM shingles GROUP BY id),
-        banded AS (
-            SELECT id, sig,
-                   unnest([{", ".join(str(b) for b in range(16))}]) AS band,
-                   unnest([{", ".join(
-                       f"array_to_string(sig[{4 * b + 1}:{4 * b + 4}], ',')"
-                       for b in range(16))}]) AS bh
-            FROM sigs),
-        cand AS (
-            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-                            a.sig AS sa, b.sig AS sb
-            FROM banded a JOIN banded b
-              ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
-        SELECT id_a, id_b, est_jaccard FROM (
-            SELECT id_a, id_b,
-                   round(list_sum(list_transform(list_zip(sa, sb),
-                                                 x -> (x[1] = x[2])::INT))
-                         / 64.0, 6) AS est_jaccard
-            FROM cand) t
-        WHERE est_jaccard >= 0.5""",
+    "dedup_minhash_portable": _sql_minhash_portable(),
+    # incremental twin: identical pipeline restricted to pairs touching
+    # the batch (doc_id % 10 = 0) — valid because signatures are per-doc
+    # projections, so index-vs-batch candidates = full candidates with
+    # >= 1 batch member (lockstep with dedup.minhash_index_pairs)
+    "dedup_minhash_incremental": _sql_minhash_portable(
+        " AND (a.id % 10 = 0 OR b.id % 10 = 0)"
+    ),
     "dedup_simhash": _sql_simhash_pairs(max_hamming=3),
     # IVF: every-50th-id centroids, nearest-centroid assignment (rn=1),
     # nprobe=4 probe buckets per query, exact rounded cosine inside the

@@ -145,3 +145,73 @@ def test_contamination_clean_train_empty(spark):
     train = spark.createDataFrame([(1, "x y z w")], ["doc_id", "text"])
     evalset = spark.createDataFrame([(2, "p q r s")], ["doc_id", "text"])
     assert dedup.contamination(train, evalset).count() == 0
+
+
+def _pairset(df):
+    return {(r.id_a, r.id_b): r.est_jaccard for r in df.collect()}
+
+
+def test_minhash_index_pairs_match_rebuild(spark, tmp_path):
+    """Incremental batch-vs-index pairs must equal the full rebuild's
+    pairs restricted to pairs with >= 1 batch member — the property that
+    makes daily near-dup dedup affordable without a corpus rescan."""
+    corpus = spark.createDataFrame(
+        [(1, BASE), (2, OTHER), (3, "some unrelated corpus text entirely")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, NEAR),   # near-dup of corpus 1
+            (11, BASE),   # exact dup of corpus 1
+            (12, NEAR),   # exact dup of batch 10 (within-batch pair)
+            (13, "genuinely new content nothing like the others at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "mh")
+    dedup.build_minhash_index(corpus, path, portable=False)
+    inc = _pairset(
+        dedup.minhash_index_pairs(spark, batch, path, threshold=0.3)
+    )
+
+    full = _pairset(
+        dedup.minhash_lsh_pairs(corpus.union(batch), threshold=0.3)
+    )
+    batch_ids = {10, 11, 12, 13}
+    expected = {
+        p: v for p, v in full.items() if p[0] in batch_ids or p[1] in batch_ids
+    }
+    assert inc == expected
+    assert (1, 11) in inc and inc[(1, 11)] == 1.0   # cross exact dup
+    assert (10, 12) in inc and inc[(10, 12)] == 1.0  # within-batch dup
+    assert all(13 not in p for p in inc)
+
+
+def test_minhash_index_append_then_second_batch(spark, tmp_path):
+    """After append_minhash_index admits batch 1, a second batch's pairs
+    against the grown index must equal the rebuild-from-scratch result —
+    replay equivalence across ingest days."""
+    corpus = spark.createDataFrame([(1, BASE), (2, OTHER)], ["doc_id", "text"])
+    day1 = spark.createDataFrame(
+        [(10, "totally novel first day content about gardens and rivers")],
+        ["doc_id", "text"],
+    )
+    day2 = spark.createDataFrame(
+        [
+            (20, NEAR),  # near-dup of corpus 1
+            (21, "totally novel first day content about gardens and rivers"),
+        ],  # exact dup of day1's 10
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "mh2")
+    dedup.build_minhash_index(corpus, path)
+    dedup.append_minhash_index(day1, path)
+    inc = _pairset(dedup.minhash_index_pairs(spark, day2, path, threshold=0.3))
+
+    full = _pairset(
+        dedup.minhash_lsh_pairs(corpus.union(day1).union(day2), threshold=0.3)
+    )
+    expected = {p: v for p, v in full.items() if p[0] in {20, 21} or p[1] in {20, 21}}
+    assert inc == expected
+    assert (10, 21) in inc and inc[(10, 21)] == 1.0
+    assert any(p in inc for p in [(1, 20)])
