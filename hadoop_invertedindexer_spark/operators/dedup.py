@@ -536,23 +536,18 @@ def simhash_fingerprints(
     )
 
 
-def simhash_near_dup_pairs(
-    docs: DataFrame,
-    max_hamming: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Near-dup pairs with hamming(fp_a, fp_b) <= max_hamming.
+def hamming_band_pairs(fps: DataFrame, max_hamming: int) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(fp_a, fp_b) <= max_hamming
+    over a (id, fp: bigint) fingerprint frame.
 
     Candidates via the pigeonhole band trick: split 64 bits into
     (max_hamming+1) bands — any pair within the distance budget must agree
     exactly on >= 1 band, so an equi-join per band finds all of them.
+    Shared by SimHash text near-dup and perceptual media near-dup
+    (operators/multimodal.py) — any 64-bit fingerprint family plugs in.
     """
     nbands = max_hamming + 1
     width = 64 // nbands
-    fps = simhash_fingerprints(
-        _spread(docs, id_col), id_col, text_col
-    ).persist()  # both band-join sides; avoids re-running the pandas UDF
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -585,6 +580,20 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with hamming(fp_a, fp_b) <= max_hamming, via the
+    pigeonhole band join (:func:`hamming_band_pairs`)."""
+    fps = simhash_fingerprints(
+        _spread(docs, id_col), id_col, text_col
+    ).persist()  # both band-join sides; avoids re-running the pandas UDF
+    return hamming_band_pairs(fps, max_hamming)
 
 
 # ------------------------------------------------- embedding near-dup

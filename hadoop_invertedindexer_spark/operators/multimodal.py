@@ -265,6 +265,79 @@ def feature_extract(
     return binary_df.mapInPandas(work, FEATURES_SCHEMA)
 
 
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def media_dedup_exact(binary_df: DataFrame) -> DataFrame:
+    """Exact media dedup: group by a binary-safe md5 of the raw payload,
+    keep the smallest doc_id. Entirely JVM-side over the opaque column —
+    no decode — so at 100 TB this is one shuffle of (16-byte digest, id)
+    while the payload bytes never leave their scan partitions. Same
+    output shape as the text-side :func:`~.dedup.dedup_exact`:
+    (keep_id, n_dups)."""
+    return (
+        binary_df.groupBy(F.md5("payload").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("keep_id", "n_dups")
+    )
+
+
+def media_ahash(binary_df: DataFrame) -> DataFrame:
+    """Perceptual average-hash of frame 0 of each SBM1/SVD1 payload:
+    8x8 floor-scaled nearest-neighbor downsample (the same index
+    arithmetic as ``media_codec.resize_nearest``), per-sample channel
+    SUM as the gray value, then a 64-bit mean-threshold bitmap — bit k
+    (row-major, MSB first) is set iff ``64*g_k > sum(g)``. Keeping the
+    threshold as an integer cross-multiplication (not a fp mean) makes
+    the hash bit-exact across engines, which is what lets the SQL
+    oracle recompute it from the codec's text-cycling geometry.
+
+    Decode runs in the real codec path over ``mapInPandas`` (the
+    documented Python extension point for media, like decode/resize).
+    Output: (doc_id, ahash: bigint signed two's-complement)."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                f0 = media_codec.decode_media(bytes(payload))[0].astype(np.int64)
+                h, w, _ = f0.shape
+                rows = (np.arange(8) * h) // 8
+                cols = (np.arange(8) * w) // 8
+                g = f0[rows[:, None], cols, :].sum(axis=2)  # 8x8 channel sums
+                s = int(g.sum())
+                bits = (64 * g.ravel() > s).astype(np.uint8)
+                fp = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                hashes.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})
+
+    return binary_df.mapInPandas(work, AHASH_SCHEMA)
+
+
+def media_near_dup_pairs(binary_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual media near-dup pairs: payloads whose average-hashes are
+    within ``max_hamming`` bits — catches re-encodes and small pixel
+    edits that defeat the exact payload digest. Candidates via the same
+    pigeonhole band join as SimHash (``dedup.hamming_band_pairs``), so
+    the pair search is a bounded-fanout equi-join, never all-pairs.
+    Output: (id_a, id_b, hamming)."""
+    from hadoop_invertedindexer_spark.operators.dedup import hamming_band_pairs
+
+    fps = (
+        media_ahash(binary_df)
+        .select(F.col("doc_id").alias("id"), F.col("ahash").alias("fp"))
+        .persist()  # both band-join sides; avoids re-decoding payloads
+    )
+    return hamming_band_pairs(fps, max_hamming)
+
+
 def media_metadata_summary(binary_df: DataFrame) -> DataFrame:
     """Metadata-only aggregate over the binary table — must never touch the
     payload column (verify: ReadSchema in .explain excludes it when the

@@ -328,6 +328,41 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup: one shuffle of (md5(payload), doc_id) — the
+    payload column never moves. Oracle-paired without restating md5 over
+    the container bytes: payloads are pure functions of (geometry,
+    text-cycled body), so the SQL twin groups by that identity key
+    (hex-string cycling aligns at byte boundaries)."""
+    return multimodal.media_dedup_exact(
+        multimodal.synthesize_media(_docs(spark, sf_dir))
+    )
+
+
+def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash fingerprints over REAL decoded pixels.
+    Oracle-paired bit-for-bit: the hash is pure integer arithmetic
+    (channel-sum gray, 64*g > sum threshold), and frame-0 pixel (r,c,ch)
+    is text byte ((r*w+c)*ch_n+ch) mod nb by the synthesis geometry, so
+    DuckDB recomputes all 64 bits from doc_id + the hex-encoded text."""
+    return multimodal.media_ahash(
+        multimodal.synthesize_media(_docs(spark, sf_dir))
+    )
+
+
+def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual media near-dup pairs (hamming(ahash) <= 3) via the
+    pigeonhole band join shared with SimHash. Fully oracle-paired: the
+    ahash SQL restatement feeds the same band/piece candidate join and
+    bit_count(xor) verify the SimHash oracle uses. max_hamming=7 (8 bands
+    of 8 bits) so the contract run has a natural pair to value-check (1 at
+    sf0.01; the synthetic corpus plants no media dups — tight-threshold
+    behavior is covered by planted fixtures in tests/test_multimodal.py)."""
+    return multimodal.media_near_dup_pairs(
+        multimodal.synthesize_media(_docs(spark, sf_dir)), max_hamming=7
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (inherent: the pixel histogram over the cycled-byte raster
     has no tractable SQL restatement): real decoded-pixel histogram
@@ -358,6 +393,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "pii_redact": q_pii_redact,
     "repetition_removal": q_repetition_removal,
+    "media_dedup_exact": q_media_dedup_exact,
+    "media_ahash": q_media_ahash,
+    "media_near_dup": q_media_near_dup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_digest": q_multimodal_digest,
     "multimodal_decode": q_multimodal_decode,
@@ -547,6 +585,84 @@ _SQL_MEDIA_GEOM = """
            CASE WHEN doc_id % 5 = 0 THEN 2 + doc_id % 3 ELSE 1 END AS frames
     FROM documents
 """
+
+
+def _sql_media_ahash_ctes() -> str:
+    """CTE chain computing the perceptual average-hash inputs from the
+    codec's text-cycling geometry: frame-0 pixel (r, col, ch) is text
+    byte ((r*w+col)*c+ch) mod nb (media_codec.synth_payload), extracted
+    from the hex encoding (2 chars/byte), channel-summed into the 64
+    floor-scaled 8x8 samples of media_codec.resize_nearest's index
+    arithmetic. Ends with gsum(doc_id, gs BIGINT[64], s) — keep in
+    lockstep with multimodal.media_ahash."""
+    flat = "((((k // 8) * h) // 8) * w + (((k % 8) * w) // 8)) * c + ch"
+    return f"""
+        geom AS ({_SQL_MEDIA_GEOM}),
+        rast AS (
+            SELECT g.doc_id, g.w, g.h, g.c,
+                   CASE WHEN octet_length(encode(d.text)) = 0 THEN '00'
+                        ELSE hex(encode(d.text)) END AS hx,
+                   greatest(octet_length(encode(d.text)), 1) AS nb
+            FROM geom g JOIN documents d USING (doc_id)),
+        gvals AS (
+            SELECT doc_id,
+                   list_transform(range(0, 64), k ->
+                       list_sum(list_transform(range(0, c), ch ->
+                           ('0x' || substr(hx,
+                               2 * (({flat}) % nb) + 1, 2))::BIGINT)))
+                       AS gs
+            FROM rast),
+        gsum AS (SELECT doc_id, gs, list_sum(gs) AS s FROM gvals)"""
+
+
+def _sql_media_ahash_fp() -> str:
+    """The signed two's-complement 64-bit fold of the threshold bits —
+    bit k (row-major, MSB first) set iff 64*gs[k+1] > s."""
+    terms = " + ".join(
+        f"(CASE WHEN 64 * gs[{k + 1}] > s THEN {1 << (63 - k)} ELSE 0 END)"
+        for k in range(1, 64)
+    )
+    return (
+        "(CASE WHEN 64 * gs[1] > s THEN (-9223372036854775807 - 1) ELSE 0 END) + "
+        + terms
+    )
+
+
+def _sql_media_near_dup(max_hamming: int = 3) -> str:
+    """Perceptual near-dup pairs in SQL: the ahash CTEs + the same
+    pigeonhole band candidates and bit_count(xor) verify as the SimHash
+    oracle (bands built from the threshold bits directly — BIGINT shifts
+    on negative fps aren't portable)."""
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    piece_exprs = []
+    for bi in range(nbands):
+        terms = " + ".join(
+            f"(CASE WHEN 64 * gs[{64 - (bi * width + e)}] > s "
+            f"THEN {1 << e} ELSE 0 END)"
+            for e in range(width)
+        )
+        piece_exprs.append(f"({terms})")
+    pieces = ", ".join(piece_exprs)
+    bands = ", ".join(str(b) for b in range(nbands))
+    return f"""
+        WITH {_sql_media_ahash_ctes()},
+        fps AS (
+            SELECT doc_id AS id, {_sql_media_ahash_fp()} AS fp,
+                   [{pieces}] AS pieces
+            FROM gsum),
+        banded AS (
+            SELECT id, fp, unnest([{bands}]) AS band, unnest(pieces) AS piece
+            FROM fps),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                            a.fp AS fp_a, b.fp AS fp_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.piece = b.piece AND a.id < b.id)
+        SELECT id_a, id_b, hamming FROM (
+            SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::INT AS hamming
+            FROM cand) t
+        WHERE hamming <= {max_hamming}"""
 
 LLM_ORACLE_SQL: dict[str, str] = {
     "dedup_exact": f"""
@@ -789,6 +905,32 @@ LLM_ORACLE_SQL: dict[str, str] = {
                        AS rank
             FROM scored) t
         WHERE rank <= 10""",
+    # exact media dedup: group by the payload identity key instead of
+    # md5-ing container bytes DuckDB can't assemble — payloads are pure
+    # functions of (w,h,c,frames, text bytes cycled to the raster size),
+    # and hex-string cycling aligns at byte boundaries, so the grouping
+    # is identical to grouping by the payload itself
+    "media_dedup_exact": f"""
+        WITH geom AS ({_SQL_MEDIA_GEOM}),
+        pkey AS (
+            SELECT g.doc_id,
+                   g.w || ',' || g.h || ',' || g.c || ',' || g.frames || '|' ||
+                   substring(
+                       repeat(
+                           CASE WHEN octet_length(encode(d.text)) = 0 THEN '00'
+                                ELSE hex(encode(d.text)) END,
+                           (g.frames * g.w * g.h * g.c
+                            + greatest(octet_length(encode(d.text)), 1) - 1)
+                           // greatest(octet_length(encode(d.text)), 1)),
+                       1, 2 * g.frames * g.w * g.h * g.c) AS pk
+            FROM geom g JOIN documents d USING (doc_id))
+        SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM pkey GROUP BY pk""",
+    "media_ahash": f"""
+        WITH {_sql_media_ahash_ctes()}
+        SELECT doc_id, {_sql_media_ahash_fp()} AS ahash
+        FROM gsum""",
+    "media_near_dup": _sql_media_near_dup(max_hamming=7),
     # the three real-codec oracles restate media_codec.synth_params in SQL
     # (11 = container header length) — keep in lockstep with
     # functions/media_codec.py

@@ -161,3 +161,74 @@ def test_decode_matches_input_cardinality(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     decoded = multimodal.decode_image_meta(multimodal.binary_docs(docs), fake=True)
     assert decoded.count() == docs.count()
+
+
+def _media_docs(spark, rows):
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    return multimodal.synthesize_media(docs)
+
+
+def test_media_dedup_exact_groups_identical_payloads(spark):
+    """Payloads are pure functions of (doc_id, text); the synthesis
+    geometry is congruent for doc_ids 120 apart (120*7 % 24 == 0, same
+    parity, same % 5 class), so same text + ids d and d+120 plant an
+    exact payload dup."""
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    media = _media_docs(
+        spark, [(7, txt), (127, txt), (8, txt), (9, "something else here")]
+    )
+    out = {r.keep_id: r.n_dups for r in multimodal.media_dedup_exact(media).collect()}
+    assert out[7] == 2           # 7 and 127 collapse
+    assert out[8] == 1           # same text, different geometry (id 8 vs 7)
+    assert out[9] == 1
+
+
+def test_media_ahash_identical_payloads_and_perturbation(spark):
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    near = txt.replace("quick brown", "zzzzz ZZZZZ")
+    media = _media_docs(spark, [(7, txt), (127, txt), (247, near)])
+    hashes = {r.doc_id: r.ahash for r in multimodal.media_ahash(media).collect()}
+    assert hashes[7] == hashes[127]  # identical payloads -> identical hash
+    # one-byte text change in a congruent raster: few sampled pixels move
+    ham = bin((hashes[7] ^ hashes[247]) & ((1 << 64) - 1)).count("1")
+    assert 0 < ham <= 16
+
+
+def test_media_near_dup_pairs_finds_perceptual_dup(spark):
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    near = txt.replace("quick brown", "zzzzz ZZZZZ")
+    media = _media_docs(
+        spark,
+        [(7, txt), (127, txt), (247, near), (9, "completely different words")],
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.media_near_dup_pairs(media, max_hamming=16).collect()
+    }
+    assert pairs[(7, 127)] == 0
+    assert (7, 247) in pairs and pairs[(7, 247)] > 0
+    assert all(9 not in p for p in pairs)
+
+
+def test_media_ahash_matches_reference_formula(spark):
+    """The mapInPandas hash must equal a straight-line recomputation from
+    the codec geometry (the same arithmetic the SQL oracle uses)."""
+    rows = [(1, "alpha beta gamma"), (5, "delta epsilon zeta eta"), (12, "")]
+    media = _media_docs(spark, rows)
+    got = {r.doc_id: r.ahash for r in multimodal.media_ahash(media).collect()}
+    for doc_id, text in rows:
+        raw = text.encode() or b"\x00"
+        nb = len(raw)
+        w, h, c, _ = media_codec.synth_params(doc_id, len(text.encode()))
+        g = []
+        for k in range(64):
+            r_, c_ = ((k // 8) * h) // 8, ((k % 8) * w) // 8
+            g.append(
+                sum(raw[((r_ * w + c_) * c + ch) % nb] for ch in range(c))
+            )
+        s = sum(g)
+        fp = 0
+        for k in range(64):
+            fp = (fp << 1) | (1 if 64 * g[k] > s else 0)
+        expected = fp - (1 << 64) if fp >= (1 << 63) else fp
+        assert got[doc_id] == expected, f"doc {doc_id}"

@@ -168,6 +168,12 @@ def test_all_oracle_queries_stay_jvm_side(spark):
         "multimodal_decode",
         "multimodal_resize",
         "multimodal_frames",
+        # media dedup runs over synthesize_media (mapInPandas render) and
+        # media_ahash decodes via the real codec — oracle-paired through
+        # the SQL geometry restatement
+        "media_dedup_exact",
+        "media_ahash",
+        "media_near_dup",
         # the documented pandas-UDF exception (64-way bit vote), now
         # oracle-paired via the md5 bit-vote SQL restatement — Python
         # by design, value-checked end-to-end
