@@ -422,6 +422,7 @@ def centroids_kmeans(
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """Lloyd-refined IVF centroids, entirely as DataFrame ops (no MLlib,
     no collect — the iterative loop pattern of ``operators/graph.py``).
@@ -443,23 +444,52 @@ def centroids_kmeans(
     anyway, and the refinement runs only at index-build, never at query
     time. Deterministic for a fixed init (means are order-insensitive up
     to fp addition order; values are rounded by downstream consumers).
+
+    ``portable=True`` is the oracle-checkable twin: since cosine is
+    scale-invariant, Lloyd assignment doesn't need the mean DIVISION at
+    all — the exact integer SUM vector points the same way. Each member
+    coordinate quantizes as ``floor(x * 2^20)`` (float32·2^20 is exact
+    in double, floor is exact, bigint sums are exact and re-cast to
+    double losslessly below 2^53), so every iteration — and therefore
+    the final centroid set — is bit-reproducible in ANSI SQL, which is
+    what lets the driver value-check the whole refinement loop. The
+    default fp-mean path remains the scale default (float means, no
+    quantization step); both produce the same bucket geometry up to the
+    2^-20 quantization angle.
     """
     cents = (
         init
         if init is not None
         else centroids_by_sampling(corpus, every, id_col, vec_col)
-    ).localCheckpoint()
+    )
+    if portable:
+        # uniform double representation so coalesce types line up and
+        # the SQL twin's literal arithmetic matches exactly
+        cents = cents.select(
+            "cid", F.col("cvec").cast("array<double>").alias("cvec")
+        )
+    cents = cents.localCheckpoint()
     for _ in range(n_iters):
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        if portable:
+            agg_x = F.sum(
+                F.floor(F.col("x").cast("double") * F.lit(1048576.0)).cast(
+                    "bigint"
+                )
+            ).alias("mx")
+            recast = lambda s: s["mx"].cast("double")  # noqa: E731
+        else:
+            agg_x = F.avg("x").alias("mx")
+            recast = lambda s: s["mx"].cast("float")  # noqa: E731
         means = (
             assigned.select("cid", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("mx"))
+            .agg(agg_x)
             .groupBy("cid")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "mx"))),
-                    lambda s: s["mx"].cast("float"),
+                    recast,
                 ).alias("_mean")
             )
         )

@@ -2,12 +2,14 @@
 text analysis, multimodal (EXT, SURVEY §2B 'north star' rows).
 
 Oracle policy: everything whose math both engines can express bit-equal
-gets a DuckDB twin (exact dedup, n-gram Jaccard with the same max_df cap,
-brute-force cosine top-k, all text-analysis formulas, multimodal
-metadata/digest). MinHash/SimHash/hyperplane-LSH and the mapInPandas
-decode depend on engine-specific hashing or Python — those are rows-only
-here and verified by planted-fixture tests in tests/test_dedup.py and
-tests/test_similarity.py.
+gets a DuckDB twin — including SimHash (md5 bit votes), hyperplane LSH
+(literal plane constants), portable-hash MinHash (md5-60bit), the
+k-means IVF refinement (integer-sum centroids), and the real-codec
+multimodal/media paths (SQL restatement of the synthesis geometry). The
+remaining rows-only entries are inherent (engine-specific xxhash64 /
+sketch internals / fp pixel histograms), each with an oracle-paired twin
+where one is possible, and all verified by planted-fixture tests in
+tests/test_dedup.py, tests/test_similarity.py, tests/test_multimodal.py.
 """
 
 from __future__ import annotations
@@ -136,15 +138,19 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (inherent: Lloyd means depend on fp accumulation across
-    iterations — no closed-form SQL twin): IVF probe over k-means-refined
-    centroids; distortion + recall improvement vs sampled init asserted
-    in tests/test_similarity.py."""
+    """IVF probe over k-means-refined centroids, oracle-paired since r6:
+    ``portable=True`` replaces the fp mean with the exact integer SUM
+    vector (cosine is scale-invariant, so assignment is unchanged;
+    coordinates quantize as floor(x*2^20), bigint sums re-cast to double
+    losslessly), making both Lloyd iterations bit-reproducible in SQL —
+    the oracle unrolls them as CTEs like the pagerank oracle. Distortion
+    + recall improvement vs sampled init asserted in
+    tests/test_similarity.py."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    cents = similarity.centroids_kmeans(emb, every=50, n_iters=2)
+    cents = similarity.centroids_kmeans(emb, every=50, n_iters=2, portable=True)
     return similarity.cosine_topk_ivf(emb, queries, cents, k=10, nprobe=4)
 
 
@@ -542,6 +548,95 @@ def _sql_lsh_sig(vec: str, dim: int, nbits: int, seed: int) -> str:
     return " || ".join(parts)
 
 
+def _sql_ivf_kmeans(
+    n_iters: int = 2,
+    every: int = 50,
+    k: int = 10,
+    nprobe: int = 4,
+    qmod: int = 100,
+    dim: int = 64,
+) -> str:
+    """The portable k-means-refined IVF pipeline in SQL, Lloyd iterations
+    unrolled as CTEs (the pagerank-oracle pattern). Per iteration:
+    nearest-centroid assignment (rn=1, same tie-break as ivf_assign),
+    exact integer sums of floor(x*2^20) per (cid, pos) reassembled with
+    list(... ORDER BY i), empty centroids keeping their previous vector
+    via LEFT JOIN + coalesce — lockstep with
+    similarity.centroids_kmeans(portable=True). The final probe/top-k
+    mirrors the similarity_ivf oracle with the refined centroids."""
+    ctes = [
+        f"""cents0 AS (
+            SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE)
+                       AS cvec
+            FROM embeddings WHERE vec_id % {every} = 0)""",
+        f"idx AS (SELECT unnest(range(1, {dim + 1})) AS i)",
+    ]
+    for it in range(1, n_iters + 1):
+        prev = f"cents{it - 1}"
+        ctes += [
+            f"""assign{it} AS (
+            SELECT id, emb, cid FROM (
+                SELECT e.vec_id AS id, e.embedding AS emb, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN {prev} c) t
+            WHERE rn = 1)""",
+            f"""sums{it} AS (
+            SELECT cid, i, sum(floor(emb[i]::DOUBLE * 1048576.0)::BIGINT) AS sx
+            FROM assign{it} CROSS JOIN idx GROUP BY cid, i)""",
+            f"""newc{it} AS (
+            SELECT cid, list_transform(list(sx ORDER BY i), x -> x::DOUBLE)
+                       AS svec
+            FROM sums{it} GROUP BY cid)""",
+            f"""cents{it} AS (
+            SELECT p.cid, coalesce(n.svec, p.cvec) AS cvec
+            FROM {prev} p LEFT JOIN newc{it} n USING (cid))""",
+        ]
+    final_cents = f"cents{n_iters}"
+    return f"""
+        WITH {", ".join(ctes)},
+        assigned AS (
+            SELECT id, v, nrm, cid FROM (
+                SELECT e.vec_id AS id, e.embedding AS v,
+                       sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                           AS nrm,
+                       c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN {final_cents} c) t
+            WHERE rn = 1),
+        probes AS (
+            SELECT qid, qv, qnrm, cid FROM (
+                SELECT e.vec_id AS qid, e.embedding AS qv,
+                       sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                           AS qnrm,
+                       c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN {final_cents} c
+                WHERE e.vec_id % {qmod} = 0) t
+            WHERE rn <= {nprobe}),
+        scored AS (
+            SELECT p.qid, a.id AS vec_id,
+                   round({_SQL_DOT.format(a='p.qv', b='a.v')}
+                         / (p.qnrm * a.nrm), 6) AS cosine
+            FROM probes p JOIN assigned a USING (cid)
+            WHERE p.qid <> a.id)
+        SELECT qid, vec_id, cosine, rank FROM (
+            SELECT qid, vec_id, cosine,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, vec_id)::BIGINT
+                       AS rank
+            FROM scored) t
+        WHERE rank <= {k}"""
+
+
 def _sql_minhash_portable(cand_filter: str = "") -> str:
     """The portable (md5-60bit) MinHash-LSH pipeline in SQL: signatures,
     16 raw-string band keys, distinct candidate pairs, positional-equality
@@ -810,6 +905,11 @@ LLM_ORACLE_SQL: dict[str, str] = {
         " AND (a.id % 10 = 0 OR b.id % 10 = 0)"
     ),
     "dedup_simhash": _sql_simhash_pairs(max_hamming=3),
+    # the portable k-means IVF twin: 2 Lloyd iterations unrolled as CTEs,
+    # centroid directions as exact integer sums (cosine scale-invariance
+    # makes the mean division unnecessary) — lockstep with
+    # q_similarity_ivf_kmeans / centroids_kmeans(portable=True)
+    "similarity_ivf_kmeans": _sql_ivf_kmeans(n_iters=2, every=50, k=10, nprobe=4),
     # IVF: every-50th-id centroids, nearest-centroid assignment (rn=1),
     # nprobe=4 probe buckets per query, exact rounded cosine inside the
     # probed buckets — lockstep with q_similarity_ivf /
