@@ -55,8 +55,11 @@ HEADLINE = [
     "events_session",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_minhash_incremental",  # persisted-index daily-ingest path (r6)
     "ngram_jaccard",
     "similarity_bruteforce",
+    "similarity_lsh",         # multi-table hyperplane ANN (projection-only)
+    "media_near_dup",         # real-codec perceptual aHash + band join (r6)
     "doc_fingerprint",
     "tf_idf",
     "bm25_search",            # retrieval: corpus stats + DECIMAL-exact top-k

@@ -24,11 +24,21 @@ import duckdb
 DIMS = ("region", "nation", "customer", "supplier", "part")
 
 
-def make_scale_dir(src: str, dst: str, factor: int) -> None:
+FACTS = ("orders", "lineitem", "events", "documents", "embeddings")
+
+
+def make_scale_dir(
+    src: str, dst: str, factor: int, facts: tuple = FACTS, copy_dims: bool = True
+) -> None:
+    """``facts`` restricts which fact tables are replicated (the deep
+    dedup/ANN soak only needs documents/embeddings — replicating the
+    TPC-H facts 100x would waste most of the build time); ``copy_dims``
+    skips the dimension copies for the same reason."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    for t in DIMS:
-        shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    if copy_dims:
+        for t in DIMS:
+            shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
 
     def scale(table: str, select_template: str) -> None:
         selects = " UNION ALL ".join(
@@ -38,44 +48,50 @@ def make_scale_dir(src: str, dst: str, factor: int) -> None:
             f"COPY ({selects}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
         )
 
-    o_shift = con.sql(
-        f"SELECT max(o_orderkey) + 1 FROM read_parquet('{src}/orders.parquet')"
-    ).fetchone()[0]
-    scale(
-        "orders",
-        f"SELECT o_orderkey + {{i}} * {o_shift} AS o_orderkey, "
-        f"* EXCLUDE (o_orderkey) FROM read_parquet('{src}/orders.parquet')",
-    )
-    scale(
-        "lineitem",
-        f"SELECT l_orderkey + {{i}} * {o_shift} AS l_orderkey, "
-        f"* EXCLUDE (l_orderkey) FROM read_parquet('{src}/lineitem.parquet')",
-    )
-    e_shift = con.sql(
-        f"SELECT max(event_id) + 1 FROM read_parquet('{src}/events.parquet')"
-    ).fetchone()[0]
-    scale(
-        "events",
-        f"SELECT event_id + {{i}} * {e_shift} AS event_id, "
-        f"* EXCLUDE (event_id) FROM read_parquet('{src}/events.parquet')",
-    )
-    d_shift = con.sql(
-        f"SELECT max(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')"
-    ).fetchone()[0]
-    scale(
-        "documents",
-        f"SELECT doc_id + {{i}} * {d_shift} AS doc_id, "
-        f"CASE WHEN {{i}} = 0 THEN text ELSE 'r{{i}} ' || text END AS text, "
-        f"* EXCLUDE (doc_id, text) FROM read_parquet('{src}/documents.parquet')",
-    )
-    v_shift = con.sql(
-        f"SELECT max(vec_id) + 1 FROM read_parquet('{src}/embeddings.parquet')"
-    ).fetchone()[0]
-    scale(
-        "embeddings",
-        f"SELECT vec_id + {{i}} * {v_shift} AS vec_id, "
-        f"* EXCLUDE (vec_id) FROM read_parquet('{src}/embeddings.parquet')",
-    )
+    if "orders" in facts or "lineitem" in facts:
+        o_shift = con.sql(
+            f"SELECT max(o_orderkey) + 1 FROM read_parquet('{src}/orders.parquet')"
+        ).fetchone()[0]
+    if "orders" in facts:
+        scale(
+            "orders",
+            f"SELECT o_orderkey + {{i}} * {o_shift} AS o_orderkey, "
+            f"* EXCLUDE (o_orderkey) FROM read_parquet('{src}/orders.parquet')",
+        )
+    if "lineitem" in facts:
+        scale(
+            "lineitem",
+            f"SELECT l_orderkey + {{i}} * {o_shift} AS l_orderkey, "
+            f"* EXCLUDE (l_orderkey) FROM read_parquet('{src}/lineitem.parquet')",
+        )
+    if "events" in facts:
+        e_shift = con.sql(
+            f"SELECT max(event_id) + 1 FROM read_parquet('{src}/events.parquet')"
+        ).fetchone()[0]
+        scale(
+            "events",
+            f"SELECT event_id + {{i}} * {e_shift} AS event_id, "
+            f"* EXCLUDE (event_id) FROM read_parquet('{src}/events.parquet')",
+        )
+    if "documents" in facts:
+        d_shift = con.sql(
+            f"SELECT max(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')"
+        ).fetchone()[0]
+        scale(
+            "documents",
+            f"SELECT doc_id + {{i}} * {d_shift} AS doc_id, "
+            f"CASE WHEN {{i}} = 0 THEN text ELSE 'r{{i}} ' || text END AS text, "
+            f"* EXCLUDE (doc_id, text) FROM read_parquet('{src}/documents.parquet')",
+        )
+    if "embeddings" in facts:
+        v_shift = con.sql(
+            f"SELECT max(vec_id) + 1 FROM read_parquet('{src}/embeddings.parquet')"
+        ).fetchone()[0]
+        scale(
+            "embeddings",
+            f"SELECT vec_id + {{i}} * {v_shift} AS vec_id, "
+            f"* EXCLUDE (vec_id) FROM read_parquet('{src}/embeddings.parquet')",
+        )
     con.close()
 
 
