@@ -338,6 +338,38 @@ def media_near_dup_pairs(binary_df: DataFrame, max_hamming: int = 3) -> DataFram
     return hamming_band_pairs(fps, max_hamming)
 
 
+HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("hist", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def pixel_histogram(binary_df: DataFrame, dim: int = 16) -> DataFrame:
+    """Integer pixel-value histogram of the decoded payload (all frames,
+    header excluded): the exact counting core of :func:`feature_extract`
+    WITHOUT the float32 normalization — which is what makes it the
+    oracle-checkable twin of ``multimodal_features`` (bin counts are pure
+    integers the SQL restatement reproduces from the text-cycling
+    geometry; the normalized variant's float32 division has no clean SQL
+    equivalent). Output: (doc_id, hist: array<bigint>[dim])."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            hists = []
+            for payload in pdf["payload"]:
+                b = media_codec.decode_media(bytes(payload)).ravel()
+                hists.append(
+                    np.bincount(b % dim, minlength=dim).astype("int64").tolist()
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "hist": hists})
+
+    return binary_df.mapInPandas(work, HIST_SCHEMA)
+
+
 def media_metadata_summary(binary_df: DataFrame) -> DataFrame:
     """Metadata-only aggregate over the binary table — must never touch the
     payload column (verify: ReadSchema in .explain excludes it when the

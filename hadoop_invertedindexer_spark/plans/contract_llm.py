@@ -370,13 +370,32 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (inherent: the pixel histogram over the cycled-byte raster
-    has no tractable SQL restatement): real decoded-pixel histogram
+    """Rows-only (inherent: the float32 normalization chain has no clean
+    SQL equivalent), but the counting core IS oracle-checked — see the
+    ``multimodal_features_hist`` twin: real decoded-pixel histogram
     'embedding' over the synthesized media table."""
     f = multimodal.feature_extract(
         multimodal.synthesize_media(_docs(spark, sf_dir)), decode=True
     )
     return f.select("doc_id", F.round(F.element_at("features", 1), 6).alias("f0"))
+
+
+def q_multimodal_features_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-paired twin of multimodal_features: the same real
+    decode and binning, but integer bin counts instead of float32
+    normalization. The SQL twin reproduces every count from the
+    text-cycling geometry: raw byte i of the text appears
+    total//nb + (i < total%nb) times in the raster, so
+    hist[b] = sum over positions with byte%16==b of that multiplicity."""
+    h = multimodal.pixel_histogram(
+        multimodal.synthesize_media(_docs(spark, sf_dir)), dim=16
+    )
+    return h.select(
+        "doc_id",
+        F.concat_ws(",", F.transform("hist", lambda v: v.cast("string"))).alias(
+            "hist_str"
+        ),
+    )
 
 
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -408,6 +427,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_features": q_multimodal_features,
+    "multimodal_features_hist": q_multimodal_features_hist,
 }
 
 # shared SQL fragments -----------------------------------------------------
@@ -1049,4 +1069,30 @@ LLM_ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, unnest(range(0, frames, 2))::INT AS frame_idx,
                (11 + w * h * c)::BIGINT AS frame_bytes
         FROM geom""",
+    # integer histogram twin of multimodal_features: raw text byte i
+    # appears total//nb + (i < total%nb) times in the cycled raster, so
+    # every bin count is reproducible without materializing pixels —
+    # keep in lockstep with multimodal.pixel_histogram
+    "multimodal_features_hist": f"""
+        WITH geom AS ({_SQL_MEDIA_GEOM}),
+        rast AS (
+            SELECT g.doc_id,
+                   CASE WHEN octet_length(encode(d.text)) = 0 THEN '00'
+                        ELSE hex(encode(d.text)) END AS hx,
+                   greatest(octet_length(encode(d.text)), 1) AS nb,
+                   g.frames * g.w * g.h * g.c AS total
+            FROM geom g JOIN documents d USING (doc_id)),
+        bytes AS (
+            SELECT doc_id, nb, total,
+                   list_transform(range(0, nb), i ->
+                       ('0x' || substr(hx, (2*i+1)::INT, 2))::BIGINT) AS bv
+            FROM rast)
+        SELECT doc_id,
+               array_to_string(list_transform(range(0, 16), b ->
+                   list_sum(list_transform(range(0, nb), i ->
+                       CASE WHEN bv[(i+1)::INT] % 16 = b
+                            THEN total // nb
+                                 + CASE WHEN i < total % nb THEN 1 ELSE 0 END
+                            ELSE 0 END))), ',') AS hist_str
+        FROM bytes""",
 }

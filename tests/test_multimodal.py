@@ -232,3 +232,20 @@ def test_media_ahash_matches_reference_formula(spark):
             fp = (fp << 1) | (1 if 64 * g[k] > s else 0)
         expected = fp - (1 << 64) if fp >= (1 << 63) else fp
         assert got[doc_id] == expected, f"doc {doc_id}"
+
+
+def test_pixel_histogram_counts_and_empty_text(spark):
+    """Bin counts must equal numpy's over the decoded raster, including
+    the empty-text edge (payload body = b'\\x00' cycled -> all pixels in
+    bin 0)."""
+    rows = [(1, "alpha beta gamma"), (12, "")]
+    media = _media_docs(spark, rows)
+    got = {r.doc_id: r.hist for r in multimodal.pixel_histogram(media).collect()}
+    for doc_id, text in rows:
+        px = media_codec.decode_media(
+            media_codec.synth_payload(doc_id, text)
+        ).ravel()
+        expected = np.bincount(px % 16, minlength=16).tolist()
+        assert got[doc_id] == expected, f"doc {doc_id}"
+    w, h, c, fr = media_codec.synth_params(12, 0)
+    assert got[12][0] == fr * w * h * c and sum(got[12][1:]) == 0

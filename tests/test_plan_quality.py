@@ -174,6 +174,7 @@ def test_all_oracle_queries_stay_jvm_side(spark):
         "media_dedup_exact",
         "media_ahash",
         "media_near_dup",
+        "multimodal_features_hist",
         # the documented pandas-UDF exception (64-way bit vote), now
         # oracle-paired via the md5 bit-vote SQL restatement — Python
         # by design, value-checked end-to-end
