@@ -463,8 +463,12 @@ def minhash_index_pairs(
     collisions. Ids must be unique across index and batch (same contract
     as dedup_incremental). Output: (id_a, id_b, est_jaccard), a < b."""
     p = spark.read.parquet(f"{path}/params").head()
-    idx_sigs = spark.read.parquet(f"{path}/signatures")
-    idx_banded = spark.read.parquet(f"{path}/banded")
+    # explicit projections: a streaming-maintained index stores its tiers
+    # under batch=<id> partitions (streaming/dedup_ingest.py), so the read
+    # may surface an extra partition column — the contract is the columns,
+    # not the layout
+    idx_sigs = spark.read.parquet(f"{path}/signatures").select("id", "sig")
+    idx_banded = spark.read.parquet(f"{path}/banded").select("id", "band", "bh")
     batch_sig = minhash_signatures(
         new_docs, p.num_perm, p.n, id_col, text_col, portable=p.portable
     ).persist()

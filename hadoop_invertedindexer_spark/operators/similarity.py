@@ -189,6 +189,30 @@ def build_ivf_index(
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_ivf_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new corpus batch to a persisted IVF index: assign the
+    batch against the index's OWN centroid table (broadcast — one
+    shuffle-free pass over the batch) and append into the cid-partitioned
+    layout. Existing assignments are never read or rewritten, so ingest
+    cost is O(batch) like the LSH/MinHash appends; the trade-off unique
+    to IVF is that centroids are frozen at build time, so a drifting
+    embedding distribution degrades bucket balance until the next
+    offline rebuild (centroids_kmeans) — the standard IVF posture."""
+    spark = batch.sparkSession
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assigned = ivf_assign(batch, centroids, id_col, vec_col).withColumn(
+        "_cnorm", _norm(F.col(vec_col))
+    )
+    assigned.write.mode("append").partitionBy("cid").parquet(
+        f"{path}/assignments"
+    )
+
+
 def query_ivf_index(
     spark,
     path: str,

@@ -1,0 +1,82 @@
+"""Streaming ingestion for the persisted MinHash near-dup index.
+
+The batch path (``operators/dedup.py:build_minhash_index`` /
+``append_minhash_index``) assumes someone calls it per ingest day; this
+module is the continuous form: a document file stream drained with
+``availableNow``, each micro-batch's signatures and banded keys written
+as an idempotent ``batch=<id>`` tier — the same
+overwrite-your-own-batch contract as the inverted-index tier
+(``streaming/index_maintenance.py``) and the hourly rollups, applied to
+the dedup signature store. ``minhash_index_pairs`` reads the tiered
+layout unchanged (it selects columns, not layouts), so a nightly dedup
+pass queries the same index the stream maintains.
+
+At 100 TB: per micro-batch cost is O(batch) signature work + one tier
+write; nothing ever rescans the corpus, and a foreachBatch replay
+overwrites its own tier instead of double-inserting signatures. An
+index root is maintained by ONE path — either the flat batch
+build/append or this tiered stream — never both (mixing flat files and
+``batch=`` directories under one root breaks partition discovery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_invertedindexer_spark.operators.dedup import (
+    _banded_signatures,
+    minhash_signatures,
+)
+
+
+def init_minhash_index(
+    spark: SparkSession,
+    path: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    portable: bool = False,
+) -> None:
+    """Write the pinned params table of a (possibly still empty) MinHash
+    index — the streaming maintainer derives every batch's hashing from
+    it, so signatures can never drift from the index contract."""
+    spark.createDataFrame(
+        [(num_perm, bands, n, portable)],
+        "num_perm int, bands int, n int, portable boolean",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def maintain_minhash_signatures(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain new document files with availableNow; write each batch's
+    (id, sig) signatures and (id, band, bh) banded keys under
+    ``batch=<id>`` tiers of the index. Stream scaffolding shared with
+    the event/index tiers (``streaming/events.py:run_tier_maintenance``)."""
+    from hadoop_invertedindexer_spark.streaming.events import run_tier_maintenance
+
+    p = spark.read.parquet(f"{index_path}/params").head()
+
+    def _append_tier(batch_df: DataFrame, batch_id: int) -> None:
+        sig = minhash_signatures(
+            batch_df, p.num_perm, p.n, id_col, text_col, portable=p.portable
+        ).persist()  # feeds both tier writes
+        sig.write.mode("overwrite").parquet(
+            f"{index_path}/signatures/batch={batch_id}"
+        )
+        _banded_signatures(
+            sig, p.bands, p.num_perm // p.bands, p.portable
+        ).write.mode("overwrite").parquet(f"{index_path}/banded/batch={batch_id}")
+        sig.unpersist()
+
+    run_tier_maintenance(
+        spark, source_dir, source_schema, checkpoint_dir,
+        _append_tier, max_files_per_trigger,
+    )

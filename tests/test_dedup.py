@@ -215,3 +215,66 @@ def test_minhash_index_append_then_second_batch(spark, tmp_path):
     assert inc == expected
     assert (10, 21) in inc and inc[(10, 21)] == 1.0
     assert any(p in inc for p in [(1, 20)])
+
+
+def test_streaming_minhash_index_matches_batch_build(spark, tmp_path):
+    """The stream-maintained tiered index must answer minhash_index_pairs
+    identically to a one-shot batch build over the same corpus, and a
+    replay (fresh checkpoint, same files) must leave the answer unchanged
+    — the overwrite-your-own-batch idempotency contract."""
+    from pyspark.sql import types as T
+
+    from hadoop_invertedindexer_spark.streaming import dedup_ingest
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stage = str(tmp_path / "stage")
+    src = str(tmp_path / "src")
+    day1 = spark.createDataFrame([(1, BASE), (2, OTHER)], schema)
+    day2 = spark.createDataFrame(
+        [(3, "some unrelated corpus text entirely")], schema
+    )
+    day1.coalesce(1).write.mode("overwrite").parquet(f"{stage}/d1")
+    day2.coalesce(1).write.mode("overwrite").parquet(f"{stage}/d2")
+    # flatten into the stream dir: exactly one file per day, nothing else
+    # (one file -> one micro-batch with maxFilesPerTrigger=1)
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(src, exist_ok=True)
+    for i, d in enumerate(sorted(glob.glob(f"{stage}/d*/part-*.parquet"))):
+        shutil.copyfile(d, f"{src}/day{i}.parquet")
+
+    stream_path = str(tmp_path / "mh_stream")
+    dedup_ingest.init_minhash_index(spark, stream_path)
+    dedup_ingest.maintain_minhash_signatures(
+        spark, src, schema, stream_path, str(tmp_path / "ck1")
+    )
+
+    batch_path = str(tmp_path / "mh_batch")
+    corpus = day1.union(day2)
+    dedup.build_minhash_index(corpus, batch_path)
+
+    probe = spark.createDataFrame(
+        [(10, NEAR), (11, BASE)], schema  # near-dup + exact dup of corpus 1
+    )
+    stream_pairs = _pairset(
+        dedup.minhash_index_pairs(spark, probe, stream_path, threshold=0.3)
+    )
+    batch_pairs = _pairset(
+        dedup.minhash_index_pairs(spark, probe, batch_path, threshold=0.3)
+    )
+    assert stream_pairs == batch_pairs
+    assert (1, 11) in stream_pairs and stream_pairs[(1, 11)] == 1.0
+
+    # replay: fresh checkpoint re-drains every file; overwrite-by-batch
+    # must converge to the same state, not double signatures
+    dedup_ingest.maintain_minhash_signatures(
+        spark, src, schema, stream_path, str(tmp_path / "ck2")
+    )
+    replay_pairs = _pairset(
+        dedup.minhash_index_pairs(spark, probe, stream_path, threshold=0.3)
+    )
+    assert replay_pairs == stream_pairs

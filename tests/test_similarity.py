@@ -332,3 +332,29 @@ def test_lsh_index_append_matches_rebuild(spark, sf_dir, tmp_path):
     inc = similarity.query_lsh_index(spark, inc_path, queries, k=5)
     full = similarity.query_lsh_index(spark, full_path, queries, k=5)
     assert canon(inc) == canon(full)
+
+
+def test_ivf_index_append_matches_rebuild(spark, sf_dir, tmp_path):
+    """IVF daily-ingest: build from 90% of the corpus, append the other
+    10% against the frozen centroids — queries must equal an index built
+    from the full corpus with the SAME centroid table (assignment is
+    per-row against fixed centroids, so append-vs-rebuild is exact)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") % 10 != 0)
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = similarity.centroids_by_sampling(emb, every=50)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    similarity.build_ivf_index(old, cents, inc_path)
+    similarity.append_ivf_index(batch, inc_path)
+
+    full_path = str(tmp_path / "ivf_full")
+    similarity.build_ivf_index(emb, cents, full_path)
+
+    canon = lambda df: sorted(map(tuple, df.toPandas().sort_index(axis=1).values.tolist()))  # noqa: E731
+    inc = similarity.query_ivf_index(spark, inc_path, queries, k=5, nprobe=3)
+    full = similarity.query_ivf_index(spark, full_path, queries, k=5, nprobe=3)
+    assert canon(inc) == canon(full)
