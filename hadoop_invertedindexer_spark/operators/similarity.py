@@ -525,6 +525,172 @@ def centroids_kmeans(
     return cents
 
 
+def _pq_quantized_coords(col) -> "F.Column":
+    """Integer coordinate grid for PQ: floor(x * 2^10) as bigint.
+    float32 * 1024 is exact in double and floor is exact, so every
+    downstream squared-distance is exact integer arithmetic — the same
+    portability trick as centroids_kmeans(portable=True), which is what
+    lets the whole PQ pipeline value-hash against an ANSI-SQL oracle.
+    The 2^-10 grid angle is far below the quantization error PQ itself
+    introduces, so recall is unaffected."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(1024.0)).cast("bigint")
+    )
+
+
+def _pq_subvectors(qx_col, m: int, dsub: int) -> "F.Column":
+    """array of the m disjoint dsub-wide subvector slices."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(qx_col, s * dsub + 1, dsub),
+    )
+
+
+def _pq_sqdist(a, b) -> "F.Column":
+    """Exact integer squared L2 between two quantized subvectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Deterministic product-quantization codebooks: the dim-wide space
+    splits into m disjoint dsub=dim/m subspaces; subspace s's codebook is
+    the s-th subvector of the first ksub corpus vectors (by id) — the
+    same deterministic bootstrap as centroids_by_sampling, refinable
+    offline exactly like centroids_kmeans. Output: (s, c, cq) with cq the
+    quantized integer subvector. Tiny frame (m*ksub rows) — always
+    broadcast by consumers."""
+    dim = vector_dim(corpus, vec_col, dim)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    w = Window.orderBy(id_col)
+    train = (
+        corpus.orderBy(id_col)
+        .limit(ksub)
+        .select(id_col, _pq_quantized_coords(F.col(vec_col)).alias("_qx"))
+        .withColumn("c", (F.row_number().over(w) - 1).cast("int"))
+    )
+    return train.select(
+        "c", F.posexplode(_pq_subvectors(F.col("_qx"), m, dsub)).alias("s", "cq")
+    ).select(F.col("s").cast("int").alias("s"), "c", "cq")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Encode each vector as m one-byte-range codes: per subspace, the id
+    of the nearest codeword by exact integer squared-L2 (ties → lowest
+    c). This is the 100 TB storage lever past int8: a 64-dim float32
+    vector is 256 bytes raw, 64 bytes int8-quantized, m=8 bytes
+    PQ-encoded — a 32x scan-bandwidth cut, at the cost of distances
+    becoming codeword-table lookups (pq_adc_topk).
+
+    Plan shape: corpus explodes to N*m subvector rows, broadcast-joins
+    the m*ksub codebook, and the per-(id,s) argmin is a single
+    min(struct(dist, c)) aggregate — partial min runs map-side, so the
+    one shuffle carries N*m best-so-far rows, never the N*m*ksub
+    candidate set. Output: (id, codes array<int> length m)."""
+    dim = vector_dim(corpus, vec_col, dim)
+    dsub = dim // m
+    subs = corpus.select(
+        id_col,
+        F.posexplode(
+            _pq_subvectors(_pq_quantized_coords(F.col(vec_col)), m, dsub)
+        ).alias("s", "sub"),
+    )
+    best = (
+        subs.join(F.broadcast(codebooks), "s")
+        .select(
+            id_col,
+            "s",
+            F.struct(
+                _pq_sqdist(F.col("sub"), F.col("cq")).alias("d"), F.col("c")
+            ).alias("dc"),
+        )
+        .groupBy(id_col, "s")
+        .agg(F.min("dc").alias("best"))
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("s", F.col("best.c").alias("c")))
+            ),
+            lambda x: x["c"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query precomputes
+    its exact integer squared-L2 to every codeword (a Q*m*ksub table —
+    tiny, broadcast), then a corpus vector's approximate distance is the
+    sum of m table lookups on its codes. The corpus-side scan touches
+    ONLY the m-byte codes — never the raw floats — which is the entire
+    point of PQ at 100 TB: the compressed corpus is ~32x smaller than
+    the float32 original, and the per-pair cost is m integer adds
+    instead of d float multiplies. At cluster scale this composes with
+    the IVF layout (encode within build_ivf_index buckets and ADC-scan
+    only the probed partitions); here it is the documented full-scan
+    baseline, exact-integer end-to-end so the oracle hash-matches.
+    Output: (qid, vec_id, adist, rank), ascending distance, ties by id."""
+    dim = vector_dim(queries, qvec_col, dim)
+    dsub = dim // m
+    qsubs = queries.select(
+        qid_col,
+        F.posexplode(
+            _pq_subvectors(_pq_quantized_coords(F.col(qvec_col)), m, dsub)
+        ).alias("s", "qsub"),
+    )
+    qtable = qsubs.join(F.broadcast(codebooks), "s").select(
+        qid_col,
+        "s",
+        "c",
+        _pq_sqdist(F.col("qsub"), F.col("cq")).alias("qdist"),
+    )
+    pcs = encoded.select(
+        id_col, F.posexplode("codes").alias("s", "c")
+    )
+    scored = (
+        pcs.join(F.broadcast(qtable), ["s", "c"])
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("qdist").alias("adist"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col(qid_col) != F.col(id_col))
+    w = Window.partitionBy(qid_col).orderBy(F.asc("adist"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

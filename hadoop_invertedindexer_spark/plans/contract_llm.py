@@ -171,6 +171,38 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, queries, k=10, nbits=4, dim=64)
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes for every corpus vector (m=8 subspaces,
+    ksub=16 codewords from the first-16-by-id bootstrap). All arithmetic
+    is exact integer (floor(x*2^10) grid), so the codes value-hash
+    against the SQL restatement. Codes rendered as csv for the compare."""
+    emb = _emb(spark, sf_dir)
+    cb = similarity.pq_codebooks(emb, m=8, ksub=16, dim=64)
+    enc = similarity.pq_encode(emb, cb, m=8, dim=64)
+    return enc.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("codes", lambda c: c.cast("string"))
+        ).alias("codes_str"),
+    )
+
+
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 for every 100th vector: the corpus
+    side is scanned as 8-byte codes only (32x below raw float32), each
+    pair costing m integer table-lookup adds. Exact-integer end-to-end,
+    so codebooks, codes, ADC sums, and ranks all hash-match the SQL
+    twin; recall-vs-bruteforce and planted-dup fixtures live in
+    tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cb = similarity.pq_codebooks(emb, m=8, ksub=16, dim=64)
+    enc = similarity.pq_encode(emb, cb, m=8, dim=64)
+    return similarity.pq_adc_topk(enc, cb, queries, k=10, m=8, dim=64)
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding column; arrays rendered
     as strings for the value-hash compare (scale rounded to 6)."""
@@ -411,6 +443,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf": q_similarity_ivf,
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     "similarity_lsh": q_similarity_lsh,
+    "pq_codes": q_pq_codes,
+    "similarity_pq": q_similarity_pq,
     "quantize_embeddings": q_quantize_embeddings,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -779,6 +813,44 @@ def _sql_media_near_dup(max_hamming: int = 3) -> str:
             FROM cand) t
         WHERE hamming <= {max_hamming}"""
 
+def _sql_pq_ctes() -> str:
+    """The EXACT product-quantization pipeline in SQL (lockstep with
+    similarity.pq_codebooks/pq_encode at m=8, ksub=16, dim=64): coords
+    quantize as floor(x*2^10) bigints, codebook s is the s-th subvector
+    slice of the first 16 vectors by id, assignment is integer squared-L2
+    argmin with ties to the lowest codeword — every intermediate is exact
+    integer arithmetic, so codes and ADC sums are bit-identical across
+    engines."""
+    return """
+        qx AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> floor(x::DOUBLE * 1024.0)::BIGINT) AS qx
+            FROM embeddings),
+        train AS (
+            SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS c, qx
+            FROM (SELECT vec_id, qx FROM qx ORDER BY vec_id LIMIT 16) t),
+        ss AS (SELECT unnest(range(8))::INT AS s),
+        cb AS (
+            SELECT s, c, list_slice(qx, s*8 + 1, s*8 + 8) AS cq
+            FROM train, ss),
+        subs AS (
+            SELECT vec_id, s, list_slice(qx, s*8 + 1, s*8 + 8) AS sub
+            FROM qx, ss),
+        dists AS (
+            SELECT vec_id, s, c,
+                   list_sum(list_transform(list_zip(sub, cq),
+                       p -> (p[1] - p[2]) * (p[1] - p[2])))::BIGINT AS d
+            FROM subs JOIN cb USING (s)),
+        enc AS (
+            SELECT vec_id, s, c FROM (
+                SELECT vec_id, s, c,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d, c) AS rn
+                FROM dists) r
+            WHERE rn = 1)"""
+
+
 LLM_ORACLE_SQL: dict[str, str] = {
     "dedup_exact": f"""
         SELECT min(doc_id) AS keep_id, count(*) AS n_dups
@@ -813,6 +885,26 @@ LLM_ORACLE_SQL: dict[str, str] = {
             FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
             WHERE q.vec_id % 100 = 0
         ) t WHERE rank <= 10""",
+    "pq_codes": f"""
+        WITH {_sql_pq_ctes()}
+        SELECT vec_id, string_agg(c::VARCHAR, ',' ORDER BY s) AS codes_str
+        FROM enc GROUP BY vec_id""",
+    "similarity_pq": f"""
+        WITH {_sql_pq_ctes()},
+        qtab AS (
+            SELECT vec_id AS qid, s, c, d AS qdist
+            FROM dists WHERE vec_id % 100 = 0),
+        adist AS (
+            SELECT q.qid, e.vec_id, sum(q.qdist)::BIGINT AS adist
+            FROM enc e JOIN qtab q ON q.s = e.s AND q.c = e.c
+            WHERE q.qid <> e.vec_id
+            GROUP BY q.qid, e.vec_id)
+        SELECT qid, vec_id, adist, rank FROM (
+            SELECT qid, vec_id, adist,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adist, vec_id)::BIGINT AS rank
+            FROM adist) t
+        WHERE rank <= 10""",
     "quantize_embeddings": """
         WITH staged AS (
             SELECT vec_id, embedding,

@@ -358,3 +358,86 @@ def test_ivf_index_append_matches_rebuild(spark, sf_dir, tmp_path):
     inc = similarity.query_ivf_index(spark, inc_path, queries, k=5, nprobe=3)
     full = similarity.query_ivf_index(spark, full_path, queries, k=5, nprobe=3)
     assert canon(inc) == canon(full)
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_dir):
+    """Every vector gets exactly m codes, each in [0, ksub); two builds
+    of the same codebooks/codes are identical (exact integer pipeline —
+    no fp nondeterminism to round away)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(emb, m=8, ksub=16, dim=64)
+    assert cb.count() == 8 * 16
+    enc = similarity.pq_encode(emb, cb, m=8, dim=64)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+    again = {
+        r.vec_id: r.codes
+        for r in similarity.pq_encode(
+            emb, similarity.pq_codebooks(emb, m=8, ksub=16, dim=64), m=8, dim=64
+        ).collect()
+    }
+    assert {r.vec_id: r.codes for r in rows} == again
+
+
+def test_pq_adc_recovers_planted_near_duplicates(spark):
+    """Planted clusters (as in the LSH test): a vector's tiny
+    perturbations share all m subspace codewords, so their ADC distance
+    is ~0 and they must fill the top ranks — the lossy compression keeps
+    near-duplicate structure."""
+    import random
+
+    rng = random.Random(11)
+    dim, rows = 16, []
+    for cluster in range(8):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        for member in range(5):
+            vec = [b + rng.gauss(0, 0.005) for b in base]
+            rows.append((cluster * 10 + member, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    # ksub=16 codewords from the first 16 vectors spans clusters 0-3;
+    # perturbed members still snap to the same codeword per subspace
+    cb = similarity.pq_codebooks(emb, m=4, ksub=16, dim=16)
+    enc = similarity.pq_encode(emb, cb, m=4, dim=16)
+    out = similarity.pq_adc_topk(enc, cb, queries, k=4, m=4, dim=16)
+    got: dict[int, set[int]] = {}
+    for r in out.collect():
+        got.setdefault(r.qid, set()).add(r.vec_id)
+    for cluster in range(8):
+        qid = cluster * 10
+        expected = {qid + m for m in range(1, 5)}
+        assert got.get(qid) == expected, f"cluster {cluster}: {got.get(qid)}"
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
+    """On the real near-orthogonal synthetic embeddings, ADC top-10 must
+    overlap the exact cosine top-10 meaningfully despite the 32x
+    compression (codes are a lossy 8-byte sketch of 256-byte vectors).
+    Note ADC ranks by L2 on quantized vectors while brute force ranks by
+    cosine — for this unnormalized corpus a loose floor is the honest
+    bound; the planted-dup test pins the sharp behavior."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cb = similarity.pq_codebooks(emb, m=8, ksub=16, dim=64)
+    enc = similarity.pq_encode(emb, cb, m=8, dim=64)
+    adc = similarity.pq_adc_topk(enc, cb, queries, k=10, m=8, dim=64)
+    bf = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    bf_sets: dict[int, set[int]] = {}
+    for r in bf.collect():
+        bf_sets.setdefault(r.qid, set()).add(r.vec_id)
+    adc_sets: dict[int, set[int]] = {}
+    for r in adc.collect():
+        adc_sets.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [
+        len(bf_sets[q] & adc_sets.get(q, set())) / len(bf_sets[q])
+        for q in bf_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.1, f"PQ-ADC mean recall {mean_recall:.2f} too low"
