@@ -525,6 +525,42 @@ def centroids_kmeans(
     return cents
 
 
+def knn_classify(
+    neighbors: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over ANY neighbor frame — the
+    standard label-propagation / weak-labeling step of a training-data
+    pipeline (assign a quality/domain/topic label to every unlabeled
+    item from its nearest labeled items). ``neighbors`` is the output of
+    any of the ANN backends (cosine_topk_bruteforce / _ivf / _lsh /
+    pq_adc_topk — all emit (qid, vec_id, ..., rank)), so at 100 TB the
+    expensive part is whichever index-backed top-k you already run; the
+    vote itself is one shuffle of k rows per query. Ties break to the
+    lowest label id for determinism. Output: (qid, pred_label, votes)."""
+    # Q*k neighbor rows vs an arbitrarily large label table: broadcast
+    # the neighbor side so the labels scan never shuffles
+    labeled = F.broadcast(neighbors.select(qid_col, id_col)).join(
+        labels.select(id_col, label_col), id_col
+    )
+    votes = labeled.groupBy(qid_col, label_col).agg(
+        F.count("*").alias("votes")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("votes"), F.asc(label_col))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            qid_col,
+            F.col(label_col).alias("pred_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+        )
+    )
+
+
 def _pq_quantized_coords(col) -> "F.Column":
     """Integer coordinate grid for PQ: floor(x * 2^10) as bigint.
     float32 * 1024 is exact in double and floor is exact, so every

@@ -203,6 +203,19 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(enc, cb, queries, k=10, m=8, dim=64)
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote labeling of every 100th vector from its exact
+    cosine top-10 (the brute-force backend — any ANN backend plugs in).
+    Vote counts and the lowest-label tie-break are integer-exact, so the
+    query hashes against the SQL twin built on the same top-10 CTE."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    nn = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    return similarity.knn_classify(nn, emb.select("vec_id", "label"))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding column; arrays rendered
     as strings for the value-hash compare (scale rounded to 6)."""
@@ -444,6 +457,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     "similarity_lsh": q_similarity_lsh,
     "pq_codes": q_pq_codes,
+    "knn_classify": q_knn_classify,
     "similarity_pq": q_similarity_pq,
     "quantize_embeddings": q_quantize_embeddings,
     "lang_id": q_lang_id,
@@ -885,6 +899,28 @@ LLM_ORACLE_SQL: dict[str, str] = {
             FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
             WHERE q.vec_id % 100 = 0
         ) t WHERE rank <= 10""",
+    "knn_classify": f"""
+        WITH nn AS (
+            SELECT qid, vec_id FROM (
+                SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round({_sql_cosine('q.embedding',
+                                                       'c.embedding')}, 6)
+                                    DESC, c.vec_id) AS rank
+                FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+                WHERE q.vec_id % 100 = 0
+            ) t WHERE rank <= 10),
+        votes AS (
+            SELECT nn.qid, e.label, count(*)::BIGINT AS votes
+            FROM nn JOIN embeddings e ON e.vec_id = nn.vec_id
+            GROUP BY nn.qid, e.label)
+        SELECT qid, label AS pred_label, votes FROM (
+            SELECT qid, label, votes,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY votes DESC, label) AS rn
+            FROM votes) v
+        WHERE rn = 1""",
     "pq_codes": f"""
         WITH {_sql_pq_ctes()}
         SELECT vec_id, string_agg(c::VARCHAR, ',' ORDER BY s) AS codes_str

@@ -441,3 +441,36 @@ def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.1, f"PQ-ADC mean recall {mean_recall:.2f} too low"
+
+
+def test_knn_classify_planted_clusters_perfect(spark):
+    """Tight planted clusters with one label per cluster: majority vote
+    over exact top-4 neighbors must recover every cluster label, via
+    both the brute-force and the PQ-ADC neighbor backends (the vote
+    layer is backend-agnostic)."""
+    import random
+
+    rng = random.Random(3)
+    dim, rows = 16, []
+    for cluster in range(8):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        for member in range(5):
+            vec = [b + rng.gauss(0, 0.005) for b in base]
+            rows.append((cluster * 10 + member, [float(x) for x in vec], cluster))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    queries = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    labels = emb.select("vec_id", "label")
+
+    nn = similarity.cosine_topk_bruteforce(emb, queries, k=4)
+    got = {r.qid: (r.pred_label, r.votes)
+           for r in similarity.knn_classify(nn, labels).collect()}
+    assert got == {c * 10: (c, 4) for c in range(8)}
+
+    cb = similarity.pq_codebooks(emb, m=4, ksub=16, dim=16)
+    enc = similarity.pq_encode(emb, cb, m=4, dim=16)
+    adc = similarity.pq_adc_topk(enc, cb, queries, k=4, m=4, dim=16)
+    got_pq = {r.qid: (r.pred_label, r.votes)
+              for r in similarity.knn_classify(adc, labels).collect()}
+    assert got_pq == {c * 10: (c, 4) for c in range(8)}
