@@ -72,6 +72,7 @@ HEADLINE = [
     "pagerank",               # iterative: 5 lineage-truncated rounds
     "decontaminate",          # shingle broadcast semi-join
     "pii_redact",             # regex scrub over every document
+    "boilerplate_removal",    # content-defined chunk dedup + reassembly
     "bigram_topk",
     "train_test_split",
     "asof_join",

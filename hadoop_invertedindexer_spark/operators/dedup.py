@@ -693,3 +693,116 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------- boilerplate removal
+
+
+def content_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    modulus: int = 8,
+    out_text_col: str | None = None,
+) -> DataFrame:
+    """Content-defined chunking: a token STARTS a new chunk when its
+    md5-derived hash is 0 mod ``modulus``, so chunk boundaries depend
+    only on content — a passage repeated in two documents at different
+    offsets splits into the SAME interior chunks in both (expected chunk
+    length = modulus tokens). This is the chunking trick of dedup
+    storage systems (rsync/CDC), applied to text so cross-document
+    duplicate passages become equi-joinable units without the O(n)
+    overlapping-shingle blowup.
+
+    Plan shape: one explode, one exchange on ``id_col`` for the running
+    boundary sum; the chunk-assembly groupBy keys (id, chunk_id) but a
+    doc_id hash partitioning already clusters the compound key, so
+    Catalyst inserts no second exchange. Output: (id, chunk_id,
+    start_ord, chunk)."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("ord", "tok")
+    )
+    boundary = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 2), 16, 10).cast("int")
+        % modulus
+        == 0
+    ).cast("int")
+    w = Window.partitionBy(id_col).orderBy("ord")
+    return (
+        tok.withColumn("chunk_id", F.sum(boundary).over(w))
+        .groupBy(id_col, "chunk_id")
+        .agg(
+            F.min("ord").alias("start_ord"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("chunk"),
+        )
+    )
+
+
+def boilerplate_removal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    modulus: int = 8,
+    max_df: int = 30,
+    threshold_distinct: bool = True,
+) -> DataFrame:
+    """Cross-document boilerplate removal, the CCNet line-dedup recipe
+    re-targeted at unstructured text: drop every content-defined chunk
+    that occurs in >= ``max_df`` distinct documents (headers, footers,
+    license banners, injected templates), reassemble the survivors in
+    order. The document frequency is counted over md5(chunk) — a fixed
+    32-byte shuffle key — and the boilerplate hash set (df >= max_df) is
+    BROADCAST back onto the chunk frame, which keeps its doc_id
+    partitioning for the final reassembly groupBy: total cost is the one
+    doc_id exchange plus the hash-count aggregation, and the full chunk
+    text is shuffled exactly once. The broadcast assumes the boilerplate
+    vocabulary (distinct frequent chunks) is small relative to the
+    corpus — true by construction since each one must repeat >= max_df
+    times. Output: (id, n_chunks, n_dropped, clean_text)."""
+    # the chunk frame feeds both the df count and the reassembly —
+    # persist so the explode+window+assembly subtree runs once, not twice
+    chunks = content_chunks(docs, id_col, text_col, modulus).persist()
+    freq = (
+        chunks.select(F.md5("chunk").alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.countDistinct(id_col).alias("df"))
+        if threshold_distinct
+        else chunks.select(F.md5("chunk").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+    )
+    boiler = freq.where(F.col("df") >= max_df).select("h")
+    flagged = chunks.join(
+        F.broadcast(boiler), F.md5(chunks["chunk"]) == boiler["h"], "left"
+    ).select(
+        F.col(id_col),
+        "start_ord",
+        "chunk",
+        F.when(F.col("h").isNotNull(), 1).otherwise(0).alias("dropped"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("dropped").alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("dropped") == 0,
+                            F.struct("start_ord", "chunk"),
+                        )
+                    )
+                ),
+                lambda x: x["chunk"],
+            ),
+        ).alias("clean_text"),
+    )

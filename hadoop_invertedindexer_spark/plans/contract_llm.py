@@ -326,6 +326,33 @@ def q_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------- multimodal
 
 
+_BOILER_PHRASE = (
+    "subscribe to the daily digest and share this page with your team "
+    "for more updates and tips"
+)
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal over content-defined chunks: a
+    17-token template is planted into every 3rd document (same CTE trick
+    as pii_redact), the chunker splits at md5(token)%8==0 boundaries so
+    the template's interior chunks align across documents regardless of
+    offset, and chunks in >= 30 distinct docs are dropped. The small
+    shared vocabulary of the synthetic corpus also makes some short
+    NATURAL chunks cross the threshold — exactly the CCNet behavior
+    (frequent lines go regardless of why they repeat)."""
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILER_PHRASE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.boilerplate_removal(planted, modulus=8, max_df=30)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_metadata_summary(
         multimodal.binary_docs(_docs(spark, sf_dir))
@@ -466,6 +493,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "pii_redact": q_pii_redact,
     "repetition_removal": q_repetition_removal,
+    "boilerplate_removal": q_boilerplate_removal,
     "media_dedup_exact": q_media_dedup_exact,
     "media_ahash": q_media_ahash,
     "media_near_dup": q_media_near_dup,
@@ -899,6 +927,44 @@ LLM_ORACLE_SQL: dict[str, str] = {
             FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
             WHERE q.vec_id % 100 = 0
         ) t WHERE rank <= 10""",
+    # content-defined chunk boilerplate removal: boundaries, chunk ids,
+    # df counts, and reassembly restated verbatim (lockstep with
+    # dedup.content_chunks/boilerplate_removal at modulus=8, max_df=30)
+    "boilerplate_removal": f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN text || ' {_BOILER_PHRASE}'
+                        ELSE text END AS t
+            FROM documents),
+        tok AS (
+            SELECT doc_id,
+                   unnest(string_split(t, ' ')) AS tok,
+                   unnest(range(1, len(string_split(t, ' ')) + 1)) AS ord
+            FROM planted),
+        cid AS (
+            SELECT doc_id, ord, tok,
+                   sum(CASE WHEN ('0x' || substr(md5(tok), 1, 2))::INT % 8 = 0
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY ord) AS chunk_id
+            FROM tok),
+        chunks AS (
+            SELECT doc_id, chunk_id, min(ord) AS start_ord,
+                   string_agg(tok, ' ' ORDER BY ord) AS chunk
+            FROM cid GROUP BY doc_id, chunk_id),
+        freq AS (
+            SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS df
+            FROM chunks GROUP BY md5(chunk)),
+        flagged AS (
+            SELECT c.doc_id, c.start_ord, c.chunk,
+                   CASE WHEN f.df >= 30 THEN 1 ELSE 0 END AS dropped
+            FROM chunks c JOIN freq f ON md5(c.chunk) = f.h)
+        SELECT doc_id,
+               count(*)::BIGINT AS n_chunks,
+               sum(dropped)::BIGINT AS n_dropped,
+               coalesce(string_agg(CASE WHEN dropped = 0 THEN chunk END,
+                                   ' ' ORDER BY start_ord), '') AS clean_text
+        FROM flagged GROUP BY doc_id""",
     "knn_classify": f"""
         WITH nn AS (
             SELECT qid, vec_id FROM (

@@ -278,3 +278,57 @@ def test_streaming_minhash_index_matches_batch_build(spark, tmp_path):
         dedup.minhash_index_pairs(spark, probe, stream_path, threshold=0.3)
     )
     assert replay_pairs == stream_pairs
+
+
+def test_content_chunks_align_across_offsets(spark):
+    """A passage repeated in two docs at different offsets must split
+    into identical interior chunks (content-defined boundaries), and
+    boilerplate_removal at max_df=2 must drop exactly those shared
+    chunks while leaving an unrelated doc untouched."""
+    passage = (
+        "the quick brown fox jumps over the lazy dog while rain falls "
+        "on the quiet empty harbor town at night"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + passage + " gamma delta"),
+            (2, "one two three four " + passage),
+            (3, "totally unrelated words live here peacefully"),
+        ],
+        ["doc_id", "text"],
+    )
+    chunks = {
+        (r.doc_id, r.chunk_id): r.chunk
+        for r in dedup.content_chunks(docs).collect()
+    }
+    shared = {
+        c for (d, _), c in chunks.items() if d == 1
+    } & {c for (d, _), c in chunks.items() if d == 2}
+    assert shared, "no aligned chunks between offset-shifted copies"
+
+    out = {
+        r.doc_id: r for r in dedup.boilerplate_removal(docs, max_df=2).collect()
+    }
+    assert out[1].n_dropped >= 1 and out[2].n_dropped >= 1
+    assert out[3].n_dropped == 0
+    assert out[3].clean_text == "totally unrelated words live here peacefully"
+    # reassembly preserves original token order of the kept chunks
+    for d in (1, 2):
+        kept_tokens = out[d].clean_text.split(" ")
+        orig = [r for r in docs.collect() if r.doc_id == d][0].text.split(" ")
+        it = iter(orig)
+        assert all(t in it for t in kept_tokens), "kept tokens out of order"
+
+
+def test_boilerplate_contract_drops_planted_template(spark):
+    """At sf0.01 with the 17-token template planted into every 3rd doc,
+    planted docs must lose at least one chunk (the aligned template
+    interior) — and lose strictly more than the same doc loses without
+    the plant (natural short-chunk drops exist in the tiny-vocab
+    corpus)."""
+    from hadoop_invertedindexer_spark.plans import contract_llm
+
+    out = contract_llm.q_boilerplate_removal(spark, "/root/testdata/sf0.01")
+    planted = out.where(F.col("doc_id") % 3 == 0)
+    n_planted = planted.count()
+    assert planted.where(F.col("n_dropped") >= 1).count() == n_planted
