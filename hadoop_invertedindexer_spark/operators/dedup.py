@@ -806,3 +806,190 @@ def boilerplate_removal(
             ),
         ).alias("clean_text"),
     )
+
+
+# ------------------------------------------- Bloom-filter decontamination
+
+BLOOM_M_BITS = 1 << 17  # 131072 bits = 2048 packed words = 16 KiB broadcast
+BLOOM_K = 4
+
+
+def _bloom_positions(sh_col, m_bits: int, k: int) -> list:
+    """The ``k`` Bloom bit positions of a shingle, via Kirsch-Mitzenmacher
+    double hashing over two independent md5-60bit draws: ``p_i = (h1 +
+    i*h2) mod m``. Both hashes are reduced mod ``m_bits`` BEFORE the
+    linear combination so no intermediate exceeds ``(k+1) * m_bits`` (no
+    bigint overflow at any ``k``) and the arithmetic is restatable
+    verbatim in ANSI SQL for the oracle — the same portability
+    construction as the md5-60bit MinHash twin above."""
+
+    def h60(tag: str):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(tag), sh_col)), 1, 15), 16, 10
+        ).cast("bigint")
+
+    h1 = F.pmod(h60("b1"), F.lit(m_bits))
+    h2 = F.pmod(h60("b2"), F.lit(m_bits))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+
+
+def build_bloom_filter(
+    evalset: DataFrame,
+    n: int = 3,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row Bloom bitmap over the eval set's word n-grams: column
+    ``bloom`` is an ``array<bigint>`` of ``m_bits/64`` packed words (2048
+    elements = 16 KiB at the default) — a FIXED size regardless of how
+    many shingles the eval suite contains. This is the 100 TB lever over
+    :func:`contamination`'s broadcast shingle set: benchmark suites grow
+    to millions of shingles, but the probe structure stays one cache-line
+    -friendly array, and membership can only err toward extra drops
+    (false positives), never missed contamination — the safe direction.
+
+    Build cost: one explode + distinct over the (small) eval side, one
+    2048-group aggregation, one 2048-row array assembly. All JVM-side.
+    """
+    ev = evalset.select(F.explode(word_ngrams(text_col, n)).alias("sh")).distinct()
+    pos = ev.select(
+        F.explode(F.array(*_bloom_positions(F.col("sh"), m_bits, k))).alias("p")
+    )
+    words = pos.select(
+        (F.col("p") / 64).cast("int").alias("w"), (F.col("p") % 64).alias("bit")
+    ).groupBy("w").agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").alias("bits")
+    )
+    # densify to all m_bits/64 word slots (missing -> 0), pack to 1 row
+    spark = evalset.sparkSession
+    dense = (
+        spark.range(m_bits // 64)
+        .select(F.col("id").cast("int").alias("w"))
+        .join(words, "w", "left")
+        .select("w", F.coalesce("bits", F.lit(0).cast("bigint")).alias("bits"))
+    )
+    return dense.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "bits"))), lambda s: s["bits"]
+        ).alias("bloom")
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 3,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bloom: DataFrame | None = None,
+) -> DataFrame:
+    """Decontamination against a Bloom filter of the eval set's word
+    n-grams: (doc_id, n_flagged) for every train doc with >= 1 distinct
+    shingle whose ``k`` bit positions are ALL set in the bitmap.
+
+    Plan shape (the part that must survive 100 TB): the train side is
+    scan -> explode -> distinct -> broadcast-nested-loop join with the
+    ONE-ROW bloom frame -> filter -> per-doc count. The train shingle
+    stream is never multiplied by ``k`` (all k bit tests are one fused
+    projection via ``element_at``/``bit_get``) and never shuffles except
+    the 8-byte-key distinct and the final per-doc count. Flagged set is
+    a superset of :func:`contamination`'s exact answer (Bloom false
+    positives only add; ``tests/test_dedup.py`` pins the containment).
+
+    Pass a prebuilt ``bloom`` (from :func:`build_bloom_filter`, possibly
+    persisted) to amortize the build across daily batches."""
+    if bloom is None:
+        bloom = build_bloom_filter(evalset, n, m_bits, k, text_col)
+    tr = (
+        _spread(train, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(text_col, n)).alias("sh"),
+        )
+        .distinct()
+    )
+    probed = tr.join(F.broadcast(bloom))
+    hit_all = None
+    for p in _bloom_positions(F.col("sh"), m_bits, k):
+        word = F.element_at("bloom", (p / 64).cast("int") + 1)
+        hit = F.bit_get(word, p % 64) == 1
+        hit_all = hit if hit_all is None else (hit_all & hit)
+    return (
+        probed.where(hit_all)
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+
+
+# ------------------------------------------ duplicate-passage detection
+
+
+def duplicate_passages(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level exact duplicate detection — the 'dedup by repeated
+    span, not whole doc' family (Lee et al. 2022, which uses a suffix
+    array) re-expressed relationally: a token position is DUPLICATED if
+    it is covered by any length-``n`` token shingle occurring in >=
+    ``min_docs`` distinct documents; maximal runs of duplicated
+    positions are merged per doc. Returns one row per maximal span:
+    (doc_id, span_start, span_len), 0-based token offsets over the
+    normalized token stream.
+
+    Scale design: the shingle document-frequency is computed on 8-byte
+    ``xxhash64`` keys (the shingle STRINGS never shuffle), and only
+    duplicated shingles — rare in a clean corpus, bounded by true
+    duplication — reach the per-doc window stage, whose partitions are
+    bounded by document length. No all-pairs step exists at any point;
+    unlike a suffix array there is no global sort over the corpus, just
+    one hash aggregation + one windowed islands pass.
+
+    Docs shorter than ``n`` tokens contribute one whole-doc shingle whose
+    span still reports length ``n`` (the shingle-mask convention; the
+    oracle mirrors it)."""
+    from pyspark.sql import Window
+
+    sh = (
+        _spread(docs, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(word_ngrams(text_col, n)).alias("pos", "sh_str"),
+        )
+        .select("id", "pos", F.xxhash64("sh_str").alias("sh"))
+        .persist()  # feeds both the df count and the interval join
+    )
+    dup = (
+        sh.groupBy("sh")
+        .agg(F.count_distinct("id").alias("df"))
+        .where(F.col("df") >= min_docs)
+    )
+    ivals = sh.join(dup.select("sh"), "sh").select(
+        "id", "pos", (F.col("pos") + n - 1).alias("end")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    islands = (
+        ivals.withColumn("prev_end", F.max("end").over(wprev))
+        .withColumn(
+            "new_island",
+            (F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end") + 1)).cast(
+                "int"
+            ),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+    )
+    return (
+        islands.groupBy(F.col("id").alias(id_col), "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("end") - F.min("pos") + 1).cast("long").alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_len")
+    )

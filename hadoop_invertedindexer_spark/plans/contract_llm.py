@@ -353,6 +353,30 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.boilerplate_removal(planted, modulus=8, max_df=30)
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a 16 KiB Bloom bitmap of the eval set's
+    3-gram shingles (every-50th doc plays the eval set, same split as
+    ``decontaminate``). The bitmap is a ONE-ROW broadcast regardless of
+    eval size — the fixed-memory alternative to broadcasting the full
+    shingle set — and the md5-60bit double hashing makes every bit
+    position reproducible in ANSI SQL, so the oracle recomputes the
+    exact same membership (false positives included)."""
+    d = _docs(spark, sf_dir)
+    return dedup.bloom_decontaminate(
+        train=d.where(F.col("doc_id") % 50 != 0),
+        evalset=d.where(F.col("doc_id") % 50 == 0),
+        n=3,
+    )
+
+
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate spans: maximal per-doc runs of token
+    positions covered by an 8-token shingle occurring in >= 2 distinct
+    docs. Shingle document frequency on 8-byte hashes; only duplicated
+    shingles reach the windowed islands merge."""
+    return dedup.duplicate_passages(_docs(spark, sf_dir), n=8, min_docs=2)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_metadata_summary(
         multimodal.binary_docs(_docs(spark, sf_dir))
@@ -494,6 +518,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "repetition_removal": q_repetition_removal,
     "boilerplate_removal": q_boilerplate_removal,
+    "bloom_decontaminate": q_bloom_decontaminate,
+    "duplicate_passages": q_duplicate_passages,
     "media_dedup_exact": q_media_dedup_exact,
     "media_ahash": q_media_ahash,
     "media_near_dup": q_media_near_dup,
@@ -965,6 +991,69 @@ LLM_ORACLE_SQL: dict[str, str] = {
                coalesce(string_agg(CASE WHEN dropped = 0 THEN chunk END,
                                    ' ' ORDER BY start_ord), '') AS clean_text
         FROM flagged GROUP BY doc_id""",
+    # Bloom decontamination: the exact bit positions of the Spark bitmap
+    # (md5-60bit Kirsch-Mitzenmacher double hashing, both draws reduced
+    # mod m before combining) restated in SQL. Set-bit membership == 'all
+    # k positions appear in the union of eval positions', so the word
+    # packing needs no restating — semantics, false positives included,
+    # are identical (lockstep with dedup.bloom_decontaminate at
+    # n=3, m=2^17, k=4, eval = doc_id % 50 = 0).
+    "bloom_decontaminate": f"""
+        WITH {_SQL_SHINGLES},
+        hp AS (
+            SELECT id, sh,
+                   ('0x' || substr(md5('b1|' || sh), 1, 15))::BIGINT
+                       % {dedup.BLOOM_M_BITS} AS h1,
+                   ('0x' || substr(md5('b2|' || sh), 1, 15))::BIGINT
+                       % {dedup.BLOOM_M_BITS} AS h2
+            FROM shingles),
+        ev_pos AS (
+            SELECT DISTINCT (h1 + i * h2) % {dedup.BLOOM_M_BITS} AS p
+            FROM hp, unnest([0, 1, 2, 3]) AS t(i) WHERE id % 50 = 0),
+        tr AS (
+            SELECT id, sh, i, (h1 + i * h2) % {dedup.BLOOM_M_BITS} AS p
+            FROM hp, unnest([0, 1, 2, 3]) AS t(i) WHERE id % 50 <> 0),
+        flagged AS (
+            SELECT id, sh FROM tr JOIN ev_pos USING (p)
+            GROUP BY id, sh HAVING count(DISTINCT i) = 4)
+        SELECT id AS doc_id, count(*)::BIGINT AS n_flagged
+        FROM flagged GROUP BY id""",
+    # duplicate passages: positional 8-gram shingles (whole-doc shingle
+    # for docs shorter than 8 tokens — same convention as word_ngrams),
+    # cross-doc df >= 2, gaps-and-islands merge of covered intervals
+    # (lockstep with dedup.duplicate_passages; Spark groups shingles by
+    # xxhash64, the oracle by the string — identical absent a 64-bit
+    # collision, as in ngram_jaccard)
+    "duplicate_passages": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks
+            FROM documents),
+        sh AS (
+            SELECT doc_id AS id, i - 1 AS pos,
+                   array_to_string(toks[i:least(i + 7, len(toks))], ' ') AS sh
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS t(i)),
+        dup AS (
+            SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT id) >= 2),
+        ival AS (
+            SELECT id, pos, pos + 7 AS e FROM sh JOIN dup USING (sh)),
+        isl AS (
+            SELECT id, pos, e,
+                   max(e) OVER (PARTITION BY id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_end
+            FROM ival),
+        isl2 AS (
+            SELECT id, pos, e,
+                   sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS island
+            FROM isl)
+        SELECT id AS doc_id, min(pos)::BIGINT AS span_start,
+               (max(e) - min(pos) + 1)::BIGINT AS span_len
+        FROM isl2 GROUP BY id, island""",
     "knn_classify": f"""
         WITH nn AS (
             SELECT qid, vec_id FROM (

@@ -332,3 +332,115 @@ def test_boilerplate_contract_drops_planted_template(spark):
     planted = out.where(F.col("doc_id") % 3 == 0)
     n_planted = planted.count()
     assert planted.where(F.col("n_dropped") >= 1).count() == n_planted
+
+
+# ------------------------------------------- Bloom-filter decontamination
+
+
+def test_bloom_decontaminate_contains_exact_answer(spark):
+    """Bloom membership can only ADD docs (false positives) relative to
+    the exact broadcast-set contamination — never miss one, and never
+    report fewer shared shingles for a flagged doc."""
+    train = spark.createDataFrame(
+        [(1, BASE), (2, OTHER), (3, "nothing shared here at all today")],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+    exact = {
+        r.doc_id: r.n_shared
+        for r in dedup.contamination(train, evalset, n=3).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_flagged
+        for r in dedup.bloom_decontaminate(train, evalset, n=3).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for d, n_shared in exact.items():
+        assert bloom[d] >= n_shared
+    assert 1 in bloom  # the planted full-copy contamination is caught
+
+
+def test_bloom_decontaminate_clean_train_mostly_empty(spark):
+    """With 2^17 bits and a one-doc eval set, a disjoint train side has
+    ~zero false-positive shingles (expected FP rate ~(k*s/m)^k ~ 1e-12
+    here) — the fixture is deterministic, so exact emptiness is stable."""
+    train = spark.createDataFrame([(1, OTHER)], ["doc_id", "text"])
+    evalset = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+    assert dedup.bloom_decontaminate(train, evalset, n=3).count() == 0
+
+
+def test_bloom_prebuilt_filter_reused(spark):
+    """Passing a prebuilt (persistable) bitmap gives the same answer as
+    building inline — the daily-batch amortization path."""
+    train = spark.createDataFrame([(1, BASE), (2, OTHER)], ["doc_id", "text"])
+    evalset = spark.createDataFrame([(100, BASE)], ["doc_id", "text"])
+    bloom = dedup.build_bloom_filter(evalset, n=3).persist()
+    inline = sorted(
+        (r.doc_id, r.n_flagged)
+        for r in dedup.bloom_decontaminate(train, evalset, n=3).collect()
+    )
+    reused = sorted(
+        (r.doc_id, r.n_flagged)
+        for r in dedup.bloom_decontaminate(train, evalset, n=3, bloom=bloom).collect()
+    )
+    assert inline == reused and len(inline) == 1
+
+
+def test_bloom_filter_is_fixed_size_one_row(spark):
+    row = dedup.build_bloom_filter(
+        spark.createDataFrame([(1, BASE), (2, OTHER)], ["doc_id", "text"]), n=3
+    ).collect()
+    assert len(row) == 1 and len(row[0].bloom) == dedup.BLOOM_M_BITS // 64
+
+
+# ------------------------------------------ duplicate-passage detection
+
+
+PASSAGE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa"
+)  # 16 tokens
+
+
+def test_duplicate_passages_merges_offset_spans(spark):
+    """The same 16-token passage planted at different offsets in two docs
+    must come back as ONE maximal span per doc, with the correct 0-based
+    start and the full 16-token length."""
+    docs = spark.createDataFrame(
+        [
+            (1, PASSAGE + " unique tail one after the borrowed part ends"),
+            (2, "totally fresh preamble of five tokens " + PASSAGE),
+            (3, OTHER),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_len)
+        for r in dedup.duplicate_passages(docs, n=8, min_docs=2).collect()
+    }
+    assert spans[1] == (0, 16)
+    assert spans[2] == (6, 16)  # preamble is 6 tokens once normalized
+    assert 3 not in spans
+
+
+def test_duplicate_passages_disjoint_spans_stay_separate(spark):
+    """Two shared passages separated by unique middles must NOT merge."""
+    p2 = "quebec romeo sierra tango uniform victor whiskey xray yankee zulu"
+    mid1 = "own words here that nobody else repeats in any other document"
+    mid2 = "different filler text unique to the second document entirely ok"
+    docs = spark.createDataFrame(
+        [(1, PASSAGE + " " + mid1 + " " + p2), (2, PASSAGE + " " + mid2 + " " + p2)],
+        ["doc_id", "text"],
+    )
+    out = dedup.duplicate_passages(docs, n=8, min_docs=2).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+    for d in (1, 2):
+        assert sorted(per_doc[d])[0] == (0, 16)
+        assert len(per_doc[d]) == 2  # passage and p2 as separate islands
+
+
+def test_duplicate_passages_no_dups_empty(spark):
+    docs = spark.createDataFrame([(1, BASE), (2, OTHER)], ["doc_id", "text"])
+    assert dedup.duplicate_passages(docs, n=8, min_docs=2).count() == 0
