@@ -106,3 +106,88 @@ def synth_payload(doc_id: int, text: str) -> bytes:
     reps = -(-total // len(raw))  # ceil
     body = np.frombuffer(raw * reps, dtype=np.uint8, count=total)
     return encode_media(body.reshape(n_frames, height, width, channels).copy())
+
+
+# ------------------------------------------------------- audio (SAU1)
+#
+# Same philosophy as SBM1/SVD1 for the audio modality: a self-describing
+# container with a trivially-decodable wire format, so the REAL decode /
+# feature-extract paths (header parse, int16 PCM demux, per-channel
+# signal stats) run against real bytes without torchaudio/ffmpeg.
+#
+#     magic        4 bytes   b"SAU1"
+#     sample_rate  uint16
+#     channels     uint8     1 (mono) or 2 (stereo), interleaved
+#     n_samples    uint32    per channel
+#     samples      n_samples * channels int16 LE, frame-interleaved
+#
+# Synthesis geometry (synth_audio_params / synth_audio_payload) is a pure
+# function of (doc_id, text) kept SQL-restatable:
+#
+#     nb          = octet_length(text utf-8)       (>= 1 after padding)
+#     sample_rate = 8000 + 4000 * (doc_id % 3)
+#     channels    = 1 + doc_id % 2
+#     n_samples   = 64 + nb % 192
+#     sample j    = (byte[j % nb] - 128) * 256     (interleaved index j)
+
+MAGIC_AUDIO = b"SAU1"
+_AUDIO_HEADER = struct.Struct("<4sHBI")
+AUDIO_HEADER_LEN = _AUDIO_HEADER.size  # 11
+
+
+def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_samples, channels) int16 array -> SAU1 container bytes."""
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise ValueError(
+            f"expected 2-D int16 array, got {samples.shape} {samples.dtype}"
+        )
+    n_samples, channels = samples.shape
+    return (
+        _AUDIO_HEADER.pack(MAGIC_AUDIO, sample_rate, channels, n_samples)
+        + samples.astype("<i2").tobytes()
+    )
+
+
+def decode_audio_header(payload: bytes) -> tuple[int, int, int]:
+    """(sample_rate, channels, n_samples); raises ValueError on foreign
+    or corrupt payloads like a real decoder."""
+    if len(payload) < AUDIO_HEADER_LEN:
+        raise ValueError(f"payload too short for header: {len(payload)} bytes")
+    magic, sample_rate, channels, n_samples = _AUDIO_HEADER.unpack_from(payload)
+    if magic != MAGIC_AUDIO:
+        raise ValueError(f"unsupported codec magic {magic!r}")
+    expect = AUDIO_HEADER_LEN + 2 * n_samples * channels
+    if len(payload) != expect:
+        raise ValueError(
+            f"corrupt payload: header promises {expect} bytes, got {len(payload)}"
+        )
+    return sample_rate, channels, n_samples
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Container bytes -> (sample_rate, (n_samples, channels) int16)."""
+    sample_rate, channels, n_samples = decode_audio_header(bytes(payload))
+    body = np.frombuffer(payload, dtype="<i2", offset=AUDIO_HEADER_LEN)
+    return sample_rate, body.reshape(n_samples, channels)
+
+
+def synth_audio_params(doc_id: int, n_text_bytes: int) -> tuple[int, int, int]:
+    """(sample_rate, channels, n_samples) — MUST stay in lockstep with
+    the SQL restatement in plans/contract_llm.py (audio oracles)."""
+    sample_rate = 8000 + 4000 * (doc_id % 3)
+    channels = 1 + doc_id % 2
+    n_samples = 64 + n_text_bytes % 192
+    return sample_rate, channels, n_samples
+
+
+def synth_audio_payload(doc_id: int, text: str) -> bytes:
+    """Deterministically render a document into an SAU1 payload: utf-8
+    bytes cycled over the interleaved sample stream, centered at 128 and
+    scaled by 256 (full int16 span, integer-exact for the oracle)."""
+    raw = text.encode("utf-8") or b"\x00"
+    sample_rate, channels, n_samples = synth_audio_params(doc_id, len(text.encode("utf-8")))
+    total = n_samples * channels
+    reps = -(-total // len(raw))  # ceil
+    body = np.frombuffer(raw * reps, dtype=np.uint8, count=total)
+    samples = (body.astype(np.int16) - 128) * 256
+    return encode_audio(samples.reshape(n_samples, channels), sample_rate)

@@ -353,6 +353,26 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.boilerplate_removal(planted, modulus=8, max_df=30)
 
 
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: documents rendered into SAU1 int16-PCM
+    containers, headers parsed back by the real codec path. Synthesis
+    geometry is SQL-expressible (sample_rate/channels/n_samples from
+    doc_id + octet_length), mirroring multimodal_decode."""
+    return multimodal.decode_audio_meta(
+        multimodal.synthesize_audio(_docs(spark, sf_dir))
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal stats over decoded PCM (energy / peak / per-channel zero
+    crossings / integer duration): every metric is integer-exact, so the
+    oracle recomputes them from the text-cycled synthesis samples
+    without any decode."""
+    return multimodal.audio_features(
+        multimodal.synthesize_audio(_docs(spark, sf_dir))
+    )
+
+
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination against a 16 KiB Bloom bitmap of the eval set's
     3-gram shingles (every-50th doc plays the eval set, same split as
@@ -519,6 +539,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_removal": q_repetition_removal,
     "boilerplate_removal": q_boilerplate_removal,
     "bloom_decontaminate": q_bloom_decontaminate,
+    "audio_meta": q_audio_meta,
+    "audio_features": q_audio_features,
     "duplicate_passages": q_duplicate_passages,
     "media_dedup_exact": q_media_dedup_exact,
     "media_ahash": q_media_ahash,
@@ -991,6 +1013,45 @@ LLM_ORACLE_SQL: dict[str, str] = {
                coalesce(string_agg(CASE WHEN dropped = 0 THEN chunk END,
                                    ' ' ORDER BY start_ord), '') AS clean_text
         FROM flagged GROUP BY doc_id""",
+    # SAU1 audio geometry restated from media_codec.synth_audio_params:
+    # header is 11 bytes, samples are int16 interleaved
+    "audio_meta": """
+        SELECT doc_id,
+               (8000 + 4000 * (doc_id % 3))::INT AS sample_rate,
+               (1 + doc_id % 2)::INT AS channels,
+               (64 + octet_length(encode(text)) % 192)::INT AS n_samples,
+               (11 + 2 * (64 + octet_length(encode(text)) % 192)
+                       * (1 + doc_id % 2))::BIGINT AS n_bytes
+        FROM documents""",
+    # audio features twin: sample j of the interleaved stream is
+    # (byte[j % nb] - 128) * 256 (text bytes cycled, b'\\x00' if empty),
+    # so energy/peak/zero-crossings are exact-integer recomputable from
+    # the hex-encoded text — keep in lockstep with
+    # multimodal.audio_features / media_codec.synth_audio_payload
+    "audio_features": """
+        WITH geom AS (
+            SELECT doc_id,
+                   8000 + 4000 * (doc_id % 3) AS sr,
+                   1 + doc_id % 2 AS ch,
+                   64 + octet_length(encode(text)) % 192 AS n,
+                   CASE WHEN octet_length(encode(text)) = 0 THEN '00'
+                        ELSE hex(encode(text)) END AS hx,
+                   greatest(octet_length(encode(text)), 1) AS nb
+            FROM documents),
+        sv AS (
+            SELECT doc_id, sr, ch, n,
+                   list_transform(range(0, n * ch), j ->
+                       (('0x' || substr(hx, (2 * (j % nb) + 1)::INT, 2))::BIGINT
+                        - 128) * 256) AS s
+            FROM geom)
+        SELECT doc_id,
+               (n * 1000 // sr)::BIGINT AS duration_ms,
+               list_sum(list_transform(s, x -> abs(x)))::BIGINT AS energy,
+               list_max(list_transform(s, x -> abs(x)))::INT AS peak,
+               coalesce(list_sum(list_transform(range(ch, n * ch), j ->
+                   ((s[(j + 1)::INT] < 0) != (s[(j - ch + 1)::INT] < 0))::INT)),
+                   0)::BIGINT AS zero_crossings
+        FROM sv""",
     # Bloom decontamination: the exact bit positions of the Spark bitmap
     # (md5-60bit Kirsch-Mitzenmacher double hashing, both draws reduced
     # mod m before combining) restated in SQL. Set-bit membership == 'all

@@ -249,3 +249,55 @@ def test_pixel_histogram_counts_and_empty_text(spark):
         assert got[doc_id] == expected, f"doc {doc_id}"
     w, h, c, fr = media_codec.synth_params(12, 0)
     assert got[12][0] == fr * w * h * c and sum(got[12][1:]) == 0
+
+
+# ------------------------------------------------------------- audio
+
+
+def test_audio_codec_roundtrip_exact():
+    samples = (np.arange(12, dtype=np.int16).reshape(6, 2) - 6) * 1000
+    payload = media_codec.encode_audio(samples, 16000)
+    sr, back = media_codec.decode_audio(payload)
+    assert sr == 16000 and back.shape == (6, 2)
+    assert np.array_equal(back, samples)
+
+
+def test_audio_codec_rejects_foreign_and_corrupt():
+    with pytest.raises(ValueError, match="magic"):
+        media_codec.decode_audio_header(b"RIFF" + b"\x00" * 20)
+    good = media_codec.encode_audio(np.zeros((4, 1), dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="corrupt"):
+        media_codec.decode_audio_header(good + b"\x00")
+
+
+def test_audio_features_hand_computed(spark):
+    """Mono payload with a known sign pattern: samples +1000, -1000,
+    +1000, -1000 -> energy 4000, peak 1000, 3 zero crossings."""
+    samples = np.array([[1000], [-1000], [1000], [-1000]], dtype=np.int16)
+    payload = media_codec.encode_audio(samples, 8000)
+    df = spark.createDataFrame([(1, bytearray(payload))], ["doc_id", "payload"])
+    row = multimodal.audio_features(df).collect()[0]
+    assert row.energy == 4000 and row.peak == 1000
+    assert row.zero_crossings == 3
+    assert row.duration_ms == 4 * 1000 // 8000
+
+
+def test_audio_zero_crossings_per_channel_not_interleave(spark):
+    """Stereo where the raw interleaved stream alternates sign every
+    sample but each CHANNEL is constant-sign: crossings must be 0 —
+    proving the stat is computed per channel, not over the interleave."""
+    samples = np.tile(np.array([[1000, -1000]], dtype=np.int16), (5, 1))
+    payload = media_codec.encode_audio(samples, 12000)
+    df = spark.createDataFrame([(1, bytearray(payload))], ["doc_id", "payload"])
+    assert multimodal.audio_features(df).collect()[0].zero_crossings == 0
+
+
+def test_synthesize_audio_matches_formulas(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(20)
+    meta = multimodal.decode_audio_meta(multimodal.synthesize_audio(docs))
+    src = {r.doc_id: r.text for r in docs.collect()}
+    for r in meta.collect():
+        nb = len(src[r.doc_id].encode("utf-8"))
+        sr, ch, n = media_codec.synth_audio_params(r.doc_id, nb)
+        assert (r.sample_rate, r.channels, r.n_samples) == (sr, ch, n)
+        assert r.n_bytes == media_codec.AUDIO_HEADER_LEN + 2 * n * ch

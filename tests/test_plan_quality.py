@@ -175,6 +175,10 @@ def test_all_oracle_queries_stay_jvm_side(spark):
         "media_ahash",
         "media_near_dup",
         "multimodal_features_hist",
+        # the audio modality: synthesize/decode/feature mapInPandas is
+        # the operator, oracle-paired via the SAU1 geometry restatement
+        "audio_meta",
+        "audio_features",
         # the documented pandas-UDF exception (64-way bit vote), now
         # oracle-paired via the md5 bit-vote SQL restatement — Python
         # by design, value-checked end-to-end
