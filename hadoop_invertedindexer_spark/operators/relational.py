@@ -1161,8 +1161,30 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the part co-purchase graph (parts sharing an
+    order are adjacent; per-order fanout is bounded by order size, <= 13
+    in this data). Degree-ordered orientation caps the wedge join's
+    fanout at O(sqrt(m)) per node regardless of raw degree skew — the
+    property that keeps the count feasible on power-law graphs at scale
+    (see operators/graph.py:triangle_count)."""
+    from hadoop_invertedindexer_spark.operators.graph import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    e0 = x.join(
+        y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p"))
+    ).select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+    return triangle_count(e0)
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
+    "triangle_count": q_triangle_count,
     "pagerank": q_pagerank,
     "window_trailing_range": q_window_trailing_range,
     "full_outer_reconcile": q_full_outer_reconcile,
@@ -1271,6 +1293,28 @@ def _pagerank_oracle(iters: int = 5) -> str:
 
 RELATIONAL_ORACLE_SQL: dict[str, str] = {
     "pagerank": _pagerank_oracle(iters=5),
+    # same degree-ordered orientation as graph.triangle_count: row-value
+    # (degree, node) comparison picks the edge direction, wedges close
+    # against the oriented list, each triangle matched exactly once
+    "triangle_count": """
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+        e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+               FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        deg AS (SELECT n, count(*) AS d FROM (
+                    SELECT a AS n FROM e0
+                    UNION ALL SELECT b FROM e0) u GROUP BY n),
+        o AS (SELECT CASE WHEN (da.d, e0.a) < (db.d, e0.b)
+                          THEN e0.a ELSE e0.b END AS src,
+                     CASE WHEN (da.d, e0.a) < (db.d, e0.b)
+                          THEN e0.b ELSE e0.a END AS dst
+              FROM e0 JOIN deg da ON da.n = e0.a
+                      JOIN deg db ON db.n = e0.b),
+        w AS (SELECT o1.dst AS y, o2.dst AS z
+              FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst <> o2.dst)
+        SELECT (SELECT count(*) FROM e0)::BIGINT AS n_edges,
+               count(*)::BIGINT AS n_triangles
+        FROM w JOIN o ON o.src = w.y AND o.dst = w.z""",
     "full_outer_reconcile": """
         SELECT strftime(coalesce(o.month, l.month), '%Y-%m') AS month,
                coalesce(n_orders, 0) AS n_orders,

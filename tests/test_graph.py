@@ -49,3 +49,24 @@ def test_pagerank_mass_conserved_and_ordered(ranks):
     # c receives b's full rank plus nothing else; d only a's split — the
     # cycle nodes outrank the dangling leaf
     assert got["d"] < got["c"]
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 (4 triangles) plus a pendant edge, with noise the canonicalizer
+    must absorb: duplicates, reversed duplicates, and a self-loop."""
+    from hadoop_invertedindexer_spark.operators.graph import triangle_count
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    noisy = k4 + [(5, 1), (2, 1), (3, 1), (4, 3), (2, 2)]
+    edges = spark.createDataFrame(noisy, ["a", "b"])
+    row = triangle_count(edges).collect()[0]
+    assert row.n_edges == 7  # 6 K4 edges + the pendant; dups/loop gone
+    assert row.n_triangles == 4
+
+
+def test_triangle_count_triangle_free(spark):
+    from hadoop_invertedindexer_spark.operators.graph import triangle_count
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["a", "b"])
+    row = triangle_count(star).collect()[0]
+    assert row.n_edges == 5 and row.n_triangles == 0
