@@ -1,0 +1,90 @@
+"""Vocabulary building + token-id encoding (EXT, SURVEY §2B north star).
+
+The tokenizer step of an LLM data pipeline, word-level: build a
+frequency-ranked vocabulary over the corpus, then encode every document
+as its ordered token-id sequence. (Subword/BPE merges are a training
+procedure, not a dataflow op; the dataflow shape — global frequency
+rank, broadcast vocab join, order-preserving reassembly — is identical,
+and ``textstats.n_bpe_tokens`` covers the BPE-ish counting heuristic.)
+
+Scale design:
+
+* the vocabulary is CAPPED (``max_size``), so the encode join is always
+  a broadcast — the token stream never shuffles to meet the vocab;
+* ranking ties are broken (count desc, token asc): the id assignment is
+  a total order, deterministic across partitionings and engines;
+* the only full-width shuffles are the token-frequency aggregation
+  (8-byte-ish token keys) and the per-doc reassembly groupBy, both
+  pre-aggregated map-side by Catalyst;
+* id 0 is reserved for OOV/<unk>, ids start at 1 in rank order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from hadoop_invertedindexer_spark.operators.dedup import token_array
+
+
+def build_vocab(
+    docs: DataFrame,
+    max_size: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, token_id, n_occurrences): the ``max_size`` most frequent
+    normalized tokens, id = rank by (count desc, token asc) starting at
+    1. The rank window is a single global sort over at most
+    |vocabulary| rows — corpus-size-independent, tiny next to the
+    frequency aggregation that feeds it."""
+    counts = (
+        docs.select(F.explode(token_array(text_col)).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w).cast("int"))
+        .where(F.col("token_id") <= max_size)
+        .select("token", "token_id", "n_occurrences")
+    )
+
+
+def encode_tokens(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode each document as its ordered token-id sequence against a
+    vocabulary from :func:`build_vocab`; out-of-vocabulary tokens map to
+    id 0. Returns (doc_id, n_tokens, n_oov, ids_str) with the sequence
+    comma-joined (portable to the oracle's string_agg).
+
+    The vocab side is broadcast (bounded by max_size); the token stream
+    is exploded with positions, mapped, and reassembled with ONE
+    exchange on ``id_col``."""
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(token_array(text_col)).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    mapped = tok.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(0)).cast("int").alias("tid"),
+    )
+    return mapped.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("tid") == 0).cast("long")).alias("n_oov"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"].cast("string"),
+            ),
+        ).alias("ids_str"),
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_invertedindexer_spark.functions import textstats
-from hadoop_invertedindexer_spark.operators import dedup, multimodal, similarity
+from hadoop_invertedindexer_spark.operators import dedup, multimodal, similarity, vocab
 from hadoop_invertedindexer_spark.sources.tables import read_table
 
 STOPWORDS = ["the", "and", "for", "with", "that", "this", "from"]
@@ -353,6 +353,21 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.boilerplate_removal(planted, modulus=8, max_df=30)
 
 
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked word vocabulary with deterministic tie-broken
+    ids (count desc, token asc)."""
+    return vocab.build_vocab(_docs(spark, sf_dir), max_size=1024)
+
+
+def q_tokens_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document encoded as its ordered token-id sequence against
+    a deliberately small (32-entry) vocab so the OOV path (id 0) is
+    exercised on real rows. Vocab side broadcast; one exchange for the
+    per-doc reassembly."""
+    d = _docs(spark, sf_dir)
+    return vocab.encode_tokens(d, vocab.build_vocab(d, max_size=32))
+
+
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: documents rendered into SAU1 int16-PCM
     containers, headers parsed back by the real codec path. Synthesis
@@ -540,6 +555,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_removal": q_boilerplate_removal,
     "bloom_decontaminate": q_bloom_decontaminate,
     "audio_meta": q_audio_meta,
+    "vocab_build": q_vocab_build,
+    "tokens_encode": q_tokens_encode,
     "audio_features": q_audio_features,
     "duplicate_passages": q_duplicate_passages,
     "media_dedup_exact": q_media_dedup_exact,
@@ -1013,6 +1030,46 @@ LLM_ORACLE_SQL: dict[str, str] = {
                coalesce(string_agg(CASE WHEN dropped = 0 THEN chunk END,
                                    ' ' ORDER BY start_ord), '') AS clean_text
         FROM flagged GROUP BY doc_id""",
+    # word vocab: same normalization as the dedup family, rank by
+    # (count desc, token asc) — a total order, so ids agree bit-for-bit
+    "vocab_build": f"""
+        WITH tok AS (
+            SELECT unnest(string_split({_SQL_NORM}, ' ')) AS token
+            FROM documents),
+        counts AS (
+            SELECT token, count(*)::BIGINT AS n_occurrences FROM tok
+            WHERE token <> '' GROUP BY token)
+        SELECT token, token_id, n_occurrences FROM (
+            SELECT token, n_occurrences,
+                   row_number() OVER (ORDER BY n_occurrences DESC, token)::INT
+                       AS token_id
+            FROM counts) t
+        WHERE token_id <= 1024""",
+    # encode twin: 32-entry vocab rebuilt inline, OOV -> 0, sequence
+    # reassembled in position order (two equal-length unnests align
+    # positionally in DuckDB — same idiom as the boilerplate oracle)
+    "tokens_encode": f"""
+        WITH base AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents),
+        tok AS (
+            SELECT doc_id,
+                   unnest(string_split(norm, ' ')) AS token,
+                   unnest(range(1, len(string_split(norm, ' ')) + 1)) AS pos
+            FROM base),
+        tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        counts AS (SELECT token, count(*) AS c FROM tok2 GROUP BY token),
+        vocab AS (
+            SELECT token, token_id FROM (
+                SELECT token,
+                       row_number() OVER (ORDER BY c DESC, token) AS token_id
+                FROM counts) v
+            WHERE token_id <= 32)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_oov,
+               string_agg(coalesce(v.token_id, 0)::VARCHAR, ','
+                          ORDER BY pos) AS ids_str
+        FROM tok2 t LEFT JOIN vocab v USING (token)
+        GROUP BY doc_id""",
     # SAU1 audio geometry restated from media_codec.synth_audio_params:
     # header is 11 bytes, samples are int16 interleaved
     "audio_meta": """
