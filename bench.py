@@ -71,6 +71,11 @@ HEADLINE = [
     "hourly_anomalies",       # gap-filled grid + integer-exact z-scores
     "pagerank",               # iterative: 5 lineage-truncated rounds
     "decontaminate",          # shingle broadcast semi-join
+    "bloom_decontaminate",    # fixed 16 KiB bitmap; train side unshuffled (r5)
+    "duplicate_passages",     # substring-level dedup: islands over dup 8-grams (r5)
+    "triangle_count",         # degree-ordered wedge join over co-purchases (r5)
+    "tokens_encode",          # vocab build + broadcast-mapped id sequences (r5)
+    "audio_features",         # SAU1 decode + int16 signal stats (mapInPandas) (r5)
     "pii_redact",             # regex scrub over every document
     "boilerplate_removal",    # content-defined chunk dedup + reassembly
     "bigram_topk",
@@ -185,7 +190,8 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     scale_files = sorted(
         f for f in os.listdir(here)
-        if f.startswith("scale_results_") and f.endswith(".json")
+        if f.startswith(("scale_results_", "scale_deep_results_"))
+        and f.endswith(".json")
     )
     if scale_files:
         payload["scale_results_files"] = scale_files

@@ -970,7 +970,13 @@ def duplicate_passages(
         .agg(F.count_distinct("id").alias("df"))
         .where(F.col("df") >= min_docs)
     )
-    ivals = sh.join(dup.select("sh"), "sh").select(
+    # the duplicated-shingle set is bounded only by TRUE cross-doc
+    # duplication — on a duplicate-heavy corpus it approaches the full
+    # shingle vocabulary, so it must never be driver-broadcast (measured:
+    # the 10x soak corpus, where every doc is a 10-way near-dup, blows a
+    # 64 MB broadcast build). shuffle_hash pins a shuffled hash join:
+    # both sides exchange on the 8-byte key, no driver materialization.
+    ivals = sh.join(dup.select("sh").hint("shuffle_hash"), "sh").select(
         "id", "pos", (F.col("pos") + n - 1).alias("end")
     )
     w = Window.partitionBy("id").orderBy("pos")

@@ -287,3 +287,38 @@ def test_join_hints_override_strategy(spark):
     # and without hints the small dim broadcasts
     free = li.join(p, li.l_partkey == p.p_partkey)
     assert "BroadcastHashJoin" in _plan(free)
+
+
+def test_duplicate_passages_dup_side_never_broadcasts(spark):
+    """The duplicated-shingle set is bounded only by true cross-doc
+    duplication — on a duplicate-heavy corpus it approaches the full
+    shingle vocabulary, so the interval join must be a shuffled hash
+    join (both sides exchange on the 8-byte key), never a driver
+    broadcast build. Pinned after the 10x soak corpus blew a 64 MB
+    broadcast here."""
+    from hadoop_invertedindexer_spark.operators.dedup import duplicate_passages
+
+    docs = read_table(spark, SF, "documents")
+    plan = _plan(duplicate_passages(docs, n=8, min_docs=2))
+    assert "ShuffledHashJoin" in plan
+
+
+def test_bloom_decontaminate_single_row_broadcast(spark):
+    """The bloom probe joins the train shingle stream with the ONE-ROW
+    bitmap frame (broadcast nested loop), and all k bit tests are fused
+    into the projection — no per-position explode multiplies the train
+    stream."""
+    from hadoop_invertedindexer_spark.operators.dedup import bloom_decontaminate
+
+    docs = read_table(spark, SF, "documents")
+    plan = _plan(
+        bloom_decontaminate(
+            docs.where(F.col("doc_id") % 50 != 0),
+            docs.where(F.col("doc_id") % 50 == 0),
+            n=3,
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    # exactly one explode: the shingle explode on the train side — the k
+    # bit positions are computed inline, never exploded
+    assert plan.count("Generate explode") == 1
