@@ -853,8 +853,19 @@ def build_bloom_filter(
     2048-group aggregation, one 2048-row array assembly. All JVM-side.
     """
     ev = evalset.select(F.explode(word_ngrams(text_col, n)).alias("sh")).distinct()
-    pos = ev.select(
-        F.explode(F.array(*_bloom_positions(F.col("sh"), m_bits, k))).alias("p")
+    return bloom_bitmap(ev, "sh", m_bits, k)
+
+
+def bloom_bitmap(
+    keys: DataFrame, col: str, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """Pack any (distinct) string-key column into the one-row Bloom
+    bitmap: ``k`` positions per key, 64 bits per packed word, dense
+    array of ``m_bits/64`` bigints. Shared by the shingle-level
+    decontamination filter and the join-key runtime filter
+    (``relational.bloom_filtered_join``)."""
+    pos = keys.select(
+        F.explode(F.array(*_bloom_positions(F.col(col), m_bits, k))).alias("p")
     )
     words = pos.select(
         (F.col("p") / 64).cast("int").alias("w"), (F.col("p") % 64).alias("bit")
@@ -862,9 +873,8 @@ def build_bloom_filter(
         F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").alias("bits")
     )
     # densify to all m_bits/64 word slots (missing -> 0), pack to 1 row
-    spark = evalset.sparkSession
     dense = (
-        spark.range(m_bits // 64)
+        keys.sparkSession.range(m_bits // 64)
         .select(F.col("id").cast("int").alias("w"))
         .join(words, "w", "left")
         .select("w", F.coalesce("bits", F.lit(0).cast("bigint")).alias("bits"))

@@ -55,6 +55,65 @@ def salted_join(
     return salted_big.join(salted_small, [key, "_salt"]).drop("_salt")
 
 
+def bloom_filtered_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Equi-join with a runtime Bloom semi-join reduction: a compact
+    bitmap of the (already-filtered) small side's join keys is built
+    once, broadcast as ONE row (``m_bits/64`` packed words — 128 KiB at
+    the default), and the big side is pre-filtered MAP-SIDE before its
+    shuffle. The exact join then runs on the survivors, so false
+    positives cannot change the result — proven identical to
+    ``big.join(small, key)`` by test.
+
+    This is the shuffle-volume lever for selective dim filters at scale:
+    when the filter keeps 1% of the dim, ~99% of the fact rows die
+    before the exchange instead of after it (Spark's own
+    ``runtime.bloomFilter`` optimization makes the same move when its
+    thresholds line up; this operator makes the reduction explicit,
+    plannable, and testable). Reuses the dedup module's portable
+    md5-60bit double hashing, so the filter is engine-reproducible."""
+    from hadoop_invertedindexer_spark.operators.dedup import (
+        _bloom_positions,
+        bloom_bitmap,
+    )
+
+    keys = small.select(F.col(key).cast("string").alias("jk")).distinct()
+    bloom = bloom_bitmap(keys, "jk", m_bits, k)
+    probe = big.join(F.broadcast(bloom))
+    hit_all = None
+    for p in _bloom_positions(F.col(key).cast("string"), m_bits, k):
+        word = F.element_at("bloom", (p / 64).cast("int") + 1)
+        hit = F.bit_get(word, p % 64) == 1
+        hit_all = hit if hit_all is None else (hit_all & hit)
+    return probe.where(hit_all).drop("bloom").join(small, key)
+
+
+def q_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order volume for rich customers (c_acctbal > 9000, ~1% of the
+    dim) through :func:`bloom_filtered_join`: the fact side is pruned
+    map-side by the 128 KiB key bitmap before any exchange. The bloom is
+    result-transparent (exact join re-applied), so the oracle is the
+    PLAIN SQL join — the driver proving bit-equality IS the proof the
+    reduction changed nothing."""
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    rich = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    joined = bloom_filtered_join(
+        o, rich.select("c_custkey", "c_nationkey"), key="c_custkey", m_bits=1 << 20
+    )
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-hash join chain fact→dims: revenue per region.
 
@@ -1185,6 +1244,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     "triangle_count": q_triangle_count,
+    "bloom_join_reduction": q_bloom_join_reduction,
     "pagerank": q_pagerank,
     "window_trailing_range": q_window_trailing_range,
     "full_outer_reconcile": q_full_outer_reconcile,
@@ -1293,6 +1353,16 @@ def _pagerank_oracle(iters: int = 5) -> str:
 
 RELATIONAL_ORACLE_SQL: dict[str, str] = {
     "pagerank": _pagerank_oracle(iters=5),
+    # the bloom is result-transparent (exact join re-applied after the
+    # map-side prune), so the oracle is the PLAIN join — equality proves
+    # the reduction dropped only non-matching rows
+    "bloom_join_reduction": """
+        SELECT c.c_nationkey,
+               count(*)::BIGINT AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal > 9000
+        GROUP BY c.c_nationkey""",
     # same degree-ordered orientation as graph.triangle_count: row-value
     # (degree, node) comparison picks the edge direction, wedges close
     # against the oriented list, each triangle matched exactly once

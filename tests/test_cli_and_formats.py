@@ -256,3 +256,36 @@ def test_dataset_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
     assert json.loads(manifest_bytes)["rows"] == 100
     with pytest.raises(ValueError, match="rows"):
         verify_dataset_manifest(spark, path)
+
+
+def test_bloom_filtered_join_equals_plain_join(spark, sf_dir):
+    """Result transparency: the bloom prune + exact join must equal the
+    plain join exactly (false positives die in the exact join; false
+    negatives are impossible), and the prefilter must actually drop
+    non-matching fact rows before the exchange."""
+    from pyspark.sql import functions as F
+
+    from hadoop_invertedindexer_spark.operators.relational import (
+        bloom_filtered_join,
+    )
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+
+    o = read_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    rich = (
+        read_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_nationkey")
+    )
+    got = sorted(
+        (r.c_custkey, r.o_orderkey)
+        for r in bloom_filtered_join(o, rich, "c_custkey")
+        .select("c_custkey", "o_orderkey")
+        .collect()
+    )
+    want = sorted(
+        (r.c_custkey, r.o_orderkey)
+        for r in o.join(rich, "c_custkey").select("c_custkey", "o_orderkey").collect()
+    )
+    assert got == want and len(got) > 0

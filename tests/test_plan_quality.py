@@ -318,7 +318,10 @@ def test_bloom_decontaminate_single_row_broadcast(spark):
             n=3,
         )
     )
-    assert "BroadcastNestedLoopJoin" in plan
-    # exactly one explode: the shingle explode on the train side — the k
-    # bit positions are computed inline, never exploded
-    assert plan.count("Generate explode") == 1
+    bnlj = next(ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln)
+    assert "bit_get" in bnlj  # all k bit tests fused into the join condition
+    # three explodes total: the train shingle stream plus TWO on the tiny
+    # eval build side (its shingles + its k positions). The k-position
+    # explode must appear exactly once — i.e. only inside the bitmap
+    # build, never on the train stream
+    assert plan.count("Generate explode(array(pmod") == 1
