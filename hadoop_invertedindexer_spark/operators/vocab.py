@@ -88,3 +88,45 @@ def encode_tokens(
             ),
         ).alias("ids_str"),
     )
+
+
+def merge_vocab_counts(
+    existing_counts: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental vocabulary maintenance: fold a new document batch's
+    token frequencies into a persisted (token, n_occurrences) count
+    table — the same append-only-partials tier pattern as the index and
+    rollup maintenance (`streaming/index_maintenance.py`): counts are
+    associative, so merged counts == counts of the concatenated corpus
+    (fixture-proven), and the batch cost is O(batch) + one merge
+    aggregation over (existing ∪ batch) keyed on the token. Ranking into
+    ids stays a VIEW over the counts (:func:`rank_vocab`), recomputed
+    after each merge — ids are positional, so any append can shift them;
+    a stable-id variant would persist assigned ids and only extend,
+    trading rank fidelity for id stability (documented, not needed by
+    the encode path which re-joins by token)."""
+    batch = (
+        new_docs.select(F.explode(token_array(text_col)).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        existing_counts.select("token", "n_occurrences")
+        .unionAll(batch)
+        .groupBy("token")
+        .agg(F.sum("n_occurrences").alias("n_occurrences"))
+    )
+
+
+def rank_vocab(counts: DataFrame, max_size: int = 1024) -> DataFrame:
+    """(token, n_occurrences) -> ranked ids, same total order as
+    :func:`build_vocab`."""
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w).cast("int"))
+        .where(F.col("token_id") <= max_size)
+        .select("token", "token_id", "n_occurrences")
+    )

@@ -42,3 +42,32 @@ def test_encode_deterministic_under_repartition(spark):
         for r in vocab.encode_tokens(docs.repartition(13), v).collect()
     )
     assert a == b
+
+
+def test_incremental_vocab_merge_equals_rebuild(spark):
+    """Batch-vs-rebuild equality: merging two batches' counts then
+    ranking == building the vocab over the concatenated corpus."""
+    a = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "bb dd")], ["doc_id", "text"]
+    )
+    b = spark.createDataFrame(
+        [(3, "aa ee bb"), (4, "cc cc ff")], ["doc_id", "text"]
+    )
+    counts_a = (
+        vocab.build_vocab(a, max_size=10 ** 6).select("token", "n_occurrences")
+    )
+    merged = vocab.rank_vocab(vocab.merge_vocab_counts(counts_a, b), max_size=100)
+    rebuilt = vocab.build_vocab(a.unionAll(b), max_size=100)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+
+def test_incremental_vocab_merge_idempotent_empty_batch(spark):
+    a = spark.createDataFrame([(1, "aa bb aa")], ["doc_id", "text"])
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    counts = vocab.build_vocab(a, max_size=100).select("token", "n_occurrences")
+    merged = vocab.rank_vocab(vocab.merge_vocab_counts(counts, empty), 100)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, vocab.build_vocab(a, max_size=100).collect())
+    )
