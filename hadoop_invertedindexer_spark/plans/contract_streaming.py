@@ -132,6 +132,29 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_interval_join(spark, sf_dir, ckpt)
 
 
+def q_events_daily_p95_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p95 of value read off the merged hourly fixed-bin histogram
+    tier — mergeable quantiles with bit-exact integer counts (unlike
+    t-digest/KLL internals), fully oracle-checkable, error bounded by
+    one bin width against the exact twin."""
+    from hadoop_invertedindexer_spark.streaming.events import (
+        daily_percentile_from_histograms,
+        hourly_value_histograms,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return daily_percentile_from_histograms(hourly_value_histograms(ev), q=0.95)
+
+
+def q_events_daily_p95_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete-percentile twin: the data value at rank
+    ceil(0.95 n) — no interpolation arithmetic, bit-identical selection
+    in both engines."""
+    from hadoop_invertedindexer_spark.streaming.events import daily_percentile_exact
+
+    return daily_percentile_exact(read_table(spark, sf_dir, "events"), q=0.95)
+
+
 STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
@@ -149,6 +172,8 @@ STREAMING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enrich": q_stream_enrich,
     "events_interval_join": q_events_interval_join,
     "stream_interval_join": q_stream_interval_join,
+    "events_daily_p95_hist": q_events_daily_p95_hist,
+    "events_daily_p95_exact": q_events_daily_p95_exact,
 }
 
 _TUMBLING_SQL = """
@@ -213,6 +238,42 @@ STREAMING_ORACLE_SQL: dict[str, str] = {
     # which physical row survives streaming dedup is nondeterministic;
     # the surviving KEY SET equals plain DISTINCT
     "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    # histogram quantile tier: fixed grid [0, 512) x 64 bins restated
+    # verbatim — integer counts make every merge and the percentile
+    # read-off bit-exact (lockstep with events.hourly_value_histograms /
+    # daily_percentile_from_histograms)
+    "events_daily_p95_hist": """
+        WITH hourly AS (
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+                   least(greatest(floor((value - 0.0) / 8.0), 0), 63)::INT AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2, 3),
+        daily AS (
+            SELECT date_trunc('day', h) AS day, event_type, bin, sum(n) AS n
+            FROM hourly GROUP BY 1, 2, 3),
+        c AS (
+            SELECT day, event_type, bin, n,
+                   sum(n) OVER (PARTITION BY day, event_type ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum,
+                   sum(n) OVER (PARTITION BY day, event_type) AS total
+            FROM daily)
+        SELECT day, event_type, max(total)::BIGINT AS n_events,
+               (0.0 + (min(bin) + 1) * 8.0) AS p_est
+        FROM c WHERE cum >= ceil(0.95 * total)
+        GROUP BY day, event_type""",
+    # exact discrete percentile: the value at rank ceil(0.95 n) — no
+    # interpolation, both engines select the identical stored double
+    "events_daily_p95_exact": """
+        WITH ranked AS (
+            SELECT date_trunc('day', ts) AS day, event_type, value,
+                   row_number() OVER (PARTITION BY date_trunc('day', ts),
+                                      event_type ORDER BY value) AS rn,
+                   count(*) OVER (PARTITION BY date_trunc('day', ts),
+                                  event_type) AS total
+            FROM events)
+        SELECT day, event_type, total::BIGINT AS n_events, value AS p_exact
+        FROM ranked WHERE rn = ceil(0.95 * total)""",
     "cohort_retention": """
         WITH first AS (
             SELECT user_id, date_trunc('week', min(ts)) AS cohort

@@ -585,3 +585,81 @@ def read_user_sketch_tier(spark: SparkSession, tier_path: str) -> DataFrame:
         "users_sketch",
         "n",
     )
+
+
+# ---------------------------------------------- histogram quantile tier
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 512.0, 64  # fixed grid: bin width 8.0
+
+
+def hourly_value_histograms(events: DataFrame) -> DataFrame:
+    """Hour-grain fixed-bin histograms of ``value`` — the mergeable tier
+    for QUANTILES, which (like distinct counts) are not associative: a
+    day's p95 cannot be combined from hourly p95s. Fixed-grid integer
+    bin counts ARE associative, and unlike t-digest/KLL sketches their
+    merge is bit-exact and engine-portable, so the whole tier (and any
+    percentile read off it) is oracle-checkable. Estimate error is
+    bounded by one bin width by construction. Out-of-range values clamp
+    to the edge bins (the grid is a config contract, like any fixed
+    histogram monitoring system)."""
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    b = F.least(
+        F.greatest(F.floor((F.col("value") - F.lit(HIST_LO)) / F.lit(width)), F.lit(0)),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    return events.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type", b.alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def daily_percentile_from_histograms(hourly: DataFrame, q: float = 0.95) -> DataFrame:
+    """Day-grain percentile estimate by merging the hourly histograms:
+    O(hours x bins) work, never a rescan of raw events. The estimate is
+    the UPPER EDGE of the first bin whose cumulative count reaches
+    ceil(q * total) — deterministic integer math over the merged counts,
+    within one bin width of the exact discrete percentile (bounded in
+    tests against :func:`daily_percentile_exact`)."""
+    from pyspark.sql import Window
+
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("w.start")).alias("day"), "event_type", "bin"
+    ).agg(F.sum("n").alias("n"))
+    part = Window.partitionBy("day", "event_type")
+    cum_w = part.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    hit = (
+        daily.withColumn("cum", F.sum("n").over(cum_w))
+        .withColumn("total", F.sum("n").over(part))
+        .withColumn("target", F.ceil(F.lit(q) * F.col("total")))
+        .where(F.col("cum") >= F.col("target"))
+    )
+    return hit.groupBy("day", "event_type").agg(
+        F.max("total").alias("n_events"),
+        (F.lit(HIST_LO) + (F.min("bin") + 1) * F.lit(width)).alias("p_est"),
+    )
+
+
+def daily_percentile_exact(events: DataFrame, q: float = 0.95) -> DataFrame:
+    """Exact twin: the actual data value at rank ceil(q * n) per (day,
+    event_type) — discrete percentile via row_number, no interpolation
+    arithmetic, so both engines select the bit-identical double."""
+    from pyspark.sql import Window
+
+    keyed = events.select(
+        F.date_trunc("day", "ts").alias("day"), "event_type", "value"
+    )
+    part = Window.partitionBy("day", "event_type")
+    ranked = (
+        keyed.withColumn("rn", F.row_number().over(part.orderBy("value")))
+        .withColumn("total", F.count(F.lit(1)).over(part))
+        .withColumn("target", F.ceil(F.lit(q) * F.col("total")))
+    )
+    return (
+        ranked.where(F.col("rn") == F.col("target"))
+        .select(
+            "day",
+            "event_type",
+            F.col("total").alias("n_events"),
+            F.col("value").alias("p_exact"),
+        )
+    )

@@ -460,3 +460,78 @@ def test_sketch_tier_estimates_equal_batch_path(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert streamed == direct and streamed
+
+
+def test_histogram_p95_within_one_bin_of_exact(spark, sf_dir):
+    """The histogram-tier estimate must bound the exact discrete p95
+    from above by at most one bin width, for every (day, type)."""
+    from hadoop_invertedindexer_spark.streaming.events import (
+        HIST_BINS,
+        HIST_HI,
+        HIST_LO,
+        daily_percentile_exact,
+        daily_percentile_from_histograms,
+        hourly_value_histograms,
+    )
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    est = {
+        (r.day, r.event_type): r.p_est
+        for r in daily_percentile_from_histograms(
+            hourly_value_histograms(ev), q=0.95
+        ).collect()
+    }
+    exact = {
+        (r.day, r.event_type): r.p_exact
+        for r in daily_percentile_exact(ev, q=0.95).collect()
+    }
+    assert est.keys() == exact.keys() and len(est) > 0
+    for k, e in exact.items():
+        assert e <= est[k] <= e + width, (k, e, est[k])
+
+
+def test_histogram_tier_merge_equals_direct_daily(spark, sf_dir):
+    """Associativity: merging hourly histograms to daily equals binning
+    the raw events directly at day grain."""
+    from pyspark.sql import functions as F
+
+    from hadoop_invertedindexer_spark.streaming.events import (
+        HIST_BINS,
+        HIST_HI,
+        HIST_LO,
+        hourly_value_histograms,
+    )
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    hourly = hourly_value_histograms(ev)
+    merged = sorted(
+        map(
+            tuple,
+            hourly.groupBy(
+                F.date_trunc("day", F.col("w.start")).alias("day"),
+                "event_type",
+                "bin",
+            )
+            .agg(F.sum("n").alias("n"))
+            .collect(),
+        )
+    )
+    b = F.least(
+        F.greatest(F.floor((F.col("value") - F.lit(HIST_LO)) / F.lit(width)), F.lit(0)),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    direct = sorted(
+        map(
+            tuple,
+            ev.groupBy(
+                F.date_trunc("day", "ts").alias("day"), "event_type", b.alias("bin")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect(),
+        )
+    )
+    assert merged == direct
