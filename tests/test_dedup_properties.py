@@ -1,0 +1,87 @@
+"""Hypothesis property tests for the round-5 dedup ops: a pure-Python
+reference model of duplicate_passages (shingle df -> coverage mask ->
+maximal runs) and the Bloom no-false-negative guarantee, cross-checked
+against the Spark operators on random corpora."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from hadoop_invertedindexer_spark.operators import dedup
+
+# small closed vocabulary => real cross-doc shingle collisions
+word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+doc = st.lists(word, min_size=0, max_size=20).map(" ".join)
+
+HSETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _model_spans(texts: list[str], n: int, min_docs: int):
+    """Independent reimplementation: positional n-gram shingles (whole
+    doc if shorter), cross-doc df, coverage mask, maximal runs."""
+    shingles: dict[int, list[tuple[int, str]]] = {}
+    df: dict[str, set[int]] = {}
+    for i, t in enumerate(texts):
+        toks = t.split() if t.split() else [""]
+        if len(toks) < n:
+            items = [(0, " ".join(toks))]
+        else:
+            items = [
+                (p, " ".join(toks[p : p + n])) for p in range(len(toks) - n + 1)
+            ]
+        shingles[i] = items
+        for _, s in items:
+            df.setdefault(s, set()).add(i)
+    out = set()
+    for i, items in shingles.items():
+        covered = set()
+        for p, s in items:
+            if len(df[s]) >= min_docs:
+                covered.update(range(p, p + n))
+        run = []
+        for p in sorted(covered):
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    out.add((i, run[0], len(run)))
+                run = [p]
+        if run:
+            out.add((i, run[0], len(run)))
+    return out
+
+
+@HSETTINGS
+@given(texts=st.lists(doc, min_size=2, max_size=5))
+def test_duplicate_passages_matches_python_model(spark, texts):
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in dedup.duplicate_passages(docs, n=3, min_docs=2).collect()
+    }
+    assert got == _model_spans(texts, n=3, min_docs=2)
+
+
+@HSETTINGS
+@given(
+    train=st.lists(doc.filter(lambda t: len(t.split()) >= 3), min_size=1, max_size=4),
+    evalset=st.lists(doc.filter(lambda t: len(t.split()) >= 3), min_size=1, max_size=3),
+)
+def test_bloom_never_misses_exact_contamination(spark, train, evalset):
+    """No false negatives, ever: every doc the exact shingle-set
+    contamination flags must be Bloom-flagged with >= its shared count."""
+    tr = spark.createDataFrame(list(enumerate(train)), ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(evalset)], ["doc_id", "text"]
+    )
+    exact = {r.doc_id: r.n_shared for r in dedup.contamination(tr, ev, n=3).collect()}
+    bloom = {
+        r.doc_id: r.n_flagged
+        for r in dedup.bloom_decontaminate(tr, ev, n=3).collect()
+    }
+    for d, n in exact.items():
+        assert bloom.get(d, 0) >= n
