@@ -663,3 +663,51 @@ def daily_percentile_exact(events: DataFrame, q: float = 0.95) -> DataFrame:
             F.col("value").alias("p_exact"),
         )
     )
+
+
+def maintain_value_hist_tier(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    tier_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming maintenance of the histogram quantile tier: each
+    micro-batch appends its hour-grain fixed-bin counts under
+    ``batch=<id>``. Integer bin counts merge associatively (plain sums),
+    so the tier equals the full-stream histograms no matter how batches
+    split the data — and unlike the HLL tier, bit-exactly. Same
+    idempotent overwrite-own-batch contract via
+    :func:`run_tier_maintenance`."""
+
+    def _append_hists(batch_df: DataFrame, batch_id: int) -> None:
+        hourly_value_histograms(batch_df).select(
+            F.col("w.start").alias("hour"), "event_type", "bin", "n"
+        ).write.mode("overwrite").parquet(f"{tier_path}/batch={batch_id}")
+
+    run_tier_maintenance(
+        spark, source_dir, source_schema, checkpoint_dir,
+        _append_hists, max_files_per_trigger,
+    )
+
+
+def read_value_hist_tier(spark: SparkSession, tier_path: str) -> DataFrame:
+    """Re-sum the tier's per-batch partials to one count per (hour,
+    event_type, bin), reshaped like :func:`hourly_value_histograms`
+    output so :func:`daily_percentile_from_histograms` runs unchanged on
+    either path."""
+    merged = (
+        spark.read.parquet(tier_path)
+        .groupBy("hour", "event_type", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    return merged.select(
+        F.struct(
+            F.col("hour").alias("start"),
+            (F.col("hour") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+        ).alias("w"),
+        "event_type",
+        "bin",
+        "n",
+    )

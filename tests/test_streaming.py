@@ -535,3 +535,64 @@ def test_histogram_tier_merge_equals_direct_daily(spark, sf_dir):
         )
     )
     assert merged == direct
+
+
+def test_hist_tier_streamed_equals_batch_bit_exact(spark, sf_dir, tmp_path):
+    """Integer bin counts merge associatively, so the streamed two-batch
+    histogram tier equals the single-pass batch histograms BIT-EXACTLY
+    (stronger than the HLL tier's estimate-equality), and the p95 read
+    off either path is identical."""
+    import glob as g
+    import os
+
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+    from hadoop_invertedindexer_spark.streaming.events import (
+        daily_percentile_from_histograms,
+        hourly_value_histograms,
+        maintain_value_hist_tier,
+        read_value_hist_tier,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src + "/a")
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(src + "/b")
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    for i, f in enumerate(sorted(g.glob(src + "/*/part-*.parquet"))):
+        os.symlink(f, f"{stage}/batch{i}.parquet")
+
+    tier = str(tmp_path / "tier")
+    maintain_value_hist_tier(
+        spark, stage, spark.read.parquet(stage).schema, tier,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    assert spark.read.parquet(tier).select("batch").distinct().count() == 2
+
+    streamed_hist = sorted(
+        (r.w.start, r.event_type, r.bin, r.n)
+        for r in read_value_hist_tier(spark, tier).collect()
+    )
+    direct_hist = sorted(
+        (r.w.start, r.event_type, r.bin, r.n)
+        for r in hourly_value_histograms(ev).collect()
+    )
+    assert streamed_hist == direct_hist and streamed_hist
+
+    streamed_p95 = sorted(
+        map(
+            tuple,
+            daily_percentile_from_histograms(
+                read_value_hist_tier(spark, tier), q=0.95
+            ).collect(),
+        )
+    )
+    direct_p95 = sorted(
+        map(
+            tuple,
+            daily_percentile_from_histograms(
+                hourly_value_histograms(ev), q=0.95
+            ).collect(),
+        )
+    )
+    assert streamed_p95 == direct_p95
