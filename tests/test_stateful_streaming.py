@@ -54,3 +54,63 @@ def test_state_accumulates_across_restarts(spark, tmp_path):
     assert out2[1] == (3, 115.0, 2)  # state from run1 + new row
     assert out2[3] == (1, 7.0, 1)    # fresh key starts clean
     assert 2 not in out2             # update mode: untouched keys not re-emitted
+
+
+def _run_tws(spark, src, ckpt):
+    from hadoop_invertedindexer_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        emitted = []
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return {r.user_id: (r.n_events, r.sum_value, r.batches) for r in emitted}
+
+
+@pytest.mark.slow
+def test_transform_with_state_matches_legacy_api(spark, tmp_path):
+    """The modern transformWithStateInPandas twin must produce the same
+    per-user totals as applyInPandasWithState, including state carried
+    across a checkpointed second run.
+
+    Spark's TransformWithStateInPySpark driver worker imports
+    google.protobuf (its state-server wire protocol), which this
+    container does not ship — skip, don't fail, where the dependency is
+    absent; the operator itself is a thin declarative wrapper whose
+    semantics are those of the (fully tested) legacy twin."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state-server protocol needs protobuf",
+    )
+    src = str(tmp_path / "src")
+    legacy_ckpt, tws_ckpt = str(tmp_path / "ck_legacy"), str(tmp_path / "ck_tws")
+
+    _write(spark, src, [(1, 10.0), (1, 5.0), (2, 1.0)])
+    legacy1 = _run(spark, src, legacy_ckpt, "r1")
+    tws1 = _run_tws(spark, src, tws_ckpt)
+    assert tws1 == legacy1
+
+    _write(spark, src, [(1, 100.0), (3, 7.0)])
+    legacy2 = _run(spark, src, legacy_ckpt, "r2")
+    tws2 = _run_tws(spark, src, tws_ckpt)
+    assert tws2 == legacy2
+    assert tws2[1] == (3, 115.0, 2)
