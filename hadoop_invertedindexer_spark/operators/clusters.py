@@ -100,3 +100,38 @@ def dedup_clusters(
             F.coalesce("comp", F.col(id_col)).alias("keep_id"),
         )
     )
+
+
+def cluster_canonical(
+    pairs: DataFrame,
+    docs: DataFrame,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    fixed_iters: int | None = None,
+) -> DataFrame:
+    """The 'which copy survives' resolution step after near-dup
+    clustering: per cluster, keep the best-scoring member (ties broken
+    by min id — a total order, so the winner is deterministic across
+    partitionings and engines). Returns one row per cluster:
+    (cluster_id, canonical_id, n_members, canonical_<score_col>).
+
+    Cost beyond :func:`dedup_clusters`: one join to attach the score and
+    one window over cluster_id — partitions are bounded by cluster size,
+    which banded/bucketed candidate generation already bounds."""
+    from pyspark.sql import Window
+
+    labels = dedup_clusters(pairs, docs, id_col, fixed_iters).withColumnRenamed(
+        "keep_id", "cluster_id"
+    )
+    scored = labels.join(docs.select(id_col, score_col), id_col)
+    part = Window.partitionBy("cluster_id")
+    ranked = scored.withColumn(
+        "_rn",
+        F.row_number().over(part.orderBy(F.col(score_col).desc(), F.col(id_col))),
+    ).withColumn("n_members", F.count(F.lit(1)).over(part))
+    return ranked.where(F.col("_rn") == 1).select(
+        "cluster_id",
+        F.col(id_col).alias("canonical_id"),
+        "n_members",
+        F.col(score_col).alias(f"canonical_{score_col}"),
+    )

@@ -89,10 +89,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs)
 
 
+def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-copy resolution over the same jaccard near-dup
+    clusters: per cluster, the longest member survives (ties -> min id —
+    a total order, deterministic in both engines)."""
+    from hadoop_invertedindexer_spark.operators.clusters import cluster_canonical
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.6, max_df=100)
+    return cluster_canonical(pairs, docs, score_col="n_chars")
+
+
 TEMPORAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "dedup_clusters": q_dedup_clusters,
+    "cluster_canonical": q_cluster_canonical,
 }
 
 TEMPORAL_ORACLE_SQL: dict[str, str] = {
@@ -161,3 +173,19 @@ SQL_CLUSTERS_CTE_PREFIX = f"""
 TEMPORAL_ORACLE_SQL["dedup_clusters"] = f"""{SQL_CLUSTERS_CTE_PREFIX}
     SELECT d.doc_id, coalesce(c.keep, d.doc_id) AS keep_id
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""
+
+# keep-best-copy: same cluster labels, then a deterministic window pick
+# (n_chars desc, doc_id asc) — lockstep with clusters.cluster_canonical
+TEMPORAL_ORACLE_SQL["cluster_canonical"] = f"""{SQL_CLUSTERS_CTE_PREFIX},
+    labels AS (
+        SELECT d.doc_id, coalesce(c.keep, d.doc_id) AS cluster_id, d.n_chars
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    r AS (
+        SELECT cluster_id, doc_id, n_chars,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM labels)
+    SELECT cluster_id, doc_id AS canonical_id, n_members::BIGINT AS n_members,
+           n_chars AS canonical_n_chars
+    FROM r WHERE rn = 1"""

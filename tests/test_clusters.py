@@ -60,3 +60,21 @@ def test_pagerank_validates_checkpoint_cadence(spark):
     edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
     with pytest.raises(ValueError):
         pagerank(edges, checkpoint_every=0)
+
+
+def test_cluster_canonical_keeps_best_scoring_member(spark):
+    """Planted cluster {1,2,3} with scores 5/9/9: doc 2 wins (max score,
+    tie broken by min id); singleton 4 keeps itself."""
+    from hadoop_invertedindexer_spark.operators.clusters import cluster_canonical
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 7)], ["doc_id", "n_chars"]
+    )
+    out = {
+        r.cluster_id: (r.canonical_id, r.n_members, r.canonical_n_chars)
+        for r in cluster_canonical(pairs, docs).collect()
+    }
+    assert out[1] == (2, 3, 9)
+    assert out[4] == (4, 1, 7)
+    assert len(out) == 2
