@@ -384,3 +384,77 @@ def phrase_search(
         )
         cur = cur.join(nxt, [doc_col, "pos"])
     return cur.groupBy(doc_col).agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+# ------------------------------------------- posting-list compression
+
+
+def compress_postings(
+    counts: DataFrame,
+    word_col: str = "word",
+    doc_col: str = "doc",
+    count_col: str = "count",
+) -> DataFrame:
+    """Delta-encoded posting-list storage: one row per term with the
+    doc ids gap-encoded (``doc_gaps[0]`` = first id, ``doc_gaps[i]`` =
+    id[i] - id[i-1] over the ascending-sorted list) and counts kept
+    positionally — the classic inverted-index layout (small gaps
+    dominate for frequent terms, so the arrays encode/compress far
+    better than repeated absolute ids, and the per-posting ``word``
+    string disappears entirely). Returns
+    (word, n_docs, total_count, doc_gaps, counts).
+
+    Everything is built-in array expressions (one groupBy shuffle); the
+    in-group sort is by numeric doc id — storage order, distinct from
+    the reference's display-order quirk which :func:`~...operators.index
+    .postings` owns."""
+    posts = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(doc_col).cast("long").alias("d"),
+                F.col(count_col).cast("int").alias("c"),
+            )
+        )
+    )
+    grouped = counts.groupBy(word_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(count_col).cast("long").alias("total_count"),
+        posts.alias("_posts"),
+    )
+    docs_arr = F.transform(F.col("_posts"), lambda s: s["d"])
+    gaps = F.transform(
+        docs_arr,
+        lambda x, i: F.when(i == F.lit(0), x).otherwise(
+            x - F.element_at(docs_arr, i)
+        ),
+    )
+    return grouped.select(
+        word_col,
+        "n_docs",
+        "total_count",
+        gaps.alias("doc_gaps"),
+        F.transform(F.col("_posts"), lambda s: s["c"]).alias("counts"),
+    )
+
+
+def decompress_postings(
+    comp: DataFrame,
+    word_col: str = "word",
+    doc_col: str = "doc",
+    count_col: str = "count",
+) -> DataFrame:
+    """Inverse of :func:`compress_postings`: posexplode the gap/count
+    arrays and reconstruct absolute doc ids with a running sum per term
+    (window cumsum — codegen-friendly, unlike an O(n^2) higher-order
+    prefix-scan over arrays). Round-trip equality is fixture-proven."""
+    from pyspark.sql import Window
+
+    ex = comp.select(
+        word_col, F.posexplode(F.arrays_zip("doc_gaps", "counts")).alias("i", "z")
+    )
+    w = Window.partitionBy(word_col).orderBy("i")
+    return ex.select(
+        word_col,
+        F.sum(F.col("z.doc_gaps")).over(w).alias(doc_col),
+        F.col("z.counts").cast("long").alias(count_col),
+    )

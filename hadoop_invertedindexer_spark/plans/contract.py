@@ -226,6 +226,32 @@ def q_postings_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("word", F.concat_ws(", ", "postings").alias("postings_str"))
 
 
+def q_postings_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-encoded posting storage (EXT): doc ids gap-encoded over the
+    ascending numeric order, counts positional — the classic
+    inverted-index layout, arrays rendered as csv for the portable
+    value hash. Round-trip equality with the raw postings is proven in
+    tests/test_retrieval.py."""
+    from hadoop_invertedindexer_spark.operators.retrieval import compress_postings
+
+    counts = term_doc_counts(
+        tokens_accepted(spark, sf_dir).withColumn("doc", F.col("doc_id")),
+        doc_col="doc",
+    )
+    comp = compress_postings(counts, doc_col="doc", count_col="count")
+    return comp.select(
+        "word",
+        "n_docs",
+        "total_count",
+        F.concat_ws(
+            ",", F.transform("doc_gaps", lambda x: x.cast("string"))
+        ).alias("gaps_str"),
+        F.concat_ws(
+            ",", F.transform("counts", lambda x: x.cast("string"))
+        ).alias("counts_str"),
+    )
+
+
 def q_format_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2A #16: rendered index lines (sort key cnt#doc, rendered doc#cnt)."""
     return format_index(postings(_doc_counts(spark, sf_dir), doc_col="doc"))
@@ -283,6 +309,7 @@ REFERENCE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sort_by_key": q_sort_by_key,
     "agg_term_doc": q_agg_term_doc,
     "postings_collect": q_postings_collect,
+    "postings_compressed": q_postings_compressed,
     "format_line": q_format_line,
     "flush_last_group": q_flush_last_group,
     "sink_text": q_sink_text,
@@ -347,6 +374,20 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
                string_agg({_POSTING_ELEM}, ', ' ORDER BY {_POSTING_ELEM} DESC)
                    AS postings_str
         FROM doc_counts GROUP BY word""",
+    # delta-encoded storage twin: gaps via lag over the ascending
+    # numeric doc order (lockstep with retrieval.compress_postings)
+    "postings_compressed": f"""
+        WITH {SQL_TOKS_ACCEPTED},
+        dc AS (SELECT word, doc_id AS doc, count(*) AS cnt
+               FROM toks GROUP BY word, doc_id),
+        g AS (SELECT word, doc, cnt,
+                     doc - coalesce(lag(doc) OVER (PARTITION BY word
+                                                   ORDER BY doc), 0) AS gap
+              FROM dc)
+        SELECT word, count(*)::BIGINT AS n_docs, sum(cnt)::BIGINT AS total_count,
+               string_agg(gap::VARCHAR, ',' ORDER BY doc) AS gaps_str,
+               string_agg(cnt::VARCHAR, ',' ORDER BY doc) AS counts_str
+        FROM g GROUP BY word""",
     "format_line": f"""
         WITH {_SQL_DOC_COUNTS}
         SELECT word || ': ' ||

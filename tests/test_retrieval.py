@@ -202,3 +202,54 @@ def test_proximity_rejects_same_term(spark):
     )
     with pytest.raises(ValueError, match="twice"):
         proximity_search(pos, "a", "A", 2)
+
+
+def test_postings_compression_roundtrip_exact(spark, sf_dir):
+    """compress -> decompress must reproduce the raw (word, doc, count)
+    set exactly, including single-posting terms and id gaps."""
+    from pyspark.sql import functions as F
+
+    from hadoop_invertedindexer_spark.operators.retrieval import (
+        compress_postings,
+        decompress_postings,
+    )
+
+    counts = spark.createDataFrame(
+        [
+            ("apple", 3, 2),
+            ("apple", 10, 1),
+            ("apple", 11, 7),
+            ("pear", 1000000007, 4),  # big ids: gaps stay long-safe
+            ("plum", 0, 1),
+        ],
+        ["word", "doc", "count"],
+    )
+    comp = compress_postings(counts)
+    back = decompress_postings(comp)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        (r.word, r.doc, r["count"]) for r in counts.collect()
+    )
+    rows = {r.word: r for r in comp.collect()}
+    assert list(rows["apple"].doc_gaps) == [3, 7, 1]  # first raw, then gaps
+    assert list(rows["apple"].counts) == [2, 1, 7]
+    assert rows["pear"].doc_gaps == [1000000007]
+
+
+def test_postings_compression_real_corpus_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hadoop_invertedindexer_spark.operators.retrieval import (
+        compress_postings,
+        decompress_postings,
+    )
+    from hadoop_invertedindexer_spark.plans.contract import tokens_accepted
+    from hadoop_invertedindexer_spark.operators.index import term_doc_counts
+
+    counts = term_doc_counts(
+        tokens_accepted(spark, sf_dir).withColumn("doc", F.col("doc_id")),
+        doc_col="doc",
+    )
+    back = decompress_postings(compress_postings(counts, doc_col="doc"))
+    raw = sorted((r.word, r.doc, r["count"]) for r in counts.collect())
+    got = sorted((r.word, r.doc, r["count"]) for r in back.collect())
+    assert got == raw and len(raw) > 100
