@@ -76,6 +76,11 @@ HEADLINE = [
     "triangle_count",         # degree-ordered wedge join over co-purchases (r5)
     "tokens_encode",          # vocab build + broadcast-mapped id sequences (r5)
     "audio_features",         # SAU1 decode + int16 signal stats (mapInPandas) (r5)
+    "bloom_join_reduction",   # 128 KiB key bitmap prunes the fact map-side (r5)
+    "postings_compressed",    # gap-encoded posting arrays (r5)
+    "events_daily_p95_hist",  # mergeable histogram quantile tier (r5)
+    "cluster_canonical",      # near-dup clusters -> keep-best-copy (r5)
+    "kcore_nodes",            # fixed-schedule k-core peeling (r5)
     "pii_redact",             # regex scrub over every document
     "boilerplate_removal",    # content-defined chunk dedup + reassembly
     "bigram_topk",
@@ -126,9 +131,16 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # No \r progress frames on stdout/stderr: the driver tail-captures this
     # process's output and the frames polluted the r3/r4 tails.
+    # 16g heap: the bench box has 128 GiB; the JVM default (1g) is the
+    # only reason iterative queries with executor-side local checkpoints
+    # (cluster_canonical's CC loop at sf0.1) can OOM. Same sizing as the
+    # soak tools — a real cluster would size executors explicitly too.
     spark = get_spark(
         app_name="hii-bench",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": "16g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()

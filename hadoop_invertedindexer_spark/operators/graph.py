@@ -161,3 +161,55 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     n_edges = e0.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     n_tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     return n_edges.crossJoin(n_tri)  # two broadcast 1-row frames
+
+
+def kcore_nodes(
+    edges: DataFrame,
+    k: int,
+    a: str = "a",
+    b: str = "b",
+    iters: int = 8,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Nodes of the k-core (the maximal subgraph where every node keeps
+    degree >= k) by iterative peeling: each round recomputes degrees
+    over the surviving edges and drops nodes below k; dropping a node
+    can push its neighbors under k, so rounds repeat. Returns (node,).
+
+    ``iters`` is a FIXED schedule (no convergence probe, no driver
+    barrier — the fixed-round pattern the CC resolver also offers):
+    peeling is monotone, so any iters >= the graph's peeling depth gives
+    the exact k-core, extra rounds are no-ops, and the oracle can unroll
+    the same rounds as CTEs. Tests assert stability (iters vs iters+2
+    identical) on the contract graph. Per round: one degree aggregation
+    + two semi-joins, lineage truncated on ``checkpoint_every`` cadence
+    like :func:`pagerank`."""
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    e = (
+        edges.where(F.col(a) != F.col(b))
+        .select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for it in range(iters):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("n")
+        e = e.join(keep.withColumnRenamed("n", "a"), "a", "semi").join(
+            keep.withColumnRenamed("n", "b"), "b", "semi"
+        )
+        if (it + 1) % checkpoint_every == 0 or it == iters - 1:
+            e = e.localCheckpoint(eager=False)
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+    )

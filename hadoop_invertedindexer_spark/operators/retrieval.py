@@ -421,14 +421,22 @@ def compress_postings(
         F.sum(count_col).cast("long").alias("total_count"),
         posts.alias("_posts"),
     )
-    docs_arr = F.transform(F.col("_posts"), lambda s: s["d"])
-    gaps = F.transform(
-        docs_arr,
-        lambda x, i: F.when(i == F.lit(0), x).otherwise(
-            x - F.element_at(docs_arr, i)
-        ),
+    # materialize the id array as a COLUMN first, then delta against a
+    # shifted copy with one zip_with pass. The naive per-element
+    # `element_at(transform(...), i)` re-evaluates the derived array for
+    # every element — O(n^2) per term, measured 19.6s vs 1.3s at sf0.1
+    # (the same interpreted-HOF inlining trap the int8 quantizer
+    # documents). A column reference is read once per row; the shift is
+    # a single slice+concat.
+    with_docs = grouped.withColumn(
+        "_docs", F.transform(F.col("_posts"), lambda s: s["d"])
     )
-    return grouped.select(
+    prev = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.slice(F.col("_docs"), 1, F.size("_docs") - 1),
+    )
+    gaps = F.zip_with(F.col("_docs"), prev, lambda x, p: x - p)
+    return with_docs.select(
         word_col,
         "n_docs",
         "total_count",

@@ -70,3 +70,48 @@ def test_triangle_count_triangle_free(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["a", "b"])
     row = triangle_count(star).collect()[0]
     assert row.n_edges == 5 and row.n_triangles == 0
+
+
+def test_kcore_known_graph(spark):
+    """K4 with a pendant path: the 3-core is exactly the K4; the path
+    nodes peel away over two cascading rounds (5 drops first, exposing
+    6 below k on the next round is not applicable here but the pendant
+    chain 4-5-6 peels in cascade)."""
+    from hadoop_invertedindexer_spark.operators.graph import kcore_nodes
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    tail = [(4, 5), (5, 6)]
+    edges = spark.createDataFrame(k4 + tail, ["a", "b"])
+    nodes = sorted(r.node for r in kcore_nodes(edges, k=3, iters=6).collect())
+    assert nodes == [1, 2, 3, 4]
+
+
+def test_kcore_fixed_schedule_is_stable(spark, sf_dir):
+    """8 rounds vs 10 rounds must agree on the contract graph — proof
+    the fixed schedule exceeds the peeling depth (exactness guarantee)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_invertedindexer_spark.operators.graph import kcore_nodes
+    from hadoop_invertedindexer_spark.sources.tables import read_table
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    e0 = x.join(
+        y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p"))
+    ).select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+    n8 = sorted(r.node for r in kcore_nodes(e0, k=12, iters=8).collect())
+    n10 = sorted(r.node for r in kcore_nodes(e0, k=12, iters=10).collect())
+    assert n8 == n10 and len(n8) > 0
+
+
+def test_kcore_validates_cadence(spark):
+    from hadoop_invertedindexer_spark.operators.graph import kcore_nodes
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2)], ["a", "b"])
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        kcore_nodes(edges, k=1, checkpoint_every=0)

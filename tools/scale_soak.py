@@ -55,6 +55,16 @@ QUERIES = [
     "bigram_topk",
     "asof_join",
     "range_join",
+    # round-5 operators (focused 10x/30x numbers in scale_results_r5*.json)
+    "duplicate_passages",
+    "bloom_decontaminate",
+    "triangle_count",
+    "tokens_encode",
+    "audio_features",
+    "bloom_join_reduction",
+    "postings_compressed",
+    "events_daily_p95_hist",
+    "cluster_canonical",
 ]
 
 
