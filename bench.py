@@ -92,20 +92,29 @@ HEADLINE = [
 
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 REGRESSION_FACTOR = 1.5
+# Absolute slack on top of the ratio: sub-second queries jitter +-0.2s
+# between clean median-of-3 runs (Python worker startup, GC timing), so
+# a pure 1.5x gate on a 0.4s entry false-alarms — two consecutive clean
+# runs each flagged a DIFFERENT sub-second query before this term. A
+# real plan regression on anything that matters clears 0.5s easily.
+REGRESSION_ABS_SLACK = 0.5
 
 
 def check_regressions(
     timings: dict[str, float],
     baseline: dict[str, float],
     factor: float = REGRESSION_FACTOR,
+    abs_slack: float = REGRESSION_ABS_SLACK,
 ) -> list[str]:
     """Pure guard logic (unit-tested without Spark): names of queries whose
-    timing exceeds factor x their baseline. Queries absent from the
-    baseline are new — never flagged."""
+    timing exceeds factor x their baseline PLUS the absolute slack.
+    Queries absent from the baseline are new — never flagged."""
     return [
         name
         for name, sec in sorted(timings.items())
-        if name in baseline and baseline[name] > 0 and sec > factor * baseline[name]
+        if name in baseline
+        and baseline[name] > 0
+        and sec > factor * baseline[name] + abs_slack
     ]
 
 
@@ -229,7 +238,8 @@ def main() -> None:
         for name in regressed:
             print(
                 f"REGRESSION {name}: {timings[name]:.3f}s vs baseline "
-                f"{base[name]:.3f}s (>{REGRESSION_FACTOR}x)",
+                f"{base[name]:.3f}s (>{REGRESSION_FACTOR}x + "
+                f"{REGRESSION_ABS_SLACK}s)",
                 file=sys.stderr,
             )
         missing = missing_from_timings(timings, base)

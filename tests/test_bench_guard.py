@@ -12,10 +12,20 @@ import bench
 
 def test_flags_only_real_regressions():
     base = {"q1": 1.0, "q2": 2.0, "q3": 0.5}
-    timings = {"q1": 1.4, "q2": 3.1, "q3": 0.74, "brand_new": 99.0}
-    # q1 within 1.5x, q2 over (3.1 > 3.0), q3 under (0.74 < 0.75),
+    timings = {"q1": 1.4, "q2": 3.6, "q3": 0.74, "brand_new": 99.0}
+    # q1 within 1.5x+slack, q2 over (3.6 > 3.0 + 0.5), q3 under,
     # brand_new has no baseline -> never flagged
     assert bench.check_regressions(timings, base) == ["q2"]
+
+
+def test_abs_slack_absorbs_subsecond_jitter():
+    # 0.41s -> 0.65s is 1.6x but only +0.24s: noise, not a regression.
+    # The same +0.24s on top of a clear ratio breach still flags.
+    base = {"tiny": 0.41, "big": 4.0}
+    assert bench.check_regressions({"tiny": 0.65}, base) == []
+    assert bench.check_regressions({"big": 6.6}, base) == ["big"]
+    # slack is additive, not a floor: a tiny query can still flag
+    assert bench.check_regressions({"tiny": 1.2}, base) == ["tiny"]
 
 
 def test_zero_baseline_never_divides():

@@ -68,3 +68,58 @@ def test_pipeline_is_deterministic_end_to_end(spark, sf_dir):
     pa = {(r.doc_id, r.pack_id) for r in packed1.select("doc_id", "pack_id").collect()}
     pb = {(r.doc_id, r.pack_id) for r in packed2.select("doc_id", "pack_id").collect()}
     assert pa == pb
+
+
+def test_round5_cleaning_pipeline_composes(spark, sf_dir):
+    """Round-5 composition: boilerplate removal → bloom decontamination →
+    near-dup clustering → keep-best-copy canonicalization →
+    vocab/token-id encoding. Pins column contracts and the invariants
+    each stage must preserve for the next."""
+    from hadoop_invertedindexer_spark.operators import dedup, vocab
+    from hadoop_invertedindexer_spark.operators.clusters import cluster_canonical
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    # 1. boilerplate removal (conservative threshold; full text kept)
+    cleaned = dedup.boilerplate_removal(docs, max_df=30).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    assert cleaned.count() == n_docs  # row-preserving, content-reducing
+
+    # 2. bloom decontamination against a pretend eval set (every 50th)
+    evalset = docs.where(F.col("doc_id") % 50 == 0)
+    flagged = dedup.bloom_decontaminate(
+        cleaned.where(F.col("doc_id") % 50 != 0), evalset, n=3
+    )
+    survivors = cleaned.join(flagged.select("doc_id"), "doc_id", "left_anti")
+    n_surv = survivors.count()
+    assert 0 < n_surv < n_docs
+
+    # 3. near-dup clusters over survivors → canonical member per cluster
+    pairs = dedup.ngram_jaccard_pairs(survivors, n=3, threshold=0.6, max_df=100)
+    canon = cluster_canonical(
+        pairs, survivors.withColumn("n_chars", F.length("text"))
+    )
+    # every survivor is in exactly one cluster; canonical ids are survivors
+    assert canon.agg(F.sum("n_members")).first()[0] == n_surv
+    assert (
+        canon.join(survivors, canon.canonical_id == survivors.doc_id, "left_anti")
+        .count()
+        == 0
+    )
+
+    # 4. keep only canonical docs, build vocab, encode
+    kept = survivors.join(
+        canon.select(F.col("canonical_id").alias("doc_id")), "doc_id"
+    )
+    v = vocab.build_vocab(kept, max_size=256)
+    encoded = vocab.encode_tokens(kept, v)
+    # encoding covers every kept doc with nonempty text, token counts
+    # conserve, and OOV stays a minority with a corpus-fit vocab
+    n_kept_nonempty = kept.where(F.length(F.trim("text")) > 0).count()
+    assert encoded.count() == n_kept_nonempty
+    tot = encoded.agg(
+        F.sum("n_tokens").alias("t"), F.sum("n_oov").alias("o")
+    ).first()
+    assert tot.o < tot.t / 2
