@@ -353,6 +353,66 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.boilerplate_removal(planted, modulus=8, max_df=30)
 
 
+def _planted_url():
+    """Deterministic per-doc URL (the synthetic corpus has none), with
+    the variation the canonicalizer must see through: mixed-case hosts,
+    tracking params, a fragment. Same planted-column pattern as
+    ``_planted_pii``; the oracle reconstructs the canonical form from
+    the identical doc_id arithmetic."""
+    host = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.Example.COM"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("docs.spark.test"))
+        .otherwise(F.lit("Data.Example.com"))
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&q="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("#frag"),
+    )
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real parse_url + HOF query scrub on the Spark side; the oracle
+    rebuilds host/path/clean-query from the planted geometry (the
+    media-oracle trick), so case folding, tracking-param removal, and
+    fragment drop are all value-checked."""
+    from hadoop_invertedindexer_spark.functions import urls
+
+    d = _docs(spark, sf_dir).select("doc_id", _planted_url().alias("url"))
+    return d.select(
+        "doc_id",
+        "url",
+        urls.canonicalize_url(F.col("url")).alias("canon_url"),
+        urls.url_host(F.col("url")).alias("host"),
+        urls.registered_domain(urls.url_host(F.col("url"))).alias("domain"),
+    )
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus statistics over canonical URLs — the
+    grouping web pipelines rate-limit / quality-score by."""
+    from hadoop_invertedindexer_spark.functions import urls
+
+    d = _docs(spark, sf_dir).select("doc_id", _planted_url().alias("url"))
+    return (
+        d.select(
+            urls.registered_domain(urls.url_host(F.col("url"))).alias("domain"),
+            urls.canonicalize_url(F.col("url")).alias("canon"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("canon").alias("n_distinct_urls"),
+        )
+    )
+
+
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked word vocabulary with deterministic tie-broken
     ids (count desc, token asc)."""
@@ -556,6 +616,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_decontaminate": q_bloom_decontaminate,
     "audio_meta": q_audio_meta,
     "vocab_build": q_vocab_build,
+    "url_canonicalize": q_url_canonicalize,
+    "domain_stats": q_domain_stats,
     "tokens_encode": q_tokens_encode,
     "audio_features": q_audio_features,
     "duplicate_passages": q_duplicate_passages,
@@ -1030,6 +1092,41 @@ LLM_ORACLE_SQL: dict[str, str] = {
                coalesce(string_agg(CASE WHEN dropped = 0 THEN chunk END,
                                    ' ' ORDER BY start_ord), '') AS clean_text
         FROM flagged GROUP BY doc_id""",
+    # planted-URL canonicalization: the oracle rebuilds every component
+    # from the doc_id arithmetic (hosts lowercased, utm_*/ref params
+    # scrubbed leaving q=, fragment never reassembled) — lockstep with
+    # functions/urls.py + _planted_url
+    "url_canonicalize": """
+        WITH u AS (
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'www.Example.COM'
+                                   WHEN 1 THEN 'docs.spark.test'
+                                   ELSE 'Data.Example.com' END AS rawhost,
+                   CASE doc_id % 3 WHEN 0 THEN 'www.example.com'
+                                   WHEN 1 THEN 'docs.spark.test'
+                                   ELSE 'data.example.com' END AS host
+            FROM documents)
+        SELECT doc_id,
+               'https://' || rawhost || '/p/' || doc_id
+                   || '?utm_source=feed&ref=' || (doc_id % 7)
+                   || '&q=' || (doc_id % 5) || '#frag' AS url,
+               'https://' || host || '/p/' || doc_id
+                   || '?q=' || (doc_id % 5) AS canon_url,
+               host,
+               CASE doc_id % 3 WHEN 1 THEN 'spark.test'
+                               ELSE 'example.com' END AS domain
+        FROM u""",
+    "domain_stats": """
+        SELECT CASE doc_id % 3 WHEN 1 THEN 'spark.test'
+                               ELSE 'example.com' END AS domain,
+               count(*)::BIGINT AS n_docs,
+               count(DISTINCT 'https://'
+                   || CASE doc_id % 3 WHEN 0 THEN 'www.example.com'
+                                      WHEN 1 THEN 'docs.spark.test'
+                                      ELSE 'data.example.com' END
+                   || '/p/' || doc_id || '?q=' || (doc_id % 5))::BIGINT
+                   AS n_distinct_urls
+        FROM documents GROUP BY 1""",
     # word vocab: same normalization as the dedup family, rank by
     # (count desc, token asc) — a total order, so ids agree bit-for-bit
     "vocab_build": f"""
