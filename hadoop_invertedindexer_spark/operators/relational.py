@@ -772,6 +772,40 @@ def q_sql_api_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_CORRELATED)
 
 
+_SQL_RECURSIVE = """
+    WITH RECURSIVE nxt AS (
+        SELECT o_custkey AS c, o_orderkey AS k,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn,
+               lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS nk
+        FROM orders
+    ),
+    chain(c, k, depth) AS (
+        SELECT c, k, 1 FROM nxt WHERE rn = 1
+        UNION ALL
+        SELECT n.c, n.nk, ch.depth + 1
+        FROM chain ch JOIN nxt n ON n.c = ch.c AND n.k = ch.k
+        WHERE n.nk IS NOT NULL
+    )
+    SELECT c AS o_custkey, max(depth) AS chain_len
+    FROM chain GROUP BY c
+"""
+
+
+def q_sql_api_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the SQL front door (Spark 4.x WITH
+    RECURSIVE): walk each customer's order sequence as a linked list
+    (anchor = earliest order, step = the lead() successor) and report
+    the traversal depth — the same ANSI text runs on both engines, and
+    the chain length must equal the customer's plain order count, which
+    the recursion-free cross-check test pins."""
+    from hadoop_invertedindexer_spark.sources.tables import register_sf_tables
+
+    register_sf_tables(spark, sf_dir)
+    return spark.sql(_SQL_RECURSIVE)
+
+
 _SQL_LATERAL = """
     SELECT c.c_custkey, c.c_name,
            round(t.total_spend, 2) AS total_spend, t.n_orders
@@ -1355,6 +1389,7 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "argmax_aggs": q_argmax_aggs,
     "sql_api_correlated": q_sql_api_correlated,
     "sql_api_lateral": q_sql_api_lateral,
+    "sql_api_recursive": q_sql_api_recursive,
 }
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -1848,6 +1883,7 @@ RELATIONAL_ORACLE_SQL: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority""",
     "sql_api_correlated": _SQL_CORRELATED,
     "sql_api_lateral": _SQL_LATERAL,
+    "sql_api_recursive": _SQL_RECURSIVE,
     "window_distribution": """
         SELECT o_orderkey, o_orderpriority,
                ntile(4) OVER w::BIGINT AS quartile,
