@@ -81,6 +81,9 @@ HEADLINE = [
     "events_daily_p95_hist",  # mergeable histogram quantile tier (r5)
     "cluster_canonical",      # near-dup clusters -> keep-best-copy (r5)
     "kcore_nodes",            # fixed-schedule k-core peeling (r5)
+    "url_canonicalize",       # parse_url + tracking scrub (r5)
+    "domain_stats",           # per-registered-domain rollup (r5)
+    "sql_api_recursive",      # WITH RECURSIVE order-chain traversal (r5)
     "pii_redact",             # regex scrub over every document
     "boilerplate_removal",    # content-defined chunk dedup + reassembly
     "bigram_topk",
