@@ -35,21 +35,15 @@ def build_vocab(
 ) -> DataFrame:
     """(token, token_id, n_occurrences): the ``max_size`` most frequent
     normalized tokens, id = rank by (count desc, token asc) starting at
-    1. The rank window is a single global sort over at most
-    |vocabulary| rows — corpus-size-independent, tiny next to the
-    frequency aggregation that feeds it."""
+    1. See :func:`rank_vocab` for why the top-k happens BEFORE the rank
+    window."""
     counts = (
         docs.select(F.explode(token_array(text_col)).alias("token"))
         .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
-    return (
-        counts.withColumn("token_id", F.row_number().over(w).cast("int"))
-        .where(F.col("token_id") <= max_size)
-        .select("token", "token_id", "n_occurrences")
-    )
+    return rank_vocab(counts, max_size=max_size)
 
 
 def encode_tokens(
@@ -122,11 +116,22 @@ def merge_vocab_counts(
 
 
 def rank_vocab(counts: DataFrame, max_size: int = 1024) -> DataFrame:
-    """(token, n_occurrences) -> ranked ids, same total order as
-    :func:`build_vocab`."""
+    """(token, n_occurrences) -> ranked ids, by (count desc, token asc).
+
+    Scale note (ADVICE r5): ranking with a bare ``Window.orderBy`` over
+    the full count table executes in ONE task over the whole corpus
+    vocabulary, which grows with corpus size (Heaps' law) — a one-task
+    bottleneck at 100 TB. Instead the top-``max_size`` rows are selected
+    first with ``orderBy().limit()``, which Catalyst compiles to
+    TakeOrderedAndProject — a distributed two-phase top-k (per-partition
+    bounded heaps, then a k-row merge). Only then does the row_number
+    window run, over exactly ``max_size`` rows regardless of corpus
+    size. The (count desc, token asc) total order makes the two plans
+    bit-identical."""
+    top = counts.select("token", "n_occurrences").orderBy(
+        F.col("n_occurrences").desc(), F.col("token")
+    ).limit(max_size)
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
-    return (
-        counts.withColumn("token_id", F.row_number().over(w).cast("int"))
-        .where(F.col("token_id") <= max_size)
-        .select("token", "token_id", "n_occurrences")
-    )
+    return top.withColumn(
+        "token_id", F.row_number().over(w).cast("int")
+    ).select("token", "token_id", "n_occurrences")

@@ -413,6 +413,32 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-suffix-aware registered-domain rollup (ADVICE r5 item 6):
+    the planted hosts include co.uk / com.au / plain-.com / bare-suffix
+    shapes, so the oracle value-checks exactly where the broadcast
+    suffix join and the last-two-labels heuristic DIVERGE. The suffix
+    table is broadcast; the corpus side never shuffles for the join."""
+    from hadoop_invertedindexer_spark.functions import urls
+
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("News.BBC.co.uk"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("shop.Example.COM.au"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("www.Example.COM"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("co.uk"))  # bare suffix
+        .otherwise(F.lit("a.b.data.gov.uk"))  # deep subdomain chain
+    )
+    d = _docs(spark, sf_dir).select("doc_id", host.alias("host"))
+    return (
+        urls.with_registered_domain_psl(d, "host", "domain")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("host").alias("n_hosts"),
+        )
+    )
+
+
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked word vocabulary with deterministic tie-broken
     ids (count desc, token asc)."""
@@ -618,6 +644,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_build": q_vocab_build,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
+    "domain_stats_psl": q_domain_stats_psl,
     "tokens_encode": q_tokens_encode,
     "audio_features": q_audio_features,
     "duplicate_passages": q_duplicate_passages,
@@ -1126,6 +1153,26 @@ LLM_ORACLE_SQL: dict[str, str] = {
                                       ELSE 'data.example.com' END
                    || '/p/' || doc_id || '?q=' || (doc_id % 5))::BIGINT
                    AS n_distinct_urls
+        FROM documents GROUP BY 1""",
+    # PSL twin: the oracle restates the suffix-join rule on the planted
+    # host geometry — co.uk/com.au hosts yield THREE-label domains, the
+    # plain .com host the two-label default, the bare suffix itself, and
+    # the deep chain collapses to label+suffix (a.b.data.gov.uk ->
+    # data.gov.uk) — exactly where the heuristic and the PSL differ
+    "domain_stats_psl": """
+        SELECT CASE doc_id % 5
+                   WHEN 0 THEN 'bbc.co.uk'
+                   WHEN 1 THEN 'example.com.au'
+                   WHEN 2 THEN 'example.com'
+                   WHEN 3 THEN 'co.uk'
+                   ELSE 'data.gov.uk' END AS domain,
+               count(*)::BIGINT AS n_docs,
+               count(DISTINCT CASE doc_id % 5
+                   WHEN 0 THEN 'News.BBC.co.uk'
+                   WHEN 1 THEN 'shop.Example.COM.au'
+                   WHEN 2 THEN 'www.Example.COM'
+                   WHEN 3 THEN 'co.uk'
+                   ELSE 'a.b.data.gov.uk' END)::BIGINT AS n_hosts
         FROM documents GROUP BY 1""",
     # word vocab: same normalization as the dedup family, rank by
     # (count desc, token asc) — a total order, so ids agree bit-for-bit

@@ -45,3 +45,49 @@ def test_registered_domain_single_label_host(spark):
 
 def test_http_scheme_preserved(spark):
     assert _one(spark, "http://A.B/x").c.startswith("http://a.b")
+
+
+def test_canonicalize_preserves_explicit_port(spark):
+    # ADVICE r5: parse_url HOST excludes the port; without re-appending
+    # it, host:8080 and host collapse to one canonical origin.
+    r = _one(spark, "https://API.Example.com:8080/v1?utm_source=x&id=7#f")
+    assert r.c == "https://api.example.com:8080/v1?id=7"
+    assert _one(spark, "https://api.example.com/v1?id=7").c != r.c
+
+
+def test_canonicalize_preserves_userinfo(spark):
+    r = _one(spark, "ftp://Alice@Files.Example.com/pub?ref=x")
+    assert r.c == "ftp://Alice@files.example.com/pub"
+
+
+def _psl_domains(spark, hosts):
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+    out = urls.with_registered_domain_psl(df, "host", "domain")
+    return {r.host: r.domain for r in out.collect()}
+
+
+def test_registered_domain_psl_multi_label_suffixes(spark):
+    d = _psl_domains(
+        spark,
+        [
+            "News.BBC.co.uk",          # listed suffix -> 3 labels
+            "shop.Example.COM.au",     # listed suffix, case-folded
+            "www.Example.COM",         # default 2-label rule
+            "co.uk",                   # bare suffix: no registrable part
+            "a.b.data.gov.uk",         # deep chain -> label + suffix
+            "localhost",               # single label passes through
+        ],
+    )
+    assert d["News.BBC.co.uk"] == "bbc.co.uk"
+    assert d["shop.Example.COM.au"] == "example.com.au"
+    assert d["www.Example.COM"] == "example.com"
+    assert d["co.uk"] == "co.uk"
+    assert d["a.b.data.gov.uk"] == "data.gov.uk"
+    assert d["localhost"] == "localhost"
+
+
+def test_registered_domain_psl_join_is_broadcast(spark):
+    df = spark.createDataFrame([("x.co.uk",)], ["host"])
+    plan = urls.with_registered_domain_psl(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -71,3 +71,22 @@ def test_incremental_vocab_merge_idempotent_empty_batch(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, vocab.build_vocab(a, max_size=100).collect())
     )
+
+
+def test_rank_uses_distributed_topk_not_global_window(spark):
+    """ADVICE r5: the rank must not be a bare Window.orderBy over the
+    full (Heaps-law-growing) count table. The physical plan must show
+    TakeOrderedAndProject (per-partition bounded heaps + k-row merge)
+    feeding the window, so the single-partition sort touches exactly
+    max_size rows."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 11} common") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    plan = (
+        vocab.build_vocab(docs, max_size=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
