@@ -23,6 +23,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 20,
     fixed_iters: int | None = None,
+    on_residual: str = "extend",
 ) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
@@ -33,10 +34,21 @@ def connected_components(
     — the ``limit(1).count()`` early-exit check is a driver action (a job
     barrier) per round, and when the cluster diameter bound is known
     (near-dup chains are short) the probe only adds latency. This is the
-    schedule the recursive-CTE oracle assumes; correctness needs
+    schedule the recursive-CTE oracle assumes; exactness needs
     ``fixed_iters >= diameter`` (hash-min propagates the min label one
-    hop per round).
+    hop per round) — which ``on_residual`` now VERIFIES (VERDICT r5
+    item 3) with ONE post-loop job checking for an edge whose endpoints
+    still carry different labels:
+
+    * ``"extend"`` (default) — not converged: keep propagating with a
+      per-round probe until no edge straddles two labels (exact at any
+      diameter; one extra ``limit(1)`` job when the schedule sufficed);
+    * ``"raise"`` — raise ValueError so a too-shallow schedule can never
+      silently mislabel;
+    * ``"ignore"`` — round-5 behavior, zero probes.
     """
+    if on_residual not in ("extend", "raise", "ignore"):
+        raise ValueError(f"on_residual must be extend|raise|ignore, got {on_residual!r}")
     if fixed_iters is not None:
         if fixed_iters < 1:
             raise ValueError(f"fixed_iters must be >= 1, got {fixed_iters}")
@@ -50,21 +62,25 @@ def connected_components(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
-    for _ in range(max_iter):
+
+    def propagate(lbl: DataFrame) -> DataFrame:
         # each node adopts the min label among itself and its neighbors
         neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
+            sym.join(lbl, sym.b == lbl.node)
             .groupBy("a")
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+        return (
+            lbl.join(neighbor_min, lbl.node == neighbor_min.a, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
             )
             .localCheckpoint()
         )
+
+    for _ in range(max_iter):
+        new_labels = propagate(labels)
         if fixed_iters is None:
             changed = (
                 new_labels.alias("n")
@@ -78,6 +94,31 @@ def connected_components(
                 break
         else:
             labels = new_labels
+
+    if fixed_iters is not None and on_residual != "ignore":
+        def straddles(lbl: DataFrame) -> int:
+            la = lbl.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
+            lb = lbl.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
+            return (
+                sym.join(la, "a")
+                .join(lb, "b")
+                .where(F.col("ca") != F.col("cb"))
+                .limit(1)
+                .count()
+            )
+
+        # hash-min lowers >= 1 label per unconverged round, so this
+        # terminates; a deep-enough schedule pays exactly one probe job
+        while straddles(labels) > 0:
+            if on_residual == "raise":
+                raise ValueError(
+                    f"connected-components residual check failed: "
+                    f"fixed_iters={fixed_iters} is shallower than the "
+                    f"component diameter (an edge still straddles two "
+                    f"labels); raise fixed_iters or use "
+                    f"on_residual='extend'"
+                )
+            labels = propagate(labels)
     return labels
 
 

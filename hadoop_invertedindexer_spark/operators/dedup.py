@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from hadoop_invertedindexer_spark.caching import tracked_persist
+
 from hadoop_invertedindexer_spark.functions.textprep import lowercase, strip_punct
 
 # --------------------------------------------------------------- helpers
@@ -143,7 +145,7 @@ def ngram_jaccard_pairs(
         )
         .select("id", F.xxhash64("sh_str").alias("sh"))
         .distinct()
-        .persist()  # read by sizes, the df-cap, and both join sides
+        .transform(tracked_persist)  # read by sizes, the df-cap, and both join sides
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     df_cap = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(
@@ -358,7 +360,7 @@ def minhash_lsh_pairs(
     # instead — exactly what build_minhash_index does.
     sig = minhash_signatures(
         docs, num_perm, n, id_col, text_col, portable=portable
-    ).persist()
+    ).transform(tracked_persist)
     # the candidate join carries IDs ONLY: at high duplicate density every
     # true pair collides in ~all bands, so the pre-dedup candidate stream
     # is (pairs x bands) rows — shipping both 64-long signature arrays
@@ -471,7 +473,7 @@ def minhash_index_pairs(
     idx_banded = spark.read.parquet(f"{path}/banded").select("id", "band", "bh")
     batch_sig = minhash_signatures(
         new_docs, p.num_perm, p.n, id_col, text_col, portable=p.portable
-    ).persist()
+    ).transform(tracked_persist)
     batch_banded = _banded_signatures(
         batch_sig, p.bands, p.num_perm // p.bands, p.portable
     )
@@ -596,7 +598,7 @@ def simhash_near_dup_pairs(
     pigeonhole band join (:func:`hamming_band_pairs`)."""
     fps = simhash_fingerprints(
         _spread(docs, id_col), id_col, text_col
-    ).persist()  # both band-join sides; avoids re-running the pandas UDF
+    ).transform(tracked_persist)  # both band-join sides; avoids re-running the pandas UDF
     return hamming_band_pairs(fps, max_hamming)
 
 
@@ -681,7 +683,7 @@ def embedding_near_dup_pairs(
             F.col(vec_col).alias("v"),
             lsh_bucket(vec_col, dim, nbits, seed).alias("bucket"),
         )
-        .persist()  # both sides of the bucket self-join
+        .transform(tracked_persist)  # both sides of the bucket self-join
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
@@ -769,7 +771,7 @@ def boilerplate_removal(
     times. Output: (id, n_chunks, n_dropped, clean_text)."""
     # the chunk frame feeds both the df count and the reassembly —
     # persist so the explode+window+assembly subtree runs once, not twice
-    chunks = content_chunks(docs, id_col, text_col, modulus).persist()
+    chunks = content_chunks(docs, id_col, text_col, modulus).transform(tracked_persist)
     freq = (
         chunks.select(F.md5("chunk").alias("h"), F.col(id_col))
         .groupBy("h")
@@ -973,7 +975,7 @@ def duplicate_passages(
             F.posexplode(word_ngrams(text_col, n)).alias("pos", "sh_str"),
         )
         .select("id", "pos", F.xxhash64("sh_str").alias("sh"))
-        .persist()  # feeds both the df count and the interval join
+        .transform(tracked_persist)  # feeds both the df count and the interval join
     )
     dup = (
         sh.groupBy("sh")

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hadoop_invertedindexer_spark.caching import tracked_persist
+
 from hadoop_invertedindexer_spark.functions import media_codec
 
 DECODED_SCHEMA = T.StructType(
@@ -333,7 +335,7 @@ def media_near_dup_pairs(binary_df: DataFrame, max_hamming: int = 3) -> DataFram
     fps = (
         media_ahash(binary_df)
         .select(F.col("doc_id").alias("id"), F.col("ahash").alias("fp"))
-        .persist()  # both band-join sides; avoids re-decoding payloads
+        .transform(tracked_persist)  # both band-join sides; avoids re-decoding payloads
     )
     return hamming_band_pairs(fps, max_hamming)
 

@@ -78,3 +78,39 @@ def test_cluster_canonical_keeps_best_scoring_member(spark):
     assert out[1] == (2, 3, 9)
     assert out[4] == (4, 1, 7)
     assert len(out) == 2
+
+
+def test_fixed_round_residual_extend_is_exact_past_schedule(spark):
+    """VERDICT r5 item 3: a chain deeper than the fixed schedule used to
+    silently return partially-propagated labels; the default residual
+    check must extend until every edge's endpoints agree."""
+    chain = [(i + 1, i) for i in range(1, 10)]  # 1-...-10, diameter 9
+    edges = spark.createDataFrame(chain, ["id_a", "id_b"])
+    comps = {
+        r.node: r.comp
+        for r in connected_components(edges, fixed_iters=2).collect()
+    }
+    assert comps == {i: 1 for i in range(1, 11)}
+
+
+def test_fixed_round_residual_raise_detects_shallow_schedule(spark):
+    import pytest
+
+    chain = [(i + 1, i) for i in range(1, 10)]
+    edges = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="diameter"):
+        connected_components(
+            edges, fixed_iters=2, on_residual="raise"
+        ).collect()
+
+
+def test_fixed_round_residual_ignore_reproduces_old_behavior(spark):
+    chain = [(i + 1, i) for i in range(1, 10)]
+    edges = spark.createDataFrame(chain, ["id_a", "id_b"])
+    comps = {
+        r.node: r.comp
+        for r in connected_components(
+            edges, fixed_iters=2, on_residual="ignore"
+        ).collect()
+    }
+    assert len(set(comps.values())) > 1  # not yet converged, as scheduled

