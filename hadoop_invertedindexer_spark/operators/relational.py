@@ -793,17 +793,51 @@ _SQL_RECURSIVE = """
 """
 
 
+_SQL_RECURSIVE_NXT = """
+    SELECT o_custkey AS c, o_orderkey AS k,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS nk
+    FROM orders
+"""
+
+_SQL_RECURSIVE_OVER_MAT = """
+    WITH RECURSIVE chain(c, k, depth) AS (
+        SELECT c, k, 1 FROM nxt_mat WHERE rn = 1
+        UNION ALL
+        SELECT n.c, n.nk, ch.depth + 1
+        FROM chain ch JOIN nxt_mat n ON n.c = ch.c AND n.k = ch.k
+        WHERE n.nk IS NOT NULL
+    )
+    SELECT c AS o_custkey, max(depth) AS chain_len
+    FROM chain GROUP BY c
+"""
+
+
 def q_sql_api_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE through the SQL front door (Spark 4.x WITH
     RECURSIVE): walk each customer's order sequence as a linked list
     (anchor = earliest order, step = the lead() successor) and report
-    the traversal depth — the same ANSI text runs on both engines, and
-    the chain length must equal the customer's plain order count, which
-    the recursion-free cross-check test pins."""
+    the traversal depth — the chain length must equal the customer's
+    plain order count, which the recursion-free cross-check test pins.
+
+    The non-recursive ``nxt`` precursor (a window over orders) is
+    MATERIALIZED first (eager localCheckpoint behind a temp view):
+    Catalyst inlines CTEs, so left inside the recursion it re-ran the
+    full window per step — ~30 sequential steps (max orders/customer)
+    re-sorting orders each time (VERDICT r5 item 2; the Spark analog of
+    the AS MATERIALIZED lesson the DuckDB oracle side already learned —
+    the ORACLE text, ``_SQL_RECURSIVE``, keeps the single-statement
+    ANSI form with the same semantics). Measured at sf0.1:
+    8.8s -> see bench_baseline.json."""
     from hadoop_invertedindexer_spark.sources.tables import register_sf_tables
 
     register_sf_tables(spark, sf_dir)
-    return spark.sql(_SQL_RECURSIVE)
+    spark.sql(_SQL_RECURSIVE_NXT).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("nxt_mat")
+    return spark.sql(_SQL_RECURSIVE_OVER_MAT)
 
 
 _SQL_LATERAL = """
