@@ -66,6 +66,7 @@ HEADLINE = [
     "ngram_jaccard",
     "similarity_bruteforce",
     "similarity_lsh",         # multi-table hyperplane ANN (projection-only)
+    "semantic_dedup",         # SemDeDup: cluster-scoped cosine pruning (r6)
     "media_near_dup",         # real-codec perceptual aHash + band join (r6)
     "doc_fingerprint",
     "tf_idf",

@@ -525,6 +525,92 @@ def centroids_kmeans(
     return cents
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    every: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings coarsely, then WITHIN each
+    cluster drop any member that has a semantic near-duplicate (pair
+    cosine >= ``threshold``) which sits FARTHER from the centroid — the
+    paper's keep-the-marginal-example policy (low centroid-similarity
+    survives, redundant central mass is pruned), pinned to a total order
+    (centroid-cosine asc, id asc) so the survivor set is deterministic
+    across partitionings and engines. Complements the exact/MinHash/
+    SimHash families (surface duplication) and
+    ``embedding_near_dup_pairs`` (pairwise output): this one makes the
+    KEEP decision, at cluster scope.
+
+    Returns every corpus row: (``id_col``, cid, cent_cos, is_kept).
+
+    Scale shape: the corpus-wide ops are ONE broadcast nearest-centroid
+    pass (the IVF assignment pass, O(N·C) dot products, no shuffle) and
+    ONE shuffle on cid for the in-cluster self-join; pair expansion is
+    bounded by cluster size (~``every`` by construction of the sampled
+    centroids), never corpus². At 100 TB the knob is ``every`` / a
+    larger ``centroids`` frame: more clusters -> smaller all-pairs
+    scopes, identical semantics. Norms are hoisted per side so each
+    pair pays only its dot product."""
+    cents = (
+        centroids
+        if centroids is not None
+        else centroids_by_sampling(corpus, every, id_col, vec_col)
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            "cid",
+            cosine_expr(F.col(vec_col), F.col("cvec")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "id",
+            "v",
+            "cid",
+            F.round("sim", 6).alias("cent_cos"),
+            _norm(F.col("v")).alias("nrm"),
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    more_marginal = (F.col("b.cent_cos") < F.col("a.cent_cos")) | (
+        (F.col("b.cent_cos") == F.col("a.cent_cos"))
+        & (F.col("b.id") < F.col("a.id"))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .where((pair_cos >= threshold) & more_marginal)
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("_drop", F.lit(True)), "id", "left"
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            "cent_cos",
+            F.col("_drop").isNull().alias("is_kept"),
+        )
+    )
+
+
 def knn_classify(
     neighbors: DataFrame,
     labels: DataFrame,

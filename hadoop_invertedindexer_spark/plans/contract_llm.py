@@ -114,6 +114,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- similarity
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: coarse clusters (sampled
+    centroids), in-cluster cosine near-dup pruning keeping the most
+    MARGINAL member (lowest centroid cosine, id tie-break). Fully
+    oracle-paired: assignment, rounded cosines, and the drop rule are
+    all exact double/round(6) math both engines share."""
+    return similarity.semantic_dedup(
+        _emb(spark, sf_dir), threshold=0.4, every=50
+    )
+
+
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for every 100th vector as query set."""
     emb = _emb(spark, sf_dir)
@@ -623,6 +634,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "semantic_dedup": q_semantic_dedup,
     "decontaminate": q_decontaminate,
     "similarity_bruteforce": q_similarity_bruteforce,
     "similarity_ivf": q_similarity_ivf,
@@ -1525,6 +1537,35 @@ LLM_ORACLE_SQL: dict[str, str] = {
     # single-table hyperplane bucketing + exact verify (nbits=12, seed 42,
     # dim=64, threshold on the ROUNDED cosine — lockstep with
     # q_dedup_embedding / dedup.embedding_near_dup_pairs)
+    # SemDeDup twin: sampled centroids, unrounded-cosine assignment
+    # order (same as the IVF oracles), round(6) centroid + pair cosines,
+    # drop rule restated verbatim (exists a nearer-to-margin near-dup)
+    "semantic_dedup": f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            WHERE vec_id % 50 = 0),
+        assigned AS (
+            SELECT id, v, cid, round(sim, 6) AS cent_cos,
+                   sqrt({_SQL_DOT.format(a='v', b='v')}) AS nrm
+            FROM (
+                SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+                       {_sql_cosine('e.embedding', 'c.cvec')} AS sim,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents c) t
+            WHERE rn = 1),
+        dropped AS (
+            SELECT DISTINCT a.id FROM assigned a JOIN assigned b
+              ON a.cid = b.cid AND a.id <> b.id
+            WHERE round({_SQL_DOT.format(a='a.v', b='b.v')}
+                        / (a.nrm * b.nrm), 6) >= 0.4
+              AND (b.cent_cos < a.cent_cos
+                   OR (b.cent_cos = a.cent_cos AND b.id < a.id)))
+        SELECT a.id AS vec_id, a.cid, a.cent_cos,
+               (d.id IS NULL) AS is_kept
+        FROM assigned a LEFT JOIN dropped d ON a.id = d.id""",
     "dedup_embedding": f"""
         WITH sig AS (
             SELECT vec_id AS id, embedding AS v,

@@ -474,3 +474,44 @@ def test_knn_classify_planted_clusters_perfect(spark):
     got_pq = {r.qid: (r.pred_label, r.votes)
               for r in similarity.knn_classify(adc, labels).collect()}
     assert got_pq == {c * 10: (c, 4) for c in range(8)}
+
+
+def test_semantic_dedup_keeps_marginal_member(spark):
+    """Single cluster (only id 0 samples as centroid at every=100):
+    ids 0/1/2 are mutual near-dups; the SemDeDup keep policy retains the
+    member FARTHEST from the centroid (lowest cent_cos) and drops the
+    rest; the orthogonal id 3 has no near-dup and survives."""
+    rows = [
+        (0, [1.0, 0.0]),    # the centroid itself (cent_cos = 1.0)
+        (1, [1.0, 0.10]),   # near-dup of 0 and 2, closer to centroid
+        (2, [1.0, 0.12]),   # near-dup, most marginal of the three
+        (3, [0.0, 1.0]),    # orthogonal: kept
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup(
+            emb, threshold=0.9, every=100
+        ).collect()
+    }
+    assert {k: v.is_kept for k, v in out.items()} == {
+        0: False, 1: False, 2: True, 3: True
+    }
+    assert all(v.cid == 0 for v in out.values())  # one cluster
+    assert out[0].cent_cos == 1.0
+
+
+def test_semantic_dedup_respects_provided_centroids(spark):
+    """Two explicit centroids split the near-dup pair into separate
+    clusters, so neither sees the other and both survive — the
+    cluster-scoped (not global) semantics, pinned."""
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.05]), (11, [1.0, 0.06])], ["vec_id", "embedding"]
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.05]), (1, [1.0, 0.06])], ["cid", "cvec"]
+    ).select("cid", F.col("cvec").cast("array<float>").alias("cvec"))
+    out = similarity.semantic_dedup(emb, threshold=0.9, centroids=cents)
+    assert all(r.is_kept for r in out.collect())
