@@ -231,7 +231,9 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     scale_files = sorted(
         f for f in os.listdir(here)
-        if f.startswith(("scale_results_", "scale_deep_results_"))
+        if f.startswith(
+            ("scale_results_", "scale_deep_results_", "scale_incremental_")
+        )
         and f.endswith(".json")
     )
     if scale_files:
