@@ -24,6 +24,7 @@ def connected_components(
     max_iter: int = 20,
     fixed_iters: int | None = None,
     on_residual: str = "extend",
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
@@ -46,9 +47,22 @@ def connected_components(
     * ``"raise"`` — raise ValueError so a too-shallow schedule can never
       silently mislabel;
     * ``"ignore"`` — round-5 behavior, zero probes.
+
+    ``checkpoint_every`` is the lineage-truncation cadence of the
+    fixed-round path (the ``pagerank`` lever). Default 1: unlike
+    pagerank, each propagation references its input labels TWICE
+    (neighbor_min build side + the left-join base), so fusing 2 rounds
+    quadruples the unfused round's work and the barrier saving nets out
+    — measured at sf0.1 on cluster_canonical: cadence 1 ≈ 9.2 s vs
+    cadence 2 ≈ 8.9 s warm, inside run-to-run noise. The lever stays
+    for wider clusters where barrier latency dominates recompute. The
+    probed path keeps a checkpoint per round — its per-round
+    ``changed`` count forces a materialization anyway.
     """
     if on_residual not in ("extend", "raise", "ignore"):
         raise ValueError(f"on_residual must be extend|raise|ignore, got {on_residual!r}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     if fixed_iters is not None:
         if fixed_iters < 1:
             raise ValueError(f"fixed_iters must be >= 1, got {fixed_iters}")
@@ -63,24 +77,26 @@ def connected_components(
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
 
-    def propagate(lbl: DataFrame) -> DataFrame:
+    def propagate(lbl: DataFrame, checkpoint: bool = True) -> DataFrame:
         # each node adopts the min label among itself and its neighbors
         neighbor_min = (
             sym.join(lbl, sym.b == lbl.node)
             .groupBy("a")
             .agg(F.min("comp").alias("ncomp"))
         )
-        return (
-            lbl.join(neighbor_min, lbl.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
-            )
-            .localCheckpoint()
+        out = lbl.join(neighbor_min, lbl.node == neighbor_min.a, "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
         )
+        return out.localCheckpoint() if checkpoint else out
 
-    for _ in range(max_iter):
-        new_labels = propagate(labels)
+    for it in range(max_iter):
+        ckpt = (
+            fixed_iters is None
+            or (it + 1) % checkpoint_every == 0
+            or it == max_iter - 1
+        )
+        new_labels = propagate(labels, checkpoint=ckpt)
         if fixed_iters is None:
             changed = (
                 new_labels.alias("n")
