@@ -138,17 +138,162 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    rounds: int = 6,
+    on_residual: str = "extend",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(node, component) by the ALTERNATING-STAR algorithm (Kiveris,
+    Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+    MapReduce and Beyond", SoCC 2014): alternate
+
+    * large-star — every node points its LARGER neighbors at the min of
+      its neighborhood (incl. itself);
+    * small-star — every node folds its SMALLER-or-equal neighbors (and
+      itself) onto the min of that smaller set;
+
+    until the edge set is a union of stars centered at component minima.
+    Converges in **O(log n) rounds regardless of component diameter** —
+    the scale answer to hash-min label propagation
+    (:func:`connected_components`), which needs O(diameter) rounds and
+    degrades on chain-shaped components a web-scale near-dup graph can
+    contain. Per round: two groupBy-min aggregations + two joins, all
+    equi-keyed on node ids; no driver action inside the loop.
+
+    Exactness does NOT rest on ``rounds`` being deep enough: labels are
+    read as min-over-star-neighborhood, and the same residual probe as
+    the hash-min path (one ``limit(1)`` job over the ORIGINAL edges)
+    verifies that no edge straddles two labels — ``on_residual`` =
+    extend (default) / raise / ignore, with extend provably terminating
+    (each alternation strictly contracts toward stars). A clean label
+    assignment is necessarily the component-min labelling: star edges
+    never leave a component, so a component with consistent labels is
+    labelled by its own min node, whose label is itself.
+
+    Output contract identical to :func:`connected_components`: one row
+    per node appearing in ``edges``, component = min reachable id.
+    """
+    if on_residual not in ("extend", "raise", "ignore"):
+        raise ValueError(f"on_residual must be extend|raise|ignore, got {on_residual!r}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    e0 = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        s = sym(e)
+        m = (
+            s.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        # each undirected edge (u,v), u<v, is rewired once (from u's
+        # side) to (min(N(u) ∪ {u}), v); m <= u < v keeps it canonical
+        return (
+            s.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        s = sym(e).where(F.col("v") < F.col("u"))  # strictly smaller side
+        m = (
+            s.groupBy("u")
+            .agg(F.min("v").alias("m"))  # m < u always (v < u)
+        )
+        folded = s.join(m, "u")
+        e1 = folded.select(F.col("m").alias("a"), F.col("v").alias("b")).where(
+            F.col("a") != F.col("b")
+        )
+        e2 = folded.select(F.col("m").alias("a"), F.col("u").alias("b")).distinct()
+        # e1 rows have m <= v < u, e2 rows m < u: both canonical (a < b)
+        return e1.unionAll(e2).distinct()
+
+    def labels_of(e: DataFrame) -> DataFrame:
+        nodes = e0.select(F.explode(F.array("a", "b")).alias("node")).distinct()
+        nmin = (
+            sym(e)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("v").alias("mv"))
+            .select("node", F.least("mv", "node").alias("comp"))
+        )
+        return nodes.join(nmin, "node", "left").select(
+            "node", F.coalesce("comp", "node").alias("comp")
+        )
+
+    def straddles(lbl: DataFrame) -> int:
+        la = lbl.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
+        lb = lbl.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
+        return (
+            e0.join(la, "a")
+            .join(lb, "b")
+            .where(F.col("ca") != F.col("cb"))
+            .limit(1)
+            .count()
+        )
+
+    def alternate(e: DataFrame, n: int) -> DataFrame:
+        for it in range(n):
+            e = small_star(large_star(e))
+            if (it + 1) % checkpoint_every == 0 or it == n - 1:
+                e = e.localCheckpoint(eager=False)
+        return e
+
+    e = alternate(e0, rounds)
+    labels = labels_of(e)
+    if on_residual != "ignore":
+        while straddles(labels) > 0:
+            if on_residual == "raise":
+                raise ValueError(
+                    f"star connected-components residual check failed: "
+                    f"rounds={rounds} did not reach the star fixpoint "
+                    f"(an edge still straddles two labels); raise rounds "
+                    f"or use on_residual='extend'"
+                )
+            e = alternate(e, rounds)
+            labels = labels_of(e)
+    return labels
+
+
 def dedup_clusters(
     pairs: DataFrame,
     docs: DataFrame,
     id_col: str = "doc_id",
     fixed_iters: int | None = None,
+    algorithm: str = "hashmin",
 ) -> DataFrame:
     """Resolve near-dup pairs into (doc_id, keep_id): every doc maps to the
     canonical (min-id) member of its near-dup cluster; singletons map to
     themselves. ``fixed_iters`` passes through to
-    :func:`connected_components` (barrier-free fixed-round schedule)."""
-    comps = connected_components(pairs, fixed_iters=fixed_iters)
+    :func:`connected_components` (barrier-free fixed-round schedule);
+    ``algorithm="star"`` swaps in the O(log n)-round
+    :func:`connected_components_star` resolver (identical output,
+    proven by equality tests)."""
+    if algorithm == "star":
+        comps = connected_components_star(pairs)
+    elif algorithm == "hashmin":
+        comps = connected_components(pairs, fixed_iters=fixed_iters)
+    else:
+        raise ValueError(f"algorithm must be hashmin|star, got {algorithm!r}")
     return (
         docs.select(F.col(id_col))
         .join(comps, docs[id_col] == comps.node, "left")

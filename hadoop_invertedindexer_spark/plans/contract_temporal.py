@@ -89,6 +89,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs)
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same near-dup cluster resolution through the O(log n)-round
+    ALTERNATING-STAR resolver (Kiveris et al. 2014) instead of hash-min
+    label propagation — identical output by construction (component =
+    min id), so the oracle text is shared verbatim with dedup_clusters;
+    the point of the twin is driver-checked proof that the scale
+    algorithm (diameter-independent round count) computes the same
+    clusters."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.6, max_df=100)
+    return dedup_clusters(pairs, docs, algorithm="star")
+
+
 def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-best-copy resolution over the same jaccard near-dup
     clusters: per cluster, the longest member survives (ties -> min id —
@@ -104,6 +117,7 @@ TEMPORAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
     "cluster_canonical": q_cluster_canonical,
 }
 
@@ -173,6 +187,11 @@ SQL_CLUSTERS_CTE_PREFIX = f"""
 TEMPORAL_ORACLE_SQL["dedup_clusters"] = f"""{SQL_CLUSTERS_CTE_PREFIX}
     SELECT d.doc_id, coalesce(c.keep, d.doc_id) AS keep_id
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""
+
+# the star resolver computes the identical min-id labelling, so its
+# oracle is the SAME transitive closure — the twin proves the O(log n)
+# algorithm, not a different answer
+TEMPORAL_ORACLE_SQL["dedup_clusters_star"] = TEMPORAL_ORACLE_SQL["dedup_clusters"]
 
 # keep-best-copy: same cluster labels, then a deterministic window pick
 # (n_chars desc, doc_id asc) — lockstep with clusters.cluster_canonical

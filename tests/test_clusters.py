@@ -114,3 +114,77 @@ def test_fixed_round_residual_ignore_reproduces_old_behavior(spark):
         ).collect()
     }
     assert len(set(comps.values())) > 1  # not yet converged, as scheduled
+
+
+# ---------------------------------------------------- alternating-star CC
+
+
+def _cc_star(spark, edge_list, **kw):
+    from hadoop_invertedindexer_spark.operators.clusters import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(edge_list, ["id_a", "id_b"])
+    return {
+        r.node: r.comp for r in connected_components_star(edges, **kw).collect()
+    }
+
+
+def test_star_cc_chain_islands_and_cycles(spark):
+    comps = _cc_star(spark, [(2, 1), (2, 3), (4, 3), (10, 11)])
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    comps = _cc_star(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    assert set(comps.values()) == {1}
+
+
+def test_star_cc_long_chain_in_log_rounds(spark):
+    """The algorithm's reason to exist: a 64-node chain (diameter 63,
+    where hash-min needs 63 rounds) resolves within the default 6
+    alternations — O(log n), verified with on_residual='raise' so a
+    silent shortfall cannot pass."""
+    chain = [(i, i + 1) for i in range(1, 64)]
+    comps = _cc_star(spark, chain, rounds=6, on_residual="raise")
+    assert comps == {i: 1 for i in range(1, 65)}
+
+
+def test_star_cc_extends_past_shallow_schedule(spark):
+    chain = [(i, i + 1) for i in range(1, 40)]
+    comps = _cc_star(spark, chain, rounds=1)  # extend (default) fixes it
+    assert comps == {i: 1 for i in range(1, 41)}
+
+
+def test_star_cc_matches_hashmin_on_random_graphs(spark):
+    """Property: identical labelling to the probed hash-min resolver on
+    seeded pseudo-random graphs (several densities)."""
+    import random
+
+    for seed, n, m in [(1, 30, 20), (2, 50, 60), (3, 40, 10)]:
+        rng = random.Random(seed)
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edge_list = [(a, b) for a, b in edge_list if a != b] or [(0, 1)]
+        edges = spark.createDataFrame(edge_list, ["id_a", "id_b"])
+        from hadoop_invertedindexer_spark.operators.clusters import (
+            connected_components_star,
+        )
+
+        probed = {
+            r.node: r.comp for r in connected_components(edges).collect()
+        }
+        star = {
+            r.node: r.comp
+            for r in connected_components_star(edges).collect()
+        }
+        assert star == probed, f"seed={seed}"
+
+
+def test_dedup_clusters_star_algorithm_matches(spark):
+    edges = spark.createDataFrame([(2, 1), (3, 2), (9, 8)], ["id_a", "id_b"])
+    docs = spark.createDataFrame([(i,) for i in range(1, 11)], ["doc_id"])
+    a = {r.doc_id: r.keep_id for r in dedup_clusters(edges, docs).collect()}
+    b = {
+        r.doc_id: r.keep_id
+        for r in dedup_clusters(edges, docs, algorithm="star").collect()
+    }
+    assert a == b
