@@ -34,6 +34,8 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     checkpoint_every: int = 2,
+    tol: float | None = None,
+    on_residual: str = "extend",
 ) -> DataFrame:
     """PageRank over a directed edge list, dangling mass redistributed
     uniformly (so total rank stays exactly 1 each round — asserted in
@@ -54,9 +56,34 @@ def pagerank(
     win with a comfortable margin from the plan-growth cliff at wider
     graphs. Must be >= 1 (0 would divide by zero at the cadence check;
     negatives would silently skip every intermediate checkpoint).
+
+    ``tol`` makes the fixed schedule SELF-VERIFYING, completing the
+    pattern k-core and connected components got in round 6 (VERDICT r6
+    item 4 — pagerank was the last fixed loop that could silently return
+    unconverged ranks on a slow-mixing graph, e.g. a long path). With
+    ``tol`` set, ONE post-loop probe runs a single extra iteration and
+    measures the L1 delta Σ|rank' − rank| (one join + one 1-row agg);
+    then, per ``on_residual``:
+
+    * ``"extend"`` (default) — while delta >= tol, adopt the new iterate
+      and keep stepping with a per-round probe until the delta passes
+      (power iteration contracts the L1 error by ~``damping`` per round,
+      so this terminates; a schedule that was already converged pays
+      exactly one probe job and returns the SCHEDULED ranks unchanged —
+      fixed-iteration oracle parity);
+    * ``"raise"`` — raise ValueError so a too-shallow schedule can never
+      silently mislead;
+    * ``"ignore"`` — zero probes (identical to ``tol=None``).
+
+    ``tol=None`` (default) is the exact fixed-``iters`` contract the
+    unrolled SQL oracle checks — the probe is opt-in because, unlike the
+    monotone k-core/CC fixpoints, extending pagerank CHANGES the answer
+    (toward the true stationary vector).
     """
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    if on_residual not in ("extend", "raise", "ignore"):
+        raise ValueError(f"on_residual must be extend|raise|ignore, got {on_residual!r}")
     # materialize the deduped edge list once: every iteration joins it
     # twice, and without the checkpoint the caller's whole edge
     # derivation (e.g. a fact-table join) re-runs per round — measured
@@ -78,7 +105,8 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
-    for it in range(iters):
+
+    def step(ranks: DataFrame) -> DataFrame:
         contribs = (
             edges.join(out_deg, "src")
             .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -92,7 +120,7 @@ def pagerank(
             .groupBy()
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
         )
-        ranks = (
+        return (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(n_nodes))
             .crossJoin(F.broadcast(dangling))
@@ -108,8 +136,39 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+
+    for it in range(iters):
+        ranks = step(ranks)
         if (it + 1) % checkpoint_every == 0 or it == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)  # truncate lineage
+
+    if tol is not None and on_residual != "ignore":
+        def l1_delta(prev: DataFrame, nxt: DataFrame) -> float:
+            # one join + one 1-row agg — a scalar probe job, the same
+            # budget as the k-core/CC limit(1) residual counts
+            return (
+                prev.withColumnRenamed("rank", "r0")
+                .join(nxt.withColumnRenamed("rank", "r1"), "node")
+                .agg(F.sum(F.abs(F.col("r1") - F.col("r0"))).alias("d"))
+                .first()["d"]
+            )
+
+        probe = step(ranks).localCheckpoint(eager=True)
+        delta = l1_delta(ranks, probe)
+        if delta >= tol:
+            if on_residual == "raise":
+                raise ValueError(
+                    f"pagerank residual check failed: after iters={iters} "
+                    f"the L1 rank delta of one more iteration is still >= "
+                    f"tol={tol} (slow-mixing graph); raise iters or use "
+                    f"on_residual='extend'"
+                )
+            # adopt the probe iterate and keep stepping; the L1 error
+            # contracts by ~damping per round so the loop terminates
+            while delta >= tol:
+                ranks, probe = probe, step(probe).localCheckpoint(eager=True)
+                delta = l1_delta(ranks, probe)
+            ranks = probe
     return ranks
 
 

@@ -830,14 +830,28 @@ def q_sql_api_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     the AS MATERIALIZED lesson the DuckDB oracle side already learned —
     the ORACLE text, ``_SQL_RECURSIVE``, keeps the single-statement
     ANSI form with the same semantics). Measured at sf0.1:
-    8.8s -> see bench_baseline.json."""
+    8.8s -> see bench_baseline.json.
+
+    The temp view is DROPPED immediately after the recursive plan is
+    analyzed (ADVICE r6): ``spark.sql`` inlines the view's plan eagerly,
+    so the catalog reference is not needed afterwards — and leaving it
+    registered pinned the checkpointed RDD alive forever, invisible to
+    ``release_persisted()``/``clearCache()``. With the view gone, the
+    only reference is the returned DataFrame itself; once the caller's
+    action completes and the frame is garbage-collected, ContextCleaner
+    reclaims the blocks. (A ``tracked_persist`` + temp-view variant was
+    measured at +2.5 s per run — the ~30 recursion steps pay the
+    InMemoryRelation's columnar decode per scan, vs the checkpointed
+    RDD's row cache — so the checkpoint stays.)"""
     from hadoop_invertedindexer_spark.sources.tables import register_sf_tables
 
     register_sf_tables(spark, sf_dir)
     spark.sql(_SQL_RECURSIVE_NXT).localCheckpoint(
         eager=True
     ).createOrReplaceTempView("nxt_mat")
-    return spark.sql(_SQL_RECURSIVE_OVER_MAT)
+    out = spark.sql(_SQL_RECURSIVE_OVER_MAT)
+    spark.catalog.dropTempView("nxt_mat")
+    return out
 
 
 _SQL_LATERAL = """

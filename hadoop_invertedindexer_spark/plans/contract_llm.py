@@ -119,9 +119,32 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids), in-cluster cosine near-dup pruning keeping the most
     MARGINAL member (lowest centroid cosine, id tie-break). Fully
     oracle-paired: assignment, rounded cosines, and the drop rule are
-    all exact double/round(6) math both engines share."""
+    all exact double/round(6) math both engines share. ``every=50``
+    PINS the r6 centroid policy explicitly (VERDICT r6 item 1 moved the
+    operator DEFAULT to bounded-K kmeans; this keeps the oracle hash
+    byte-stable while `semantic_dedup_bounded` oracles the new
+    default)."""
     return similarity.semantic_dedup(
         _emb(spark, sf_dir), threshold=0.4, every=50
+    )
+
+
+def q_semantic_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The new DEFAULT semantic-dedup path (VERDICT r6 item 1), fully
+    oracle-paired: bounded-K centroids (md5-ordered sample of 256, first
+    64 as seeds) refined by two portable Lloyd iterations (exact
+    floor(x·2^20) integer sums, bit-reproducible in ANSI SQL), then the
+    same assignment / round(6) cosine / keep-the-marginal rule as
+    `semantic_dedup`. Centroid count is FIXED at k=64 regardless of
+    corpus size — the broadcast assignment is O(N·k), no longer
+    O(N²/every)."""
+    return similarity.semantic_dedup(
+        _emb(spark, sf_dir),
+        threshold=0.4,
+        k=64,
+        refine_iters=2,
+        sample_mult=4,
+        portable=True,
     )
 
 
@@ -433,11 +456,16 @@ def q_domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_invertedindexer_spark.functions import urls
 
     host = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit("News.BBC.co.uk"))
-        .when(F.col("doc_id") % 5 == 1, F.lit("shop.Example.COM.au"))
-        .when(F.col("doc_id") % 5 == 2, F.lit("www.Example.COM"))
-        .when(F.col("doc_id") % 5 == 3, F.lit("co.uk"))  # bare suffix
-        .otherwise(F.lit("a.b.data.gov.uk"))  # deep subdomain chain
+        F.when(F.col("doc_id") % 8 == 0, F.lit("News.BBC.co.uk"))
+        .when(F.col("doc_id") % 8 == 1, F.lit("shop.Example.COM.au"))
+        .when(F.col("doc_id") % 8 == 2, F.lit("www.Example.COM"))
+        .when(F.col("doc_id") % 8 == 3, F.lit("co.uk"))  # bare suffix
+        .when(F.col("doc_id") % 8 == 4, F.lit("a.b.data.gov.uk"))  # deep chain
+        # full PSL rule shapes (VERDICT r6 item 5): a 3-label rule, a
+        # wildcard rule, and an exception rule from the real PSL
+        .when(F.col("doc_id") % 8 == 5, F.lit("www.School.ACT.edu.au"))
+        .when(F.col("doc_id") % 8 == 6, F.lit("WWW.Shop.Foo.CK"))  # *.ck
+        .otherwise(F.lit("sub.WWW.ck"))  # !www.ck exception
     )
     d = _docs(spark, sf_dir).select("doc_id", host.alias("host"))
     return (
@@ -635,6 +663,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_bounded": q_semantic_dedup_bounded,
     "decontaminate": q_decontaminate,
     "similarity_bruteforce": q_similarity_bruteforce,
     "similarity_ivf": q_similarity_ivf,
@@ -897,6 +926,81 @@ def _sql_ivf_kmeans(
                        AS rank
             FROM scored) t
         WHERE rank <= {k}"""
+
+
+def _sql_semantic_dedup_bounded(
+    k: int = 64,
+    sample: int = 256,
+    n_iters: int = 2,
+    threshold: float = 0.4,
+    dim: int = 64,
+) -> str:
+    """The bounded-K semantic-dedup default in SQL (VERDICT r6 item 1
+    twin): md5-ordered sample (the portable 60-bit order key, lockstep
+    with similarity.md5_order_key), first-k seeds, the SAME unrolled
+    integer-exact Lloyd iterations as _sql_ivf_kmeans (floor(x·2^20)
+    sums, empty centroids keep their previous vector), then the
+    assignment + round(6) cosines + keep-the-marginal drop rule shared
+    verbatim with the `semantic_dedup` oracle."""
+    mk = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
+    ctes = [
+        f"""samp AS (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY {mk}, vec_id LIMIT {sample})""",
+        f"""cents0 AS (
+            SELECT vec_id AS cid,
+                   list_transform(embedding, x -> x::DOUBLE) AS cvec
+            FROM samp ORDER BY {mk}, vec_id LIMIT {k})""",
+        f"idx AS (SELECT unnest(range(1, {dim + 1})) AS i)",
+    ]
+    for it in range(1, n_iters + 1):
+        prev = f"cents{it - 1}"
+        ctes += [
+            f"""assign{it} AS (
+            SELECT id, emb, cid FROM (
+                SELECT s.vec_id AS id, s.embedding AS emb, c.cid,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY {_sql_cosine('s.embedding', 'c.cvec')} DESC,
+                                    c.cid) AS rn
+                FROM samp s CROSS JOIN {prev} c) t
+            WHERE rn = 1)""",
+            f"""sums{it} AS (
+            SELECT cid, i, sum(floor(emb[i]::DOUBLE * 1048576.0)::BIGINT) AS sx
+            FROM assign{it} CROSS JOIN idx GROUP BY cid, i)""",
+            f"""newc{it} AS (
+            SELECT cid, list_transform(list(sx ORDER BY i), x -> x::DOUBLE)
+                       AS svec
+            FROM sums{it} GROUP BY cid)""",
+            f"""cents{it} AS (
+            SELECT p.cid, coalesce(n.svec, p.cvec) AS cvec
+            FROM {prev} p LEFT JOIN newc{it} n USING (cid))""",
+        ]
+    final_cents = f"cents{n_iters}"
+    return f"""
+        WITH {", ".join(ctes)},
+        assigned AS (
+            SELECT id, v, cid, round(sim, 6) AS cent_cos,
+                   sqrt({_SQL_DOT.format(a='v', b='v')}) AS nrm
+            FROM (
+                SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+                       {_sql_cosine('e.embedding', 'c.cvec')} AS sim,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN {final_cents} c) t
+            WHERE rn = 1),
+        dropped AS (
+            SELECT DISTINCT a.id FROM assigned a JOIN assigned b
+              ON a.cid = b.cid AND a.id <> b.id
+            WHERE round({_SQL_DOT.format(a='a.v', b='b.v')}
+                        / (a.nrm * b.nrm), 6) >= {threshold}
+              AND (b.cent_cos < a.cent_cos
+                   OR (b.cent_cos = a.cent_cos AND b.id < a.id)))
+        SELECT a.id AS vec_id, a.cid, a.cent_cos,
+               (d.id IS NULL) AS is_kept
+        FROM assigned a LEFT JOIN dropped d ON a.id = d.id"""
 
 
 def _sql_minhash_portable(cand_filter: str = "") -> str:
@@ -1172,19 +1276,25 @@ LLM_ORACLE_SQL: dict[str, str] = {
     # the deep chain collapses to label+suffix (a.b.data.gov.uk ->
     # data.gov.uk) — exactly where the heuristic and the PSL differ
     "domain_stats_psl": """
-        SELECT CASE doc_id % 5
+        SELECT CASE doc_id % 8
                    WHEN 0 THEN 'bbc.co.uk'
                    WHEN 1 THEN 'example.com.au'
                    WHEN 2 THEN 'example.com'
                    WHEN 3 THEN 'co.uk'
-                   ELSE 'data.gov.uk' END AS domain,
+                   WHEN 4 THEN 'data.gov.uk'
+                   WHEN 5 THEN 'school.act.edu.au'
+                   WHEN 6 THEN 'shop.foo.ck'
+                   ELSE 'www.ck' END AS domain,
                count(*)::BIGINT AS n_docs,
-               count(DISTINCT CASE doc_id % 5
+               count(DISTINCT CASE doc_id % 8
                    WHEN 0 THEN 'News.BBC.co.uk'
                    WHEN 1 THEN 'shop.Example.COM.au'
                    WHEN 2 THEN 'www.Example.COM'
                    WHEN 3 THEN 'co.uk'
-                   ELSE 'a.b.data.gov.uk' END)::BIGINT AS n_hosts
+                   WHEN 4 THEN 'a.b.data.gov.uk'
+                   WHEN 5 THEN 'www.School.ACT.edu.au'
+                   WHEN 6 THEN 'WWW.Shop.Foo.CK'
+                   ELSE 'sub.WWW.ck' END)::BIGINT AS n_hosts
         FROM documents GROUP BY 1""",
     # word vocab: same normalization as the dedup family, rank by
     # (count desc, token asc) — a total order, so ids agree bit-for-bit
@@ -1566,6 +1676,11 @@ LLM_ORACLE_SQL: dict[str, str] = {
         SELECT a.id AS vec_id, a.cid, a.cent_cos,
                (d.id IS NULL) AS is_kept
         FROM assigned a LEFT JOIN dropped d ON a.id = d.id""",
+    # the bounded-K default path (VERDICT r6 item 1): md5-sampled seeds +
+    # 2 portable Lloyd iterations + the same drop rule
+    "semantic_dedup_bounded": _sql_semantic_dedup_bounded(
+        k=64, sample=256, n_iters=2, threshold=0.4
+    ),
     "dedup_embedding": f"""
         WITH sig AS (
             SELECT vec_id AS id, embedding AS v,

