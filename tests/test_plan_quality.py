@@ -325,3 +325,38 @@ def test_bloom_decontaminate_single_row_broadcast(spark):
     # explode must appear exactly once — i.e. only inside the bitmap
     # build, never on the train stream
     assert plan.count("Generate explode(array(pmod") == 1
+
+
+def test_psl_cascade_is_all_broadcast_no_corpus_shuffle(spark):
+    """The full-rule PSL match (r7) is a cascade of broadcast equi-joins
+    on derived last-N-label keys: the corpus side must never exchange
+    and no join may degrade to sort-merge — each rule tier is a tiny
+    broadcast build."""
+    from hadoop_invertedindexer_spark.functions import urls
+
+    # host must be a real column (a literal constant-folds the join keys
+    # and degrades the joins to BNLJ in the test plan only)
+    d = read_table(spark, SF, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), F.col("doc_id").cast("string"), F.lit(".co.uk")).alias("host"),
+    )
+    plan = _plan(urls.with_registered_domain_psl(d, "host", "domain"))
+    # one exact-key join per rule depth (maxN=3) + wildcard tiers — all
+    # broadcast hash joins; the only hash exchanges allowed are the tiny
+    # rule-side groupBys INSIDE broadcast builds, never a corpus-side
+    # sort-merge or shuffled join
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_semantic_dedup_bounded_assignment_is_broadcast(spark):
+    """The bounded-K default's nearest-centroid pass must broadcast the
+    (fixed-size) centroid frame against the corpus — a corpus-side
+    exchange before assignment would mean the centroids stopped being
+    the build side."""
+    from hadoop_invertedindexer_spark.operators import similarity
+
+    emb = read_table(spark, SF, "embeddings")
+    plan = _plan(similarity.semantic_dedup(emb, threshold=0.4, k=16))
+    assert "BroadcastNestedLoopJoin" in plan
