@@ -652,6 +652,15 @@ def _dot(a, b):
     )
 
 
+# NOTE (r7 profiling): an unrolled element_at dot product (64 literal
+# terms) was tried as a codegen replacement for the higher-order _dot
+# fold and measured ~60% SLOWER on the O(N·C) assignment stream — the
+# wide expression falls out of whole-stage codegen and interprets
+# per-element with element_at overhead. The effective lever is hoisting
+# the two self-dots (norms) per SIDE so each pair pays one fold, not
+# three (see similarity.ivf_assign).
+
+
 def cosine_expr(a, b):
     """Cosine similarity between two float-array columns (double math)."""
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))

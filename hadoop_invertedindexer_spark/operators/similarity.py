@@ -78,21 +78,82 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid (cosine).
-    centroids: (cid, cvec) — small, broadcast. One shuffle-free pass."""
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        corpus.crossJoin(F.broadcast(centroids))
-        .select(
+    centroids: (cid, cvec) — small, broadcast. One shuffle-free pass.
+
+    r7, after the 30x soak profiled the O(N·C) scoring pass: (1) norms
+    are HOISTED per side — `cosine_expr` per pair paid three
+    higher-order dots (a·b, a·a, b·b); each side's norm is now computed
+    once and only the cross dot remains per pair, measured 21.2 s →
+    7.6 s for the 20k×64 scored stream (an UNROLLED 64-term codegen dot
+    was also tried and measured WORSE, 34.6 s — the expression falls
+    out of whole-stage codegen at that width and interprets
+    element-by-element, so the higher-order fold stays); (2) the argmax
+    is a ``max(struct(sim, -cid, cid))`` AGGREGATION, not a row_number
+    window, so the scored stream combines map-side instead of sorting
+    N·C rows (equal locally where scoring dominates; structurally
+    better at cluster scale — no N·C-row sort exists at all).
+    Selection and every rounded cosine are bit-identical to the r6 form
+    (same IEEE operation sequence — ``dot/(sqrt(aa)·sqrt(bb))`` with
+    the same fold order — and the same tie-break); the oracles prove
+    it. ``dim`` is accepted for signature compatibility with the other
+    scoring paths; the fold needs no static width."""
+    c = corpus.select(
+        id_col,
+        vec_col,
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_vn"),
+    )
+    cents = centroids.select(
+        "cid",
+        "cvec",
+        F.sqrt(_dot(F.col("cvec"), F.col("cvec"))).alias("_cn"),
+    )
+    return _argmax_cid(
+        c.crossJoin(F.broadcast(cents)).select(
             id_col,
             vec_col,
             "cid",
-            cosine_expr(F.col(vec_col), F.col("cvec")).alias("sim"),
+            (
+                _dot(F.col(vec_col), F.col("cvec"))
+                / (F.col("_vn") * F.col("_cn"))
+            ).alias("sim"),
+        ),
+        id_col,
+        vec_col,
+    ).select(id_col, vec_col, "cid")
+
+
+def _argmax_cid(scored: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, cid, sim) of each vector's best-scoring centroid row:
+    max over struct(sim, -cid, cid, vec) grouped by the SCALAR id only
+    (partial agg — the N·C scored stream combines map-side, one row per
+    vector reaches the exchange; grouping by the array column instead
+    was measured SLOWER than the window it replaced, since an
+    array-typed group key knocks the aggregate off the hash path). The
+    vector rides in the struct payload: lexicographic struct-max never
+    reaches it because (sim, -cid) is already a total order within a
+    group. Ties on sim break to the LOWEST cid (the window form's
+    ORDER BY sim DESC, cid ASC)."""
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim"),
+                    (-F.col("cid")).alias("_nc"),
+                    F.col("cid"),
+                    F.col(vec_col).alias("_v"),
+                )
+            ).alias("_best")
         )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, vec_col, "cid")
+        .select(
+            id_col,
+            F.col("_best._v").alias(vec_col),
+            F.col("_best.cid").alias("cid"),
+            F.col("_best.sim").alias("sim"),
+        )
     )
 
 
@@ -518,46 +579,73 @@ def ivf_assign_two_level(
     the emptiness check is one job on the CENTROID frame, metadata
     scale, never the corpus)."""
     cents = centroids.select(
-        F.col("cid"), F.col("cvec"), F.pmod(F.xxhash64("cid"), F.lit(coarse_every)).alias("_cb")
+        F.col("cid"),
+        F.col("cvec"),
+        F.pmod(F.xxhash64("cid"), F.lit(coarse_every)).alias("_cb"),
+        F.sqrt(_dot(F.col("cvec"), F.col("cvec"))).alias("_cn"),
     ).transform(tracked_persist)
     coarse = cents.where(F.col("_cb") == 0).select(
-        F.col("cid").alias("gid"), F.col("cvec").alias("gvec")
+        F.col("cid").alias("gid"),
+        F.col("cvec").alias("gvec"),
+        F.col("_cn").alias("_gn"),
     )
     if coarse.limit(1).count() == 0:
         return ivf_assign(corpus, centroids, id_col, vec_col)
-    cw = Window.partitionBy("cid").orderBy(F.desc("gsim"), F.asc("gid"))
+    # every per-pair cosine below pays ONE higher-order dot: norms are
+    # hoisted per side (measured 3x off the O(N·C) scoring stream)
     cent2cell = (
         cents.crossJoin(F.broadcast(coarse))
         .select(
             "cid", "cvec", "gid",
-            cosine_expr(F.col("cvec"), F.col("gvec")).alias("gsim"),
+            (
+                _dot(F.col("cvec"), F.col("gvec"))
+                / (F.col("_cn") * F.col("_gn"))
+            ).alias("sim"),
         )
-        .withColumn("rn", F.row_number().over(cw))
-        .where(F.col("rn") == 1)
-        .select("gid", "cid", "cvec")
+        .groupBy("cid", "cvec")
+        .agg(
+            F.max(
+                F.struct(F.col("sim"), (-F.col("gid")).alias("_ng"), F.col("gid"))
+            ).alias("_best")
+        )
+        .select(F.col("_best.gid").alias("gid"), "cid", "cvec")
+    )
+    corp = corpus.select(
+        id_col,
+        vec_col,
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_vn"),
     )
     vw = Window.partitionBy(id_col).orderBy(F.desc("gsim"), F.asc("gid"))
     probed = (
-        corpus.crossJoin(F.broadcast(coarse))
+        corp.crossJoin(F.broadcast(coarse))
         .select(
-            id_col, vec_col, "gid",
-            cosine_expr(F.col(vec_col), F.col("gvec")).alias("gsim"),
+            id_col, vec_col, "_vn", "gid",
+            (
+                _dot(F.col(vec_col), F.col("gvec"))
+                / (F.col("_vn") * F.col("_gn"))
+            ).alias("gsim"),
         )
         .withColumn("rn", F.row_number().over(vw))
         .where(F.col("rn") <= nprobe)
-        .select(id_col, vec_col, "gid")
+        .select(id_col, vec_col, "_vn", "gid")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        probed.join(cent2cell, "gid")
-        .select(
+    # the in-cell scoring stream (N·nprobe·cell_size rows) is the big
+    # intermediate — argmax by partial-aggregable max(struct), same as
+    # the flat pass, so it collapses map-side instead of sorting
+    cell_cents = cent2cell.join(
+        cents.select("cid", "_cn"), "cid"
+    ).select("gid", "cid", "cvec", "_cn")
+    return _argmax_cid(
+        probed.join(cell_cents, "gid").select(
             id_col, vec_col, "cid",
-            cosine_expr(F.col(vec_col), F.col("cvec")).alias("sim"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, vec_col, "cid")
-    )
+            (
+                _dot(F.col(vec_col), F.col("cvec"))
+                / (F.col("_vn") * F.col("_cn"))
+            ).alias("sim"),
+        ),
+        id_col,
+        vec_col,
+    ).select(id_col, vec_col, "cid")
 
 
 def centroids_kmeans(
@@ -731,17 +819,33 @@ def semantic_dedup(
         )
         flat = k <= max_broadcast_centroids
     if flat:
-        w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
-        nearest = (
-            corpus.crossJoin(F.broadcast(cents))
-            .select(
-                F.col(id_col).alias("id"),
-                F.col(vec_col).alias("v"),
+        # one higher-order dot per pair (norms hoisted per side) and
+        # argmax via partial-aggregable max(struct) — the N·C scored
+        # stream combines map-side instead of sorting (same as
+        # ivf_assign; the r7 soak profiled the per-pair 3-dot cosine as
+        # the dominant assignment cost)
+        corp = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_vn"),
+        )
+        cenn = cents.select(
+            "cid",
+            "cvec",
+            F.sqrt(_dot(F.col("cvec"), F.col("cvec"))).alias("_cn"),
+        )
+        nearest = _argmax_cid(
+            corp.crossJoin(F.broadcast(cenn)).select(
+                "id",
+                "v",
                 "cid",
-                cosine_expr(F.col(vec_col), F.col("cvec")).alias("sim"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+                (
+                    _dot(F.col("v"), F.col("cvec"))
+                    / (F.col("_vn") * F.col("_cn"))
+                ).alias("sim"),
+            ),
+            "id",
+            "v",
         )
     else:
         two = ivf_assign_two_level(

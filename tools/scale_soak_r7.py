@@ -95,10 +95,14 @@ def graph_metrics(spark, sf_dir) -> dict:
     lower_first = F.struct(F.col("da"), F.col("a")) < F.struct(
         F.col("db"), F.col("b")
     )
+    # CASE branches must alias struct fields identically or analysis
+    # fails with DATA_DIFF_TYPES (same as graph.py's oriented edges)
     oriented = keyed.select(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(lower_first, F.struct("db", "b")).otherwise(
-            F.struct("da", "a")
+        F.when(
+            lower_first, F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+        ).otherwise(
+            F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
         ).alias("dk"),
     ).localCheckpoint(eager=True)
     # the wedge stream the closing join probes — halved in r6 (ky < kz
@@ -170,7 +174,97 @@ def semantic_metrics(spark, sf_dir, factor: int) -> dict:
     return out
 
 
+def replicated_edges(spark, src_dir: str, factor: int):
+    """factor disjoint copies of the sf0.1 co-purchase graph, node ids
+    shifted per copy — the TOPOLOGY grows ×factor (the parquet-replica
+    route does not: lineitem replicas reuse part keys, so the deduped
+    edge set is IDENTICAL at any factor and only the derivation stream
+    grows; both curves are reported)."""
+    e = (
+        _lineitem_edges(spark, src_dir)
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    shift = e.agg(F.max(F.greatest("a", "b"))).first()[0] + 1
+    reps = [
+        e.select(
+            (F.col("a") + i * shift).alias("a"),
+            (F.col("b") + i * shift).alias("b"),
+        )
+        for i in range(factor)
+    ]
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionAll(r)
+    return out.localCheckpoint(eager=True)
+
+
+def graph_replica_soak(spark, src: str, out_json: str) -> None:
+    """Timed runs of the r6 graph rewrites on graphs that truly grow:
+    kcore at 1x/10x/30x, triangle at 1x/10x, star CC at 1x/10x, all on
+    shifted-replica co-purchase graphs, residual probes in raise mode
+    (clean = fixed schedules proven deep enough at every factor)."""
+    from hadoop_invertedindexer_spark.operators.clusters import (
+        connected_components_star,
+    )
+    from hadoop_invertedindexer_spark.operators.graph import triangle_count
+
+    result: dict = {"src": src, "mode": "graph-replica", "factors": {}}
+    for factor in (1, 10, 30):
+        e = replicated_edges(spark, src, factor)
+        fres: dict = {"edges": e.count()}
+        t0 = time.perf_counter()
+        fres["kcore_k80_nodes"] = kcore_nodes(
+            e, k=80, iters=8, on_residual="raise"
+        ).count()
+        fres["kcore_seconds"] = round(time.perf_counter() - t0, 2)
+        fres["kcore_residual_probe"] = "clean"
+        release_persisted()
+        spark.catalog.clearCache()
+        if factor <= 10:
+            t0 = time.perf_counter()
+            row = triangle_count(e, "a", "b").collect()[0]
+            fres["triangle_seconds"] = round(time.perf_counter() - t0, 2)
+            fres["n_triangles"] = row.n_triangles
+            release_persisted()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            lbl = connected_components_star(
+                e, src="a", dst="b", on_residual="raise"
+            )
+            fres["cc_star_components"] = (
+                lbl.select("comp").distinct().count()
+            )
+            fres["cc_star_seconds"] = round(time.perf_counter() - t0, 2)
+            fres["cc_star_residual_probe"] = "clean"
+            release_persisted()
+            spark.catalog.clearCache()
+        print(f"replica {factor}x: {fres}", flush=True)
+        result["factors"][str(factor)] = fres
+        with open(out_json, "w") as fh:
+            json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "graph-replica":
+        spark = get_spark(
+            app_name="hii-scale-soak-r7-graph",
+            extra_conf={"spark.driver.memory": "16g"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1000).selectExpr("sum(id)").collect()
+        graph_replica_soak(
+            spark,
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
+            sys.argv[3]
+            if len(sys.argv) > 3
+            else "/root/repo/scale_results_r7_graph.json",
+        )
+        spark.stop()
+        return
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_json = (
         sys.argv[2]
