@@ -70,6 +70,7 @@ HEADLINE = [
     "semantic_dedup_bounded", # bounded-K kmeans default, O(N*k) assignment (r7)
     "media_near_dup",         # real-codec perceptual aHash + band join (r6)
     "doc_fingerprint",
+    "repetition_signals",     # Gopher repetition filters: line + n-gram dup fractions (r7)
     "tf_idf",
     "bm25_search",            # retrieval: corpus stats + DECIMAL-exact top-k
     "phrase_search",          # positional-index adjacency joins

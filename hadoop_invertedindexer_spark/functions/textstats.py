@@ -152,3 +152,145 @@ def fingerprint(col) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % FINGERPRINT_MOD,
     )
+
+
+def repetition_signals(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+):
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 — the standard pre-training filter family the
+    reference surface lacks entirely): one row per document with
+
+    * ``dup_line_frac`` — fraction of line occurrences whose (trimmed,
+      non-empty) line value appears ≥2 times in the document;
+    * ``dup_line_char_frac`` — the same fraction weighted by line chars;
+    * ``top_ngram_char_frac`` — chars covered by the single most
+      frequent word ``top_n``-gram (max over grams of count × gram
+      length; ties share the same coverage value, so no tie-break is
+      needed) over the normalized text length;
+    * ``dup_ngram_char_frac`` — char-weighted fraction of word
+      ``dup_n``-gram occurrences that belong to a gram appearing ≥2
+      times (Σ_{c≥2} c·len / Σ_all c·len).
+
+    Documents with no qualifying lines/grams report 0.0 (never null).
+    All ratios round(6) — oracle-hashable.
+
+    Distributed shape: explode lines + grams, ONE groupBy on
+    (doc, value) then ONE on doc — partial aggregation end-to-end, never
+    a per-document O(L²) duplicate scan inside a higher-order function
+    (the interpreted-HOF trap); at 100 TB this is two shuffles of
+    token-scale rows, the same cost class as the shingle pipeline. The
+    tokenized projection is computed ONCE and persisted
+    (``tracked_persist``) — three consumers (lines, both gram sizes)
+    would otherwise each re-scan and re-normalize the corpus."""
+    from hadoop_invertedindexer_spark.caching import tracked_persist
+    from hadoop_invertedindexer_spark.operators.dedup import (
+        normalized_text,
+        token_array,
+    )
+
+    d = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.length(normalized_text(text_col)).alias("_nchars"),
+        token_array(text_col).alias("_tk"),
+    ).transform(tracked_persist)
+
+    def toks_grams(n: int):
+        # word_ngrams over the CACHED token array (identical semantics:
+        # short docs yield the single whole-text gram)
+        return F.when(
+            F.size("_tk") < n, F.array(F.concat_ws(" ", F.col("_tk")))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_tk") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i + 1, n)),
+            )
+        )
+
+    lines = (
+        d.select(
+            id_col,
+            F.explode(
+                F.filter(
+                    F.transform(F.split("_t", "\n"), lambda x: F.trim(x)),
+                    lambda x: x != "",
+                )
+            ).alias("line"),
+        )
+        .groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+                / F.sum("c")
+            ).alias("_dlf"),
+            (
+                F.sum(
+                    F.when(F.col("c") >= 2, F.col("c")).otherwise(0)
+                    * F.length("line")
+                )
+                / F.sum(F.col("c") * F.length("line"))
+            ).alias("_dlcf"),
+        )
+    )
+
+    def gram_counts(n: int):
+        return (
+            d.select(
+                id_col,
+                "_nchars",
+                F.explode(toks_grams(n)).alias("g"),
+            )
+            .where(F.col("g") != "")
+            .groupBy(id_col, "_nchars", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    top = (
+        gram_counts(top_n)
+        .groupBy(id_col)
+        .agg(
+            (
+                F.max(F.col("c") * F.length("g")) / F.max("_nchars")
+            ).alias("_tncf")
+        )
+    )
+    dup = (
+        gram_counts(dup_n)
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("c") >= 2, F.col("c")).otherwise(0)
+                    * F.length("g")
+                )
+                / F.sum(F.col("c") * F.length("g"))
+            ).alias("_dncf")
+        )
+    )
+
+    return (
+        docs.select(id_col)
+        .join(lines, id_col, "left")
+        .join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            F.round(F.coalesce("_dlf", F.lit(0.0)), 6).alias("dup_line_frac"),
+            F.round(F.coalesce("_dlcf", F.lit(0.0)), 6).alias(
+                "dup_line_char_frac"
+            ),
+            F.round(F.coalesce("_tncf", F.lit(0.0)), 6).alias(
+                "top_ngram_char_frac"
+            ),
+            F.round(F.coalesce("_dncf", F.lit(0.0)), 6).alias(
+                "dup_ngram_char_frac"
+            ),
+        )
+    )

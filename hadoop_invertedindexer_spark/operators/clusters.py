@@ -242,13 +242,19 @@ def connected_components_star(
             .select("u", F.least("mv", "u").alias("m"))
         )
         # each undirected edge (u,v), u<v, is rewired once (from u's
-        # side) to (min(N(u) ∪ {u}), v); m <= u < v keeps it canonical
+        # side) to (min(N(u) ∪ {u}), v); m <= u < v keeps it canonical.
+        # NO trailing distinct (r7): every consumer — small_star's
+        # groupBy-min and its final distinct, labels_of's groupBy-min —
+        # absorbs duplicate edges, so the dedup exchange here bought
+        # nothing; dropping it removes one of the ~4 serialized shuffles
+        # per alternation, and duplicate growth within one alternation
+        # is bounded by the input multiplicity (no compounding: the
+        # small_star that follows ends in distinct)
         return (
             s.join(m, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("m").alias("a"), F.col("v").alias("b"))
             .where(F.col("a") != F.col("b"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:

@@ -298,6 +298,31 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (r7). The synthetic text
+    carries no newlines, so line structure is PLANTED the same way both
+    engines restate it (the domain_stats_psl pattern): every doc gains a
+    copy of its first 40 chars as a line plus a doc-unique tail line,
+    and every third doc duplicates the 40-char line — so the
+    duplicate-line fractions take 3 distinct value shapes while the
+    n-gram fractions run on the real corpus text."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.lit("\n"),
+        F.substring("text", 1, 40),
+        F.lit("\nunique tail "),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("\n"), F.substring("text", 1, 40)),
+        ).otherwise(F.lit("")),
+    )
+    return textstats.repetition_signals(
+        d.select("doc_id", planted.alias("text"))
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every-50th doc plays the eval set; the
     query reports each train doc sharing a word 3-gram with it, with the
@@ -677,6 +702,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition_signals": q_repetition_signals,
     "pii_redact": q_pii_redact,
     "repetition_removal": q_repetition_removal,
     "boilerplate_removal": q_boilerplate_removal,
@@ -1528,6 +1554,80 @@ LLM_ORACLE_SQL: dict[str, str] = {
                        (acc, x) -> (acc * 31 + x) % 1000000007)
                END AS fp
         FROM documents""",
+    # Gopher repetition signals over the PLANTED line structure (same
+    # construction as q_repetition_signals); grams use the shared
+    # normalization and the _SQL_SHINGLES short-doc idiom generalized to
+    # n=2 and n=5
+    "repetition_signals": f"""
+        WITH src AS (
+            SELECT doc_id,
+                   text || chr(10) || substr(text, 1, 40)
+                        || chr(10) || 'unique tail ' || doc_id
+                        || CASE WHEN doc_id % 3 = 0
+                                THEN chr(10) || substr(text, 1, 40)
+                                ELSE '' END AS text
+            FROM documents),
+        lines AS (
+            SELECT doc_id, trim(l) AS line FROM (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                FROM src) t
+            WHERE trim(l) <> ''),
+        lc AS (
+            SELECT doc_id, line, count(*) AS c
+            FROM lines GROUP BY doc_id, line),
+        lstats AS (
+            SELECT doc_id,
+                   sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE
+                       / sum(c) AS dlf,
+                   sum((CASE WHEN c >= 2 THEN c ELSE 0 END)
+                       * len(line))::DOUBLE
+                       / sum(c * len(line)) AS dlcf
+            FROM lc GROUP BY doc_id),
+        toks AS (
+            SELECT doc_id, len({_SQL_NORM}) AS nchars,
+                   string_split({_SQL_NORM}, ' ') AS tk
+            FROM src),
+        g2 AS (
+            SELECT doc_id, nchars, unnest(
+                CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                     ELSE list_transform(
+                         generate_series(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+1], ' '))
+                END) AS g
+            FROM toks),
+        g2c AS (
+            SELECT doc_id, nchars, g, count(*) AS c FROM g2
+            WHERE g <> '' GROUP BY doc_id, nchars, g),
+        tstats AS (
+            SELECT doc_id,
+                   max(c * len(g))::DOUBLE / max(nchars) AS tncf
+            FROM g2c GROUP BY doc_id),
+        g5 AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                     ELSE list_transform(
+                         generate_series(1, len(tk) - 4),
+                         i -> array_to_string(tk[i:i+4], ' '))
+                END) AS g
+            FROM toks),
+        g5c AS (
+            SELECT doc_id, g, count(*) AS c FROM g5
+            WHERE g <> '' GROUP BY doc_id, g),
+        dstats AS (
+            SELECT doc_id,
+                   sum((CASE WHEN c >= 2 THEN c ELSE 0 END)
+                       * len(g))::DOUBLE
+                       / sum(c * len(g)) AS dncf
+            FROM g5c GROUP BY doc_id)
+        SELECT d.doc_id,
+               round(coalesce(l.dlf, 0), 6) AS dup_line_frac,
+               round(coalesce(l.dlcf, 0), 6) AS dup_line_char_frac,
+               round(coalesce(t.tncf, 0), 6) AS top_ngram_char_frac,
+               round(coalesce(s.dncf, 0), 6) AS dup_ngram_char_frac
+        FROM documents d
+        LEFT JOIN lstats l ON d.doc_id = l.doc_id
+        LEFT JOIN tstats t ON d.doc_id = t.doc_id
+        LEFT JOIN dstats s ON d.doc_id = s.doc_id""",
     "decontaminate": f"""
         WITH {_SQL_SHINGLES},
         ev AS (SELECT DISTINCT sh FROM shingles WHERE id % 50 = 0)

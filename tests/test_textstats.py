@@ -71,3 +71,52 @@ class TestDedupRepeatedTokens:
 
     def test_single_token(self, spark):
         assert _one(spark, "solo", ts.dedup_repeated_tokens(F.col("t"))) == "solo"
+
+
+class TestRepetitionSignals:
+    def _signals(self, spark, rows):
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            r.doc_id: r for r in ts.repetition_signals(df).collect()
+        }
+
+    def test_hand_computed_fractions(self, spark):
+        out = self._signals(
+            spark,
+            [
+                # lines: "a b" x2 + "c d" -> dup line frac 2/3, chars 6/9;
+                # 2-grams of "a b c d a b": "a b" twice (cov 6 of 11 chars);
+                # no 5-gram repeats
+                (1, "a b\nc d\na b"),
+                # single line, no repetition anywhere; the lone 2-gram
+                # "x y" covers the whole normalized text
+                (2, "x y"),
+            ],
+        )
+        r1 = out[1]
+        assert r1.dup_line_frac == round(2 / 3, 6)
+        assert r1.dup_line_char_frac == round(6 / 9, 6)
+        assert r1.top_ngram_char_frac == round(6 / 11, 6)
+        assert r1.dup_ngram_char_frac == 0.0
+        r2 = out[2]
+        assert r2.dup_line_frac == 0.0
+        assert r2.dup_line_char_frac == 0.0
+        assert r2.top_ngram_char_frac == 1.0
+        assert r2.dup_ngram_char_frac == 0.0
+
+    def test_heavy_ngram_repetition_detected(self, spark):
+        # the classic boilerplate failure mode: one 5-gram repeated
+        # end-to-end -> dup 5-gram char fraction near 1
+        text = " ".join(["one two three four five"] * 8)
+        out = self._signals(spark, [(7, text)])
+        assert out[7].dup_ngram_char_frac > 0.9
+        assert out[7].dup_line_frac == 0.0  # single line
+
+    def test_blank_and_whitespace_lines_ignored(self, spark):
+        out = self._signals(spark, [(3, "same\n\n  \nsame\nother")])
+        assert out[3].dup_line_frac == round(2 / 3, 6)
+
+    def test_every_doc_gets_a_row(self, spark):
+        out = self._signals(spark, [(1, "plain text here"), (2, "x")])
+        assert set(out) == {1, 2}
+        assert out[2].dup_ngram_char_frac == 0.0
