@@ -71,6 +71,7 @@ HEADLINE = [
     "media_near_dup",         # real-codec perceptual aHash + band join (r6)
     "doc_fingerprint",
     "repetition_signals",     # Gopher repetition filters: line + n-gram dup fractions (r7)
+    "corpus_filter",          # CCNet-style keep/drop verdict with reason attribution (r7)
     "tf_idf",
     "bm25_search",            # retrieval: corpus stats + DECIMAL-exact top-k
     "phrase_search",          # positional-index adjacency joins

@@ -294,3 +294,69 @@ def repetition_signals(
             ),
         )
     )
+
+
+def corpus_filter(
+    docs,
+    stopwords: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 25,
+    min_quality: float = 0.5,
+    lang: str | None = "en",
+    max_dup_line_frac: float = 0.3,
+    max_dup_ngram_char_frac: float = 0.2,
+    max_top_ngram_char_frac: float = 0.2,
+) -> "F.DataFrame":
+    """The KEEP/DROP decision step of a CCNet/RefinedWeb-style quality
+    pipeline (Wenzek et al. 2020; Penedo et al. 2023): composes the
+    engine's document signals — token count, composite quality score,
+    language ID, and the Gopher repetition fractions — into one verdict
+    per document with an attributable reason. Returns
+    (``id_col``, is_kept, drop_reason); ``drop_reason`` is the FIRST
+    failing rule in the fixed order
+
+        too_short → wrong_lang → low_quality → repetitive_lines →
+        repetitive_ngrams → top_ngram_heavy
+
+    (deterministic attribution — re-ordering rules changes reasons but
+    never the keep set), null for kept documents. ``lang=None`` disables
+    the language rule.
+
+    Scale shape: every rule except the repetition fractions is a
+    row-local codegen expression on the document scan; the repetition
+    frame joins back on the id (the one shuffle —
+    :func:`repetition_signals`' own aggregation pipeline). Reasons stay
+    attributable at 100 TB because the decision is a CASE chain, not a
+    filter cascade: one pass emits every document with its verdict, so
+    per-reason drop accounting is a groupBy away."""
+    rep = repetition_signals(docs, id_col=id_col, text_col=text_col)
+    base = docs.select(
+        F.col(id_col),
+        n_ws_tokens(F.col(text_col)).alias("_nt"),
+        quality_score(F.col(text_col), stopwords).alias("_q"),
+        lang_id(F.col(text_col)).alias("_lang"),
+    ).join(rep, id_col)
+    reason = F.when(F.col("_nt") < min_tokens, F.lit("too_short"))
+    if lang is not None:
+        reason = reason.when(F.col("_lang") != lang, F.lit("wrong_lang"))
+    reason = (
+        reason.when(F.col("_q") < min_quality, F.lit("low_quality"))
+        .when(
+            F.col("dup_line_frac") > max_dup_line_frac,
+            F.lit("repetitive_lines"),
+        )
+        .when(
+            F.col("dup_ngram_char_frac") > max_dup_ngram_char_frac,
+            F.lit("repetitive_ngrams"),
+        )
+        .when(
+            F.col("top_ngram_char_frac") > max_top_ngram_char_frac,
+            F.lit("top_ngram_heavy"),
+        )
+    )
+    return base.select(
+        id_col,
+        reason.isNull().alias("is_kept"),
+        reason.alias("drop_reason"),
+    )

@@ -323,6 +323,16 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style keep/drop verdict per document (r7): the
+    fixed rule chain too_short → wrong_lang → low_quality →
+    repetitive_lines → repetitive_ngrams → top_ngram_heavy over the
+    engine's own signals; thresholds chosen so the synthetic corpus
+    splits across several reasons (token median 56, quality median 0.57,
+    ~24% 'und' language, top-2-gram coverage up to 0.33)."""
+    return textstats.corpus_filter(_docs(spark, sf_dir), STOPWORDS)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every-50th doc plays the eval set; the
     query reports each train doc sharing a word 3-gram with it, with the
@@ -703,6 +713,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_signals": q_repetition_signals,
+    "corpus_filter": q_corpus_filter,
     "pii_redact": q_pii_redact,
     "repetition_removal": q_repetition_removal,
     "boilerplate_removal": q_boilerplate_removal,
@@ -1557,77 +1568,10 @@ LLM_ORACLE_SQL: dict[str, str] = {
     # Gopher repetition signals over the PLANTED line structure (same
     # construction as q_repetition_signals); grams use the shared
     # normalization and the _SQL_SHINGLES short-doc idiom generalized to
-    # n=2 and n=5
-    "repetition_signals": f"""
-        WITH src AS (
-            SELECT doc_id,
-                   text || chr(10) || substr(text, 1, 40)
-                        || chr(10) || 'unique tail ' || doc_id
-                        || CASE WHEN doc_id % 3 = 0
-                                THEN chr(10) || substr(text, 1, 40)
-                                ELSE '' END AS text
-            FROM documents),
-        lines AS (
-            SELECT doc_id, trim(l) AS line FROM (
-                SELECT doc_id, unnest(string_split(text, chr(10))) AS l
-                FROM src) t
-            WHERE trim(l) <> ''),
-        lc AS (
-            SELECT doc_id, line, count(*) AS c
-            FROM lines GROUP BY doc_id, line),
-        lstats AS (
-            SELECT doc_id,
-                   sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE
-                       / sum(c) AS dlf,
-                   sum((CASE WHEN c >= 2 THEN c ELSE 0 END)
-                       * len(line))::DOUBLE
-                       / sum(c * len(line)) AS dlcf
-            FROM lc GROUP BY doc_id),
-        toks AS (
-            SELECT doc_id, len({_SQL_NORM}) AS nchars,
-                   string_split({_SQL_NORM}, ' ') AS tk
-            FROM src),
-        g2 AS (
-            SELECT doc_id, nchars, unnest(
-                CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
-                     ELSE list_transform(
-                         generate_series(1, len(tk) - 1),
-                         i -> array_to_string(tk[i:i+1], ' '))
-                END) AS g
-            FROM toks),
-        g2c AS (
-            SELECT doc_id, nchars, g, count(*) AS c FROM g2
-            WHERE g <> '' GROUP BY doc_id, nchars, g),
-        tstats AS (
-            SELECT doc_id,
-                   max(c * len(g))::DOUBLE / max(nchars) AS tncf
-            FROM g2c GROUP BY doc_id),
-        g5 AS (
-            SELECT doc_id, unnest(
-                CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
-                     ELSE list_transform(
-                         generate_series(1, len(tk) - 4),
-                         i -> array_to_string(tk[i:i+4], ' '))
-                END) AS g
-            FROM toks),
-        g5c AS (
-            SELECT doc_id, g, count(*) AS c FROM g5
-            WHERE g <> '' GROUP BY doc_id, g),
-        dstats AS (
-            SELECT doc_id,
-                   sum((CASE WHEN c >= 2 THEN c ELSE 0 END)
-                       * len(g))::DOUBLE
-                       / sum(c * len(g)) AS dncf
-            FROM g5c GROUP BY doc_id)
-        SELECT d.doc_id,
-               round(coalesce(l.dlf, 0), 6) AS dup_line_frac,
-               round(coalesce(l.dlcf, 0), 6) AS dup_line_char_frac,
-               round(coalesce(t.tncf, 0), 6) AS top_ngram_char_frac,
-               round(coalesce(s.dncf, 0), 6) AS dup_ngram_char_frac
-        FROM documents d
-        LEFT JOIN lstats l ON d.doc_id = l.doc_id
-        LEFT JOIN tstats t ON d.doc_id = t.doc_id
-        LEFT JOIN dstats s ON d.doc_id = s.doc_id""",
+    # n=2 and n=5 (CTE text from _sql_repetition_ctes, shared with the
+    # corpus_filter oracle)
+    "repetition_signals": None,  # assembled below
+    "corpus_filter": None,  # assembled below
     "decontaminate": f"""
         WITH {_SQL_SHINGLES},
         ev AS (SELECT DISTINCT sh FROM shingles WHERE id % 50 = 0)
@@ -1897,3 +1841,126 @@ LLM_ORACLE_SQL: dict[str, str] = {
                             ELSE 0 END))), ',') AS hist_str
         FROM bytes""",
 }
+
+
+def _sql_repetition_ctes(src_select: str) -> str:
+    """The Gopher repetition-signal CTE chain (lockstep with
+    textstats.repetition_signals: trimmed non-empty lines, shared
+    normalization, the _SQL_SHINGLES short-doc idiom generalized to
+    n=2/n=5). ``src_select`` provides the (doc_id, text) source —
+    planted line structure for the repetition_signals oracle, raw
+    documents for corpus_filter. Ends with CTEs lstats/tstats/dstats;
+    callers join them to the id spine and round(6)."""
+    return f"""src AS ({src_select}),
+        lines AS (
+            SELECT doc_id, trim(l) AS line FROM (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                FROM src) t
+            WHERE trim(l) <> ''),
+        lc AS (
+            SELECT doc_id, line, count(*) AS c
+            FROM lines GROUP BY doc_id, line),
+        lstats AS (
+            SELECT doc_id,
+                   sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE
+                       / sum(c) AS dlf,
+                   sum((CASE WHEN c >= 2 THEN c ELSE 0 END)
+                       * len(line))::DOUBLE
+                       / sum(c * len(line)) AS dlcf
+            FROM lc GROUP BY doc_id),
+        toks AS (
+            SELECT doc_id, len({_SQL_NORM}) AS nchars,
+                   string_split({_SQL_NORM}, ' ') AS tk
+            FROM src),
+        g2 AS (
+            SELECT doc_id, nchars, unnest(
+                CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                     ELSE list_transform(
+                         generate_series(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+1], ' '))
+                END) AS g
+            FROM toks),
+        g2c AS (
+            SELECT doc_id, nchars, g, count(*) AS c FROM g2
+            WHERE g <> '' GROUP BY doc_id, nchars, g),
+        tstats AS (
+            SELECT doc_id,
+                   max(c * len(g))::DOUBLE / max(nchars) AS tncf
+            FROM g2c GROUP BY doc_id),
+        g5 AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                     ELSE list_transform(
+                         generate_series(1, len(tk) - 4),
+                         i -> array_to_string(tk[i:i+4], ' '))
+                END) AS g
+            FROM toks),
+        g5c AS (
+            SELECT doc_id, g, count(*) AS c FROM g5
+            WHERE g <> '' GROUP BY doc_id, g),
+        dstats AS (
+            SELECT doc_id,
+                   sum((CASE WHEN c >= 2 THEN c ELSE 0 END)
+                       * len(g))::DOUBLE
+                       / sum(c * len(g)) AS dncf
+            FROM g5c GROUP BY doc_id)"""
+
+
+_SQL_REP_PLANTED_SRC = """
+            SELECT doc_id,
+                   text || chr(10) || substr(text, 1, 40)
+                        || chr(10) || 'unique tail ' || doc_id
+                        || CASE WHEN doc_id % 3 = 0
+                                THEN chr(10) || substr(text, 1, 40)
+                                ELSE '' END AS text
+            FROM documents"""
+
+LLM_ORACLE_SQL["repetition_signals"] = f"""
+        WITH {_sql_repetition_ctes(_SQL_REP_PLANTED_SRC)}
+        SELECT d.doc_id,
+               round(coalesce(l.dlf, 0), 6) AS dup_line_frac,
+               round(coalesce(l.dlcf, 0), 6) AS dup_line_char_frac,
+               round(coalesce(t.tncf, 0), 6) AS top_ngram_char_frac,
+               round(coalesce(s.dncf, 0), 6) AS dup_ngram_char_frac
+        FROM documents d
+        LEFT JOIN lstats l ON d.doc_id = l.doc_id
+        LEFT JOIN tstats t ON d.doc_id = t.doc_id
+        LEFT JOIN dstats s ON d.doc_id = s.doc_id"""
+
+# CCNet/RefinedWeb-style keep/drop verdict: the CASE chain restates
+# corpus_filter's fixed rule order over the same signal formulas
+# (_SQL_N_WS, lang argmax, _SQL_QUALITY, rounded repetition fractions)
+LLM_ORACLE_SQL["corpus_filter"] = f"""
+        WITH {_sql_repetition_ctes("SELECT doc_id, text FROM documents")},
+        base AS (
+            SELECT doc_id, {_SQL_N_WS} AS nt, {_SQL_QUALITY} AS q,
+                   CASE
+                     WHEN ({_S_EN}) > 0 AND ({_S_EN}) >= ({_S_DE})
+                          AND ({_S_EN}) >= ({_S_ES})
+                          AND ({_S_EN}) >= ({_S_FR}) THEN 'en'
+                     WHEN ({_S_DE}) > 0 AND ({_S_DE}) >= ({_S_ES})
+                          AND ({_S_DE}) >= ({_S_FR}) THEN 'de'
+                     WHEN ({_S_ES}) > 0 AND ({_S_ES}) >= ({_S_FR}) THEN 'es'
+                     WHEN ({_S_FR}) > 0 THEN 'fr'
+                     ELSE 'und'
+                   END AS lang
+            FROM documents),
+        verdict AS (
+            SELECT b.doc_id,
+                   CASE
+                     WHEN b.nt < 25 THEN 'too_short'
+                     WHEN b.lang <> 'en' THEN 'wrong_lang'
+                     WHEN b.q < 0.5 THEN 'low_quality'
+                     WHEN round(coalesce(l.dlf, 0), 6) > 0.3
+                         THEN 'repetitive_lines'
+                     WHEN round(coalesce(s.dncf, 0), 6) > 0.2
+                         THEN 'repetitive_ngrams'
+                     WHEN round(coalesce(t.tncf, 0), 6) > 0.2
+                         THEN 'top_ngram_heavy'
+                   END AS drop_reason
+            FROM base b
+            LEFT JOIN lstats l ON b.doc_id = l.doc_id
+            LEFT JOIN tstats t ON b.doc_id = t.doc_id
+            LEFT JOIN dstats s ON b.doc_id = s.doc_id)
+        SELECT doc_id, (drop_reason IS NULL) AS is_kept, drop_reason
+        FROM verdict"""

@@ -120,3 +120,53 @@ class TestRepetitionSignals:
         out = self._signals(spark, [(1, "plain text here"), (2, "x")])
         assert set(out) == {1, 2}
         assert out[2].dup_ngram_char_frac == 0.0
+
+
+class TestCorpusFilter:
+    STOPS = ["the", "and", "of"]
+
+    def _verdicts(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = ts.corpus_filter(df, self.STOPS, **kw)
+        return {r.doc_id: (r.is_kept, r.drop_reason) for r in out.collect()}
+
+    def test_each_rule_fires_and_attributes_first(self, spark):
+        good = (
+            "the quick brown fox jumps over the lazy dog and runs far "
+            "of the hills and the valleys with steady easy strides here "
+            "the end of the story and the moral of it all is patience"
+        )
+        out = self._verdicts(
+            spark,
+            [
+                (1, good),                          # kept
+                (2, "the tiny and short of text"),  # < 25 tokens
+                (3, " ".join(["der und die ist mit roman"] * 8)),  # German markers
+                (4, good + "\nrepeat me\nrepeat me\nrepeat me\nx y z w v u t s"),
+            ],
+            min_quality=0.0,  # isolate the other rules
+        )
+        assert out[1] == (True, None)
+        assert out[2] == (False, "too_short")
+        assert out[3][1] in ("wrong_lang", "repetitive_ngrams")  # first = wrong_lang
+        assert out[3] == (False, "wrong_lang")
+        assert out[4] == (False, "repetitive_lines")
+
+    def test_lang_none_disables_language_rule(self, spark):
+        # German marker words spread through otherwise-unique text so no
+        # 5-gram (or line) repeats — only the language rule could fire
+        text = " ".join(
+            "der w%da und w%db die w%dc ist w%dd mit w%de" % (i, i, i, i, i)
+            for i in range(5)
+        )
+        strict = self._verdicts(spark, [(1, text)], min_quality=0.0)
+        assert strict[1] == (False, "wrong_lang")
+        out = self._verdicts(spark, [(1, text)], min_quality=0.0, lang=None)
+        assert out[1] == (True, None)
+
+    def test_keep_set_invariant_under_reason_order(self, spark):
+        # the CASE chain only attributes; a doc failing ANY rule is
+        # dropped regardless of which reason is reported
+        text = "short and repetitive " * 2
+        out = self._verdicts(spark, [(9, text)], min_quality=0.9)
+        assert out[9][0] is False
