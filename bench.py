@@ -86,6 +86,8 @@ HEADLINE = [
     "duplicate_passages",     # substring-level dedup: islands over dup 8-grams (r5)
     "triangle_count",         # degree-ordered wedge join over co-purchases (r5)
     "tokens_encode",          # vocab build + broadcast-mapped id sequences (r5)
+    "pack_tokens",            # GPT-style block packing, two-level prefix-sum offsets (r7)
+    "source_overlap",         # per-source MinHash + pairwise Jaccard matrix (r7)
     "audio_features",         # SAU1 decode + int16 signal stats (mapInPandas) (r5)
     "bloom_join_reduction",   # 128 KiB key bitmap prunes the fact map-side (r5)
     "postings_compressed",    # gap-encoded posting arrays (r5)

@@ -1020,3 +1020,53 @@ def duplicate_passages(
         )
         .select(id_col, "span_start", "span_len")
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    source_col: str = "source",
+    num_perm: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Corpus-level SOURCE overlap analytics — the dataset-curation
+    question ("how much does crawl A duplicate crawl B?") that decides
+    mixing weights and dedup order before any doc-level pass runs: one
+    MinHash signature per *source* over the union of its documents'
+    word n-gram shingles, then the positional-equality Jaccard estimate
+    for every source pair. Returns (source_a, source_b, est_jaccard),
+    one row per unordered pair (a < b lexicographically).
+
+    Scale shape: reuses :func:`minhash_signatures` with the SOURCE as
+    the grouping key — the corpus pays exactly the doc-level signature
+    pipeline's cost (shingle explode + one groupBy of 8-byte keys; the
+    64 mins fold map-side), and everything after operates on the
+    signature frame, which has ONE ROW PER SOURCE — so the all-pairs
+    self-join is quadratic only in the source count (tens to thousands),
+    broadcast, and never touches the corpus again. ``portable=True`` is
+    the md5-60bit oracle twin, same trade as minhash_signatures."""
+    sigs = minhash_signatures(
+        docs,
+        num_perm=num_perm,
+        n=n,
+        id_col=source_col,
+        text_col=text_col,
+        portable=portable,
+    )
+    a = sigs.select(F.col("id").alias("source_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("source_b"), F.col("sig").alias("sig_b"))
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_perm)),
+        6,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b", est.alias("est_jaccard"))
+    )

@@ -135,3 +135,109 @@ def rank_vocab(counts: DataFrame, max_size: int = 1024) -> DataFrame:
     return top.withColumn(
         "token_id", F.row_number().over(w).cast("int")
     ).select("token", "token_id", "n_occurrences")
+
+
+def pack_tokens(
+    docs: DataFrame,
+    vocab: DataFrame,
+    block_size: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eos_id: int = -1,
+    bucket_size: int = 1024,
+) -> DataFrame:
+    """GPT-style sequence packing — the step that turns a deduplicated,
+    filtered corpus into fixed-length training blocks: every document's
+    token-id sequence (OOV → 0) gets an ``eos_id`` separator appended,
+    the sequences concatenate in ``id_col`` order into one global token
+    stream, and the stream is cut into ``block_size`` blocks. Returns
+    (block_id, n_tokens, ids_str) — one row per block, the final block
+    possibly partial, ids comma-joined in stream order (portable to the
+    oracle's string_agg). Empty documents contribute just their
+    separator, so every document is represented and total stream length
+    is Σ(doc_tokens + 1) — asserted in tests.
+
+    The global concatenation needs every document's starting OFFSET — a
+    prefix sum over doc order. A bare ``sum() over (order by id)``
+    window would exchange every doc-count row into ONE task (the
+    Heaps'-law mistake the r5 vocab rank had); instead the offsets are a
+    TWO-LEVEL prefix sum: docs hash into ``bucket_size``-wide id ranges,
+    per-bucket totals aggregate (tiny frame: D/bucket_size rows), the
+    bucket-level prefix runs over that tiny frame only, and the
+    within-bucket prefix is a window PARTITIONED by bucket — so no task
+    ever sees more than one bucket of doc-level rows or the bucket
+    summary frame. At 1 B docs / bucket_size 1024 the single-task frame
+    is ~1 M summary rows (bytes per row — metadata scale); raise
+    ``bucket_size`` to push it down further. The token stream itself
+    shuffles ONCE, on block_id, for the final reassembly.
+
+    Determinism: offsets depend only on (id order, token counts); block
+    contents are a pure function of the corpus — the same blocks on any
+    partitioning, hash-checked by the oracle."""
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(token_array(text_col)).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    mapped = tok.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(0)).cast("int").alias("tid"),
+    )
+    seqs = mapped.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias("_ids")
+    )
+    # every doc (empty ones included) carries ids + the eos separator
+    with_eos = (
+        docs.select(id_col)
+        .join(seqs, id_col, "left")
+        .select(
+            id_col,
+            F.concat(
+                F.coalesce(F.col("_ids"), F.expr("cast(array() as array<int>)")),
+                F.array(F.lit(eos_id).cast("int")),
+            ).alias("ids"),
+        )
+        .withColumn("len", F.size("ids").cast("long"))
+        .withColumn("_bkt", F.floor(F.col(id_col) / bucket_size))
+    )
+    bucket_totals = with_eos.groupBy("_bkt").agg(F.sum("len").alias("_bt"))
+    bw = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_offsets = bucket_totals.select(
+        "_bkt", F.coalesce(F.sum("_bt").over(bw), F.lit(0)).alias("_boff")
+    )
+    dw = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset_docs = (
+        with_eos.join(F.broadcast(bucket_offsets), "_bkt")
+        .withColumn(
+            "_off",
+            F.col("_boff") + F.coalesce(F.sum("len").over(dw), F.lit(0)),
+        )
+    )
+    stream = offset_docs.select(
+        "_off", F.posexplode("ids").alias("i", "tid")
+    ).select("tid", (F.col("_off") + F.col("i")).alias("gpos"))
+    return (
+        stream.withColumn(
+            "block_id", F.floor(F.col("gpos") / block_size).cast("long")
+        )
+        .groupBy("block_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gpos", "tid"))),
+                    lambda s: s["tid"].cast("string"),
+                ),
+            ).alias("ids_str"),
+        )
+    )

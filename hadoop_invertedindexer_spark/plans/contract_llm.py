@@ -323,6 +323,23 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level source-overlap matrix (r7), SCALE path: one MinHash
+    signature per SOURCE (xxhash64 over 8-byte pre-hashed shingles)
+    over the union of its documents' 3-gram shingles, Jaccard estimated
+    for all C(20,2) source pairs. Rows-only driver check (hash values
+    are engine-specific); `source_overlap_portable` is the fully
+    oracled md5-60bit twin — same split as dedup_minhash."""
+    return dedup.source_overlap(_docs(spark, sf_dir))
+
+
+def q_source_overlap_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable twin: every per-source signature min is the
+    md5-60bit construction DuckDB reproduces bit-for-bit, so all 190
+    estimates value-hash."""
+    return dedup.source_overlap(_docs(spark, sf_dir), portable=True)
+
+
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/RefinedWeb-style keep/drop verdict per document (r7): the
     fixed rule chain too_short → wrong_lang → low_quality →
@@ -538,6 +555,20 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (r7): the 32-entry vocab's id streams
+    (OOV → 0), one EOS (-1) per document, concatenated in doc_id order
+    and cut into 128-token training blocks. bucket_size=64 exercises the
+    two-level distributed prefix sum across ~8 buckets at sf0.01."""
+    d = _docs(spark, sf_dir)
+    return vocab.pack_tokens(
+        d,
+        vocab.build_vocab(d, max_size=32),
+        block_size=128,
+        bucket_size=64,
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signal stats over decoded PCM (energy / peak / per-channel zero
     crossings / integer duration): every metric is integer-exact, so the
@@ -714,6 +745,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_signals": q_repetition_signals,
     "corpus_filter": q_corpus_filter,
+    "source_overlap": q_source_overlap,
+    "source_overlap_portable": q_source_overlap_portable,
     "pii_redact": q_pii_redact,
     "repetition_removal": q_repetition_removal,
     "boilerplate_removal": q_boilerplate_removal,
@@ -724,6 +757,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_stats": q_domain_stats,
     "domain_stats_psl": q_domain_stats_psl,
     "tokens_encode": q_tokens_encode,
+    "pack_tokens": q_pack_tokens,
     "audio_features": q_audio_features,
     "duplicate_passages": q_duplicate_passages,
     "media_dedup_exact": q_media_dedup_exact,
@@ -1373,6 +1407,54 @@ LLM_ORACLE_SQL: dict[str, str] = {
                           ORDER BY pos) AS ids_str
         FROM tok2 t LEFT JOIN vocab v USING (token)
         GROUP BY doc_id""",
+    # GPT-style packing twin: same 32-entry vocab mapping as
+    # tokens_encode; per-doc DENSE local index (row_number over pos —
+    # tok2's pos has gaps where empty tokens were filtered), prefix-sum
+    # offsets in doc order (the oracle's single window ≡ the operator's
+    # two-level bucketed prefix by associativity), one -1 EOS per doc at
+    # offset + len - 1, blocks of 128
+    "pack_tokens": f"""
+        WITH base AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents),
+        tok AS (
+            SELECT doc_id,
+                   unnest(string_split(norm, ' ')) AS token,
+                   unnest(range(1, len(string_split(norm, ' ')) + 1)) AS pos
+            FROM base),
+        tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        counts AS (SELECT token, count(*) AS c FROM tok2 GROUP BY token),
+        vocab AS (
+            SELECT token, token_id FROM (
+                SELECT token,
+                       row_number() OVER (ORDER BY c DESC, token) AS token_id
+                FROM counts) v
+            WHERE token_id <= 32),
+        ids AS (
+            SELECT t.doc_id,
+                   row_number() OVER (PARTITION BY t.doc_id ORDER BY t.pos)
+                       - 1 AS li,
+                   coalesce(v.token_id, 0)::INT AS tid
+            FROM tok2 t LEFT JOIN vocab v USING (token)),
+        doc_len AS (
+            SELECT d.doc_id, coalesce(c.n, 0) + 1 AS len
+            FROM documents d LEFT JOIN (
+                SELECT doc_id, count(*) AS n FROM tok2 GROUP BY doc_id
+            ) c USING (doc_id)),
+        offs AS (
+            SELECT doc_id, len,
+                   coalesce(sum(len) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS off
+            FROM doc_len),
+        stream AS (
+            SELECT (o.off + i.li)::BIGINT AS gpos, i.tid
+            FROM ids i JOIN offs o USING (doc_id)
+            UNION ALL
+            SELECT (o.off + o.len - 1)::BIGINT AS gpos, -1 AS tid FROM offs o)
+        SELECT (gpos // 128)::BIGINT AS block_id,
+               count(*)::BIGINT AS n_tokens,
+               string_agg(tid::VARCHAR, ',' ORDER BY gpos) AS ids_str
+        FROM stream GROUP BY 1""",
     # SAU1 audio geometry restated from media_codec.synth_audio_params:
     # header is 11 bytes, samples are int16 interleaved
     "audio_meta": """
@@ -1926,6 +2008,25 @@ LLM_ORACLE_SQL["repetition_signals"] = f"""
         LEFT JOIN lstats l ON d.doc_id = l.doc_id
         LEFT JOIN tstats t ON d.doc_id = t.doc_id
         LEFT JOIN dstats s ON d.doc_id = s.doc_id"""
+
+# per-SOURCE portable MinHash + all-pairs positional-equality estimate
+# (the signature mins are the exact md5-60bit construction of
+# _sql_minhash_portable, grouped by source instead of doc)
+LLM_ORACLE_SQL["source_overlap_portable"] = f"""
+        WITH {_SQL_SHINGLES},
+        srcsh AS (
+            SELECT DISTINCT d.source AS src, s.sh
+            FROM shingles s JOIN documents d ON s.id = d.doc_id),
+        sigs AS (
+            SELECT src, [{", ".join(
+                f"min(('0x' || substr(md5('{i}|' || sh), 1, 15))::BIGINT)"
+                for i in range(64))}] AS sig
+            FROM srcsh GROUP BY src)
+        SELECT a.src AS source_a, b.src AS source_b,
+               round(len(list_filter(list_zip(a.sig, b.sig),
+                                     x -> x[1] = x[2])) / 64.0, 6)
+                   AS est_jaccard
+        FROM sigs a JOIN sigs b ON a.src < b.src"""
 
 # CCNet/RefinedWeb-style keep/drop verdict: the CASE chain restates
 # corpus_filter's fixed rule order over the same signal formulas

@@ -444,3 +444,44 @@ def test_duplicate_passages_disjoint_spans_stay_separate(spark):
 def test_duplicate_passages_no_dups_empty(spark):
     docs = spark.createDataFrame([(1, BASE), (2, OTHER)], ["doc_id", "text"])
     assert dedup.duplicate_passages(docs, n=8, min_docs=2).count() == 0
+
+
+class TestSourceOverlap:
+    def _overlap(self, spark, rows, **kw):
+        from hadoop_invertedindexer_spark.operators import dedup as D
+
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        return {
+            (r.source_a, r.source_b): r.est_jaccard
+            for r in D.source_overlap(docs, **kw).collect()
+        }
+
+    def test_identical_and_disjoint_sources(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (1, shared, "sA"),
+            (2, shared, "sB"),          # sB shingles == sA shingles
+            (3, "one two three four five six seven", "sC"),  # disjoint
+        ]
+        for portable in (False, True):
+            est = self._overlap(spark, rows, portable=portable)
+            assert est[("sA", "sB")] == 1.0, portable
+            assert est[("sA", "sC")] == 0.0 and est[("sB", "sC")] == 0.0
+
+    def test_partial_overlap_tracks_truth(self, spark):
+        # sA: shingles of one long doc; sB shares its first half
+        words = [f"w{i}" for i in range(40)]
+        rows = [
+            (1, " ".join(words), "sA"),
+            (2, " ".join(words[:20]), "sB"),
+        ]
+        est = self._overlap(spark, rows, portable=True)
+        # true Jaccard = 18 shared 3-grams / 38 union ≈ 0.47; the 64-perm
+        # estimate is within classic MinHash error (±~0.13 at 95%)
+        assert 0.2 < est[("sA", "sB")] < 0.75
+
+    def test_one_row_per_unordered_pair(self, spark):
+        rows = [(i, f"text body number {i} with words", f"s{i % 4}") for i in range(12)]
+        est = self._overlap(spark, rows)
+        assert len(est) == 6  # C(4,2)
+        assert all(a < b for a, b in est)

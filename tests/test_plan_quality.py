@@ -360,3 +360,19 @@ def test_semantic_dedup_bounded_assignment_is_broadcast(spark):
     emb = read_table(spark, SF, "embeddings")
     plan = _plan(similarity.semantic_dedup(emb, threshold=0.4, k=16))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_pack_tokens_prefix_sum_is_two_level(spark):
+    """The packing offsets must come from the bucketed two-level prefix
+    sum: exactly ONE single-partition exchange (the bucket SUMMARY frame
+    — D/bucket_size rows), never the doc-level rows; the per-doc window
+    partitions by bucket (hash exchange)."""
+    from hadoop_invertedindexer_spark.operators import vocab
+
+    d = read_table(spark, SF, "documents")
+    plan = _plan(
+        vocab.pack_tokens(d, vocab.build_vocab(d, max_size=32),
+                          block_size=128, bucket_size=64)
+    )
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "hashpartitioning(_bkt" in plan

@@ -90,3 +90,60 @@ def test_rank_uses_distributed_topk_not_global_window(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+class TestPackTokens:
+    def _pack(self, spark, rows, **kw):
+        from hadoop_invertedindexer_spark.operators import vocab as V
+
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        v = V.build_vocab(docs, max_size=3)
+        return [
+            (r.block_id, r.n_tokens, r.ids_str)
+            for r in V.pack_tokens(docs, v, **kw).orderBy("block_id").collect()
+        ]
+
+    def test_hand_verified_blocks(self, spark):
+        # vocab by (count desc, token asc): z=4 -> 1, a=3 -> 2, b=2 -> 3;
+        # c/d/e OOV -> 0; streams: [2,3,0,0,0,-1] [-1] [2,2,3,-1] [1,1,1,1,-1]
+        got = self._pack(
+            spark,
+            [(1, "a b c d e"), (2, ""), (3, "a a b"), (5, "z z z z")],
+            block_size=4,
+            bucket_size=2,
+        )
+        assert got == [
+            (0, 4, "2,3,0,0"),
+            (1, 4, "0,-1,-1,2"),
+            (2, 4, "2,3,-1,1"),
+            (3, 4, "1,1,1,-1"),
+        ]
+
+    def test_stream_length_and_block_shapes(self, spark):
+        rows = [(i, " ".join(f"w{j % 7}" for j in range(i % 11))) for i in range(40)]
+        got = self._pack(spark, rows, block_size=16, bucket_size=8)
+        total = sum(n for _, n, _ in got)
+        # every doc contributes tokens + 1 EOS
+        expected = sum((i % 11) + 1 for i in range(40))
+        assert total == expected
+        # all blocks full except possibly the last, ids dense from 0
+        assert [b for b, _, _ in got] == list(range(len(got)))
+        assert all(n == 16 for _, n, _ in got[:-1])
+
+    def test_partitioning_invariant(self, spark):
+        from hadoop_invertedindexer_spark.operators import vocab as V
+
+        rows = [(i, " ".join(f"t{j % 5}" for j in range((i * 7) % 13))) for i in range(30)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        v = V.build_vocab(docs, max_size=4)
+        a = sorted(
+            (r.block_id, r.ids_str)
+            for r in V.pack_tokens(docs, v, block_size=8, bucket_size=4).collect()
+        )
+        b = sorted(
+            (r.block_id, r.ids_str)
+            for r in V.pack_tokens(
+                docs.repartition(13), v, block_size=8, bucket_size=1000
+            ).collect()
+        )
+        assert a == b  # same blocks on any partitioning or bucket layout

@@ -248,7 +248,55 @@ def graph_replica_soak(spark, src: str, out_json: str) -> None:
     print(json.dumps(result))
 
 
+def llm_ops_soak(spark, src: str, out_json: str) -> None:
+    """Timed 1x/10x runs of the round-7 LLM-pipeline operators
+    (repetition signals, corpus filter, token packing, source overlap):
+    all are explode + keyed-groupBy shapes, so wall clock should track
+    the corpus (docs ×10, sources constant)."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    names = [
+        "repetition_signals",
+        "corpus_filter",
+        "pack_tokens",
+        "source_overlap",
+    ]
+    result: dict = {"src": src, "mode": "llm-ops", "factors": {}}
+    for factor, d in ((1, src), (10, "/tmp/sfr7_10")):
+        if factor != 1 and not os.path.isdir(d):
+            make_scale_dir(src, d, factor, facts=("documents", "embeddings"))
+        fres = {}
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name](spark, d).write.format("noop").mode("overwrite").save()
+            fres[name] = round(time.perf_counter() - t0, 3)
+            release_persisted()
+            spark.catalog.clearCache()
+            print(f"{name} @{factor}x: {fres[name]}s", flush=True)
+        result["factors"][str(factor)] = fres
+        with open(out_json, "w") as fh:
+            json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "llm-ops":
+        spark = get_spark(
+            app_name="hii-scale-soak-r7-llm",
+            extra_conf={"spark.driver.memory": "16g"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1000).selectExpr("sum(id)").collect()
+        llm_ops_soak(
+            spark,
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
+            sys.argv[3]
+            if len(sys.argv) > 3
+            else "/root/repo/scale_results_r7_llm.json",
+        )
+        spark.stop()
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "graph-replica":
         spark = get_spark(
             app_name="hii-scale-soak-r7-graph",
