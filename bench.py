@@ -88,6 +88,8 @@ HEADLINE = [
     "tokens_encode",          # vocab build + broadcast-mapped id sequences (r5)
     "pack_tokens",            # GPT-style block packing, two-level prefix-sum offsets (r7)
     "source_overlap",         # per-source MinHash + pairwise Jaccard matrix (r7)
+    "unigram_nll",            # CCNet-style LM scoring, capped broadcast model (r7)
+    "upsample_corpus",        # deterministic fractional mixture upsampling (r7)
     "audio_features",         # SAU1 decode + int16 signal stats (mapInPandas) (r5)
     "bloom_join_reduction",   # 128 KiB key bitmap prunes the fact map-side (r5)
     "postings_compressed",    # gap-encoded posting arrays (r5)

@@ -360,3 +360,71 @@ def corpus_filter(
         reason.isNull().alias("is_kept"),
         reason.alias("drop_reason"),
     )
+
+
+def unigram_nll(
+    docs,
+    lm_docs=None,
+    max_vocab: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Language-model quality scoring, CCNet-style (Wenzek et al. 2020
+    score documents by LM perplexity and filter the tail): per document,
+    the average negative log-likelihood of its tokens under a UNIGRAM
+    model estimated from ``lm_docs`` (default: the corpus itself), with
+    Laplace smoothing so out-of-model tokens score finitely. Returns
+    (``id_col``, n_tokens, avg_nll) — higher = less like the reference
+    corpus; filter the top tail exactly as CCNet cuts perplexity
+    buckets. (A unigram model is the dataflow-complete stand-in for the
+    KenLM n-gram scorer: identical pipeline shape — count, normalize,
+    broadcast, score — with the n-gram order a parameter of the counting
+    step, and it keeps every probability oracle-checkable.)
+
+    p(t) = (c_t + 1) / (N + V + 1), with c_t the token's count among the
+    model's ``max_vocab`` most frequent tokens (count desc, token asc —
+    the vocab rank's total order), N their total mass and V = the model
+    vocabulary size; tokens outside the top-``max_vocab`` score as
+    c_t = 0. avg_nll rounds to 6 (ln is correctly-rounded double math on
+    both engines; the 1-ulp worst case sits ~10 orders below the
+    rounding grid).
+
+    Scale shape: the model is CAPPED at ``max_vocab`` rows, built with
+    the distributed top-k (TakeOrderedAndProject), and BROADCAST — the
+    scored corpus explodes to tokens, maps against the broadcast model,
+    and re-aggregates per doc: one shuffle (the per-doc groupBy), no
+    token-vs-token join."""
+    from hadoop_invertedindexer_spark.operators.dedup import token_array
+
+    src = lm_docs if lm_docs is not None else docs
+    counts = (
+        src.select(F.explode(token_array(text_col)).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(max_vocab)
+    )
+    stats = counts.agg(
+        F.sum("c").alias("n_mass"), F.count(F.lit(1)).alias("v_size")
+    )
+    tok = docs.select(
+        F.col(id_col), F.explode(token_array(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    scored = (
+        tok.join(F.broadcast(counts), "token", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("n_mass") + F.col("v_size") + F.lit(1.0))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )

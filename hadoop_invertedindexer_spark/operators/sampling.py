@@ -309,3 +309,52 @@ def topk_bigrams(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFram
     return bigram_counts(df, text_col).orderBy(
         F.desc("n"), F.asc("bigram")
     ).limit(k)
+
+
+def upsample_corpus(
+    df: DataFrame,
+    weights_milli: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic FRACTIONAL upsampling to hit mixture weights — the
+    repeat-rare-sources move of a training-data mix (e.g. weight 2.5 ⇒
+    every row twice, half the rows a third time). ``weights_milli`` maps
+    stratum → weight in thousandths (2500 = 2.5×); strata absent from
+    the map pass through at weight 1.0.
+
+    Each row's copy count is ``floor(w) + (h·1000 < 2^60·frac)`` with h
+    the row's 60-bit md5 hash — the exact-integer cross-multiplication
+    of :func:`weighted_sample`, so the fractional extra copy is a
+    reproducible per-row property (same rows get the extra epoch on any
+    rerun, engine, or partitioning — no rand(), no coordination), and
+    expected stratum volume is exactly n·w/1000. Returns the id/stratum
+    with ``epoch`` = 1..copies (``posexplode`` of a ``sequence`` — the
+    only cost is the output's own size; nothing shuffles).
+    """
+    w_map = F.create_map(
+        *[
+            x
+            for k, v in sorted(weights_milli.items())
+            for x in (F.lit(k), F.lit(int(v)))
+        ]
+    ) if weights_milli else F.create_map()
+    wm = F.coalesce(
+        w_map[F.col(strata_col)] if weights_milli else F.lit(None),
+        F.lit(1000),
+    ).cast("bigint")
+    frac = wm % 1000
+    h = hash_uniform60(F.col(id_col))
+    extra = (
+        (h * F.lit(1000).cast("decimal(38,0)"))
+        < (F.lit(HASH60_MAX).cast("decimal(38,0)") * frac)
+    ).cast("bigint")
+    copies = F.floor(wm / 1000).cast("bigint") + extra
+    # weight < 1.0 downsamples: copies can be 0, and Spark's sequence(1, 0)
+    # would DESCEND ([1, 0]) — guard with an empty array so the row drops
+    seq = F.when(
+        copies >= 1, F.sequence(F.lit(1).cast("bigint"), copies)
+    ).otherwise(F.expr("cast(array() as array<bigint>)"))
+    return df.select(
+        id_col, strata_col, F.explode(seq).alias("epoch")
+    )

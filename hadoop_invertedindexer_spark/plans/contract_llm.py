@@ -323,6 +323,27 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_upsample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional mixture upsampling (r7): rare languages
+    repeat (de 2.5x, fr 3x), the dominant one downsamples (en 0.4x),
+    the rest pass through at 1x — every copy decision an exact-integer
+    md5 cross-multiplication, reproducible across engines."""
+    from hadoop_invertedindexer_spark.operators import sampling
+
+    return sampling.upsample_corpus(
+        _docs(spark, sf_dir),
+        {"de": 2500, "fr": 3000, "en": 400},
+    )
+
+
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (r7): every document scored by
+    average negative log-likelihood under the corpus's own top-256
+    unigram model (Laplace smoothed) — the perplexity-filter primitive,
+    capped vocab broadcast, one per-doc shuffle."""
+    return textstats.unigram_nll(_docs(spark, sf_dir), max_vocab=256)
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level source-overlap matrix (r7), SCALE path: one MinHash
     signature per SOURCE (xxhash64 over 8-byte pre-hashed shingles)
@@ -747,6 +768,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_filter": q_corpus_filter,
     "source_overlap": q_source_overlap,
     "source_overlap_portable": q_source_overlap_portable,
+    "upsample_corpus": q_upsample_corpus,
+    "unigram_nll": q_unigram_nll,
     "pii_redact": q_pii_redact,
     "repetition_removal": q_repetition_removal,
     "boilerplate_removal": q_boilerplate_removal,
@@ -2027,6 +2050,46 @@ LLM_ORACLE_SQL["source_overlap_portable"] = f"""
                                      x -> x[1] = x[2])) / 64.0, 6)
                    AS est_jaccard
         FROM sigs a JOIN sigs b ON a.src < b.src"""
+
+# deterministic fractional upsampling: exact-integer md5
+# cross-multiplication (the weighted_sample idiom) decides the extra
+# copy; epochs unroll with range()
+LLM_ORACLE_SQL["upsample_corpus"] = """
+        WITH w AS (
+            SELECT doc_id, lang,
+                   CASE lang WHEN 'de' THEN 2500 WHEN 'fr' THEN 3000
+                             WHEN 'en' THEN 400 ELSE 1000 END AS wm,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+            FROM documents),
+        c AS (
+            SELECT doc_id, lang,
+                   (wm // 1000)
+                   + CASE WHEN h::HUGEINT * 1000
+                               < 1152921504606846976::HUGEINT * (wm % 1000)
+                          THEN 1 ELSE 0 END AS copies
+            FROM w)
+        SELECT doc_id, lang, unnest(range(1, copies + 1))::BIGINT AS epoch
+        FROM c WHERE copies >= 1"""
+
+# unigram-LM scoring: top-256 vocab by (count desc, token asc), Laplace
+# p=(c+1)/(N+V+1), avg(-ln p) per doc, round(6)
+LLM_ORACLE_SQL["unigram_nll"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS token
+            FROM documents),
+        tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        counts AS (
+            SELECT token, count(*) AS c FROM tok2 GROUP BY token
+            ORDER BY c DESC, token LIMIT 256),
+        stats AS (
+            SELECT sum(c) AS n_mass, count(*) AS v_size FROM counts)
+        SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+               round(avg(-ln((coalesce(v.c, 0) + 1.0)
+                             / (s.n_mass + s.v_size + 1.0))), 6) AS avg_nll
+        FROM tok2 t
+        LEFT JOIN counts v USING (token)
+        CROSS JOIN stats s
+        GROUP BY t.doc_id"""
 
 # CCNet/RefinedWeb-style keep/drop verdict: the CASE chain restates
 # corpus_filter's fixed rule order over the same signal formulas

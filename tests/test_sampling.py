@@ -212,3 +212,43 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     # the fixture is non-trivial: a per-doc split WOULD have straddled
     # the 4-doc cluster
     assert len({plain[i] for i in (0, 1, 2, 3)}) > 1
+
+
+class TestUpsampleCorpus:
+    def _ups(self, spark, rows, weights, repart=None):
+        from hadoop_invertedindexer_spark.operators import sampling
+
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        if repart:
+            df = df.repartition(repart)
+        out = sampling.upsample_corpus(df, weights)
+        return [(r.doc_id, r.lang, r.epoch) for r in out.collect()]
+
+    def test_integer_weights_exact_and_zero_drops(self, spark):
+        rows = [(i, "de" if i % 2 else "zh") for i in range(20)]
+        got = self._ups(spark, rows, {"de": 2000, "zh": 0})
+        assert all(lang == "de" for _, lang, _ in got)
+        de_ids = [i for i in range(20) if i % 2]
+        assert sorted(got) == sorted(
+            [(i, "de", e) for i in de_ids for e in (1, 2)]
+        )
+
+    def test_fractional_weight_is_deterministic_and_bounded(self, spark):
+        rows = [(i, "fr") for i in range(200)]
+        a = sorted(self._ups(spark, rows, {"fr": 2500}))
+        b = sorted(self._ups(spark, rows, {"fr": 2500}, repart=13))
+        assert a == b  # same extra-copy decisions on any partitioning
+        total = len(a)
+        assert 2 * 200 <= total <= 3 * 200
+        # expected 2.5x with hash-uniform extras; 200 trials stay well
+        # inside ±4 sigma of Binomial(200, 0.5)
+        assert abs(total - 500) < 4 * 7.1
+        # epochs are dense 1..copies per doc
+        per_doc = {}
+        for i, _, e in a:
+            per_doc.setdefault(i, []).append(e)
+        assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_doc.values())
+
+    def test_unlisted_stratum_passes_through_once(self, spark):
+        got = self._ups(spark, [(1, "xx"), (2, "xx")], {"de": 3000})
+        assert sorted(got) == [(1, "xx", 1), (2, "xx", 1)]

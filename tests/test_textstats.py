@@ -170,3 +170,30 @@ class TestCorpusFilter:
         text = "short and repetitive " * 2
         out = self._verdicts(spark, [(9, text)], min_quality=0.9)
         assert out[9][0] is False
+
+
+class TestUnigramNll:
+    def test_hand_computed_self_scored(self, spark):
+        import math
+
+        docs = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+        r = ts.unigram_nll(docs).collect()[0]
+        # counts a=2,b=1; N=3,V=2 -> p(a)=3/6, p(b)=2/6
+        want = (2 * -math.log(0.5) + -math.log(2 / 6)) / 3
+        assert r.n_tokens == 3
+        assert r.avg_nll == round(want, 6)
+
+    def test_oov_scores_against_reference_lm(self, spark):
+        import math
+
+        lm = spark.createDataFrame([(0, "a a b")], ["doc_id", "text"])
+        docs = spark.createDataFrame([(7, "z")], ["doc_id", "text"])
+        r = ts.unigram_nll(docs, lm_docs=lm).collect()[0]
+        assert r.avg_nll == round(-math.log(1 / 6), 6)  # c=0 Laplace
+
+    def test_rare_tokens_score_higher(self, spark):
+        rows = [(i, "common words everywhere in this corpus body") for i in range(20)]
+        rows += [(100, "common words everywhere"), (101, "xylophone quixotic zephyr")]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r.doc_id: r.avg_nll for r in ts.unigram_nll(docs).collect()}
+        assert out[101] > out[100]
