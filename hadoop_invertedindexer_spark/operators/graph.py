@@ -101,6 +101,19 @@ def pagerank(
     )
     n_nodes = nodes.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n"))
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # loop-invariant hoists (r7): edges⋈out_deg never changes across
+    # iterations — materialize it once instead of re-joining per round
+    # (one join per iteration saved); likewise the DANGLING NODE SET is
+    # static (nodes with no out-edge), so each round pays a semi-join of
+    # ranks against a checkpointed id list instead of re-deriving the
+    # anti-join against out_deg. Same recurrence bit-for-bit (the
+    # oracle's unrolled iterations prove it).
+    edges_deg = edges.join(out_deg, "src").localCheckpoint(eager=True)
+    danglers = (
+        nodes.join(
+            out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+    )
 
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
@@ -108,15 +121,13 @@ def pagerank(
 
     def step(ranks: DataFrame) -> DataFrame:
         contribs = (
-            edges.join(out_deg, "src")
+            edges_deg
             .join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )
         dangling = (
-            ranks.join(
-                out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
-            )
+            ranks.join(danglers, "node", "left_semi")
             .groupBy()
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
         )
