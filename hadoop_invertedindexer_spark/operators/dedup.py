@@ -226,6 +226,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     portable: bool = False,
+    spread_col: str | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_perm]) — min over shingles of
     ``xxhash64(shingle_hash, seed_i)`` per permutation. 64 parallel min
@@ -242,9 +243,17 @@ def minhash_signatures(
     the xxhash64 scale path. Measured at sf0.1: ~1.3x warm wall clock
     (3-4x on first run — codegen of 64 md5 expressions), and the
     shuffle keys stay full shingle strings instead of 8-byte longs;
-    use it to VERIFY the algorithm, prefer the default to run it."""
+    use it to VERIFY the algorithm, prefer the default to run it.
+
+    ``spread_col`` overrides the pre-explode repartition key (default
+    ``id_col``): when ``id_col`` is LOW-cardinality — source_overlap
+    groups by SOURCE — spreading by it would pack the corpus into
+    n_distinct partitions and serialize the CPU-heavy shingle explode
+    onto that many cores; pass a fine-grained column (the doc id) so
+    parallelism stays full-width while the signature still groups by
+    ``id_col``."""
     sh = (
-        _spread(docs, id_col)
+        _spread(docs, spread_col or id_col)
         .select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("sh"))
     )
     if portable:
@@ -1029,6 +1038,7 @@ def source_overlap(
     n: int = 3,
     text_col: str = "text",
     portable: bool = False,
+    doc_id_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus-level SOURCE overlap analytics — the dataset-curation
     question ("how much does crawl A duplicate crawl B?") that decides
@@ -1045,7 +1055,10 @@ def source_overlap(
     signature frame, which has ONE ROW PER SOURCE — so the all-pairs
     self-join is quadratic only in the source count (tens to thousands),
     broadcast, and never touches the corpus again. ``portable=True`` is
-    the md5-60bit oracle twin, same trade as minhash_signatures."""
+    the md5-60bit oracle twin, same trade as minhash_signatures. The
+    pre-explode spread uses ``doc_id_col``, not the (low-cardinality)
+    source key — otherwise the shingle explode would serialize onto
+    n_sources tasks."""
     sigs = minhash_signatures(
         docs,
         num_perm=num_perm,
@@ -1053,6 +1066,7 @@ def source_overlap(
         id_col=source_col,
         text_col=text_col,
         portable=portable,
+        spread_col=doc_id_col,
     )
     a = sigs.select(F.col("id").alias("source_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("source_b"), F.col("sig").alias("sig_b"))
