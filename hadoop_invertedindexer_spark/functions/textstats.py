@@ -396,7 +396,12 @@ def unigram_nll(
     token-vs-token join."""
     from hadoop_invertedindexer_spark.operators.dedup import token_array
 
+    from hadoop_invertedindexer_spark.caching import tracked_persist
+
     src = lm_docs if lm_docs is not None else docs
+    # persisted: the capped model feeds BOTH the mass/size aggregate and
+    # the broadcast scoring join — without the persist the full token
+    # count pipeline scans the model corpus twice
     counts = (
         src.select(F.explode(token_array(text_col)).alias("token"))
         .where(F.col("token") != "")
@@ -404,6 +409,7 @@ def unigram_nll(
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), F.asc("token"))
         .limit(max_vocab)
+        .transform(tracked_persist)
     )
     stats = counts.agg(
         F.sum("c").alias("n_mass"), F.count(F.lit(1)).alias("v_size")

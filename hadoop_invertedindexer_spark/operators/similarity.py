@@ -614,21 +614,40 @@ def ivf_assign_two_level(
         id_col,
         vec_col,
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_vn"),
-    )
-    vw = Window.partitionBy(id_col).orderBy(F.desc("gsim"), F.asc("gid"))
-    probed = (
+    ).transform(tracked_persist)
+    # top-nprobe coarse cells per vector WITHOUT a window: a window
+    # would sort/exchange all N·(C/coarse_every) scored rows; instead
+    # collect the per-vector cell scores (≤ C/coarse_every structs),
+    # sort that small array, slice nprobe — ObjectHashAggregate with
+    # map-side partials, no big-stream sort. Ordering matches the
+    # window form: (-gsim asc, gid asc) ≡ (gsim desc, gid asc). The
+    # vector re-attaches by ONE id join against the persisted corpus
+    # projection rather than riding every scored row.
+    top_cells = (
         corp.crossJoin(F.broadcast(coarse))
         .select(
-            id_col, vec_col, "_vn", "gid",
+            id_col, "gid",
             (
                 _dot(F.col(vec_col), F.col("gvec"))
                 / (F.col("_vn") * F.col("_gn"))
             ).alias("gsim"),
         )
-        .withColumn("rn", F.row_number().over(vw))
-        .where(F.col("rn") <= nprobe)
-        .select(id_col, vec_col, "_vn", "gid")
+        .groupBy(id_col)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("gsim")).alias("ng"), F.col("gid"))
+                    )
+                ),
+                1,
+                nprobe,
+            ).alias("_cells")
+        )
+        .select(id_col, F.explode("_cells").alias("_c"))
+        .select(id_col, F.col("_c.gid").alias("gid"))
     )
+    probed = top_cells.join(corp, id_col).select(id_col, vec_col, "_vn", "gid")
     # the in-cell scoring stream (N·nprobe·cell_size rows) is the big
     # intermediate — argmax by partial-aggregable max(struct), same as
     # the flat pass, so it collapses map-side instead of sorting
@@ -800,6 +819,9 @@ def semantic_dedup(
         cents = centroids_by_sampling(corpus, every, id_col, vec_col)
         flat = True
     else:
+        # persisted: every Lloyd iteration assigns the SAMPLE against the
+        # current centroids — without the persist each iteration would
+        # re-run the corpus-wide TakeOrderedAndProject selection
         sample = (
             corpus.select(
                 id_col, vec_col, md5_order_key(id_col).alias("_mk")
@@ -807,6 +829,7 @@ def semantic_dedup(
             .orderBy("_mk", id_col)
             .limit(k * sample_mult)
             .drop("_mk")
+            .transform(tracked_persist)
         )
         init = centroids_bounded(sample, k, id_col, vec_col)
         cents = centroids_kmeans(
