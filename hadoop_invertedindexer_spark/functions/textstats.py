@@ -171,7 +171,13 @@ def repetition_signals(
     * ``top_ngram_char_frac`` — chars covered by the single most
       frequent word ``top_n``-gram (max over grams of count × gram
       length; ties share the same coverage value, so no tie-break is
-      needed) over the normalized text length;
+      needed) over the normalized text length, capped at 1.0: the
+      count×len product double-counts OVERLAPPING occurrences of a
+      self-overlapping gram ('a a a a' has bigram 'a a' count 3), so
+      without the cap the ratio can exceed 1 (ADVICE r7). Rae et al.'s
+      definition is union character coverage — the product form is a
+      cheap upper bound of it, so paper thresholds are conservative
+      here, not directly transferable;
     * ``dup_ngram_char_frac`` — char-weighted fraction of word
       ``dup_n``-gram occurrences that belong to a gram appearing ≥2
       times (Σ_{c≥2} c·len / Σ_all c·len).
@@ -256,8 +262,9 @@ def repetition_signals(
         gram_counts(top_n)
         .groupBy(id_col)
         .agg(
-            (
-                F.max(F.col("c") * F.length("g")) / F.max("_nchars")
+            F.least(
+                F.lit(1.0),
+                F.max(F.col("c") * F.length("g")) / F.max("_nchars"),
             ).alias("_tncf")
         )
     )

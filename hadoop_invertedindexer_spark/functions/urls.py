@@ -210,9 +210,14 @@ def with_registered_domain_psl(
         helper_cols += [f"_psl_exc{n}", f"_psl_norm{n}"]
         if n >= 2:
             # a wildcard rule of n labels matches hosts whose last n
-            # labels are (<anything>, rule tail) — key = '*.' + last(n-1)
+            # labels are (<anything>, rule tail) — key = '*.' + last(n-1),
+            # null unless the host itself has >= n labels (the PSL
+            # algorithm requires the host to contain at least as many
+            # labels as the rule; without the nlab guard a host EQUAL to
+            # the rule tail would wrongly match, ADVICE r7)
             tagged = tagged.withColumn(
-                kw, F.concat(F.lit("*."), last_k(n - 1))
+                kw,
+                F.when(nlab >= n, F.concat(F.lit("*."), last_k(n - 1))),
             )
             wc_n = (
                 rules.where(F.col("is_wc") & (F.col("nlabels") == n))

@@ -583,14 +583,19 @@ def ivf_assign_two_level(
         F.col("cvec"),
         F.pmod(F.xxhash64("cid"), F.lit(coarse_every)).alias("_cb"),
         F.sqrt(_dot(F.col("cvec"), F.col("cvec"))).alias("_cn"),
-    ).transform(tracked_persist)
+    )
+    # probe emptiness BEFORE persisting (ADVICE r7: persisting first
+    # leaked a held centroid frame + one count() job on every
+    # small-C fallback call); persist only on the two-level route,
+    # where cents feeds both the cent2cell and coarse consumers
+    if cents.where(F.col("_cb") == 0).limit(1).count() == 0:
+        return ivf_assign(corpus, centroids, id_col, vec_col)
+    cents = cents.transform(tracked_persist)
     coarse = cents.where(F.col("_cb") == 0).select(
         F.col("cid").alias("gid"),
         F.col("cvec").alias("gvec"),
         F.col("_cn").alias("_gn"),
     )
-    if coarse.limit(1).count() == 0:
-        return ivf_assign(corpus, centroids, id_col, vec_col)
     # every per-pair cosine below pays ONE higher-order dot: norms are
     # hoisted per side (measured 3x off the O(N·C) scoring stream)
     cent2cell = (

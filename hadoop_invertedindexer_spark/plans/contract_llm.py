@@ -1990,7 +1990,8 @@ def _sql_repetition_ctes(src_select: str) -> str:
             WHERE g <> '' GROUP BY doc_id, nchars, g),
         tstats AS (
             SELECT doc_id,
-                   max(c * len(g))::DOUBLE / max(nchars) AS tncf
+                   least(1.0, max(c * len(g))::DOUBLE / max(nchars))
+                       AS tncf
             FROM g2c GROUP BY doc_id),
         g5 AS (
             SELECT doc_id, unnest(

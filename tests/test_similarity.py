@@ -604,6 +604,24 @@ def test_ivf_assign_two_level_empty_coarse_falls_back_to_flat(spark):
     assert out.count() == 10 and all(r.cid == 7 for r in out.collect())
 
 
+def test_ivf_assign_two_level_fallback_leaves_no_tracked_persist(spark):
+    """ADVICE r7: the fallback path must not leave the centroid frame
+    tracked-persisted (callers looping over small centroid sets would
+    accumulate dead persisted blocks + one count() job per call)."""
+    from hadoop_invertedindexer_spark import caching
+
+    caching.release_persisted()
+    emb = _clustered_emb(spark, n_clusters=2, per=5)
+    cents = spark.createDataFrame(
+        [(7, [1.0] + [0.0] * 7)], ["cid", "cvec"]
+    ).select("cid", F.col("cvec").cast("array<float>").alias("cvec"))
+    before = caching.tracked_count()
+    similarity.ivf_assign_two_level(
+        emb, cents, coarse_every=10_000_019, nprobe=1
+    ).count()
+    assert caching.tracked_count() == before
+
+
 def test_semantic_dedup_bounded_default_matches_pinned_centroids(spark):
     """The default (bounded-K kmeans) path must agree with an explicit
     centroids= call pinning the SAME refined centroids — proof the

@@ -104,6 +104,12 @@ class TestRepetitionSignals:
         assert r2.top_ngram_char_frac == 1.0
         assert r2.dup_ngram_char_frac == 0.0
 
+    def test_top_ngram_frac_capped_at_one_on_self_overlap(self, spark):
+        # ADVICE r7: 'a a a a' has bigram 'a a' count 3 (overlapping
+        # occurrences), product form 3*3=9 over 7 chars > 1 -> capped
+        out = self._signals(spark, [(9, "a a a a")])
+        assert out[9].top_ngram_char_frac == 1.0
+
     def test_heavy_ngram_repetition_detected(self, spark):
         # the classic boilerplate failure mode: one 5-gram repeated
         # end-to-end -> dup 5-gram char fraction near 1

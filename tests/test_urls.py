@@ -115,6 +115,31 @@ def test_registered_domain_psl_full_rule_semantics(spark):
     assert d["a.b.ugly.kawasaki.jp"] == "b.ugly.kawasaki.jp"
 
 
+def test_registered_domain_psl_wildcard_needs_enough_labels(spark):
+    """ADVICE r7: a wildcard rule only matches hosts with at least as
+    many labels as the rule (publicsuffix.org algorithm step 1). The
+    bundled table's deepest wildcard is 3 labels where the outputs
+    coincide, so this uses a real full-PSL 4-label shape
+    (``*.vps.myjino.ru``): the host EQUAL to the rule's 3-label tail
+    must fall through to the plain ``ru`` rule, not match the wildcard."""
+    suf = spark.createDataFrame(
+        [("ru",), ("*.vps.myjino.ru",)], ["suffix"]
+    )
+    df = spark.createDataFrame(
+        [
+            ("vps.myjino.ru",),        # 3 labels: wildcard must NOT match
+            ("abc.vps.myjino.ru",),    # 4 labels: wildcard suffix, bare
+            ("x.abc.vps.myjino.ru",),  # suffix + 1 label registrable
+        ],
+        ["host"],
+    )
+    out = urls.with_registered_domain_psl(df, "host", "domain", suffixes=suf)
+    d = {r.host: r.domain for r in out.collect()}
+    assert d["vps.myjino.ru"] == "myjino.ru"
+    assert d["abc.vps.myjino.ru"] == "abc.vps.myjino.ru"
+    assert d["x.abc.vps.myjino.ru"] == "x.abc.vps.myjino.ru"
+
+
 def test_registered_domain_psl_join_is_broadcast(spark):
     df = spark.createDataFrame([("x.co.uk",)], ["host"])
     plan = urls.with_registered_domain_psl(df)._jdf.queryExecution() \
