@@ -84,6 +84,7 @@ HEADLINE = [
     "decontaminate",          # shingle broadcast semi-join
     "bloom_decontaminate",    # fixed 16 KiB bitmap; train side unshuffled (r5)
     "duplicate_passages",     # substring-level dedup: islands over dup 8-grams (r5)
+    "dedup_substrings",       # ExactSubstr keep-one-copy rewrite (r8)
     "triangle_count",         # degree-ordered wedge join over co-purchases (r5)
     "tokens_encode",          # vocab build + broadcast-mapped id sequences (r5)
     "pack_tokens",            # GPT-style block packing, two-level prefix-sum offsets (r7)

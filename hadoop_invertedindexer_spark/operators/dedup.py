@@ -1031,6 +1031,171 @@ def duplicate_passages(
     )
 
 
+def dedup_substrings(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr DEDUP (Lee et al. 2022, arXiv:2107.06499 §4.1 — their
+    suffix-array pass, re-expressed relationally): rewrite the corpus so
+    every duplicated length-``n`` token window survives in exactly ONE
+    canonical occurrence. :func:`duplicate_passages` only *reports*
+    cross-doc spans; this operator performs the removal, and counts
+    within-doc repeats as duplicates too (total occurrence count >= 2,
+    not distinct-doc frequency — a passage pasted twice into one page is
+    exactly what ExactSubstr exists to strip).
+
+    Semantics, in order:
+
+    * windows = positional ``n``-gram over the NORMALIZED token stream
+      (whole-doc window when the doc is shorter, the ``word_ngrams``
+      convention; covered end clamps to the doc length);
+    * a window VALUE is duplicated when it occurs >= 2 times anywhere;
+    * the canonical occurrence of each value = min ``(doc_id, pos)`` —
+      a deterministic total order, so reruns keep the same copy;
+    * a token is REMOVED when it is covered by >= 1 non-canonical
+      occurrence and by NO canonical occurrence of a duplicated window —
+      the protection term is what makes periodic text ('x' * 50) keep
+      exactly one window instead of eating into the kept copy, and what
+      leaves canonical documents untouched; it is slightly conservative
+      when a kept and a dropped passage physically overlap (keeps the
+      overlap);
+    * output = one row per input doc: (``doc_id``, ``text`` — the
+      normalized token stream with removed positions excised,
+      space-joined, '' when everything went — ``removed_tokens``).
+
+    Scale shape (the suffix array's job, without its global sort): the
+    corpus-sized streams are (a) one 16-byte row per token position into
+    ONE hash aggregation on the 8-byte window hash, and (b) one
+    doc-keyed join to rebuild. Everything between — keeper join, the
+    interval-overlay sweep (boundary events, running coverage sums,
+    segment islands) — runs only on occurrences of DUPLICATED windows,
+    bounded by true duplication, with per-doc window partitions. The
+    coverage subtraction works at interval-endpoint granularity, never
+    exploding a window into its ``n`` positions. Both unbounded-side
+    joins pin ``shuffle_hash`` (the duplicate-heavy-corpus broadcast
+    trap measured on duplicate_passages' 10x soak). The final rebuild's
+    per-token ``exists`` scans the doc's own removal spans — a handful
+    of intervals, not a corpus-sized structure."""
+    from pyspark.sql import Window
+
+    toks = (
+        _spread(docs, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            token_array(text_col).alias("tk"),
+        )
+        .withColumn("t_len", F.size("tk"))
+        .transform(tracked_persist)  # feeds the window emit AND the rebuild
+    )
+    wins = toks.select(
+        "id",
+        "t_len",
+        F.posexplode(
+            F.when(
+                F.col("t_len") < n, F.array(F.concat_ws(" ", F.col("tk")))
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("t_len") - n),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, n)),
+                )
+            )
+        ).alias("pos", "sh_str"),
+    ).select(
+        "id",
+        "pos",
+        F.least(F.col("pos") + n - 1, F.col("t_len") - 1).alias("e"),
+        F.xxhash64("sh_str").alias("sh"),
+    )
+    dup = (
+        wins.groupBy("sh")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct("id", "pos")).alias("keeper"),
+        )
+        .where(F.col("c") >= 2)
+        .select("sh", "keeper")
+    )
+    marked = wins.join(dup.hint("shuffle_hash"), "sh").select(
+        "id",
+        "pos",
+        "e",
+        (
+            (F.col("id") == F.col("keeper.id"))
+            & (F.col("pos") == F.col("keeper.pos"))
+        ).alias("kept"),
+    )
+    # interval overlay: +-1 boundary events for dropped (dd) and kept
+    # (kd) coverage, one running-sum sweep per doc
+    events = (
+        marked.select(
+            "id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("pos").alias("b"),
+                        F.when(F.col("kept"), 0).otherwise(1).alias("dd"),
+                        F.when(F.col("kept"), 1).otherwise(0).alias("kd"),
+                    ),
+                    F.struct(
+                        (F.col("e") + 1).alias("b"),
+                        F.when(F.col("kept"), 0).otherwise(-1).alias("dd"),
+                        F.when(F.col("kept"), -1).otherwise(0).alias("kd"),
+                    ),
+                )
+            ).alias("ev"),
+        )
+        .groupBy("id", F.col("ev.b").alias("b"))
+        .agg(F.sum("ev.dd").alias("dd"), F.sum("ev.kd").alias("kd"))
+    )
+    w = Window.partitionBy("id").orderBy("b")
+    sweep = events.select(
+        "id",
+        "b",
+        F.sum("dd").over(w).alias("dcov"),
+        F.sum("kd").over(w).alias("kcov"),
+        F.lead("b").over(w).alias("nb"),
+    )
+    seg = sweep.where(
+        F.col("nb").isNotNull() & (F.col("dcov") > 0) & (F.col("kcov") == 0)
+    ).select("id", F.col("b").alias("s"), (F.col("nb") - 1).alias("e"))
+    ws = Window.partitionBy("id").orderBy("s")
+    wprev = ws.rowsBetween(Window.unboundedPreceding, -1)
+    spans = (
+        seg.withColumn("pe", F.max("e").over(wprev))
+        .withColumn(
+            "new_island",
+            (F.col("pe").isNull() | (F.col("s") > F.col("pe") + 1)).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(ws))
+        .groupBy("id", "island")
+        .agg(F.min("s").alias("rs"), F.max("e").alias("re"))
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("rs", "re")).alias("drop_ivals"))
+    )
+    ivals = F.coalesce(
+        F.col("drop_ivals"),
+        F.array().cast("array<struct<rs:bigint,re:bigint>>"),
+    )
+    kept_toks = F.filter(
+        F.col("tk"),
+        lambda t, i: ~F.exists(
+            ivals, lambda iv: (i >= iv["rs"]) & (i <= iv["re"])
+        ),
+    )
+    return (
+        toks.join(spans.hint("shuffle_hash"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.concat_ws(" ", kept_toks).alias("text"),
+            (F.col("t_len") - F.size(kept_toks)).cast("long").alias(
+                "removed_tokens"
+            ),
+        )
+    )
+
+
 def source_overlap(
     docs: DataFrame,
     source_col: str = "source",

@@ -624,6 +624,35 @@ def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_passages(_docs(spark, sf_dir), n=8, min_docs=2)
 
 
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr rewrite (r8): duplicated substrings are PLANTED the
+    same way both engines restate them — every 7th doc gains a shared
+    13-token passage (cross-doc duplication; canonical = doc 0, the
+    smallest planted id) and every 11th doc re-appends its own first 120
+    chars (a within-doc repeat, which duplicate_passages' distinct-doc
+    frequency would miss by design). The plant vocabulary is disjoint
+    from the corpus vocabulary, so planted windows never collide with
+    real text."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit(
+                " shared planted passage alpha beta gamma delta"
+                " epsilon zeta eta theta iota kappa"
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" "), F.substring("text", 1, 120)),
+        ).otherwise(F.lit("")),
+    )
+    return dedup.dedup_substrings(
+        d.select("doc_id", planted.alias("text")), n=8
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_metadata_summary(
         multimodal.binary_docs(_docs(spark, sf_dir))
@@ -783,6 +812,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_tokens": q_pack_tokens,
     "audio_features": q_audio_features,
     "duplicate_passages": q_duplicate_passages,
+    "dedup_substrings": q_dedup_substrings,
     "media_dedup_exact": q_media_dedup_exact,
     "media_ahash": q_media_ahash,
     "media_near_dup": q_media_near_dup,
@@ -1580,6 +1610,96 @@ LLM_ORACLE_SQL: dict[str, str] = {
         SELECT id AS doc_id, min(pos)::BIGINT AS span_start,
                (max(e) - min(pos) + 1)::BIGINT AS span_len
         FROM isl2 GROUP BY id, island""",
+    # ExactSubstr rewrite: the full keep-one-copy pipeline restated —
+    # positional 8-gram windows (grouped by STRING here, xxhash64 in
+    # Spark, identical absent a 64-bit collision), total count >= 2,
+    # canonical occurrence = first (id, pos), interval-overlay sweep
+    # (dropped coverage > 0 AND kept coverage = 0), islands merge,
+    # rebuild via string_agg ORDER BY position. Input = the planted
+    # corpus of q_dedup_substrings.
+    "dedup_substrings": f"""
+        WITH src AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' shared planted passage alpha beta'
+                                || ' gamma delta epsilon zeta eta theta'
+                                || ' iota kappa'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' ' || substr(text, 1, 120)
+                           ELSE '' END AS text
+            FROM documents),
+        toks AS (
+            SELECT doc_id, string_split({_SQL_NORM}, ' ') AS tk
+            FROM src),
+        win AS (
+            SELECT doc_id AS id, i - 1 AS pos,
+                   least(i + 6, len(tk) - 1) AS e,
+                   array_to_string(tk[i:least(i + 7, len(tk))], ' ') AS sh
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS t(i)),
+        occ AS (
+            SELECT id, pos, e,
+                   row_number() OVER (PARTITION BY sh ORDER BY id, pos) = 1
+                       AS kept,
+                   count(*) OVER (PARTITION BY sh) AS c
+            FROM win),
+        marked AS (SELECT id, pos, e, kept FROM occ WHERE c >= 2),
+        ev AS (
+            SELECT id, pos AS b,
+                   CASE WHEN kept THEN 0 ELSE 1 END AS dd,
+                   CASE WHEN kept THEN 1 ELSE 0 END AS kd
+            FROM marked
+            UNION ALL
+            SELECT id, e + 1,
+                   CASE WHEN kept THEN 0 ELSE -1 END,
+                   CASE WHEN kept THEN -1 ELSE 0 END
+            FROM marked),
+        evg AS (
+            SELECT id, b, sum(dd) AS dd, sum(kd) AS kd
+            FROM ev GROUP BY id, b),
+        sweep AS (
+            SELECT id, b,
+                   sum(dd) OVER (PARTITION BY id ORDER BY b) AS dcov,
+                   sum(kd) OVER (PARTITION BY id ORDER BY b) AS kcov,
+                   lead(b) OVER (PARTITION BY id ORDER BY b) AS nb
+            FROM evg),
+        seg AS (
+            SELECT id, b AS s, nb - 1 AS e FROM sweep
+            WHERE nb IS NOT NULL AND dcov > 0 AND kcov = 0),
+        mrg AS (
+            SELECT id, s, e,
+                   max(e) OVER (PARTITION BY id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS pe
+            FROM seg),
+        isl AS (
+            SELECT id, s, e,
+                   sum(CASE WHEN pe IS NULL OR s > pe + 1
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY id ORDER BY s) AS island
+            FROM mrg),
+        spans AS (
+            SELECT id, min(s) AS rs, max(e) AS re
+            FROM isl GROUP BY id, island),
+        toke AS (
+            SELECT doc_id, i - 1 AS pos, tk[i] AS tok, len(tk) AS tl
+            FROM toks, unnest(generate_series(1, len(tk))) AS t(i)),
+        keep AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM toke t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.id = t.doc_id AND t.pos BETWEEN s.rs AND s.re)),
+        agg AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+                   count(*) AS nkept
+            FROM keep GROUP BY doc_id),
+        tl AS (SELECT doc_id, len(tk) AS tl FROM toks)
+        SELECT tl.doc_id, coalesce(a.text, '') AS text,
+               (tl.tl - coalesce(a.nkept, 0))::BIGINT AS removed_tokens
+        FROM tl LEFT JOIN agg a USING (doc_id)""",
     "knn_classify": f"""
         WITH nn AS (
             SELECT qid, vec_id FROM (

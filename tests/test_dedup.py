@@ -446,6 +446,65 @@ def test_duplicate_passages_no_dups_empty(spark):
     assert dedup.duplicate_passages(docs, n=8, min_docs=2).count() == 0
 
 
+class TestDedupSubstrings:
+    """ExactSubstr rewrite (r8): keep-one-copy semantics, including the
+    within-doc repeats that duplicate_passages' distinct-doc frequency
+    intentionally ignores."""
+
+    def _run(self, spark, rows, n=8):
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            r.doc_id: (r.text, r.removed_tokens)
+            for r in dedup.dedup_substrings(docs, n=n).collect()
+        }
+
+    def test_exact_copy_fully_removed_canonical_untouched(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta unique tail"
+        out = self._run(spark, [(1, base), (2, base)])
+        assert out[1] == (base, 0)  # canonical (min doc_id) keeps all
+        assert out[2] == ("", 10)  # the copy goes entirely
+
+    def test_copied_passage_excised_unique_parts_kept(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta unique tail"
+        out = self._run(
+            spark,
+            [
+                (1, base),
+                (2, "prefix words here alpha beta gamma delta epsilon"
+                    " zeta eta theta suffix bits"),
+            ],
+        )
+        assert out[1] == (base, 0)
+        assert out[2] == ("prefix words here suffix bits", 8)
+
+    def test_periodic_text_keeps_exactly_one_window(self, spark):
+        # every window of 'x '*20 has the same value; the canonical
+        # (pos 0) window's coverage PROTECTS its own tokens, so the
+        # rewrite keeps exactly n tokens, not just the first one
+        out = self._run(spark, [(3, "x " * 20)])
+        assert out[3] == ("x x x x x x x x", 12)
+
+    def test_within_doc_repeat_counts_as_duplicate(self, spark):
+        rep = "repeat me please one two three four five"
+        out = self._run(spark, [(5, rep + " MID " + rep)])
+        assert out[5] == (rep.lower() + " mid", 8)
+
+    def test_no_duplication_is_identity_normalized(self, spark):
+        t = "Totally distinct sentence, with no duplication at all!"
+        out = self._run(spark, [(4, t)])
+        assert out[4] == (
+            "totally distinct sentence with no duplication at all", 0
+        )
+
+    def test_every_input_doc_appears_once(self, spark):
+        rows = [(i, f"doc number {i} some words alpha beta gamma delta"
+                    f" epsilon zeta eta theta") for i in range(6)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = dedup.dedup_substrings(docs, n=8)
+        assert out.count() == 6
+        assert out.select("doc_id").distinct().count() == 6
+
+
 class TestSourceOverlap:
     def _overlap(self, spark, rows, **kw):
         from hadoop_invertedindexer_spark.operators import dedup as D
