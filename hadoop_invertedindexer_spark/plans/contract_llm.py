@@ -344,6 +344,17 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_nll(_docs(spark, sf_dir), max_vocab=256)
 
 
+def q_ngram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram LM quality scoring (r8): Jelinek-Mercer
+    fixed-weight mix of capped-table trigram/bigram ML ratios over the
+    Laplace-smoothed unigram floor. Capped at 256 unigrams / 512 grams
+    per order so the broadcast tables stay metadata-sized at any corpus
+    scale."""
+    return textstats.ngram_nll(
+        _docs(spark, sf_dir), max_vocab=256, max_ngrams=512
+    )
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level source-overlap matrix (r7), SCALE path: one MinHash
     signature per SOURCE (xxhash64 over 8-byte pre-hashed shingles)
@@ -799,6 +810,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap_portable": q_source_overlap_portable,
     "upsample_corpus": q_upsample_corpus,
     "unigram_nll": q_unigram_nll,
+    "ngram_nll": q_ngram_nll,
     "pii_redact": q_pii_redact,
     "repetition_removal": q_repetition_removal,
     "boilerplate_removal": q_boilerplate_removal,
@@ -2211,6 +2223,57 @@ LLM_ORACLE_SQL["unigram_nll"] = f"""
         LEFT JOIN counts v USING (token)
         CROSS JOIN stats s
         GROUP BY t.doc_id"""
+
+# interpolated trigram LM (r8): the same capped-table construction as
+# the Spark side — top-k by (count desc, gram asc), context masses
+# summed over the capped tables, Jelinek-Mercer 0.2/0.3/0.5 mix with
+# identical term order so the double arithmetic matches bit-for-bit
+# before round(6)
+LLM_ORACLE_SQL["ngram_nll"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split({_SQL_NORM}, ' '),
+                               t -> t <> '') AS tk
+            FROM documents),
+        tok AS (
+            SELECT doc_id, tk[i] AS cur,
+                   CASE WHEN i >= 2 THEN tk[i - 1] END AS p1,
+                   CASE WHEN i >= 3 THEN tk[i - 2] END AS p2
+            FROM toks, unnest(generate_series(1, len(tk))) AS t(i)),
+        uni AS (
+            SELECT cur AS token, count(*) AS c FROM tok GROUP BY cur
+            ORDER BY c DESC, token LIMIT 256),
+        stats AS (
+            SELECT sum(c) AS n_mass, count(*) AS v_size FROM uni),
+        big AS (
+            SELECT p1 AS w1, cur AS w2, count(*) AS cb FROM tok
+            WHERE p1 IS NOT NULL GROUP BY p1, cur
+            ORDER BY cb DESC, w1, w2 LIMIT 512),
+        bctx AS (SELECT w1 AS bc1, sum(cb) AS cbc FROM big GROUP BY w1),
+        tri AS (
+            SELECT p2 AS t1, p1 AS t2, cur AS t3, count(*) AS ct FROM tok
+            WHERE p2 IS NOT NULL GROUP BY p2, p1, cur
+            ORDER BY ct DESC, t1, t2, t3 LIMIT 512),
+        tctx AS (
+            SELECT t1 AS tc1, t2 AS tc2, sum(ct) AS ctc FROM tri
+            GROUP BY t1, t2),
+        scored AS (
+            SELECT t.doc_id,
+                   -ln(0.5 * coalesce(tr.ct / tc.ctc, 0.0)
+                       + 0.3 * coalesce(b.cb / bc.cbc, 0.0)
+                       + 0.2 * ((coalesce(u.c, 0) + 1.0)
+                                / (s.n_mass + s.v_size + 1.0))) AS nll
+            FROM tok t
+            LEFT JOIN uni u ON t.cur = u.token
+            LEFT JOIN big b ON t.p1 = b.w1 AND t.cur = b.w2
+            LEFT JOIN bctx bc ON t.p1 = bc.bc1
+            LEFT JOIN tri tr ON t.p2 = tr.t1 AND t.p1 = tr.t2
+                            AND t.cur = tr.t3
+            LEFT JOIN tctx tc ON t.p2 = tc.tc1 AND t.p1 = tc.tc2
+            CROSS JOIN stats s)
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               round(avg(nll), 6) AS avg_nll
+        FROM scored GROUP BY doc_id"""
 
 # CCNet/RefinedWeb-style keep/drop verdict: the CASE chain restates
 # corpus_filter's fixed rule order over the same signal formulas

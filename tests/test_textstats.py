@@ -203,3 +203,115 @@ class TestUnigramNll:
         docs = spark.createDataFrame(rows, ["doc_id", "text"])
         out = {r.doc_id: r.avg_nll for r in ts.unigram_nll(docs).collect()}
         assert out[101] > out[100]
+
+
+class TestNgramNll:
+    def _hand(self, corpus, scored=None, lambdas=(0.2, 0.3, 0.5)):
+        import math
+        from collections import Counter
+
+        l1, l2, l3 = lambdas
+        uni = Counter(t for d in corpus for t in d)
+        big = Counter(
+            (d[i - 1], d[i]) for d in corpus for i in range(1, len(d))
+        )
+        tri = Counter(
+            (d[i - 2], d[i - 1], d[i])
+            for d in corpus
+            for i in range(2, len(d))
+        )
+        N, V = sum(uni.values()), len(uni)
+        bctx, tctx = Counter(), Counter()
+        for (a, _), c in big.items():
+            bctx[a] += c
+        for (a, b, _), c in tri.items():
+            tctx[(a, b)] += c
+
+        def p(cur, p1, p2):
+            x3 = (
+                tri[(p2, p1, cur)] / tctx[(p2, p1)]
+                if p2 and (p2, p1, cur) in tri
+                else 0.0
+            )
+            x2 = (
+                big[(p1, cur)] / bctx[p1]
+                if p1 and (p1, cur) in big
+                else 0.0
+            )
+            x1 = (uni.get(cur, 0) + 1.0) / (N + V + 1.0)
+            return l3 * x3 + l2 * x2 + l1 * x1
+
+        out = {}
+        for di, d in enumerate(scored if scored is not None else corpus):
+            nlls = [
+                -math.log(
+                    p(
+                        t,
+                        d[i - 1] if i >= 1 else None,
+                        d[i - 2] if i >= 2 else None,
+                    )
+                )
+                for i, t in enumerate(d)
+            ]
+            out[di] = round(sum(nlls) / len(nlls), 6)
+        return out
+
+    def test_hand_computed_interpolated(self, spark):
+        texts = [
+            "the cat sat on the mat",
+            "the cat sat on the hat",
+            "dog runs fast",
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.avg_nll)
+            for r in ts.ngram_nll(docs).collect()
+        }
+        want = self._hand([t.split() for t in texts])
+        for i, t in enumerate(texts):
+            assert got[i] == (len(t.split()), want[i])
+
+    def test_seen_trigrams_beat_unigram_floor(self, spark):
+        # a doc whose trigrams all appear in the LM corpus must score
+        # strictly better than unigram_nll gives it — the higher orders
+        # only ADD probability mass on top of the (scaled) unigram term
+        lm = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)],
+            ["doc_id", "text"],
+        )
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+        )
+        inter = ts.ngram_nll(docs, lm_docs=lm).collect()[0].avg_nll
+        unigram_only = ts.ngram_nll(
+            docs, lm_docs=lm, lambdas=(1.0, 0.0, 0.0)
+        ).collect()[0].avg_nll
+        assert inter < unigram_only
+
+    def test_oov_context_falls_back_finite(self, spark):
+        lm = spark.createDataFrame(
+            [(0, "alpha beta gamma delta")], ["doc_id", "text"]
+        )
+        docs = spark.createDataFrame(
+            [(9, "zulu yankee xray")], ["doc_id", "text"]
+        )
+        r = ts.ngram_nll(docs, lm_docs=lm).collect()[0]
+        assert r.n_tokens == 3 and r.avg_nll > 0  # finite, no -inf/NaN
+
+    def test_cap_drops_rare_grams(self, spark):
+        # with max_ngrams=1 only the single most frequent bigram/trigram
+        # survives; every other gram contributes 0 at its order
+        texts = ["a b a b a b c d", "c d e"]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        full = {
+            r.doc_id: r.avg_nll for r in ts.ngram_nll(docs).collect()
+        }
+        capped = {
+            r.doc_id: r.avg_nll
+            for r in ts.ngram_nll(docs, max_ngrams=1).collect()
+        }
+        assert capped[1] >= full[1]  # doc 1's grams fell out of the cap
