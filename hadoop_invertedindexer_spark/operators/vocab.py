@@ -1,11 +1,10 @@
 """Vocabulary building + token-id encoding (EXT, SURVEY §2B north star).
 
-The tokenizer step of an LLM data pipeline, word-level: build a
-frequency-ranked vocabulary over the corpus, then encode every document
-as its ordered token-id sequence. (Subword/BPE merges are a training
-procedure, not a dataflow op; the dataflow shape — global frequency
-rank, broadcast vocab join, order-preserving reassembly — is identical,
-and ``textstats.n_bpe_tokens`` covers the BPE-ish counting heuristic.)
+The tokenizer step of an LLM data pipeline: build a frequency-ranked
+word vocabulary over the corpus and encode every document as its
+ordered token-id sequence; plus REAL subword training —
+:func:`bpe_train` learns a BPE merge table on the word-frequency
+dictionary (r8) and :func:`bpe_encode` replays it.
 
 Scale design:
 
@@ -20,6 +19,8 @@ Scale design:
 """
 
 from __future__ import annotations
+
+import pandas
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -240,4 +241,152 @@ def pack_tokens(
                 ),
             ).alias("ids_str"),
         )
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 32,
+    text_col: str = "text",
+    min_freq: int = 1,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016) — the real
+    subword-tokenizer training step (VERDICT r7 ask 3; supersedes this
+    module's earlier 'training procedure, not a dataflow op' carve-out).
+
+    Classic BPE trains on the WORD-FREQUENCY DICTIONARY, not the raw
+    corpus: the corpus is shuffled exactly once (the word count), and
+    every training iteration runs on the vocab-sized frame — each word a
+    space-joined symbol string, initially its characters. Per merge:
+    count adjacent symbol pairs weighted by word frequency (pairs built
+    array-side off the materialized symbol array — overlapping
+    occurrences all count, the reference get_stats semantics), pick the
+    argmax under the total order (freq desc, pair asc), and apply it
+    with a literal ``replace`` — whose left-to-right non-overlapping
+    substitution IS the BPE greedy merge ('a a a' + (a,a) -> 'aa a'),
+    identical in Spark and ANSI SQL, which keeps the whole training loop
+    oracle-checkable.
+
+    Returns the merge table — (merge_rank, lhs, rhs, merged, freq), one
+    row per learned merge in order, fewer than ``num_merges`` rows if
+    pairs run out or the best pair falls below ``min_freq``.
+
+    Scale shape: iterations touch only the dictionary (|vocab| rows —
+    millions at 100 TB, distributed, never the token stream); each
+    iteration is one vocab-scale job plus a ONE-ROW collect (the argmax
+    — index-metadata scale, same class as pagerank's residual probe).
+    ``localCheckpoint`` every ``checkpoint_every`` merges truncates the
+    growing replace lineage, so iteration r costs O(|vocab|), not
+    O(r * |vocab|) (the sql_api_recursive lesson)."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(F.filter(token_array(text_col), lambda t: t != "")).alias(
+                "word"
+            )
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat_ws(" ", F.split("word", "")).alias("ws"), "cnt"
+        )
+    )
+    cur = words.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, num_merges + 1):
+        syms = F.split("ws", " ")
+        pair_arr = F.transform(
+            syms,
+            lambda s, i: F.when(
+                i >= 1,
+                F.concat(F.element_at(F.split("ws", " "), i), F.lit(" "), s),
+            ),
+        )
+        top = (
+            cur.select(
+                F.explode(F.filter(pair_arr, lambda p: p.isNotNull())).alias(
+                    "pair"
+                ),
+                "cnt",
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].freq < min_freq:
+            break
+        pair, freq = top[0].pair, int(top[0].freq)
+        lhs, rhs = pair.split(" ")
+        merged = lhs + rhs
+        merges.append((r, lhs, rhs, merged, freq))
+        cur = cur.select(
+            F.replace("ws", F.lit(pair), F.lit(merged)).alias("ws"), "cnt"
+        )
+        if r % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    schema = (
+        "merge_rank long, lhs string, rhs string, merged string, freq long"
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_expr_merges: int = 64,
+) -> DataFrame:
+    """Apply a trained BPE merge table: every document's normalized
+    words become character-symbol strings, and the merges replay in rank
+    order over the whole document at once — words separated by a ``|``
+    sentinel (stripped by normalization from real text, so no trained
+    pair ever spans it, and cross-word merges cannot happen). Returns
+    (id_col, n_pieces, pieces_str) with pieces space-joined in order.
+
+    The merge table is MODEL-sized: it collects to the driver (the
+    persisted-ANN-params pattern) and compiles into the plan. Up to
+    ``max_expr_merges`` merges become a chain of JVM-side literal
+    ``replace`` expressions (whole-stage codegen, zero Python); larger
+    tables fall back to an Arrow-batched pandas UDF replaying the same
+    replaces per batch — same semantics, documented slow path (real
+    tokenizers use a trie; a 30k-merge replay is the honest relational
+    equivalent, not the hot path)."""
+    ordered = [
+        (m.lhs + " " + m.rhs, m.merged)
+        for m in merges.orderBy("merge_rank").collect()
+    ]
+    base = docs.select(
+        F.col(id_col),
+        F.concat_ws(
+            " | ",
+            F.transform(
+                F.filter(token_array(text_col), lambda t: t != ""),
+                lambda w: F.concat_ws(" ", F.split(w, "")),
+            ),
+        ).alias("ws"),
+    )
+    if len(ordered) <= max_expr_merges:
+        expr = F.col("ws")
+        for pair, merged in ordered:
+            expr = F.replace(expr, F.lit(pair), F.lit(merged))
+        enc = base.select(F.col(id_col), expr.alias("ws"))
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _apply(ws: pandas.Series) -> pandas.Series:
+            for pair, merged in ordered:
+                ws = ws.str.replace(pair, merged, regex=False)
+            return ws
+
+        enc = base.select(F.col(id_col), _apply("ws").alias("ws"))
+    pieces = F.filter(F.split("ws", " "), lambda p: p != F.lit("|"))
+    return enc.select(
+        F.col(id_col),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.concat_ws(" ", pieces).alias("pieces_str"),
     )

@@ -355,6 +355,23 @@ def q_ngram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (r8): 10 merges learned on the
+    corpus word-frequency dictionary; the oracle replays the identical
+    loop as 10 unrolled MATERIALIZED CTE steps (argmax by freq desc,
+    pair asc; greedy replace application)."""
+    return vocab.bpe_train(_docs(spark, sf_dir), num_merges=10)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the 10-merge BPE model trained on itself:
+    merges replay in rank order over sentinel-separated character
+    symbols; at this model size the replay is a pure JVM replace
+    chain."""
+    d = _docs(spark, sf_dir)
+    return vocab.bpe_encode(d, vocab.bpe_train(d, num_merges=10))
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level source-overlap matrix (r7), SCALE path: one MinHash
     signature per SOURCE (xxhash64 over 8-byte pre-hashed shingles)
@@ -811,6 +828,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "upsample_corpus": q_upsample_corpus,
     "unigram_nll": q_unigram_nll,
     "ngram_nll": q_ngram_nll,
+    "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
     "pii_redact": q_pii_redact,
     "repetition_removal": q_repetition_removal,
     "boilerplate_removal": q_boilerplate_removal,
@@ -2223,6 +2242,82 @@ LLM_ORACLE_SQL["unigram_nll"] = f"""
         LEFT JOIN counts v USING (token)
         CROSS JOIN stats s
         GROUP BY t.doc_id"""
+
+def _sql_bpe_ctes(num_merges: int) -> str:
+    """Unrolled BPE training steps (r8): w0 = the char-symbol word
+    dictionary; per step, p{i} = the argmax pair of w{i-1} (freq desc,
+    pair asc) and w{i} = w{i-1} with the greedy replace applied. Every
+    CTE is MATERIALIZED — w{i} references w{i-1} once and p{i} twice, so
+    un-materialized inlining would re-expand the chain exponentially
+    (the r5 DuckDB-unrolled-iteration lesson)."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+            SELECT array_to_string(string_split(word, ''), ' ') AS ws, cnt
+            FROM (SELECT word, count(*) AS cnt
+                  FROM (SELECT unnest(string_split({_SQL_NORM}, ' '))
+                            AS word FROM documents)
+                  WHERE word <> '' GROUP BY word))"""
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+            SELECT pair, sum(cnt) AS freq FROM (
+                SELECT cnt, unnest(list_transform(
+                    generate_series(2, len(string_split(ws, ' '))),
+                    j -> string_split(ws, ' ')[j - 1] || ' '
+                         || string_split(ws, ' ')[j])) AS pair
+                FROM w{i - 1})
+            GROUP BY pair ORDER BY freq DESC, pair LIMIT 1)""")
+        parts.append(f"""w{i} AS MATERIALIZED (
+            SELECT replace(ws, (SELECT pair FROM p{i}),
+                           (SELECT replace(pair, ' ', '') FROM p{i})) AS ws,
+                   cnt
+            FROM w{i - 1})""")
+    return ",\n        ".join(parts)
+
+
+_BPE_CONTRACT_MERGES = 10
+
+LLM_ORACLE_SQL["bpe_train"] = (
+    "WITH "
+    + _sql_bpe_ctes(_BPE_CONTRACT_MERGES)
+    + "\n        "
+    + "\n        UNION ALL ".join(
+        f"""SELECT {i}::BIGINT AS merge_rank,
+                   split_part(pair, ' ', 1) AS lhs,
+                   split_part(pair, ' ', 2) AS rhs,
+                   replace(pair, ' ', '') AS merged,
+                   freq::BIGINT AS freq FROM p{i}"""
+        for i in range(1, _BPE_CONTRACT_MERGES + 1)
+    )
+)
+
+
+def _sql_bpe_encode() -> str:
+    expr = (
+        "array_to_string(list_transform("
+        f"list_filter(string_split({_SQL_NORM}, ' '), w -> w <> ''), "
+        "w -> array_to_string(string_split(w, ''), ' ')), ' | ')"
+    )
+    for i in range(1, _BPE_CONTRACT_MERGES + 1):
+        expr = (
+            f"replace({expr}, (SELECT pair FROM p{i}),"
+            f" (SELECT replace(pair, ' ', '') FROM p{i}))"
+        )
+    return f"""
+        WITH {_sql_bpe_ctes(_BPE_CONTRACT_MERGES)},
+        enc AS (SELECT doc_id, {expr} AS ws FROM documents),
+        pieces AS (
+            SELECT doc_id,
+                   list_filter(string_split(ws, ' '), p -> p <> '|')
+                       AS pieces
+            FROM enc)
+        SELECT doc_id, len(pieces)::BIGINT AS n_pieces,
+               array_to_string(pieces, ' ') AS pieces_str
+        FROM pieces"""
+
+
+LLM_ORACLE_SQL["bpe_encode"] = _sql_bpe_encode()
+
 
 # interpolated trigram LM (r8): the same capped-table construction as
 # the Spark side — top-k by (count desc, gram asc), context masses

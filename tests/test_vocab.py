@@ -147,3 +147,86 @@ class TestPackTokens:
             ).collect()
         )
         assert a == b  # same blocks on any partitioning or bucket layout
+
+
+class TestBpe:
+    """Distributed BPE merge training + encode (r8)."""
+
+    SENNRICH = (
+        "low low low low low lower lower newest newest newest"
+        " newest newest newest widest widest widest"
+    )
+
+    def test_sennrich_reference_merges(self, spark):
+        # the worked example from Sennrich et al. 2016 / the HF docs:
+        # es, est, lo, low come out first (freq desc, pair asc ties)
+        docs = spark.createDataFrame([(1, self.SENNRICH)], ["doc_id", "text"])
+        m = [
+            (r.merge_rank, r.lhs, r.rhs, r.merged, r.freq)
+            for r in vocab.bpe_train(docs, num_merges=4)
+                .orderBy("merge_rank").collect()
+        ]
+        assert m == [
+            (1, "e", "s", "es", 9),
+            (2, "es", "t", "est", 9),
+            (3, "l", "o", "lo", 7),
+            (4, "lo", "w", "low", 7),
+        ]
+
+    def test_merge_application_is_greedy_left_to_right(self, spark):
+        # 'aaaa' has pair (a,a) x3 overlapping; greedy non-overlapping
+        # application yields 'aa aa', and the next merge is (aa, aa)
+        docs = spark.createDataFrame(
+            [(1, "aaaa aaaa aaaa")], ["doc_id", "text"]
+        )
+        m = {
+            r.merge_rank: (r.lhs, r.rhs, r.freq)
+            for r in vocab.bpe_train(docs, num_merges=2).collect()
+        }
+        assert m[1] == ("a", "a", 9)  # 3 words x 3 adjacent positions
+        assert m[2] == ("aa", "aa", 3)
+
+    def test_runs_out_of_pairs_stops_early(self, spark):
+        docs = spark.createDataFrame([(1, "ab ab cd")], ["doc_id", "text"])
+        m = vocab.bpe_train(docs, num_merges=10).collect()
+        # merges: (a,b) then (c,d); afterwards every word is one symbol
+        assert len(m) == 2
+
+    def test_min_freq_threshold(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "ab ab ab cd")], ["doc_id", "text"]
+        )
+        m = vocab.bpe_train(docs, num_merges=10, min_freq=2).collect()
+        assert [(r.lhs, r.rhs) for r in m] == [("a", "b")]
+
+    def test_encode_applies_merges_in_rank_order(self, spark):
+        docs = spark.createDataFrame([(1, self.SENNRICH)], ["doc_id", "text"])
+        m = vocab.bpe_train(docs, num_merges=6)
+        r = vocab.bpe_encode(docs, m).collect()[0]
+        assert r.pieces_str.split(" ")[:6] == ["low"] * 5 + ["low"]
+        assert "ewest" in r.pieces_str  # e+w, ew+est learned at ranks 5-6
+
+    def test_encode_never_merges_across_word_boundary(self, spark):
+        # train on a corpus where (b, c) is the top pair; encoding 'ab ca'
+        # must NOT merge the b|c across the word boundary
+        lm = spark.createDataFrame([(1, "bc bc bc")], ["doc_id", "text"])
+        m = vocab.bpe_train(lm, num_merges=1)
+        r = vocab.bpe_encode(
+            spark.createDataFrame([(9, "ab ca")], ["doc_id", "text"]), m
+        ).collect()[0]
+        assert r.pieces_str == "a b c a" and r.n_pieces == 4
+
+    def test_encode_udf_path_matches_expression_path(self, spark):
+        docs = spark.createDataFrame(
+            [(i, self.SENNRICH) for i in range(4)], ["doc_id", "text"]
+        )
+        m = vocab.bpe_train(docs, num_merges=6)
+        fast = {
+            r.doc_id: (r.n_pieces, r.pieces_str)
+            for r in vocab.bpe_encode(docs, m).collect()
+        }
+        slow = {
+            r.doc_id: (r.n_pieces, r.pieces_str)
+            for r in vocab.bpe_encode(docs, m, max_expr_merges=2).collect()
+        }
+        assert fast == slow
