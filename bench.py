@@ -92,6 +92,7 @@ HEADLINE = [
     "unigram_nll",            # CCNet-style LM scoring, capped broadcast model (r7)
     "ngram_nll",              # interpolated trigram LM, 3 capped broadcast tables (r8)
     "bpe_train",              # distributed BPE merge training on the word dict (r8)
+    "pipeline_capstone",      # filter->dedup->upsample->split->pack e2e (r8)
     "upsample_corpus",        # deterministic fractional mixture upsampling (r7)
     "audio_features",         # SAU1 decode + int16 signal stats (mapInPandas) (r5)
     "bloom_join_reduction",   # 128 KiB key bitmap prunes the fact map-side (r5)

@@ -20,7 +20,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_invertedindexer_spark.functions import textstats
-from hadoop_invertedindexer_spark.operators import dedup, multimodal, similarity, vocab
+from hadoop_invertedindexer_spark.caching import tracked_persist
+from hadoop_invertedindexer_spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    vocab,
+)
 from hadoop_invertedindexer_spark.sources.tables import read_table
 
 STOPWORDS = ["the", "and", "for", "with", "that", "this", "from"]
@@ -397,6 +404,67 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits across several reasons (token median 56, quality median 0.57,
     ~24% 'und' language, top-2-gram coverage up to 0.33)."""
     return textstats.corpus_filter(_docs(spark, sf_dir), STOPWORDS)
+
+
+_CAPSTONE_WEIGHTS = {"src0": 2500, "src1": 2500, "src7": 300, "src8": 1500}
+
+
+def q_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline (VERDICT r7 ask 4), every
+    stage the engine's own first-class operator, chained the way a real
+    pretraining ingest runs them:
+
+      ingest (with planted re-ingested duplicates: every 10th doc
+      appears again under a shifted id) → corpus_filter keep/drop →
+      exact dedup (keep-min-id, so each planted copy dies and its
+      original survives) → fractional mixture upsampling by source →
+      deterministic md5-nibble split (keyed on the ORIGINAL doc id, so
+      all epochs of a doc share a split — leakage-safe by construction)
+      → GPT block packing of the train epochs with a 32-entry vocab
+      built on the deduped corpus. The pack stream id is doc*4 + epoch —
+      stride 4 = max copies + 1 under these weights, keeping sids DENSE
+      so pack_tokens' bucket summary frame stays ~D/bucket_size rows (a
+      sparse doc*1000 stride would inflate the single-task summary
+      1000x, measured 5.1 s -> the fix below).
+
+    Output = the packed train blocks (block_id, n_tokens, ids_str) —
+    the actual artifact a trainer would read. The oracle restates the
+    entire chain in one SQL query, so the value hash certifies not just
+    each operator but every COLUMN CONTRACT between them."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    src = d.unionByName(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
+        )
+    )
+    verdict = textstats.corpus_filter(src, STOPWORDS)
+    # kept carries the whole verdict-signal lineage and is scanned twice
+    # below (the dedup aggregate + the keep join); deduped feeds three
+    # consumers (upsample, the epoch text join, the vocab build) — both
+    # persist, or the repetition CTEs re-run per consumer
+    kept = src.join(
+        verdict.where(F.col("is_kept")).select("doc_id"), "doc_id"
+    ).transform(tracked_persist)
+    keep_ids = dedup.dedup_exact(kept).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = kept.join(keep_ids, "doc_id").transform(tracked_persist)
+    ups = sampling.upsample_corpus(
+        deduped, _CAPSTONE_WEIGHTS, strata_col="source"
+    )
+    train = sampling.hash_split(ups).where(F.col("split") == "train")
+    epochs = (
+        train.join(deduped.select("doc_id", "text"), "doc_id")
+        .select((F.col("doc_id") * 4 + F.col("epoch")).alias("sid"), "text")
+        .transform(tracked_persist)  # pack_tokens scans its input twice
+    )
+    return vocab.pack_tokens(
+        epochs,
+        vocab.build_vocab(deduped, max_size=32),
+        block_size=128,
+        id_col="sid",
+        bucket_size=256,
+    )
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -823,6 +891,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_signals": q_repetition_signals,
     "corpus_filter": q_corpus_filter,
+    "pipeline_capstone": q_pipeline_capstone,
     "source_overlap": q_source_overlap,
     "source_overlap_portable": q_source_overlap_portable,
     "upsample_corpus": q_upsample_corpus,
@@ -2373,8 +2442,14 @@ LLM_ORACLE_SQL["ngram_nll"] = f"""
 # CCNet/RefinedWeb-style keep/drop verdict: the CASE chain restates
 # corpus_filter's fixed rule order over the same signal formulas
 # (_SQL_N_WS, lang argmax, _SQL_QUALITY, rounded repetition fractions)
-LLM_ORACLE_SQL["corpus_filter"] = f"""
-        WITH {_sql_repetition_ctes("SELECT doc_id, text FROM documents")},
+
+
+def _sql_corpus_filter_ctes(src_select: str) -> str:
+    """corpus_filter's verdict chain over an arbitrary (doc_id, text[,
+    ...]) source (r8 — the capstone pipeline reuses it over the planted
+    union). Ends with CTE ``verdict(doc_id, drop_reason)``; drop_reason
+    NULL = kept."""
+    return f"""{_sql_repetition_ctes(src_select)},
         base AS (
             SELECT doc_id, {_SQL_N_WS} AS nt, {_SQL_QUALITY} AS q,
                    CASE
@@ -2387,7 +2462,7 @@ LLM_ORACLE_SQL["corpus_filter"] = f"""
                      WHEN ({_S_FR}) > 0 THEN 'fr'
                      ELSE 'und'
                    END AS lang
-            FROM documents),
+            FROM src),
         verdict AS (
             SELECT b.doc_id,
                    CASE
@@ -2404,6 +2479,106 @@ LLM_ORACLE_SQL["corpus_filter"] = f"""
             FROM base b
             LEFT JOIN lstats l ON b.doc_id = l.doc_id
             LEFT JOIN tstats t ON b.doc_id = t.doc_id
-            LEFT JOIN dstats s ON b.doc_id = s.doc_id)
+            LEFT JOIN dstats s ON b.doc_id = s.doc_id)"""
+
+
+LLM_ORACLE_SQL["corpus_filter"] = f"""
+        WITH {_sql_corpus_filter_ctes("SELECT doc_id, text FROM documents")}
         SELECT doc_id, (drop_reason IS NULL) AS is_kept, drop_reason
         FROM verdict"""
+
+# the e2e capstone (r8): the whole filter → dedup → upsample → split →
+# pack chain in ONE query — verdict CTEs over the planted union, exact
+# dedup via row_number on the normalized text (same equality classes as
+# sha2), the upsample integer cross-multiplication, the md5-nibble
+# split on the ORIGINAL doc id, and the pack_tokens stream restated
+# with sid = doc*1000 + epoch
+_CAP_SRC = """SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text, source FROM documents
+            WHERE doc_id % 10 = 0"""
+
+LLM_ORACLE_SQL["pipeline_capstone"] = f"""
+        WITH {_sql_corpus_filter_ctes(_CAP_SRC)},
+        kept AS (
+            SELECT s.doc_id, s.text, s.source
+            FROM src s JOIN verdict v USING (doc_id)
+            WHERE v.drop_reason IS NULL),
+        dd AS (
+            SELECT doc_id, text, source FROM (
+                SELECT k.*, row_number() OVER (
+                    PARTITION BY {_SQL_NORM} ORDER BY doc_id) AS rn
+                FROM kept k) t
+            WHERE rn = 1),
+        ups AS (
+            SELECT doc_id, unnest(range(1, copies + 1))::BIGINT AS epoch
+            FROM (
+                SELECT doc_id,
+                       (wm // 1000)
+                       + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR),
+                                                   1, 15))::BIGINT::HUGEINT
+                                       * 1000
+                                   < 1152921504606846976::HUGEINT
+                                       * (wm % 1000)
+                              THEN 1 ELSE 0 END AS copies
+                FROM (SELECT doc_id,
+                             CASE source WHEN 'src0' THEN 2500
+                                         WHEN 'src1' THEN 2500
+                                         WHEN 'src7' THEN 300
+                                         WHEN 'src8' THEN 1500
+                                         ELSE 1000 END AS wm
+                      FROM dd) w) c
+            WHERE copies >= 1),
+        train AS (
+            SELECT u.doc_id, u.epoch FROM ups u
+            WHERE substring(md5(u.doc_id::VARCHAR), 1, 1) <= 'b'),
+        epochs AS (
+            SELECT t.doc_id * 4 + t.epoch AS sid, d.text
+            FROM train t JOIN dd d USING (doc_id)),
+        vcounts AS (
+            SELECT token, count(*) AS c FROM (
+                SELECT unnest(string_split({_SQL_NORM}, ' ')) AS token
+                FROM dd) t
+            WHERE token <> '' GROUP BY token),
+        vocab AS (
+            SELECT token, token_id FROM (
+                SELECT token,
+                       row_number() OVER (ORDER BY c DESC, token)
+                           AS token_id
+                FROM vcounts) v
+            WHERE token_id <= 32),
+        ebase AS (SELECT sid, {_SQL_NORM} AS norm FROM epochs),
+        etok AS (
+            SELECT sid,
+                   unnest(string_split(norm, ' ')) AS token,
+                   unnest(range(1, len(string_split(norm, ' ')) + 1))
+                       AS pos
+            FROM ebase),
+        etok2 AS (SELECT * FROM etok WHERE token <> ''),
+        ids AS (
+            SELECT t.sid,
+                   row_number() OVER (PARTITION BY t.sid ORDER BY t.pos)
+                       - 1 AS li,
+                   coalesce(v.token_id, 0)::INT AS tid
+            FROM etok2 t LEFT JOIN vocab v USING (token)),
+        doc_len AS (
+            SELECT e.sid, coalesce(c.n, 0) + 1 AS len
+            FROM epochs e LEFT JOIN (
+                SELECT sid, count(*) AS n FROM etok2 GROUP BY sid
+            ) c USING (sid)),
+        offs AS (
+            SELECT sid, len,
+                   coalesce(sum(len) OVER (
+                       ORDER BY sid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS off
+            FROM doc_len),
+        stream AS (
+            SELECT (o.off + i.li)::BIGINT AS gpos, i.tid
+            FROM ids i JOIN offs o USING (sid)
+            UNION ALL
+            SELECT (o.off + o.len - 1)::BIGINT, -1 FROM offs o)
+        SELECT (gpos // 128)::BIGINT AS block_id,
+               count(*)::BIGINT AS n_tokens,
+               string_agg(tid::VARCHAR, ',' ORDER BY gpos) AS ids_str
+        FROM stream GROUP BY 1"""

@@ -123,3 +123,60 @@ def test_round5_cleaning_pipeline_composes(spark, sf_dir):
         F.sum("n_tokens").alias("t"), F.sum("n_oov").alias("o")
     ).first()
     assert tot.o < tot.t / 2
+
+
+def test_capstone_contract_invariants(spark, sf_dir):
+    """The r8 oracled capstone (corpus_filter → dedup_exact → upsample →
+    split → pack) — invariants the value hash can't articulate: the
+    planted re-ingested copies all die in dedup, every epoch of a doc
+    shares its split, and the packed stream conserves Σ(tokens + 1)."""
+    from hadoop_invertedindexer_spark.operators import dedup as dd
+    from hadoop_invertedindexer_spark.operators import sampling as sp
+    from hadoop_invertedindexer_spark.plans.contract_llm import (
+        _CAPSTONE_WEIGHTS,
+        q_pipeline_capstone,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    planted = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
+    )
+    src = docs.unionByName(planted)
+    verdict = textstats.corpus_filter(src, STOPWORDS)
+    kept = src.join(verdict.where(F.col("is_kept")).select("doc_id"), "doc_id")
+    keep_ids = dd.dedup_exact(kept).select(F.col("keep_id").alias("doc_id"))
+    # every planted copy's ORIGINAL passed/failed the filter identically
+    # (same text), so whenever a copy is kept its original is too and
+    # dedup must always prefer the original (smaller id)
+    assert keep_ids.where(F.col("doc_id") >= 1_000_000).count() == 0
+    deduped = kept.join(keep_ids, "doc_id")
+    ups = sp.upsample_corpus(deduped, _CAPSTONE_WEIGHTS, strata_col="source")
+    split = sp.hash_split(ups)
+    assert (
+        split.groupBy("doc_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+        == 0
+    )  # leakage-safe: epochs never straddle splits
+    # packed stream conserves sum(doc_tokens + 1) over the train epochs
+    packed = q_pipeline_capstone(spark, sf_dir)
+    total = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    train = split.where(F.col("split") == "train").join(
+        deduped.select("doc_id", "text"), "doc_id"
+    )
+    expect = (
+        train.select(
+            (
+                F.size(
+                    F.filter(dd.token_array("text"), lambda t: t != "")
+                )
+                + 1
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert total == expect
