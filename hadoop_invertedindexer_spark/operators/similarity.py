@@ -758,6 +758,146 @@ def centroids_kmeans(
     return cents
 
 
+def bounded_centroids_refined(
+    corpus: DataFrame,
+    k: int = 256,
+    sample_mult: int = 4,
+    refine_iters: int = 2,
+    portable: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The engine's standard bounded-K centroid policy (semantic_dedup's
+    default, shared with the drift/rebuild helpers): min(k, N)
+    md5-ordered seeds Lloyd-refined over a ``k·sample_mult`` md5-ordered
+    corpus sample — refinement cost independent of N. The sample is
+    persisted because every Lloyd iteration re-assigns it; without the
+    persist each iteration re-runs the corpus-wide
+    TakeOrderedAndProject selection."""
+    sample = (
+        corpus.select(id_col, vec_col, md5_order_key(id_col).alias("_mk"))
+        .orderBy("_mk", id_col)
+        .limit(k * sample_mult)
+        .drop("_mk")
+        .transform(tracked_persist)
+    )
+    init = centroids_bounded(sample, k, id_col, vec_col)
+    return centroids_kmeans(
+        sample,
+        init=init,
+        n_iters=refine_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        portable=portable,
+    )
+
+
+def ivf_index_drift(
+    spark,
+    path: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-health metrics for a persisted IVF index (VERDICT r7 ask
+    5): IVF centroids are FROZEN at build time, so a drifting embedding
+    distribution degrades the index silently — appended vectors land
+    far from every centroid (quantization error up) and pile into few
+    buckets (imbalance up), which widens the true-neighbor miss rate at
+    fixed nprobe. This is the monitoring half of the standard offline
+    posture; :func:`rebuild_ivf_index` is the remediation half.
+
+    Returns ONE row:
+
+    * ``n_vectors``, ``n_centroids``, ``n_empty_buckets``,
+      ``max_bucket`` — occupancy shape;
+    * ``imbalance`` = max_bucket · n_centroids / n_vectors (1.0 =
+      perfectly even; grows as drift concentrates mass), round(6);
+    * ``avg_qerr``, ``max_qerr`` = 1 − cos(v, assigned centroid),
+      round(6) — the quantization-error distribution.
+
+    Cost: one pruned read of the assignments (the stored ``_cnorm``
+    rides along — the raw corpus is never touched) joined against the
+    broadcast centroid table; no new assignment pass, no shuffle beyond
+    the two metadata-scale aggregates."""
+    assigned = spark.read.parquet(f"{path}/assignments")
+    cents = spark.read.parquet(f"{path}/centroids").select(
+        "cid",
+        "cvec",
+        F.sqrt(_dot(F.col("cvec"), F.col("cvec"))).alias("_cn"),
+    )
+    scored = assigned.join(F.broadcast(cents), "cid").select(
+        "cid",
+        (
+            F.lit(1.0)
+            - _dot(F.col(vec_col), F.col("cvec"))
+            / (F.col("_cnorm") * F.col("_cn"))
+        ).alias("qerr"),
+    )
+    vec_stats = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.avg("qerr").alias("_avg_qerr"),
+        F.max("qerr").alias("_max_qerr"),
+    )
+    bucket_stats = (
+        scored.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.max("_n").cast("long").alias("max_bucket"),
+            F.count(F.lit(1)).cast("long").alias("_n_used"),
+        )
+    )
+    cent_count = cents.agg(F.count(F.lit(1)).cast("long").alias("n_centroids"))
+    return (
+        vec_stats.crossJoin(F.broadcast(bucket_stats))
+        .crossJoin(F.broadcast(cent_count))
+        .select(
+            "n_vectors",
+            "n_centroids",
+            (F.col("n_centroids") - F.col("_n_used")).alias(
+                "n_empty_buckets"
+            ),
+            "max_bucket",
+            F.round(
+                F.col("max_bucket") * F.col("n_centroids") / F.col("n_vectors"),
+                6,
+            ).alias("imbalance"),
+            F.round("_avg_qerr", 6).alias("avg_qerr"),
+            F.round("_max_qerr", 6).alias("max_qerr"),
+        )
+    )
+
+
+def rebuild_ivf_index(
+    spark,
+    path: str,
+    dest_path: str,
+    k: int = 256,
+    sample_mult: int = 4,
+    refine_iters: int = 2,
+    portable: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Offline rebuild for a drifted IVF index (VERDICT r7 ask 5, the
+    remediation half of :func:`ivf_index_drift`): derive fresh bounded-K
+    centroids from the index's CURRENT contents — the md5-ordered sample
+    + Lloyd policy, so appended vectors finally influence the centroid
+    layout — and rewrite the cid-partitioned index at ``dest_path``.
+
+    ``dest_path`` is a separate directory by design: Spark cannot safely
+    overwrite parquet it is still reading, so rebuilds write fresh and
+    the caller rotates the symlink/pointer — the standard offline index
+    rotation. Reads only the persisted assignments (id + vector); the
+    original corpus is never touched, and ingest can keep appending to
+    the old index until the swap."""
+    corpus = spark.read.parquet(f"{path}/assignments").select(
+        id_col, vec_col
+    )
+    cents = bounded_centroids_refined(
+        corpus, k, sample_mult, refine_iters, portable, id_col, vec_col
+    )
+    build_ivf_index(corpus, cents, dest_path, id_col, vec_col)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -824,26 +964,8 @@ def semantic_dedup(
         cents = centroids_by_sampling(corpus, every, id_col, vec_col)
         flat = True
     else:
-        # persisted: every Lloyd iteration assigns the SAMPLE against the
-        # current centroids — without the persist each iteration would
-        # re-run the corpus-wide TakeOrderedAndProject selection
-        sample = (
-            corpus.select(
-                id_col, vec_col, md5_order_key(id_col).alias("_mk")
-            )
-            .orderBy("_mk", id_col)
-            .limit(k * sample_mult)
-            .drop("_mk")
-            .transform(tracked_persist)
-        )
-        init = centroids_bounded(sample, k, id_col, vec_col)
-        cents = centroids_kmeans(
-            sample,
-            init=init,
-            n_iters=refine_iters,
-            id_col=id_col,
-            vec_col=vec_col,
-            portable=portable,
+        cents = bounded_centroids_refined(
+            corpus, k, sample_mult, refine_iters, portable, id_col, vec_col
         )
         flat = k <= max_broadcast_centroids
     if flat:

@@ -146,6 +146,7 @@ def pack_tokens(
     text_col: str = "text",
     eos_id: int = -1,
     bucket_size: int = 1024,
+    output: str = "str",
 ) -> DataFrame:
     """GPT-style sequence packing — the step that turns a deduplicated,
     filtered corpus into fixed-length training blocks: every document's
@@ -154,7 +155,10 @@ def pack_tokens(
     stream, and the stream is cut into ``block_size`` blocks. Returns
     (block_id, n_tokens, ids_str) — one row per block, the final block
     possibly partial, ids comma-joined in stream order (portable to the
-    oracle's string_agg). Empty documents contribute just their
+    oracle's string_agg). ``output='array'`` (r8) returns the ids as a
+    real ``array<int>`` column named ``ids`` instead — the shape a
+    training loader consumes directly (and what a parquet sink should
+    store); identical content, pinned by test to split(ids_str). Empty documents contribute just their
     separator, so every document is represented and total stream length
     is Σ(doc_tokens + 1) — asserted in tests.
 
@@ -226,21 +230,23 @@ def pack_tokens(
     stream = offset_docs.select(
         "_off", F.posexplode("ids").alias("i", "tid")
     ).select("tid", (F.col("_off") + F.col("i")).alias("gpos"))
+    ordered_ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("gpos", "tid"))),
+        lambda s: s["tid"],
+    )
+    out_col = (
+        ordered_ids.alias("ids")
+        if output == "array"
+        else F.concat_ws(
+            ",", F.transform(ordered_ids, lambda t: t.cast("string"))
+        ).alias("ids_str")
+    )
     return (
         stream.withColumn(
             "block_id", F.floor(F.col("gpos") / block_size).cast("long")
         )
         .groupBy("block_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("gpos", "tid"))),
-                    lambda s: s["tid"].cast("string"),
-                ),
-            ).alias("ids_str"),
-        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"), out_col)
     )
 
 

@@ -155,6 +155,24 @@ def q_semantic_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health metrics (r8): build a persisted index under the
+    portable bounded-K centroids (same construction the
+    semantic_dedup_bounded oracle pins) and report occupancy +
+    quantization-error drift signals off the stored assignments. The
+    oracle recomputes the assignment argmax and the same one-row
+    aggregate."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivfidx_") + "/ivf"
+    cents = similarity.bounded_centroids_refined(
+        emb, k=64, sample_mult=4, refine_iters=2, portable=True
+    )
+    similarity.build_ivf_index(emb, cents, path)
+    return similarity.ivf_index_drift(spark, path)
+
+
 def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for every 100th vector as query set."""
     emb = _emb(spark, sf_dir)
@@ -876,6 +894,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_bounded": q_semantic_dedup_bounded,
+    "ivf_drift": q_ivf_drift,
     "decontaminate": q_decontaminate,
     "similarity_bruteforce": q_similarity_bruteforce,
     "similarity_ivf": q_similarity_ivf,
@@ -1152,20 +1171,18 @@ def _sql_ivf_kmeans(
         WHERE rank <= {k}"""
 
 
-def _sql_semantic_dedup_bounded(
+def _sql_bounded_cents_ctes(
     k: int = 64,
     sample: int = 256,
     n_iters: int = 2,
-    threshold: float = 0.4,
     dim: int = 64,
-) -> str:
-    """The bounded-K semantic-dedup default in SQL (VERDICT r6 item 1
-    twin): md5-ordered sample (the portable 60-bit order key, lockstep
-    with similarity.md5_order_key), first-k seeds, the SAME unrolled
-    integer-exact Lloyd iterations as _sql_ivf_kmeans (floor(x·2^20)
-    sums, empty centroids keep their previous vector), then the
-    assignment + round(6) cosines + keep-the-marginal drop rule shared
-    verbatim with the `semantic_dedup` oracle."""
+) -> tuple[str, str]:
+    """The bounded-K centroid construction in SQL (lockstep with
+    similarity.bounded_centroids_refined, portable=True): md5-ordered
+    sample, first-k seeds, unrolled integer-exact Lloyd iterations
+    (floor(x·2^20) sums, empty centroids keep their previous vector).
+    Returns (ctes, final_cents_name) — shared by the
+    semantic_dedup_bounded and ivf_drift oracles."""
     mk = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
     ctes = [
         f"""samp AS (
@@ -1200,9 +1217,23 @@ def _sql_semantic_dedup_bounded(
             SELECT p.cid, coalesce(n.svec, p.cvec) AS cvec
             FROM {prev} p LEFT JOIN newc{it} n USING (cid))""",
         ]
-    final_cents = f"cents{n_iters}"
+    return ", ".join(ctes), f"cents{n_iters}"
+
+
+def _sql_semantic_dedup_bounded(
+    k: int = 64,
+    sample: int = 256,
+    n_iters: int = 2,
+    threshold: float = 0.4,
+    dim: int = 64,
+) -> str:
+    """The bounded-K semantic-dedup default in SQL (VERDICT r6 item 1
+    twin): the shared bounded-centroid CTEs, then the assignment +
+    round(6) cosines + keep-the-marginal drop rule shared verbatim with
+    the `semantic_dedup` oracle."""
+    cents_ctes, final_cents = _sql_bounded_cents_ctes(k, sample, n_iters, dim)
     return f"""
-        WITH {", ".join(ctes)},
+        WITH {cents_ctes},
         assigned AS (
             SELECT id, v, cid, round(sim, 6) AS cent_cos,
                    sqrt({_SQL_DOT.format(a='v', b='v')}) AS nrm
@@ -2047,6 +2078,43 @@ LLM_ORACLE_SQL: dict[str, str] = {
         FROM assigned a LEFT JOIN dropped d ON a.id = d.id""",
     # the bounded-K default path (VERDICT r6 item 1): md5-sampled seeds +
     # 2 portable Lloyd iterations + the same drop rule
+    # IVF drift metrics (r8): the shared bounded-centroid CTEs, the
+    # exact assignment argmax (cos desc, cid asc — same tie-break as
+    # ivf_assign's max(struct)), and the one-row occupancy + qerr
+    # aggregate. The Spark side reads the metrics off the PERSISTED
+    # index; the stored assignment is this argmax by construction.
+    "ivf_drift": (
+        lambda _c: f"""
+        WITH {_c[0]},
+        assigned AS (
+            SELECT id, cid, sim FROM (
+                SELECT e.vec_id AS id, c.cid,
+                       {_sql_cosine('e.embedding', 'c.cvec')} AS sim,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')}
+                                        DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN {_c[1]} c) t
+            WHERE rn = 1),
+        agg AS (
+            SELECT count(*) AS n_vectors,
+                   avg(1.0 - sim) AS aq, max(1.0 - sim) AS mq
+            FROM assigned),
+        bk AS (
+            SELECT max(n) AS max_bucket, count(*) AS n_used
+            FROM (SELECT cid, count(*) AS n FROM assigned GROUP BY cid) t),
+        cc AS (SELECT count(*) AS n_centroids FROM {_c[1]})
+        SELECT agg.n_vectors::BIGINT AS n_vectors,
+               cc.n_centroids::BIGINT AS n_centroids,
+               (cc.n_centroids - bk.n_used)::BIGINT AS n_empty_buckets,
+               bk.max_bucket::BIGINT AS max_bucket,
+               round(bk.max_bucket * cc.n_centroids / agg.n_vectors, 6)
+                   AS imbalance,
+               round(agg.aq, 6) AS avg_qerr,
+               round(agg.mq, 6) AS max_qerr
+        FROM agg, bk, cc"""
+    )(_sql_bounded_cents_ctes(k=64, sample=256, n_iters=2, dim=64)),
     "semantic_dedup_bounded": _sql_semantic_dedup_bounded(
         k=64, sample=256, n_iters=2, threshold=0.4
     ),

@@ -651,3 +651,67 @@ def test_semantic_dedup_bounded_default_matches_pinned_centroids(spark):
         ).collect()
     }
     assert via_default == via_pinned and len(via_default) == 40
+
+
+class TestIvfDriftRebuild:
+    """r8: the monitor/remediate pair for frozen-centroid IVF indexes."""
+
+    def _emb_frame(self, spark, rows):
+        return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+
+    def _clustered(self, n_clusters, per, dim=8):
+        rows = []
+        for c in range(n_clusters):
+            for j in range(per):
+                v = [
+                    (1.0 if i == c else 0.0) + 0.01 * ((c * per + j) % 5)
+                    for i in range(dim)
+                ]
+                rows.append((c * per + j, v))
+        return rows
+
+    def test_shifted_append_degrades_then_rebuild_recovers(
+        self, spark, tmp_path
+    ):
+        a = self._emb_frame(spark, self._clustered(4, 25))
+        path = str(tmp_path / "ivf")
+        cents = similarity.bounded_centroids_refined(
+            a, k=4, sample_mult=4, refine_iters=2
+        )
+        similarity.build_ivf_index(a, cents, path)
+        before = similarity.ivf_index_drift(spark, path).collect()[0]
+        assert before.n_vectors == 100 and before.n_centroids == 4
+        # append a batch from a SHIFTED distribution, far from every
+        # frozen centroid: quantization error and imbalance must rise
+        b = self._emb_frame(
+            spark,
+            [(100000 + i, [0.5] * 4 + [2.0 + 0.01 * i] * 4) for i in range(100)],
+        )
+        similarity.append_ivf_index(b, path)
+        after = similarity.ivf_index_drift(spark, path).collect()[0]
+        assert after.n_vectors == 200
+        assert after.avg_qerr > before.avg_qerr
+        assert after.imbalance > before.imbalance
+        # offline rebuild into a fresh directory: new centroids see the
+        # appended mass, error drops back below the drifted level
+        dest = str(tmp_path / "ivf2")
+        similarity.rebuild_ivf_index(spark, path, dest, k=8, refine_iters=2)
+        rebuilt = similarity.ivf_index_drift(spark, dest).collect()[0]
+        assert rebuilt.n_vectors == 200 and rebuilt.n_centroids == 8
+        assert rebuilt.avg_qerr < after.avg_qerr
+        assert rebuilt.imbalance <= after.imbalance
+
+    def test_drift_metrics_shape_on_healthy_index(self, spark, tmp_path):
+        a = self._emb_frame(spark, self._clustered(2, 10))
+        path = str(tmp_path / "ivf")
+        similarity.build_ivf_index(
+            a,
+            similarity.bounded_centroids_refined(a, k=2, refine_iters=1),
+            path,
+        )
+        r = similarity.ivf_index_drift(spark, path).collect()[0]
+        assert r.n_empty_buckets >= 0 and r.max_bucket <= r.n_vectors
+        assert 0.0 <= r.avg_qerr <= r.max_qerr <= 2.0
+        assert r.imbalance >= 1.0 - 1e-9

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from hadoop_invertedindexer_spark.operators import vocab
+from hadoop_invertedindexer_spark.sources.tables import read_table
 
 
 def test_vocab_rank_order_and_ties(spark):
@@ -230,3 +231,26 @@ class TestBpe:
             for r in vocab.bpe_encode(docs, m, max_expr_merges=2).collect()
         }
         assert fast == slow
+
+
+def test_pack_tokens_array_output_matches_str(spark, sf_dir):
+    """output='array' (r8) returns the same blocks with ids as a real
+    array<int> — the loader-facing shape — pinned elementwise to the
+    oracled string mode."""
+    d = read_table(spark, sf_dir, "documents")
+    v = vocab.build_vocab(d, max_size=32)
+    s = {
+        r.block_id: (r.n_tokens, r.ids_str)
+        for r in vocab.pack_tokens(d, v, block_size=128, bucket_size=64).collect()
+    }
+    a = {
+        r.block_id: (r.n_tokens, r.ids)
+        for r in vocab.pack_tokens(
+            d, v, block_size=128, bucket_size=64, output="array"
+        ).collect()
+    }
+    assert set(s) == set(a)
+    for b, (n, ids_str) in s.items():
+        an, ids = a[b]
+        assert an == n and len(ids) == n
+        assert [int(x) for x in ids_str.split(",")] == list(ids)
