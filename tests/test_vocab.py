@@ -254,3 +254,21 @@ def test_pack_tokens_array_output_matches_str(spark, sf_dir):
         an, ids = a[b]
         assert an == n and len(ids) == n
         assert [int(x) for x in ids_str.split(",")] == list(ids)
+
+
+def test_pack_tokens_array_mode_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """The production artifact is an array<int> column in parquet: write
+    the array-mode blocks through the parquet sink and read them back
+    byte-equal (schema preserved as array<int>, no stringification)."""
+    d = read_table(spark, sf_dir, "documents")
+    v = vocab.build_vocab(d, max_size=32)
+    blocks = vocab.pack_tokens(
+        d, v, block_size=128, bucket_size=64, output="array"
+    )
+    out = str(tmp_path / "blocks")
+    blocks.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert dict(back.dtypes)["ids"] == "array<int>"
+    want = {r.block_id: (r.n_tokens, list(r.ids)) for r in blocks.collect()}
+    got = {r.block_id: (r.n_tokens, list(r.ids)) for r in back.collect()}
+    assert got == want
