@@ -1196,6 +1196,120 @@ def dedup_substrings(
     )
 
 
+def decontaminate_substrings(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level decontamination (the Lee et al. 2022 §6.2 /
+    GPT-3-style application of ExactSubstr): excise from every TRAIN
+    document any length-``n`` token window that appears ANYWHERE in the
+    eval set — the span-granular upgrade of :func:`contamination` /
+    :func:`bloom_decontaminate`, which only FLAG whole documents. A
+    train doc that quotes one benchmark sentence loses that sentence,
+    not its life.
+
+    Same machinery as :func:`dedup_substrings` minus the keeper
+    protection (every eval-matched window is removed — there is no
+    canonical copy to keep on the train side): window emit → semi join
+    against the eval window set → interval islands per doc → token
+    rebuild. Returns one row per train doc: (``doc_id``, ``text`` — the
+    normalized token stream with contaminated spans excised,
+    ``removed_tokens``).
+
+    Scale shape: train pays one window emit + ONE equi-join on the
+    8-byte window hash (left_semi, so matched windows never fan out)
+    plus the doc-keyed rebuild; the eval side — benchmark-sized, but
+    not always broadcast-small — is deduplicated to distinct window
+    hashes before the join. Only matched windows (bounded by true
+    contamination) reach the islands merge."""
+    from pyspark.sql import Window
+
+    toks = (
+        _spread(train, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            token_array(text_col).alias("tk"),
+        )
+        .withColumn("t_len", F.size("tk"))
+        .transform(tracked_persist)  # window emit + rebuild
+    )
+
+    def windows(frame):
+        return frame.select(
+            "id",
+            "t_len",
+            F.posexplode(
+                F.when(
+                    F.col("t_len") < n,
+                    F.array(F.concat_ws(" ", F.col("tk"))),
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("t_len") - n),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("tk"), i + 1, n)
+                        ),
+                    )
+                )
+            ).alias("pos", "sh_str"),
+        ).select(
+            "id",
+            "pos",
+            F.least(F.col("pos") + n - 1, F.col("t_len") - 1).alias("e"),
+            F.xxhash64("sh_str").alias("sh"),
+        )
+
+    ev = (
+        evalset.select(
+            F.col(id_col).alias("id"),
+            token_array(text_col).alias("tk"),
+        )
+        .withColumn("t_len", F.size("tk"))
+    )
+    eval_windows = windows(ev).select("sh").distinct()
+    # matched train windows: semi join keeps each window at most once,
+    # shuffle_hash because contamination volume is unbounded (a train
+    # corpus that embeds the whole benchmark matches everywhere)
+    hits = windows(toks).join(
+        eval_windows.hint("shuffle_hash"), "sh", "left_semi"
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    spans = (
+        hits.withColumn("pe", F.max("e").over(wprev))
+        .withColumn(
+            "new_island",
+            (F.col("pe").isNull() | (F.col("pos") > F.col("pe") + 1)).cast(
+                "int"
+            ),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+        .groupBy("id", "island")
+        .agg(F.min("pos").alias("rs"), F.max("e").alias("re"))
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("rs", "re")).alias("drop_ivals"))
+    )
+    ivals = F.coalesce(
+        F.col("drop_ivals"),
+        F.array().cast("array<struct<rs:bigint,re:bigint>>"),
+    )
+    kept_toks = F.filter(
+        F.col("tk"),
+        lambda t, i: ~F.exists(
+            ivals, lambda iv: (i >= iv["rs"]) & (i <= iv["re"])
+        ),
+    )
+    return toks.join(spans.hint("shuffle_hash"), "id", "left").select(
+        F.col("id").alias(id_col),
+        F.concat_ws(" ", kept_toks).alias("text"),
+        (F.col("t_len") - F.size(kept_toks)).cast("long").alias(
+            "removed_tokens"
+        ),
+    )
+
+
 def source_overlap(
     docs: DataFrame,
     source_col: str = "source",

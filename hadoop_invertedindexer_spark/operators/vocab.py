@@ -286,24 +286,40 @@ def bpe_train(
     growing replace lineage, so iteration r costs O(|vocab|), not
     O(r * |vocab|) (the sql_api_recursive lesson)."""
     spark = docs.sparkSession
-    words = (
+    cur = _bpe_word_dict(docs, text_col).localCheckpoint(eager=True)
+    merges = _bpe_loop(cur, 0, num_merges, min_freq, checkpoint_every)
+    schema = (
+        "merge_rank long, lhs string, rhs string, merged string, freq long"
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+def _bpe_word_dict(docs: DataFrame, text_col: str) -> DataFrame:
+    """(ws, cnt): the char-symbol word-frequency dictionary — the ONE
+    corpus-scale shuffle of BPE training."""
+    return (
         docs.select(
-            F.explode(F.filter(token_array(text_col), lambda t: t != "")).alias(
-                "word"
-            )
+            F.explode(
+                F.filter(token_array(text_col), lambda t: t != "")
+            ).alias("word")
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.concat_ws(" ", F.split("word", "")).alias("ws"), "cnt"
-        )
+        .select(F.concat_ws(" ", F.split("word", "")).alias("ws"), "cnt")
     )
-    cur = words.localCheckpoint(eager=True)
+
+
+def _bpe_loop(
+    cur: DataFrame,
+    start_rank: int,
+    num_merges: int,
+    min_freq: int,
+    checkpoint_every: int,
+) -> list[tuple[int, str, str, str, int]]:
     merges: list[tuple[int, str, str, str, int]] = []
-    for r in range(1, num_merges + 1):
-        syms = F.split("ws", " ")
+    for r in range(start_rank + 1, start_rank + num_merges + 1):
         pair_arr = F.transform(
-            syms,
+            F.split("ws", " "),
             lambda s, i: F.when(
                 i >= 1,
                 F.concat(F.element_at(F.split("ws", " "), i), F.lit(" "), s),
@@ -331,12 +347,59 @@ def bpe_train(
         cur = cur.select(
             F.replace("ws", F.lit(pair), F.lit(merged)).alias("ws"), "cnt"
         )
-        if r % checkpoint_every == 0:
+        if (r - start_rank) % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_train_continue(
+    docs: DataFrame,
+    merges: DataFrame,
+    num_merges: int = 32,
+    text_col: str = "text",
+    min_freq: int = 1,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Warm-start BPE training (r8 — the incremental-maintenance posture
+    of build/append elsewhere in the engine, applied to the tokenizer):
+    replay an existing merge table over the fresh word dictionary, then
+    learn ``num_merges`` MORE merges continuing the rank sequence.
+    Returns ONLY the new merges (append them to the prior table for the
+    full model).
+
+    BPE's training state is fully captured by (dictionary, merge list),
+    so on an unchanged corpus ``continue(train(c, k), c, m)`` equals the
+    last ``m`` rows of ``train(c, k + m)`` exactly — pinned by test.
+    With a GROWN corpus this is the honest daily-vocab-growth move: the
+    existing merges stay frozen (ids stable for every already-encoded
+    shard) and only new merges reflect the new data.
+
+    Cost: the replay is |prior| literal replace projections over the
+    vocab-sized dictionary (localCheckpoint every ``checkpoint_every``
+    to keep lineage flat), then the normal per-merge loop — the corpus
+    still shuffles exactly once."""
+    spark = docs.sparkSession
+    prior = [
+        (int(r.merge_rank), r.lhs, r.rhs)
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    cur = _bpe_word_dict(docs, text_col).localCheckpoint(eager=True)
+    for i, (_, lhs, rhs) in enumerate(prior, 1):
+        cur = cur.select(
+            F.replace(
+                "ws", F.lit(lhs + " " + rhs), F.lit(lhs + rhs)
+            ).alias("ws"),
+            "cnt",
+        )
+        if i % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    cur = cur.localCheckpoint(eager=True)
+    start = prior[-1][0] if prior else 0
+    out = _bpe_loop(cur, start, num_merges, min_freq, checkpoint_every)
     schema = (
         "merge_rank long, lhs string, rhs string, merged string, freq long"
     )
-    return spark.createDataFrame(merges, schema)
+    return spark.createDataFrame(out, schema)
 
 
 def bpe_encode(

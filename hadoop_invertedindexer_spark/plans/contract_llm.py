@@ -397,6 +397,17 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.bpe_encode(d, vocab.bpe_train(d, num_merges=10))
 
 
+def q_bpe_continue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start BPE (r8): train 5 merges, then CONTINUE for 5 more —
+    must equal merges 6-10 of the from-scratch 10-merge chain (BPE state
+    is fully captured by dictionary + merge list), so the oracle is just
+    the unrolled chain's steps p6..p10."""
+    d = _docs(spark, sf_dir)
+    return vocab.bpe_train_continue(
+        d, vocab.bpe_train(d, num_merges=5), num_merges=5
+    )
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level source-overlap matrix (r7), SCALE path: one MinHash
     signature per SOURCE (xxhash64 over 8-byte pre-hashed shingles)
@@ -767,6 +778,31 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level decontamination (r8): every 50th doc plays the
+    eval set (the decontaminate/bloom split); a 10-token canary passage
+    is planted on BOTH the eval docs and every 9th train doc, so the
+    contaminated train docs lose exactly the canary span while their own
+    text survives — span-granular, unlike the doc-flagging twins."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            (F.col("doc_id") % 9 == 0) | (F.col("doc_id") % 50 == 0),
+            F.lit(
+                " benchmark canary alpha bravo charlie delta echo"
+                " foxtrot golf hotel"
+            ),
+        ).otherwise(F.lit("")),
+    )
+    src = d.select("doc_id", planted.alias("text"))
+    return dedup.decontaminate_substrings(
+        train=src.where(F.col("doc_id") % 50 != 0),
+        evalset=src.where(F.col("doc_id") % 50 == 0),
+        n=8,
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_metadata_summary(
         multimodal.binary_docs(_docs(spark, sf_dir))
@@ -918,6 +954,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_nll": q_ngram_nll,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "bpe_continue": q_bpe_continue,
     "pii_redact": q_pii_redact,
     "repetition_removal": q_repetition_removal,
     "boilerplate_removal": q_boilerplate_removal,
@@ -932,6 +969,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,
     "duplicate_passages": q_duplicate_passages,
     "dedup_substrings": q_dedup_substrings,
+    "decontaminate_substrings": q_decontaminate_substrings,
     "media_dedup_exact": q_media_dedup_exact,
     "media_ahash": q_media_ahash,
     "media_near_dup": q_media_near_dup,
@@ -1831,6 +1869,69 @@ LLM_ORACLE_SQL: dict[str, str] = {
         SELECT tl.doc_id, coalesce(a.text, '') AS text,
                (tl.tl - coalesce(a.nkept, 0))::BIGINT AS removed_tokens
         FROM tl LEFT JOIN agg a USING (doc_id)""",
+    # substring decontamination (r8): same interval machinery as
+    # dedup_substrings without keeper protection — every eval-matched
+    # window's coverage goes; windows grouped by string (xxhash64 in
+    # Spark, identical absent a collision)
+    "decontaminate_substrings": f"""
+        WITH src AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 9 = 0 OR doc_id % 50 = 0
+                                THEN ' benchmark canary alpha bravo'
+                                     || ' charlie delta echo foxtrot'
+                                     || ' golf hotel'
+                                ELSE '' END AS text
+            FROM documents),
+        toks AS (
+            SELECT doc_id, string_split({_SQL_NORM}, ' ') AS tk
+            FROM src WHERE doc_id % 50 <> 0),
+        etoks AS (
+            SELECT doc_id, string_split({_SQL_NORM}, ' ') AS tk
+            FROM src WHERE doc_id % 50 = 0),
+        win AS (
+            SELECT doc_id AS id, i - 1 AS pos,
+                   least(i + 6, len(tk) - 1) AS e,
+                   array_to_string(tk[i:least(i + 7, len(tk))], ' ') AS sh
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS t(i)),
+        ewin AS (
+            SELECT DISTINCT
+                   array_to_string(tk[i:least(i + 7, len(tk))], ' ') AS sh
+            FROM etoks,
+                 unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS t(i)),
+        hits AS (SELECT w.id, w.pos, w.e FROM win w JOIN ewin USING (sh)),
+        isl AS (
+            SELECT id, pos, e,
+                   max(e) OVER (PARTITION BY id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS pe
+            FROM hits),
+        isl2 AS (
+            SELECT id, pos, e,
+                   sum(CASE WHEN pe IS NULL OR pos > pe + 1
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY id ORDER BY pos) AS island
+            FROM isl),
+        spans AS (
+            SELECT id, min(pos) AS rs, max(e) AS re
+            FROM isl2 GROUP BY id, island),
+        toke AS (
+            SELECT doc_id, i - 1 AS pos, tk[i] AS tok, len(tk) AS tl
+            FROM toks, unnest(generate_series(1, len(tk))) AS t(i)),
+        keep AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM toke t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.id = t.doc_id AND t.pos BETWEEN s.rs AND s.re)),
+        agg AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+                   count(*) AS nkept
+            FROM keep GROUP BY doc_id),
+        tl AS (SELECT doc_id, len(tk) AS tl FROM toks)
+        SELECT tl.doc_id, coalesce(a.text, '') AS text,
+               (tl.tl - coalesce(a.nkept, 0))::BIGINT AS removed_tokens
+        FROM tl LEFT JOIN agg a USING (doc_id)""",
     "knn_classify": f"""
         WITH nn AS (
             SELECT qid, vec_id FROM (
@@ -2425,6 +2526,21 @@ LLM_ORACLE_SQL["bpe_train"] = (
                    replace(pair, ' ', '') AS merged,
                    freq::BIGINT AS freq FROM p{i}"""
         for i in range(1, _BPE_CONTRACT_MERGES + 1)
+    )
+)
+
+
+LLM_ORACLE_SQL["bpe_continue"] = (
+    "WITH "
+    + _sql_bpe_ctes(_BPE_CONTRACT_MERGES)
+    + "\n        "
+    + "\n        UNION ALL ".join(
+        f"""SELECT {i}::BIGINT AS merge_rank,
+                   split_part(pair, ' ', 1) AS lhs,
+                   split_part(pair, ' ', 2) AS rhs,
+                   replace(pair, ' ', '') AS merged,
+                   freq::BIGINT AS freq FROM p{i}"""
+        for i in range(6, _BPE_CONTRACT_MERGES + 1)
     )
 )
 

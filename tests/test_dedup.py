@@ -505,6 +505,62 @@ class TestDedupSubstrings:
         assert out.select("doc_id").distinct().count() == 6
 
 
+class TestDecontaminateSubstrings:
+    """Substring-level decontamination (r8): eval windows excised from
+    train at span granularity."""
+
+    def _run(self, spark, train_rows, eval_rows, n=8):
+        train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+        ev = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+        return {
+            r.doc_id: (r.text, r.removed_tokens)
+            for r in dedup.decontaminate_substrings(train, ev, n=n).collect()
+        }
+
+    EVAL = [(100, "prefix alpha beta gamma delta epsilon zeta eta theta suffix")]
+
+    def test_quoted_span_excised_own_text_kept(self, spark):
+        out = self._run(
+            spark,
+            [(1, "own words here alpha beta gamma delta epsilon zeta"
+                 " eta theta tail bits")],
+            self.EVAL,
+        )
+        assert out[1] == ("own words here tail bits", 8)
+
+    def test_pure_quote_fully_removed(self, spark):
+        out = self._run(
+            spark,
+            [(3, "alpha beta gamma delta epsilon zeta eta theta")],
+            self.EVAL,
+        )
+        assert out[3] == ("", 8)
+
+    def test_clean_train_untouched(self, spark):
+        t = "completely clean document with nothing shared at all here"
+        out = self._run(spark, [(2, t)], self.EVAL)
+        assert out[2] == (t, 0)
+
+    def test_every_train_doc_returned_eval_never(self, spark):
+        out = self._run(
+            spark,
+            [(i, f"clean doc {i} words alpha beta") for i in range(4)],
+            self.EVAL,
+        )
+        assert set(out) == {0, 1, 2, 3}
+
+    def test_two_disjoint_quotes_two_spans(self, spark):
+        ev = [(100, "one two three four five six seven eight"),
+              (101, "red orange yellow green blue indigo violet ultra")]
+        out = self._run(
+            spark,
+            [(7, "one two three four five six seven eight MID words"
+                 " red orange yellow green blue indigo violet ultra END")],
+            ev,
+        )
+        assert out[7] == ("mid words end", 16)
+
+
 class TestSourceOverlap:
     def _overlap(self, spark, rows, **kw):
         from hadoop_invertedindexer_spark.operators import dedup as D

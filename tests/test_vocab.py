@@ -272,3 +272,47 @@ def test_pack_tokens_array_mode_parquet_roundtrip(spark, sf_dir, tmp_path):
     want = {r.block_id: (r.n_tokens, list(r.ids)) for r in blocks.collect()}
     got = {r.block_id: (r.n_tokens, list(r.ids)) for r in back.collect()}
     assert got == want
+
+
+class TestBpeContinue:
+    CORPUS = [(1, TestBpe.SENNRICH), (2, "lowest slower newest widest low")]
+
+    def test_continue_equals_from_scratch(self, spark):
+        """BPE state = (dictionary, merge list): warm-starting from the
+        first 4 merges and learning 4 more must reproduce merges 5-8 of
+        a from-scratch 8-merge run exactly (ranks, pairs, freqs)."""
+        docs = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        full = [
+            tuple(r) for r in vocab.bpe_train(docs, num_merges=8)
+            .orderBy("merge_rank").collect()
+        ]
+        head = vocab.bpe_train(docs, num_merges=4)
+        cont = [
+            tuple(r) for r in vocab.bpe_train_continue(docs, head, num_merges=4)
+            .orderBy("merge_rank").collect()
+        ]
+        assert cont == full[4:]
+
+    def test_continue_from_empty_table_is_plain_train(self, spark):
+        docs = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        empty = spark.createDataFrame(
+            [], "merge_rank long, lhs string, rhs string, merged string, freq long"
+        )
+        a = [tuple(r) for r in vocab.bpe_train(docs, num_merges=3)
+             .orderBy("merge_rank").collect()]
+        b = [tuple(r) for r in vocab.bpe_train_continue(docs, empty, num_merges=3)
+             .orderBy("merge_rank").collect()]
+        assert a == b
+
+    def test_continue_on_grown_corpus_keeps_prior_ranks_frozen(self, spark):
+        base = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        head = vocab.bpe_train(base, num_merges=3)
+        grown = base.unionAll(
+            spark.createDataFrame(
+                [(9, "zz zz zz zz zz zz zz zz zz zz")], ["doc_id", "text"]
+            )
+        )
+        new = vocab.bpe_train_continue(grown, head, num_merges=2).collect()
+        ranks = sorted(r.merge_rank for r in new)
+        assert ranks == [4, 5]  # continues the sequence, never rewrites
+        assert any(r.lhs == "z" and r.rhs == "z" for r in new)  # sees new data
