@@ -1261,20 +1261,172 @@ def decontaminate_substrings(
             F.xxhash64("sh_str").alias("sh"),
         )
 
-    ev = (
-        evalset.select(
-            F.col(id_col).alias("id"),
-            token_array(text_col).alias("tk"),
-        )
-        .withColumn("t_len", F.size("tk"))
+    eval_windows = (
+        _window_hashes(evalset, n, id_col, text_col).select("sh").distinct()
     )
-    eval_windows = windows(ev).select("sh").distinct()
     # matched train windows: semi join keeps each window at most once,
     # shuffle_hash because contamination volume is unbounded (a train
     # corpus that embeds the whole benchmark matches everywhere)
     hits = windows(toks).join(
         eval_windows.hint("shuffle_hash"), "sh", "left_semi"
     )
+    w = Window.partitionBy("id").orderBy("pos")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    spans = (
+        hits.withColumn("pe", F.max("e").over(wprev))
+        .withColumn(
+            "new_island",
+            (F.col("pe").isNull() | (F.col("pos") > F.col("pe") + 1)).cast(
+                "int"
+            ),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+        .groupBy("id", "island")
+        .agg(F.min("pos").alias("rs"), F.max("e").alias("re"))
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("rs", "re")).alias("drop_ivals"))
+    )
+    ivals = F.coalesce(
+        F.col("drop_ivals"),
+        F.array().cast("array<struct<rs:bigint,re:bigint>>"),
+    )
+    kept_toks = F.filter(
+        F.col("tk"),
+        lambda t, i: ~F.exists(
+            ivals, lambda iv: (i >= iv["rs"]) & (i <= iv["re"])
+        ),
+    )
+    return toks.join(spans.hint("shuffle_hash"), "id", "left").select(
+        F.col("id").alias(id_col),
+        F.concat_ws(" ", kept_toks).alias("text"),
+        (F.col("t_len") - F.size(kept_toks)).cast("long").alias(
+            "removed_tokens"
+        ),
+    )
+
+
+def _window_hashes(docs: DataFrame, n: int, id_col: str, text_col: str):
+    """(id, pos, e, sh): every length-``n`` token window of every doc,
+    keyed by its 8-byte hash — the shared emit of the substring
+    family."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            token_array(text_col).alias("tk"),
+        )
+        .withColumn("t_len", F.size("tk"))
+        .select(
+            "id",
+            "t_len",
+            F.posexplode(
+                F.when(
+                    F.col("t_len") < n,
+                    F.array(F.concat_ws(" ", F.col("tk"))),
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("t_len") - n),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("tk"), i + 1, n)
+                        ),
+                    )
+                )
+            ).alias("pos", "sh_str"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.least(F.col("pos") + n - 1, F.col("t_len") - 1).alias("e"),
+            F.xxhash64("sh_str").alias("sh"),
+        )
+    )
+
+
+def build_window_index(
+    docs: DataFrame,
+    path: str,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the DISTINCT window-hash set of a reference corpus (the
+    eval/benchmark side of substring decontamination) — the substring
+    family's member of the engine's persisted-index trio (MinHash
+    signatures, IVF assignments, now window hashes): the reference
+    corpus is scanned once at build time, and every future ingest batch
+    decontaminates against the stored 8-byte hashes without re-reading
+    any reference text."""
+    _window_hashes(_spread(docs, id_col), n, id_col, text_col).select(
+        "sh"
+    ).distinct().write.mode("overwrite").parquet(f"{path}/windows")
+
+
+def append_window_index(
+    batch: DataFrame,
+    path: str,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a new reference batch's distinct window hashes: O(batch) —
+    existing index files are never read or rewritten. Hashes already
+    present land again as duplicate rows; they cost bytes, not
+    correctness (the decontamination join is a semi join), and a
+    periodic compaction (read-distinct-rewrite) reclaims them — the
+    standard append-mostly index trade, same as the MinHash tiers."""
+    _window_hashes(batch, n, id_col, text_col).select(
+        "sh"
+    ).distinct().write.mode("append").parquet(f"{path}/windows")
+
+
+def decontaminate_substrings_incremental(
+    spark,
+    batch: DataFrame,
+    path: str,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Decontaminate an ingest batch against a PERSISTED window index:
+    identical output to :func:`decontaminate_substrings` with the
+    index's corpus as ``evalset`` (pinned by test), but the reference
+    side is a pruned read of stored 8-byte hashes — per-batch cost is
+    O(batch windows + index-hash scan), and the reference text is never
+    touched again. The daily-ingest posture of
+    ``minhash_index_pairs``/``query_ivf_index`` for the substring
+    family."""
+    from pyspark.sql import Window
+
+    idx = spark.read.parquet(f"{path}/windows").distinct()
+    toks = (
+        _spread(batch, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            token_array(text_col).alias("tk"),
+        )
+        .withColumn("t_len", F.size("tk"))
+        .transform(tracked_persist)
+    )
+    # windows come straight off the persisted token projection
+    # (_window_hashes would re-tokenize the raw text per scan)
+    hits = toks.select(
+        "id",
+        "t_len",
+        F.posexplode(
+            F.when(
+                F.col("t_len") < n, F.array(F.concat_ws(" ", F.col("tk")))
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("t_len") - n),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, n)),
+                )
+            )
+        ).alias("pos", "sh_str"),
+    ).select(
+        "id",
+        "pos",
+        F.least(F.col("pos") + n - 1, F.col("t_len") - 1).alias("e"),
+        F.xxhash64("sh_str").alias("sh"),
+    ).join(idx.hint("shuffle_hash"), "sh", "left_semi")
     w = Window.partitionBy("id").orderBy("pos")
     wprev = w.rowsBetween(Window.unboundedPreceding, -1)
     spans = (

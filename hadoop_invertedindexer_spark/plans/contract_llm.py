@@ -803,6 +803,34 @@ def q_decontaminate_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_substrings_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted-window-index decontamination (r8): build the eval
+    split's window-hash index in a temp dir, then decontaminate the
+    train split against the STORED hashes — output identical to the
+    direct path by construction, so the oracle is shared verbatim."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            (F.col("doc_id") % 9 == 0) | (F.col("doc_id") % 50 == 0),
+            F.lit(
+                " benchmark canary alpha bravo charlie delta echo"
+                " foxtrot golf hotel"
+            ),
+        ).otherwise(F.lit("")),
+    )
+    src = d.select("doc_id", planted.alias("text"))
+    path = tempfile.mkdtemp(prefix="widx_") + "/widx"
+    dedup.build_window_index(src.where(F.col("doc_id") % 50 == 0), path, n=8)
+    return dedup.decontaminate_substrings_incremental(
+        spark, src.where(F.col("doc_id") % 50 != 0), path, n=8
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_metadata_summary(
         multimodal.binary_docs(_docs(spark, sf_dir))
@@ -970,6 +998,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_passages": q_duplicate_passages,
     "dedup_substrings": q_dedup_substrings,
     "decontaminate_substrings": q_decontaminate_substrings,
+    "decontaminate_substrings_incremental": (
+        q_decontaminate_substrings_incremental
+    ),
     "media_dedup_exact": q_media_dedup_exact,
     "media_ahash": q_media_ahash,
     "media_near_dup": q_media_near_dup,
@@ -2409,6 +2440,13 @@ _SQL_REP_PLANTED_SRC = """
                                 THEN chr(10) || substr(text, 1, 40)
                                 ELSE '' END AS text
             FROM documents"""
+
+# the incremental path's output is identical to the direct path by
+# construction (the index stores exactly the eval window-hash set), so
+# the oracle is shared verbatim
+LLM_ORACLE_SQL["decontaminate_substrings_incremental"] = LLM_ORACLE_SQL[
+    "decontaminate_substrings"
+]
 
 LLM_ORACLE_SQL["repetition_signals"] = f"""
         WITH {_sql_repetition_ctes(_SQL_REP_PLANTED_SRC)}

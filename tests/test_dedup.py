@@ -600,3 +600,74 @@ class TestSourceOverlap:
         est = self._overlap(spark, rows)
         assert len(est) == 6  # C(4,2)
         assert all(a < b for a, b in est)
+
+
+class TestWindowIndexIncremental:
+    """Persisted window-hash index (r8): the substring family's member
+    of the build/append/query incremental trio."""
+
+    TRAIN = [
+        (1, "own words here alpha beta gamma delta epsilon zeta"
+            " eta theta tail bits"),
+        (2, "completely clean document with nothing shared at all here"),
+    ]
+    EVAL = [(100, "prefix alpha beta gamma delta epsilon zeta eta theta suffix")]
+
+    def test_incremental_equals_direct(self, spark, tmp_path):
+        train = spark.createDataFrame(self.TRAIN, ["doc_id", "text"])
+        ev = spark.createDataFrame(self.EVAL, ["doc_id", "text"])
+        path = str(tmp_path / "widx")
+        dedup.build_window_index(ev, path, n=8)
+        inc = {
+            r.doc_id: (r.text, r.removed_tokens)
+            for r in dedup.decontaminate_substrings_incremental(
+                spark, train, path, n=8
+            ).collect()
+        }
+        direct = {
+            r.doc_id: (r.text, r.removed_tokens)
+            for r in dedup.decontaminate_substrings(train, ev, n=8).collect()
+        }
+        assert inc == direct
+
+    def test_append_extends_coverage(self, spark, tmp_path):
+        train = spark.createDataFrame(
+            [(7, "red orange yellow green blue indigo violet ultra plus own")],
+            ["doc_id", "text"],
+        )
+        ev1 = spark.createDataFrame(self.EVAL, ["doc_id", "text"])
+        ev2 = spark.createDataFrame(
+            [(101, "red orange yellow green blue indigo violet ultra")],
+            ["doc_id", "text"],
+        )
+        path = str(tmp_path / "widx")
+        dedup.build_window_index(ev1, path, n=8)
+        before = dedup.decontaminate_substrings_incremental(
+            spark, train, path, n=8
+        ).collect()[0]
+        assert before.removed_tokens == 0
+        dedup.append_window_index(ev2, path, n=8)
+        after = dedup.decontaminate_substrings_incremental(
+            spark, train, path, n=8
+        ).collect()[0]
+        assert after.removed_tokens == 8 and after.text == "plus own"
+
+    def test_duplicate_append_is_idempotent(self, spark, tmp_path):
+        train = spark.createDataFrame(self.TRAIN, ["doc_id", "text"])
+        ev = spark.createDataFrame(self.EVAL, ["doc_id", "text"])
+        path = str(tmp_path / "widx")
+        dedup.build_window_index(ev, path, n=8)
+        once = sorted(
+            tuple(r)
+            for r in dedup.decontaminate_substrings_incremental(
+                spark, train, path, n=8
+            ).collect()
+        )
+        dedup.append_window_index(ev, path, n=8)  # replay the same batch
+        twice = sorted(
+            tuple(r)
+            for r in dedup.decontaminate_substrings_incremental(
+                spark, train, path, n=8
+            ).collect()
+        )
+        assert once == twice
