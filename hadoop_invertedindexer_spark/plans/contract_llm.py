@@ -380,6 +380,20 @@ def q_ngram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_nll_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-LM scoring (r8): the eval split (every 50th doc) scored
+    under the trigram model trained on the TRAIN split only — the
+    lm_docs branch, i.e. how CCNet actually scores a crawl against a
+    Wikipedia-trained LM."""
+    d = _docs(spark, sf_dir)
+    return textstats.ngram_nll(
+        d.where(F.col("doc_id") % 50 == 0),
+        lm_docs=d.where(F.col("doc_id") % 50 != 0),
+        max_vocab=256,
+        max_ngrams=512,
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (r8): 10 merges learned on the
     corpus word-frequency dictionary; the oracle replays the identical
@@ -980,6 +994,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "upsample_corpus": q_upsample_corpus,
     "unigram_nll": q_unigram_nll,
     "ngram_nll": q_ngram_nll,
+    "ngram_nll_ref": q_ngram_nll_ref,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
     "bpe_continue": q_bpe_continue,
@@ -2615,17 +2630,31 @@ LLM_ORACLE_SQL["bpe_encode"] = _sql_bpe_encode()
 # summed over the capped tables, Jelinek-Mercer 0.2/0.3/0.5 mix with
 # identical term order so the double arithmetic matches bit-for-bit
 # before round(6)
-LLM_ORACLE_SQL["ngram_nll"] = f"""
+def _sql_ngram_nll(model_where: str = "", score_where: str = "") -> str:
+    """The interpolated trigram oracle, parameterized by model/score
+    splits (r8: the self-scored entry uses no filters; the reference-LM
+    twin trains on the train split and scores the eval split)."""
+    return f"""
         WITH toks AS (
             SELECT doc_id,
                    list_filter(string_split({_SQL_NORM}, ' '),
                                t -> t <> '') AS tk
-            FROM documents),
+            FROM documents{model_where}),
         tok AS (
             SELECT doc_id, tk[i] AS cur,
                    CASE WHEN i >= 2 THEN tk[i - 1] END AS p1,
                    CASE WHEN i >= 3 THEN tk[i - 2] END AS p2
             FROM toks, unnest(generate_series(1, len(tk))) AS t(i)),
+        stoks AS (
+            SELECT doc_id,
+                   list_filter(string_split({_SQL_NORM}, ' '),
+                               t -> t <> '') AS tk
+            FROM documents{score_where}),
+        stok AS (
+            SELECT doc_id, tk[i] AS cur,
+                   CASE WHEN i >= 2 THEN tk[i - 1] END AS p1,
+                   CASE WHEN i >= 3 THEN tk[i - 2] END AS p2
+            FROM stoks, unnest(generate_series(1, len(tk))) AS t(i)),
         uni AS (
             SELECT cur AS token, count(*) AS c FROM tok GROUP BY cur
             ORDER BY c DESC, token LIMIT 256),
@@ -2649,7 +2678,7 @@ LLM_ORACLE_SQL["ngram_nll"] = f"""
                        + 0.3 * coalesce(b.cb / bc.cbc, 0.0)
                        + 0.2 * ((coalesce(u.c, 0) + 1.0)
                                 / (s.n_mass + s.v_size + 1.0))) AS nll
-            FROM tok t
+            FROM stok t
             LEFT JOIN uni u ON t.cur = u.token
             LEFT JOIN big b ON t.p1 = b.w1 AND t.cur = b.w2
             LEFT JOIN bctx bc ON t.p1 = bc.bc1
@@ -2660,6 +2689,13 @@ LLM_ORACLE_SQL["ngram_nll"] = f"""
         SELECT doc_id, count(*)::BIGINT AS n_tokens,
                round(avg(nll), 6) AS avg_nll
         FROM scored GROUP BY doc_id"""
+
+
+LLM_ORACLE_SQL["ngram_nll"] = _sql_ngram_nll()
+LLM_ORACLE_SQL["ngram_nll_ref"] = _sql_ngram_nll(
+    model_where=" WHERE doc_id % 50 <> 0",
+    score_where=" WHERE doc_id % 50 = 0",
+)
 
 # CCNet/RefinedWeb-style keep/drop verdict: the CASE chain restates
 # corpus_filter's fixed rule order over the same signal formulas

@@ -450,3 +450,23 @@ def test_bpe_pair_argmax_is_take_ordered(spark):
         .limit(1)
     )
     assert "TakeOrderedAndProject" in _plan(top)
+
+
+def test_decontaminate_substrings_probe_is_semi_join(spark):
+    """r8: the eval-window probe must be a LEFT SEMI shuffled hash join
+    (matched windows never fan out; the contamination volume is
+    unbounded, so no broadcast build) and the span join stays shuffled
+    too."""
+    from hadoop_invertedindexer_spark.operators.dedup import (
+        decontaminate_substrings,
+    )
+
+    d = read_table(spark, SF, "documents")
+    plan = _plan(
+        decontaminate_substrings(
+            d.where("doc_id % 50 != 0"), d.where("doc_id % 50 = 0"), n=8
+        )
+    )
+    assert "LeftSemi" in plan
+    assert plan.count("ShuffledHashJoin") >= 2
+    assert "Exchange SinglePartition" not in plan
