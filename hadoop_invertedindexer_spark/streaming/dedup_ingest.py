@@ -80,3 +80,55 @@ def maintain_minhash_signatures(
         spark, source_dir, source_schema, checkpoint_dir,
         _append_tier, max_files_per_trigger,
     )
+
+
+def init_window_index(
+    spark: SparkSession,
+    path: str,
+    n: int = 8,
+) -> None:
+    """Pinned params table of a (possibly still empty) window-hash
+    index (r8): the streaming maintainer derives every batch's window
+    length from it, so stored hashes can never drift from the
+    decontamination contract."""
+    spark.createDataFrame([(n,)], "n int").write.mode("overwrite").parquet(
+        f"{path}/params"
+    )
+
+
+def maintain_window_index(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Continuous form of ``append_window_index`` (r8): drain new
+    REFERENCE-corpus files (the eval/benchmark side) with availableNow
+    and write each micro-batch's distinct window hashes as an
+    idempotent ``batch=<id>`` tier under ``windows/``.
+    ``decontaminate_substrings_incremental`` reads the tiered layout
+    unchanged — partition discovery adds a ``batch`` column the semi
+    join never looks at, and duplicate hashes across tiers are harmless
+    to a semi probe. Same single-maintainer rule as the MinHash tiers:
+    one root is maintained by EITHER the flat batch build/append OR
+    this stream, never both."""
+    from hadoop_invertedindexer_spark.operators.dedup import _window_hashes
+    from hadoop_invertedindexer_spark.streaming.events import run_tier_maintenance
+
+    p = spark.read.parquet(f"{index_path}/params").head()
+
+    def _append_tier(batch_df: DataFrame, batch_id: int) -> None:
+        _window_hashes(batch_df, p.n, id_col, text_col).select(
+            "sh"
+        ).distinct().write.mode("overwrite").parquet(
+            f"{index_path}/windows/batch={batch_id}"
+        )
+
+    run_tier_maintenance(
+        spark, source_dir, source_schema, checkpoint_dir,
+        _append_tier, max_files_per_trigger,
+    )

@@ -671,3 +671,67 @@ class TestWindowIndexIncremental:
             ).collect()
         )
         assert once == twice
+
+
+def test_streaming_window_index_matches_batch_build(spark, tmp_path):
+    """The stream-maintained window-hash tiers must decontaminate
+    identically to a one-shot batch build over the same reference
+    corpus, and a fresh-checkpoint replay must leave the answer
+    unchanged (overwrite-your-own-batch idempotency)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hadoop_invertedindexer_spark.streaming import dedup_ingest
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    ev1 = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta epsilon zeta eta theta suffix")],
+        schema,
+    )
+    ev2 = spark.createDataFrame(
+        [(101, "red orange yellow green blue indigo violet ultra")], schema
+    )
+    stage, src = str(tmp_path / "stage"), str(tmp_path / "src")
+    ev1.coalesce(1).write.mode("overwrite").parquet(f"{stage}/d1")
+    ev2.coalesce(1).write.mode("overwrite").parquet(f"{stage}/d2")
+    os.makedirs(src, exist_ok=True)
+    for i, d in enumerate(sorted(glob.glob(f"{stage}/d*/part-*.parquet"))):
+        shutil.copyfile(d, f"{src}/day{i}.parquet")
+
+    stream_path = str(tmp_path / "w_stream")
+    dedup_ingest.init_window_index(spark, stream_path, n=8)
+    dedup_ingest.maintain_window_index(
+        spark, src, schema, stream_path, str(tmp_path / "ck1")
+    )
+
+    batch_path = str(tmp_path / "w_batch")
+    dedup.build_window_index(ev1.union(ev2), batch_path, n=8)
+
+    train = spark.createDataFrame(
+        [
+            (1, "own words alpha beta gamma delta epsilon zeta eta theta tail"),
+            (2, "red orange yellow green blue indigo violet ultra plus bits"),
+            (3, "a clean document with none of the reference content"),
+        ],
+        schema,
+    )
+
+    def result(path):
+        return sorted(
+            tuple(r)
+            for r in dedup.decontaminate_substrings_incremental(
+                spark, train, path, n=8
+            ).collect()
+        )
+
+    assert result(stream_path) == result(batch_path)
+    # replay with a fresh checkpoint: converges, never double-inserts
+    dedup_ingest.maintain_window_index(
+        spark, src, schema, stream_path, str(tmp_path / "ck2")
+    )
+    assert result(stream_path) == result(batch_path)
