@@ -50,6 +50,7 @@ from tools.scale_soak_r7 import replicated_edges  # noqa: E402
 
 R8_OPS = [
     "dedup_substrings",
+    "decontaminate_substrings",
     "ngram_nll",
     "bpe_train",
     "bpe_encode",
