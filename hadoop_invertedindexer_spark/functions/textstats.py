@@ -603,3 +603,85 @@ def ngram_nll(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.avg("nll"), 6).alias("avg_nll"),
     )
+
+
+def synthetic_classifier_weights(
+    spark, n_features: int = 1024, seed: str = "w"
+):
+    """A deterministic (feature, weight) table for classifier tests and
+    the contract oracle: w[f] = ((md5_60('{seed}|'||f) mod 2001) - 1000)
+    / 1000 — uniform-ish in [-1, 1], bit-reproducible in ANSI SQL. Real
+    deployments pass their trained weights instead."""
+    f = F.col("id").cast("int")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + "|"), f.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return spark.range(n_features).select(
+        f.alias("feature"),
+        ((F.pmod(h, F.lit(2001)) - 1000) / F.lit(1000.0)).alias("weight"),
+    )
+
+
+def classifier_score(
+    docs,
+    weights=None,
+    n_features: int = 1024,
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Model-based quality scoring — the fastText-style linear
+    classifier inference step of the DCLM / FineWeb-Edu pipelines (the
+    family the heuristic ``quality_score`` and the LM scorers don't
+    cover: a TRAINED model's verdict): hashed bag-of-words features
+    (md5-60bit of the token mod ``n_features`` — the hashing trick, no
+    vocabulary file), a broadcast weight vector, and
+
+        score = sigmoid(bias + mean_t w[h(t)])
+
+    per document. Returns (``id_col``, n_tokens, score), score round(6).
+    Out-of-table features (never, when weights covers 0..n_features-1)
+    contribute 0. ``weights=None`` uses
+    :func:`synthetic_classifier_weights` — swap in trained weights for
+    production.
+
+    Scale shape: the model is ``n_features`` rows, BROADCAST; the corpus
+    explodes to tokens, maps through one broadcast join, and pays ONE
+    shuffle (the per-doc mean) — identical cost class to unigram_nll.
+    Inference is pure codegen: the sigmoid is an expression, not a UDF;
+    at 100 TB this is the cheapest possible classifier pass (a real
+    fastText model adds bigram features — same pipeline, one more gram
+    stream)."""
+    from hadoop_invertedindexer_spark.caching import tracked_persist
+    from hadoop_invertedindexer_spark.operators.dedup import token_array
+
+    spark = docs.sparkSession
+    w = (
+        weights
+        if weights is not None
+        else synthetic_classifier_weights(spark, n_features)
+    )
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(token_array(text_col), lambda t: t != "")).alias(
+            "token"
+        ),
+    ).select(
+        id_col,
+        F.pmod(
+            F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(n_features),
+        ).cast("int").alias("feature"),
+    )
+    scored = tok.join(F.broadcast(w), "feature", "left").groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.avg(F.coalesce("weight", F.lit(0.0))).alias("_m"),
+    )
+    z = F.lit(float(bias)) + F.col("_m")
+    return scored.select(
+        id_col,
+        "n_tokens",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    )

@@ -380,6 +380,14 @@ def q_ngram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (r8): fastText-style linear
+    classifier inference over md5-hashed bag-of-words features with the
+    deterministic synthetic weight table — the DCLM/FineWeb-Edu
+    filtering step; swap trained weights in production."""
+    return textstats.classifier_score(_docs(spark, sf_dir), n_features=1024)
+
+
 def q_ngram_nll_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-LM scoring (r8): the eval split (every 50th doc) scored
     under the trigram model trained on the TRAIN split only — the
@@ -995,6 +1003,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_nll": q_unigram_nll,
     "ngram_nll": q_ngram_nll,
     "ngram_nll_ref": q_ngram_nll_ref,
+    "classifier_score": q_classifier_score,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
     "bpe_continue": q_bpe_continue,
@@ -2690,6 +2699,32 @@ def _sql_ngram_nll(model_where: str = "", score_where: str = "") -> str:
                round(avg(nll), 6) AS avg_nll
         FROM scored GROUP BY doc_id"""
 
+
+# fastText-style classifier inference (r8): the hashing trick + the
+# synthetic weight table restated — md5-60bit feature ids and weights,
+# sigmoid of the mean, identical expression shape before round(6)
+LLM_ORACLE_SQL["classifier_score"] = f"""
+        WITH w AS (
+            SELECT f::INT AS feature,
+                   ((('0x' || substr(md5('w|' || f::VARCHAR), 1, 15))::BIGINT
+                         % 2001) - 1000) / 1000.0 AS weight
+            FROM range(1024) t(f)),
+        tok0 AS (
+            SELECT doc_id, unnest(string_split(norm, ' ')) AS token
+            FROM (SELECT doc_id, {_SQL_NORM} AS norm FROM documents)),
+        tok AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5(token), 1, 15))::BIGINT
+                        % 1024)::INT AS feature
+            FROM tok0 WHERE token <> ''),
+        s AS (
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   avg(coalesce(w.weight, 0.0)) AS m
+            FROM tok t LEFT JOIN w USING (feature)
+            GROUP BY t.doc_id)
+        SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+               round(1.0 / (1.0 + exp(-(0.0 + m))), 6) AS score
+        FROM s"""
 
 LLM_ORACLE_SQL["ngram_nll"] = _sql_ngram_nll()
 LLM_ORACLE_SQL["ngram_nll_ref"] = _sql_ngram_nll(

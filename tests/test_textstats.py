@@ -315,3 +315,54 @@ class TestNgramNll:
             for r in ts.ngram_nll(docs, max_ngrams=1).collect()
         }
         assert capped[1] >= full[1]  # doc 1's grams fell out of the cap
+
+
+class TestClassifierScore:
+    def test_hand_computed_sigmoid(self, spark):
+        import hashlib
+        import math
+
+        def h60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        def w(f):
+            return ((h60(f"w|{f}") % 2001) - 1000) / 1000.0
+
+        texts = {1: "hello world", 2: "foo bar baz"}
+        docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+        got = {
+            r.doc_id: (r.n_tokens, r.score)
+            for r in ts.classifier_score(docs, n_features=64).collect()
+        }
+        for did, txt in texts.items():
+            toks = txt.split()
+            m = sum(w(h60(t) % 64) for t in toks) / len(toks)
+            assert got[did] == (len(toks), round(1 / (1 + math.exp(-m)), 6))
+
+    def test_custom_weights_and_bias(self, spark):
+        import math
+
+        docs = spark.createDataFrame([(1, "aa aa bb")], ["doc_id", "text"])
+        # weight every feature 0 -> score = sigmoid(bias)
+        w0 = ts.synthetic_classifier_weights(spark, 16).select(
+            "feature", (F.col("weight") * 0).alias("weight")
+        )
+        r = ts.classifier_score(docs, weights=w0, n_features=16, bias=2.0)
+        assert r.collect()[0].score == round(1 / (1 + math.exp(-2.0)), 6)
+
+    def test_score_bounds_and_determinism(self, spark, sf_dir):
+        from hadoop_invertedindexer_spark.sources.tables import read_table
+
+        d = read_table(spark, sf_dir, "documents")
+        a = sorted(
+            (r.doc_id, r.score)
+            for r in ts.classifier_score(d, n_features=128).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.score)
+            for r in ts.classifier_score(
+                d.repartition(7), n_features=128
+            ).collect()
+        )
+        assert a == b
+        assert all(0.0 < s < 1.0 for _, s in a)
