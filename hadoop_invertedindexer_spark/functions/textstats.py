@@ -685,3 +685,70 @@ def classifier_score(
         "n_tokens",
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
     )
+
+
+def score_buckets(
+    scored,
+    score_col: str = "avg_nll",
+    id_col: str = "doc_id",
+    fractions: tuple[float, float] = (1 / 3, 2 / 3),
+    granularity: int = 1000,
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+):
+    """CCNet-style head/middle/tail partitioning (Wenzek et al. 2020
+    §4.3: split the corpus into perplexity terciles and sample them at
+    different rates): assign every row a bucket label by its score
+    QUANTILE, computed scale-safely — no global sort of the corpus, no
+    non-portable approx-percentile sketch. Rows with the LOWEST scores
+    (best perplexity) land in ``head``.
+
+    Mechanism: scores discretize to ``floor(score · granularity)``
+    cells; the cell histogram is a METADATA-scale frame (score range ×
+    granularity rows), its cumulative sum runs in one single-partition
+    window over that tiny frame (the pack_tokens bucket-summary
+    pattern), and the two cutoff cells — the first whose cumulative
+    count reaches ``ceil(N · fraction)`` — broadcast back as one row.
+    Every row in a cutoff CELL gets the lower label: the boundary is
+    deterministic at 1/granularity score resolution (documented
+    convention; CCNet's own buckets are percentile-grid approximations
+    too). Exactly one corpus pass + one per-cell shuffle.
+
+    Returns ``scored`` plus a ``bucket`` column."""
+    from hadoop_invertedindexer_spark.caching import tracked_persist
+
+    from pyspark.sql import Window
+
+    lo, hi = fractions
+    cell = F.floor(F.col(score_col) * granularity).cast("long")
+    hist = (
+        scored.groupBy(cell.alias("_cell"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .transform(tracked_persist)  # the N aggregate + the cutoff scan
+    )
+    w = Window.orderBy("_cell").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "_cell", F.sum("_n").over(w).alias("_cum")
+    ).crossJoin(F.broadcast(hist.agg(F.sum("_n").alias("_tot"))))
+    cuts = cum.agg(
+        F.min(
+            F.when(
+                F.col("_cum") >= F.ceil(F.col("_tot") * lo), F.col("_cell")
+            )
+        ).alias("_c1"),
+        F.min(
+            F.when(
+                F.col("_cum") >= F.ceil(F.col("_tot") * hi), F.col("_cell")
+            )
+        ).alias("_c2"),
+    )
+    h, m, t = labels
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "bucket",
+            F.when(cell <= F.col("_c1"), F.lit(h))
+            .when(cell <= F.col("_c2"), F.lit(m))
+            .otherwise(F.lit(t)),
+        )
+        .drop("_c1", "_c2")
+    )

@@ -380,6 +380,16 @@ def q_ngram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning (r8): unigram-LM scores cut
+    into terciles via the milli-granular histogram cumsum — no global
+    sort of doc rows, no approx-percentile sketch; cutoffs are exact at
+    1/1000 score resolution."""
+    return textstats.score_buckets(
+        textstats.unigram_nll(_docs(spark, sf_dir), max_vocab=256)
+    )
+
+
 def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring (r8): fastText-style linear
     classifier inference over md5-hashed bag-of-words features with the
@@ -1004,6 +1014,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_nll": q_ngram_nll,
     "ngram_nll_ref": q_ngram_nll_ref,
     "classifier_score": q_classifier_score,
+    "perplexity_buckets": q_perplexity_buckets,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
     "bpe_continue": q_bpe_continue,
@@ -2699,6 +2710,50 @@ def _sql_ngram_nll(model_where: str = "", score_where: str = "") -> str:
                round(avg(nll), 6) AS avg_nll
         FROM scored GROUP BY doc_id"""
 
+
+# CCNet head/middle/tail terciles (r8): the unigram_nll chain wrapped
+# as an nll CTE, then the milli-cell histogram cumsum and the
+# first-cell-reaching-ceil(N*frac) cutoffs — every row in a cutoff cell
+# takes the lower label (1/1000-resolution determinism)
+LLM_ORACLE_SQL["perplexity_buckets"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS token
+            FROM documents),
+        tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        counts AS (
+            SELECT token, count(*) AS c FROM tok2 GROUP BY token
+            ORDER BY c DESC, token LIMIT 256),
+        stats AS (
+            SELECT sum(c) AS n_mass, count(*) AS v_size FROM counts),
+        nll AS (
+            SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(-ln((coalesce(v.c, 0) + 1.0)
+                                 / (s.n_mass + s.v_size + 1.0))), 6)
+                       AS avg_nll
+            FROM tok2 t
+            LEFT JOIN counts v USING (token)
+            CROSS JOIN stats s
+            GROUP BY t.doc_id),
+        hist AS (
+            SELECT floor(avg_nll * 1000)::BIGINT AS cell, count(*) AS n
+            FROM nll GROUP BY 1),
+        cum AS (
+            SELECT cell, sum(n) OVER (ORDER BY cell) AS cum,
+                   (SELECT sum(n) FROM hist) AS tot
+            FROM hist),
+        cuts AS (
+            SELECT min(CASE WHEN cum >= ceil(tot * {1 / 3!r})
+                            THEN cell END) AS c1,
+                   min(CASE WHEN cum >= ceil(tot * {2 / 3!r})
+                            THEN cell END) AS c2
+            FROM cum)
+        SELECT n.doc_id, n.n_tokens, n.avg_nll,
+               CASE WHEN floor(n.avg_nll * 1000)::BIGINT <= c.c1
+                    THEN 'head'
+                    WHEN floor(n.avg_nll * 1000)::BIGINT <= c.c2
+                    THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM nll n CROSS JOIN cuts c"""
 
 # fastText-style classifier inference (r8): the hashing trick + the
 # synthetic weight table restated — md5-60bit feature ids and weights,

@@ -366,3 +366,52 @@ class TestClassifierScore:
         )
         assert a == b
         assert all(0.0 < s < 1.0 for _, s in a)
+
+
+class TestScoreBuckets:
+    def test_exact_terciles_on_distinct_scores(self, spark):
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(9)], ["doc_id", "avg_nll"]
+        )
+        out = {r.doc_id: r.bucket for r in ts.score_buckets(df).collect()}
+        assert [out[i] for i in range(9)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+
+    def test_cutoff_cell_ties_take_lower_label(self, spark):
+        # 5 rows share the score cell that crosses the 1/3 boundary
+        # (ceil(12/3) = 4 falls inside it): ALL five get 'head' — every
+        # row in a cutoff cell takes the lower label, deterministic at
+        # 1/granularity resolution
+        rows = (
+            [(i, 1.0) for i in range(5)]
+            + [(10 + i, 5.0) for i in range(3)]
+            + [(20 + i, 9.0) for i in range(4)]
+        )
+        df = spark.createDataFrame(rows, ["doc_id", "avg_nll"])
+        out = {r.doc_id: r.bucket for r in ts.score_buckets(df).collect()}
+        assert all(out[i] == "head" for i in range(5))
+        assert all(out[10 + i] == "middle" for i in range(3))
+        assert all(out[20 + i] == "tail" for i in range(4))
+
+    def test_partitioning_invariant_and_rough_thirds(self, spark, sf_dir):
+        from hadoop_invertedindexer_spark.sources.tables import read_table
+
+        scored = ts.unigram_nll(
+            read_table(spark, sf_dir, "documents"), max_vocab=64
+        )
+        a = sorted(
+            (r.doc_id, r.bucket) for r in ts.score_buckets(scored).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.bucket)
+            for r in ts.score_buckets(scored.repartition(7)).collect()
+        )
+        assert a == b
+        from collections import Counter
+
+        c = Counter(bk for _, bk in a)
+        n = sum(c.values())
+        # cell-granular boundaries: each tercile within ~15% of n/3
+        for k in ("head", "middle", "tail"):
+            assert abs(c[k] - n / 3) <= max(2, 0.15 * n), c
