@@ -85,3 +85,98 @@ def test_bloom_never_misses_exact_contamination(spark, train, evalset):
     }
     for d, n in exact.items():
         assert bloom.get(d, 0) >= n
+
+
+def _model_dedup_substrings(texts: list[str], n: int):
+    """Independent reimplementation of the ExactSubstr rewrite: window
+    occurrences, min-(doc,pos) canonical, dropped-minus-kept coverage,
+    token excision."""
+    occ: dict[str, list[tuple[int, int, int]]] = {}
+    toks_by: dict[int, list[str]] = {}
+    for did, t in enumerate(texts, 1):
+        toks = t.split() if t.split() else [""]
+        toks_by[did] = toks
+        T = len(toks)
+        if T < n:
+            items = [(0, " ".join(toks), T - 1)]
+        else:
+            items = [
+                (p, " ".join(toks[p : p + n]), p + n - 1)
+                for p in range(T - n + 1)
+            ]
+        for p, v, e in items:
+            occ.setdefault(v, []).append((did, p, e))
+    drop: dict[int, set[int]] = {d: set() for d in toks_by}
+    keep: dict[int, set[int]] = {d: set() for d in toks_by}
+    for lst in occ.values():
+        if len(lst) < 2:
+            continue
+        keeper = min((d, p) for d, p, _ in lst)
+        for d, p, e in lst:
+            cov = range(p, e + 1)
+            (keep if (d, p) == keeper else drop)[d].update(cov)
+    out = set()
+    for d, toks in toks_by.items():
+        removed = drop[d] - keep[d]
+        kept = [t for i, t in enumerate(toks) if i not in removed]
+        out.add((d, " ".join(kept), len(toks) - len(kept)))
+    return out
+
+
+@HSETTINGS
+@given(texts=st.lists(doc, min_size=1, max_size=5))
+def test_dedup_substrings_matches_python_model(spark, texts):
+    n = 3
+    df = spark.createDataFrame(
+        list(enumerate(texts, 1)), ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.text, r.removed_tokens)
+        for r in dedup.dedup_substrings(df, n=n).collect()
+    }
+    assert got == _model_dedup_substrings(texts, n)
+
+
+@HSETTINGS
+@given(
+    train=st.lists(doc, min_size=1, max_size=4),
+    evalset=st.lists(doc, min_size=1, max_size=3),
+)
+def test_decontaminate_substrings_matches_python_model(spark, train, evalset):
+    n = 3
+    ev_windows = set()
+    for t in evalset:
+        toks = t.split() if t.split() else [""]
+        T = len(toks)
+        items = (
+            [" ".join(toks)]
+            if T < n
+            else [" ".join(toks[p : p + n]) for p in range(T - n + 1)]
+        )
+        ev_windows.update(items)
+    want = set()
+    for did, t in enumerate(train, 1):
+        toks = t.split() if t.split() else [""]
+        T = len(toks)
+        if T < n:
+            items = [(0, " ".join(toks), T - 1)]
+        else:
+            items = [
+                (p, " ".join(toks[p : p + n]), p + n - 1)
+                for p in range(T - n + 1)
+            ]
+        removed: set[int] = set()
+        for p, v, e in items:
+            if v in ev_windows:
+                removed.update(range(p, e + 1))
+        kept = [t2 for i, t2 in enumerate(toks) if i not in removed]
+        want.add((did, " ".join(kept), len(toks) - len(kept)))
+    tdf = spark.createDataFrame(list(enumerate(train, 1)), ["doc_id", "text"])
+    edf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(evalset)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.text, r.removed_tokens)
+        for r in dedup.decontaminate_substrings(tdf, edf, n=n).collect()
+    }
+    assert got == want
