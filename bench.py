@@ -93,6 +93,9 @@ HEADLINE = [
     "ngram_nll",              # interpolated trigram LM, 3 capped broadcast tables (r8)
     "bpe_train",              # distributed BPE merge training on the word dict (r8)
     "pipeline_capstone",      # filter->dedup->upsample->split->pack e2e (r8)
+    "decontaminate_substrings",  # span-granular eval scrub, semi-join probe (r8)
+    "classifier_score",       # fastText-style hashed linear inference (r8)
+    "perplexity_buckets",     # CCNet terciles via histogram cumsum (r8)
     "upsample_corpus",        # deterministic fractional mixture upsampling (r7)
     "audio_features",         # SAU1 decode + int16 signal stats (mapInPandas) (r5)
     "bloom_join_reduction",   # 128 KiB key bitmap prunes the fact map-side (r5)
