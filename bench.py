@@ -85,6 +85,7 @@ HEADLINE = [
     "bloom_decontaminate",    # fixed 16 KiB bitmap; train side unshuffled (r5)
     "duplicate_passages",     # substring-level dedup: islands over dup 8-grams (r5)
     "dedup_substrings",       # ExactSubstr keep-one-copy rewrite (r8)
+    "dedup_paragraphs",       # CCNet paragraph-level first-occurrence dedup (r8)
     "triangle_count",         # degree-ordered wedge join over co-purchases (r5)
     "tokens_encode",          # vocab build + broadcast-mapped id sequences (r5)
     "pack_tokens",            # GPT-style block packing, two-level prefix-sum offsets (r7)
@@ -97,6 +98,7 @@ HEADLINE = [
     "classifier_score",       # fastText-style hashed linear inference (r8)
     "perplexity_buckets",     # CCNet terciles via histogram cumsum (r8)
     "upsample_corpus",        # deterministic fractional mixture upsampling (r7)
+    "dsir_select",            # DSIR hashed-ngram importance resampling (r8)
     "audio_features",         # SAU1 decode + int16 signal stats (mapInPandas) (r5)
     "bloom_join_reduction",   # 128 KiB key bitmap prunes the fact map-side (r5)
     "postings_compressed",    # gap-encoded posting arrays (r5)

@@ -1515,3 +1515,91 @@ def source_overlap(
         a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
         .select("source_a", "source_b", est.alias("est_jaccard"))
     )
+
+
+# ----------------------------------------------------------- paragraphs
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup (Wenzek et al. 2020 §3.1:
+    hash every paragraph, drop repeats corpus-wide) — the granularity
+    between whole-document :func:`dedup_exact` and span-level
+    :func:`dedup_substrings`: boilerplate paragraphs (cookie banners,
+    licence headers, navigation footers) repeat across documents that
+    are NOT near-dups as wholes, and paragraph hashing removes them
+    without touching the surrounding prose.
+
+    Semantics: split on ``\\n``; a paragraph's dup key is the md5 of its
+    dedup normalization (lowercase, punctuation stripped, whitespace
+    collapsed — :func:`normalized_text`); the FIRST occurrence
+    corpus-wide — smallest ``(doc_id, position)`` — is kept and every
+    later occurrence, including within-document repeats, is dropped.
+    Paragraphs whose normalization is empty carry no content and are
+    kept verbatim: deduping them would funnel every blank line in the
+    corpus into ONE hash group (a guaranteed skew cell at 100 TB) just
+    to delete whitespace — so each empty paragraph instead gets a
+    per-occurrence unique key, which both preserves it and spreads it.
+    Documents whose every paragraph is dropped vanish from the output
+    (they were pure boilerplate). Returns (id, text, n_kept, n_dropped)
+    with ``text`` reassembled from the surviving paragraphs in original
+    order.
+
+    Scale shape: paragraphs shuffle ONCE on the hash key (the
+    canonical-occurrence groupBy; AQE reuses the exchange for the
+    join-back) and once more on the id for reassembly — both
+    high-cardinality keys, no corpus-wide window, no position fan-out.
+    Cost class is O(total paragraphs), i.e. dedup_exact one level down.
+    The reference has no paragraph surface (its unit is the line of the
+    input split, src/InvertedIndexer.java:96-100); this is the CCNet
+    extension row.
+    """
+    norm = normalized_text("para")
+    paras = _spread(docs, id_col).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    )
+    keyed = paras.select(
+        id_col,
+        "pos",
+        "para",
+        # empty-norm paragraphs get a unique non-hex key ('u|' prefix
+        # cannot collide with 32-char hex md5): own group => always kept
+        F.when(
+            norm == "",
+            F.concat_ws("|", F.lit("u"), F.col(id_col), F.col("pos")),
+        )
+        .otherwise(F.md5(norm))
+        .alias("_h"),
+    )
+    canon = keyed.groupBy("_h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        ).alias("_first")
+    )
+    flagged = keyed.join(canon, "_h").withColumn(
+        "_keep",
+        (F.col("_first.d") == F.col(id_col))
+        & (F.col("_first.p") == F.col("pos")),
+    )
+    kept_struct = F.when(
+        F.col("_keep"), F.struct(F.col("pos").alias("p"), F.col("para").alias("t"))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["t"],
+                ),
+            ).alias(text_col),
+            F.sum(F.col("_keep").cast("int")).cast("long").alias("n_kept"),
+            F.sum((~F.col("_keep")).cast("int")).cast("long").alias("n_dropped"),
+        )
+        .where(F.col("n_kept") >= 1)
+    )

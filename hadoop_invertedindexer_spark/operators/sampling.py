@@ -358,3 +358,146 @@ def upsample_corpus(
     return df.select(
         id_col, strata_col, F.explode(seq).alias("epoch")
     )
+
+
+# ------------------------------------------------------------------ DSIR
+
+
+def _hashed_gram_features(
+    df: DataFrame, n_buckets: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, feature) — one row per non-empty unigram AND adjacent
+    bigram, hashed into ``n_buckets`` via the portable md5-60bit trick
+    (the classifier_score feature map, extended with the paper's bigram
+    stream). Bigrams are the zip-against-own-shifted-slice expression of
+    :func:`bigram_counts` — a constant number of array touches per row,
+    never the per-element re-split HOF."""
+    from hadoop_invertedindexer_spark.operators.dedup import token_array
+    from hadoop_invertedindexer_spark.sources.tables import spread_partitions
+
+    base = spread_partitions(df, id_col).select(
+        F.col(id_col),
+        F.filter(token_array(text_col), lambda t: t != "").alias("_tk"),
+    )
+    n = F.size(F.col("_tk"))
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("_tk"), 1, n - 1),
+            F.slice(F.col("_tk"), 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    return base.select(
+        id_col, F.explode(F.concat(F.col("_tk"), bigrams)).alias("g")
+    ).select(
+        id_col,
+        F.pmod(
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(n_buckets),
+        )
+        .cast("int")
+        .alias("feature"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    n_buckets: int = 1024,
+    seed: str = "dsir",
+    gumbel: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    pick the ``k`` raw-pool documents that look most like a small target
+    corpus, using hashed-n-gram bag-of-words importance weights. This is
+    the data-SELECTION family next to the quality scorers: corpus_filter
+    drops garbage, classifier_score ranks by a trained quality model,
+    DSIR matches a *distribution* (e.g. "select web pages that look like
+    Wikipedia") without training anything.
+
+    Math, exactly the paper's feature-space estimator: unigram+bigram
+    features hashed into ``n_buckets``; bucket probabilities with
+    Laplace smoothing ``p(b) = (c_b + 1) / (total + n_buckets)`` on each
+    side; a document's log importance weight is ``Σ_b c_b·(ln p_tgt(b) −
+    ln p_raw(b))``. Selection is the paper's Gumbel top-k trick
+    (sampling without replacement ∝ exp(logw)): per-doc Gumbel noise
+    ``−ln(−ln u)`` with ``u`` derived from the 60-bit md5 of
+    ``seed|id`` — fully deterministic given ``seed``, reproducible on
+    any partitioning, and exactly restatable in ANSI SQL.
+    ``gumbel=False`` degrades to plain top-k by weight. Returns
+    (id, n_grams, logw, sel_key), both floats round(6), ordered by
+    (sel_key desc, id asc) — the rank key is part of the output so the
+    cut is auditable.
+
+    Scale shape: BOTH bucket-count tables are capped at ``n_buckets``
+    rows — the model (a ``lr`` log-ratio vector) is built from two
+    partial-aggregated groupBys plus one-row totals, then BROADCAST into
+    the scoring join, so the raw corpus pays one gram explode (persisted
+    — it feeds both the raw-side counts and the per-doc features), one
+    (doc, feature) groupBy, one per-doc sum, and a TakeOrderedAndProject
+    top-k. No global sort, no doc×doc or doc×vocab join; the target side
+    is typically tiny and pays the same capped pipeline.
+    """
+    from hadoop_invertedindexer_spark.caching import tracked_persist
+
+    spark = raw.sparkSession
+    nb = int(n_buckets)
+    tf = _hashed_gram_features(target, nb, id_col, text_col)
+    rf = tracked_persist(
+        _hashed_gram_features(raw, nb, id_col, text_col)
+    )  # two consumers: raw-side bucket counts + per-doc features
+    tc = tf.groupBy("feature").agg(F.count(F.lit(1)).alias("ct"))
+    rc = rf.groupBy("feature").agg(F.count(F.lit(1)).alias("cr"))
+    buckets = spark.range(nb).select(F.col("id").cast("int").alias("feature"))
+    model = (
+        buckets.join(tc, "feature", "left")
+        .join(rc, "feature", "left")
+        .select(
+            "feature",
+            F.coalesce("ct", F.lit(0)).cast("bigint").alias("ct"),
+            F.coalesce("cr", F.lit(0)).cast("bigint").alias("cr"),
+        )
+    )
+    tots = model.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )  # one-row aggregate of an n_buckets-row frame
+    lrm = model.crossJoin(F.broadcast(tots)).select(
+        "feature",
+        (
+            F.log((F.col("ct") + F.lit(1.0)) / (F.col("tt") + F.lit(float(nb))))
+            - F.log((F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(float(nb))))
+        ).alias("lr"),
+    )
+    docf = rf.groupBy(id_col, "feature").agg(F.count(F.lit(1)).alias("c"))
+    scored = docf.join(F.broadcast(lrm), "feature").groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.sum(F.col("c") * F.col("lr")).alias("_logw"),
+    )
+    if gumbel:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        u = (h.cast("double") + F.lit(0.5)) / F.lit(float(HASH60_MAX))
+        key = F.col("_logw") + (-F.log(-F.log(u)))
+    else:
+        key = F.col("_logw")
+    return (
+        scored.select(
+            id_col,
+            "n_grams",
+            F.round("_logw", 6).alias("logw"),
+            F.round(key, 6).alias("sel_key"),
+        )
+        .orderBy(F.desc("sel_key"), F.asc(id_col))
+        .limit(int(k))
+    )

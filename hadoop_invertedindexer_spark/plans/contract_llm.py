@@ -863,6 +863,50 @@ def q_decontaminate_substrings_incremental(
     )
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-level dedup (r8): multi-paragraph docs are
+    PLANTED on the newline-free corpus — every doc becomes (first 60
+    chars, a middle paragraph, the rest), where every 5th doc's middle
+    paragraph is an identical shared string (the cross-doc boilerplate
+    family; canonical = doc 0) and every 7th doc re-appends its own
+    first paragraph (a within-doc repeat). Short docs produce
+    empty-normalization trailing paragraphs, exercising the
+    kept-verbatim empty path."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.substring("text", 1, 60),
+        F.lit("\n"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("planted shared paragraph alpha beta gamma"),
+        ).otherwise(
+            F.concat(F.lit("solo paragraph "), F.col("doc_id").cast("string"))
+        ),
+        F.lit("\n"),
+        F.substring("text", 61, 100000),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("\n"), F.substring("text", 1, 60)),
+        ).otherwise(F.lit("")),
+    )
+    return dedup.dedup_paragraphs(d.select("doc_id", planted.alias("text")))
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (r8): target = the English documents,
+    raw pool = everything else; hashed unigram+bigram features in 512
+    buckets, Gumbel top-50 with the md5-uniform noise — the whole chain
+    (feature hash, Laplace bucket models, log-ratio weights, Gumbel
+    keys) is exact double math both engines restate."""
+    d = _docs(spark, sf_dir)
+    return sampling.dsir_select(
+        raw=d.where(F.col("lang") != "en"),
+        target=d.where(F.col("lang") == "en"),
+        k=50,
+        n_buckets=512,
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_metadata_summary(
         multimodal.binary_docs(_docs(spark, sf_dir))
@@ -1036,6 +1080,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_substrings_incremental": (
         q_decontaminate_substrings_incremental
     ),
+    "dedup_paragraphs": q_dedup_paragraphs,
+    "dsir_select": q_dsir_select,
     "media_dedup_exact": q_media_dedup_exact,
     "media_ahash": q_media_ahash,
     "media_near_dup": q_media_near_dup,
@@ -2930,3 +2976,118 @@ LLM_ORACLE_SQL["pipeline_capstone"] = f"""
                count(*)::BIGINT AS n_tokens,
                string_agg(tid::VARCHAR, ',' ORDER BY gpos) AS ids_str
         FROM stream GROUP BY 1"""
+
+# CCNet paragraph-level dedup: split the planted multi-paragraph docs on
+# chr(10), keep the corpus-wide first occurrence of each normalized
+# paragraph (empty normalizations keep verbatim — per-occurrence unique
+# key on the Spark side, the norm='' short-circuit here), reassemble
+_SQL_NORM_PARA = _SQL_NORM.replace("lower(text)", "lower(para)")
+
+LLM_ORACLE_SQL["dedup_paragraphs"] = f"""
+        WITH src AS (
+            SELECT doc_id,
+                   substr(text, 1, 60) || chr(10)
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN 'planted shared paragraph alpha beta gamma'
+                           ELSE 'solo paragraph ' || doc_id END
+                   || chr(10) || substr(text, 61, 100000)
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN chr(10) || substr(text, 1, 60)
+                           ELSE '' END AS text
+            FROM documents),
+        paras AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS para,
+                   unnest(range(0, len(string_split(text, chr(10)))))
+                       AS pos
+            FROM src),
+        keyed AS (
+            SELECT doc_id, pos, para, {_SQL_NORM_PARA} AS norm
+            FROM paras),
+        flagged AS (
+            SELECT doc_id, pos, para,
+                   (norm = '' OR row_number() OVER (
+                        PARTITION BY norm ORDER BY doc_id, pos) = 1)
+                       AS keep
+            FROM keyed)
+        SELECT doc_id,
+               string_agg(para, chr(10) ORDER BY pos)
+                   FILTER (WHERE keep) AS text,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+        FROM flagged
+        GROUP BY doc_id
+        HAVING sum(CASE WHEN keep THEN 1 ELSE 0 END) >= 1"""
+
+# DSIR: hashed unigram+bigram bucket models (Laplace), per-doc log
+# importance weight, Gumbel top-k from the md5-uniform — every step is
+# the identical double math on both engines, round(6) on the outputs
+LLM_ORACLE_SQL["dsir_select"] = f"""
+        WITH tgt AS (
+            SELECT doc_id, {_SQL_NORM} AS norm FROM documents
+            WHERE lang = 'en'),
+        rawd AS (
+            SELECT doc_id, {_SQL_NORM} AS norm FROM documents
+            WHERE lang <> 'en'),
+        tgr AS (
+            SELECT doc_id, unnest(
+                tk || CASE WHEN len(tk) >= 2
+                           THEN list_transform(
+                               generate_series(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i + 1])
+                           ELSE []::VARCHAR[] END) AS g
+            FROM (SELECT doc_id,
+                         list_filter(string_split(norm, ' '),
+                                     t -> t <> '') AS tk
+                  FROM tgt)),
+        rgr AS (
+            SELECT doc_id, unnest(
+                tk || CASE WHEN len(tk) >= 2
+                           THEN list_transform(
+                               generate_series(1, len(tk) - 1),
+                               i -> tk[i] || ' ' || tk[i + 1])
+                           ELSE []::VARCHAR[] END) AS g
+            FROM (SELECT doc_id,
+                         list_filter(string_split(norm, ' '),
+                                     t -> t <> '') AS tk
+                  FROM rawd)),
+        tc AS (
+            SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % 512
+                       AS feature,
+                   count(*) AS ct
+            FROM tgr GROUP BY 1),
+        rfeat AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(g), 1, 15))::BIGINT % 512
+                       AS feature
+            FROM rgr),
+        rc AS (SELECT feature, count(*) AS cr FROM rfeat GROUP BY feature),
+        buckets AS (SELECT unnest(range(512))::BIGINT AS feature),
+        model AS (
+            SELECT b.feature, coalesce(tc.ct, 0) AS ct,
+                   coalesce(rc.cr, 0) AS cr
+            FROM buckets b
+            LEFT JOIN tc USING (feature)
+            LEFT JOIN rc USING (feature)),
+        tots AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM model),
+        lrm AS (
+            SELECT feature,
+                   ln((ct + 1.0) / (tt + 512.0))
+                   - ln((cr + 1.0) / (tr + 512.0)) AS lr
+            FROM model CROSS JOIN tots),
+        docf AS (
+            SELECT doc_id, feature, count(*) AS c
+            FROM rfeat GROUP BY doc_id, feature),
+        scored AS (
+            SELECT doc_id, sum(c)::BIGINT AS n_grams, sum(c * lr) AS logw
+            FROM docf JOIN lrm USING (feature) GROUP BY doc_id),
+        gk AS (
+            SELECT doc_id, n_grams, logw,
+                   logw + (-ln(-ln(
+                       (('0x' || substr(md5('dsir|' || doc_id), 1, 15))
+                            ::BIGINT + 0.5)
+                       / 1152921504606846976.0))) AS skey
+            FROM scored)
+        SELECT doc_id, n_grams, round(logw, 6) AS logw,
+               round(skey, 6) AS sel_key
+        FROM gk ORDER BY sel_key DESC, doc_id LIMIT 50"""

@@ -735,3 +735,54 @@ def test_streaming_window_index_matches_batch_build(spark, tmp_path):
         spark, src, schema, stream_path, str(tmp_path / "ck2")
     )
     assert result(stream_path) == result(batch_path)
+
+
+class TestDedupParagraphs:
+    """Planted-paragraph fixtures for the CCNet paragraph-level dedup:
+    first-occurrence-wins across and within documents, empty paragraphs
+    kept verbatim, fully-boilerplate docs vanish."""
+
+    @pytest.fixture(scope="class")
+    def pdocs(self, spark):
+        rows = [
+            (1, "alpha one\nshared banner\nalpha tail"),
+            (2, "beta one\nshared banner\nbeta tail"),     # banner dup of 1
+            (3, "gamma one\ngamma one\ngamma tail"),       # within-doc repeat
+            (4, "shared banner"),                          # pure boilerplate
+            (5, "delta one\n\ndelta tail"),                # empty middle para
+            (6, "Shared  Banner!"),                        # dup modulo norm
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_first_occurrence_wins_cross_doc(self, spark, pdocs):
+        out = {r.doc_id: r for r in dedup.dedup_paragraphs(pdocs).collect()}
+        assert out[1].text == "alpha one\nshared banner\nalpha tail"
+        assert out[1].n_kept == 3 and out[1].n_dropped == 0
+        # doc 2 loses only the banner, prose order preserved
+        assert out[2].text == "beta one\nbeta tail"
+        assert out[2].n_kept == 2 and out[2].n_dropped == 1
+
+    def test_within_doc_repeat_dropped(self, spark, pdocs):
+        out = {r.doc_id: r for r in dedup.dedup_paragraphs(pdocs).collect()}
+        assert out[3].text == "gamma one\ngamma tail"
+        assert out[3].n_dropped == 1
+
+    def test_pure_boilerplate_doc_vanishes(self, spark, pdocs):
+        out = {r.doc_id: r for r in dedup.dedup_paragraphs(pdocs).collect()}
+        assert 4 not in out
+        # normalization-equivalent casing/punctuation also dedups away
+        assert 6 not in out
+
+    def test_empty_paragraphs_kept_verbatim(self, spark, pdocs):
+        out = {r.doc_id: r for r in dedup.dedup_paragraphs(pdocs).collect()}
+        assert out[5].text == "delta one\n\ndelta tail"
+        assert out[5].n_kept == 3
+
+    def test_multiple_empty_paragraphs_not_collapsed(self, spark):
+        d = spark.createDataFrame(
+            [(1, "a\n\nb\n\nc"), (2, "x\n\ny")], ["doc_id", "text"]
+        )
+        out = {r.doc_id: r for r in dedup.dedup_paragraphs(d).collect()}
+        # 2 empties in doc 1 + 1 in doc 2 all survive (unique keys)
+        assert out[1].text == "a\n\nb\n\nc"
+        assert out[2].text == "x\n\ny"

@@ -6,6 +6,7 @@ disjointness, quota exactness, and a hand-computed bigram fixture."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from hadoop_invertedindexer_spark.operators import sampling
 from hadoop_invertedindexer_spark.sources.tables import read_table
@@ -252,3 +253,67 @@ class TestUpsampleCorpus:
     def test_unlisted_stratum_passes_through_once(self, spark):
         got = self._ups(spark, [(1, "xx"), (2, "xx")], {"de": 3000})
         assert sorted(got) == [(1, "xx", 1), (2, "xx", 1)]
+
+
+class TestDsirSelect:
+    """Planted-distribution fixtures for DSIR: raw docs sharing the
+    target's n-gram distribution must outrank disjoint-vocabulary docs,
+    and the Gumbel selection must be reproducible."""
+
+    @pytest.fixture(scope="class")
+    def pools(self, spark):
+        target = spark.createDataFrame(
+            [
+                (1000 + i,
+                 "solar panels convert sunlight into clean electric power "
+                 "for homes and grids")
+                for i in range(5)
+            ],
+            ["doc_id", "text"],
+        )
+        raw = spark.createDataFrame(
+            [
+                # target-like docs: share unigrams AND bigrams
+                (1, "solar panels convert sunlight into electric power"),
+                (2, "clean electric power for homes and solar grids"),
+                # off-distribution docs: disjoint vocabulary
+                (3, "medieval castles stored grain behind thick stone walls"),
+                (4, "jazz quartets improvise over walking bass lines nightly"),
+            ],
+            ["doc_id", "text"],
+        )
+        return raw, target
+
+    def test_target_like_docs_outrank(self, spark, pools):
+        raw, target = pools
+        out = sampling.dsir_select(
+            raw, target, k=2, n_buckets=256
+        ).collect()
+        assert {r.doc_id for r in out} == {1, 2}
+        # importance weights: target-like strictly positive-er
+        logw = {r.doc_id: r.logw for r in sampling.dsir_select(
+            raw, target, k=4, n_buckets=256).collect()}
+        assert min(logw[1], logw[2]) > max(logw[3], logw[4])
+
+    def test_deterministic_across_runs_and_seed_sensitivity(self, spark, pools):
+        raw, target = pools
+        a = sorted(sampling.dsir_select(raw, target, k=3, n_buckets=256)
+                   .collect())
+        b = sorted(sampling.dsir_select(raw, target, k=3, n_buckets=256)
+                   .collect())
+        assert a == b  # same seed => identical keys and selection
+        c = {r.doc_id: r.sel_key for r in sampling.dsir_select(
+            raw, target, k=4, n_buckets=256, seed="other").collect()}
+        d = {r.doc_id: r.sel_key for r in sampling.dsir_select(
+            raw, target, k=4, n_buckets=256).collect()}
+        assert c != d  # Gumbel noise moves with the seed
+
+    def test_gumbel_false_is_plain_topk(self, spark, pools):
+        raw, target = pools
+        out = sampling.dsir_select(
+            raw, target, k=4, n_buckets=256, gumbel=False
+        ).collect()
+        # sel_key == logw when no noise, ordering by weight
+        assert all(abs(r.sel_key - r.logw) < 1e-9 for r in out)
+        ordered = [r.doc_id for r in out]
+        assert set(ordered[:2]) == {1, 2}
