@@ -180,3 +180,51 @@ def test_decontaminate_substrings_matches_python_model(spark, train, evalset):
         for r in dedup.decontaminate_substrings(tdf, edf, n=n).collect()
     }
     assert got == want
+
+
+# paragraph vocabulary with deliberate norm-equivalent variants (case /
+# punctuation) and the empty paragraph, so random corpora hit cross-doc
+# dups, within-doc dups, norm-collisions, and the kept-verbatim path
+_PARA = st.sampled_from(
+    ["alpha one", "Alpha One!", "beta two", "gamma", "", "delta four?"]
+)
+_PDOC = st.lists(_PARA, min_size=1, max_size=5).map("\n".join)
+
+
+def _model_dedup_paragraphs(texts: list[str]):
+    """Independent reimplementation of dedup_paragraphs: first
+    occurrence in (doc, pos) order wins on the normalized paragraph,
+    empty normalizations always kept, empty docs vanish."""
+    import re
+
+    def norm(p: str) -> str:
+        s = re.sub(r'[`~!@#$%^&*()_+=\[\]{}\\|;\':",./<>?-]', " ", p.lower())
+        return re.sub(r"\s+", " ", s).strip()
+
+    seen: set[str] = set()
+    out = {}
+    for i, t in enumerate(texts):
+        kept, dropped = [], 0
+        for p in t.split("\n"):
+            np_ = norm(p)
+            if np_ == "":
+                kept.append(p)
+            elif np_ in seen:
+                dropped += 1
+            else:
+                seen.add(np_)
+                kept.append(p)
+        if kept:
+            out[i] = ("\n".join(kept), len(kept), dropped)
+    return out
+
+
+@HSETTINGS
+@given(texts=st.lists(_PDOC, min_size=1, max_size=5))
+def test_dedup_paragraphs_matches_python_model(spark, texts):
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.text, r.n_kept, r.n_dropped)
+        for r in dedup.dedup_paragraphs(docs).collect()
+    }
+    assert got == _model_dedup_paragraphs(texts)

@@ -470,3 +470,29 @@ def test_decontaminate_substrings_probe_is_semi_join(spark):
     assert "LeftSemi" in plan
     assert plan.count("ShuffledHashJoin") >= 2
     assert "Exchange SinglePartition" not in plan
+
+
+def test_dsir_model_join_broadcast_and_topk_take_ordered(spark):
+    """DSIR's scale contract: the log-ratio model (n_buckets rows) must
+    reach the per-doc scoring join as a BROADCAST, and the final top-k
+    must be TakeOrderedAndProject — never a global sort of the scored
+    pool."""
+    qs = entrymod.queries()
+    plan = _plan(qs["dsir_select"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    from hadoop_invertedindexer_spark.caching import release_persisted
+
+    release_persisted()
+
+
+def test_dedup_paragraphs_no_corpus_window_no_cartesian(spark):
+    """Paragraph dedup's canonical pick is a partial-aggregated groupBy
+    on the hash key — a corpus-wide Window (or any cartesian pairing)
+    here would be the O(N log N)-single-partition / N² regression the
+    operator was shaped to avoid."""
+    qs = entrymod.queries()
+    plan = _plan(qs["dedup_paragraphs"](spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # map-side combine on the canonical pick

@@ -25,6 +25,13 @@ round, with the scale question each answers:
 * ``ivf_drift`` — metrics read the stored assignments once; the build
   it sits on is the linear bounded-K assignment proven in r7's soak.
   Runs on an embeddings replica dir.
+* ``dedup_paragraphs`` — parquet replicas make every paragraph a
+  10-way duplicate: worst case for the canonical-occurrence groupBy
+  (every group grows 10x) while the kept set stays 1x. Expect ~linear
+  wall, output invariant under replication.
+* ``dsir_select`` — both bucket-count tables stay capped at n_buckets
+  regardless of corpus size; only the persisted gram stream and the
+  (doc, feature) groupBy grow. Expect ~linear.
 
 Usage:
   python tools/scale_soak_r8.py graph-30x [src] [out_json]
@@ -56,6 +63,8 @@ R8_OPS = [
     "bpe_encode",
     "pipeline_capstone",
     "ivf_drift",
+    "dedup_paragraphs",
+    "dsir_select",
 ]
 
 
