@@ -453,7 +453,7 @@ def dsir_select(
     tc = tf.groupBy("feature").agg(F.count(F.lit(1)).alias("ct"))
     rc = rf.groupBy("feature").agg(F.count(F.lit(1)).alias("cr"))
     buckets = spark.range(nb).select(F.col("id").cast("int").alias("feature"))
-    model = (
+    model = tracked_persist(
         buckets.join(tc, "feature", "left")
         .join(rc, "feature", "left")
         .select(
@@ -461,7 +461,8 @@ def dsir_select(
             F.coalesce("ct", F.lit(0)).cast("bigint").alias("ct"),
             F.coalesce("cr", F.lit(0)).cast("bigint").alias("cr"),
         )
-    )
+    )  # n_buckets rows, two consumers (totals + log-ratio projection):
+    # unpersisted, each would re-run the TARGET-side gram pipeline
     tots = model.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
     )  # one-row aggregate of an n_buckets-row frame

@@ -12,7 +12,13 @@ def spark():
     s = get_spark(
         app_name="hii-tests",
         shuffle_partitions=8,
-        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="hii_wh_")},
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="hii_wh_"),
+            # local-mode default heap is 1g; one long session serving
+            # ~480 tests needs headroom for codegen classes, broadcast
+            # refs, and hash-agg pages (OOM'd at ~350 tests without it)
+            "spark.driver.memory": "8g",
+        },
     )
     yield s
     s.stop()

@@ -45,7 +45,14 @@ def canon_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
 
 
 def compare_query(spark, con, qfn, sql: str, sf_dir: str, name: str = "?") -> None:
+    from hadoop_invertedindexer_spark.caching import release_persisted
+
     sdf = qfn(spark, sf_dir).toPandas()
+    # builder persists (tracked_persist) otherwise accumulate across the
+    # ~190 parametrized contract cases and starve the shared session's
+    # heap late in the suite (the bench harness releases between samples
+    # for the same reason)
+    release_persisted()
     odf = con.execute(sql).df()
     assert sorted(sdf.columns) == sorted(odf.columns), (
         f"{name}: column mismatch spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"

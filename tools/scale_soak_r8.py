@@ -32,6 +32,11 @@ round, with the scale question each answers:
 * ``dsir_select`` — both bucket-count tables stay capped at n_buckets
   regardless of corpus size; only the persisted gram stream and the
   (doc, feature) groupBy grow. Expect ~linear.
+* ``classifier_score`` — broadcast weight vector is constant-size; the
+  token stream + one per-doc aggregate grow. Expect ~linear.
+* ``perplexity_buckets`` — the milli-cell histogram stays ~|cells|
+  regardless of N; the scored stream underneath grows. Expect ~linear
+  with the unigram_nll term dominating.
 
 Usage:
   python tools/scale_soak_r8.py graph-30x [src] [out_json]
@@ -65,6 +70,8 @@ R8_OPS = [
     "ivf_drift",
     "dedup_paragraphs",
     "dsir_select",
+    "classifier_score",
+    "perplexity_buckets",
 ]
 
 
