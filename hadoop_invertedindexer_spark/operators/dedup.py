@@ -1557,24 +1557,7 @@ def dedup_paragraphs(
     input split, src/InvertedIndexer.java:96-100); this is the CCNet
     extension row.
     """
-    norm = normalized_text("para")
-    paras = _spread(docs, id_col).select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
-    )
-    keyed = paras.select(
-        id_col,
-        "pos",
-        "para",
-        # empty-norm paragraphs get a unique non-hex key ('u|' prefix
-        # cannot collide with 32-char hex md5): own group => always kept
-        F.when(
-            norm == "",
-            F.concat_ws("|", F.lit("u"), F.col(id_col), F.col("pos")),
-        )
-        .otherwise(F.md5(norm))
-        .alias("_h"),
-    )
+    keyed = _paragraph_keyed(docs, id_col, text_col)
     canon = keyed.groupBy("_h").agg(
         F.min(
             F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
@@ -1585,8 +1568,41 @@ def dedup_paragraphs(
         (F.col("_first.d") == F.col(id_col))
         & (F.col("_first.p") == F.col("pos")),
     )
+    return _reassemble_paragraphs(flagged, id_col, text_col)
+
+
+def _paragraph_keyed(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, para, _h): every newline-split paragraph of every doc
+    with its dedup key — md5 of the normalized paragraph, or (for
+    empty normalizations) a per-occurrence unique non-hex key ('u|'
+    prefix cannot collide with 32-char hex md5): its own group, so it
+    is always kept and never forms the blank-line skew cell."""
+    norm = normalized_text("para")
+    return _spread(docs, id_col).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    ).select(
+        id_col,
+        "pos",
+        "para",
+        F.when(
+            norm == "",
+            F.concat_ws("|", F.lit("u"), F.col(id_col), F.col("pos")),
+        )
+        .otherwise(F.md5(norm))
+        .alias("_h"),
+    )
+
+
+def _reassemble_paragraphs(
+    flagged: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Rebuild (id, text, n_kept, n_dropped) from a flagged paragraph
+    stream — the shared tail of the direct and incremental paths (the
+    two differ only in how ``_keep`` is decided)."""
     kept_struct = F.when(
-        F.col("_keep"), F.struct(F.col("pos").alias("p"), F.col("para").alias("t"))
+        F.col("_keep"),
+        F.struct(F.col("pos").alias("p"), F.col("para").alias("t")),
     )
     return (
         flagged.groupBy(id_col)
@@ -1603,3 +1619,90 @@ def dedup_paragraphs(
         )
         .where(F.col("n_kept") >= 1)
     )
+
+
+def build_paragraph_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the DISTINCT normalized-paragraph hash set of an
+    already-published corpus — the paragraph family's member of the
+    engine's persisted-index trio (MinHash signatures, window hashes,
+    now paragraph hashes): the corpus is scanned once at build time,
+    and every future ingest batch paragraph-dedups against the stored
+    16-byte keys without re-reading any published text. Empty-norm
+    paragraphs are excluded (they are always kept, never deduped, so
+    indexing them would only add bytes)."""
+    keyed = _paragraph_keyed(docs, id_col, text_col)
+    keyed.where(~F.col("_h").startswith("u|")).select(
+        F.col("_h").alias("h")
+    ).distinct().write.mode("overwrite").parquet(f"{path}/paragraphs")
+
+
+def append_paragraph_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a published batch's distinct paragraph hashes: O(batch) —
+    existing index files are never read or rewritten. Re-appended
+    hashes land as duplicate rows (bytes, not correctness: the dedup
+    join is an anti join), reclaimed by periodic compaction — the same
+    append-mostly trade as the MinHash and window-hash tiers."""
+    keyed = _paragraph_keyed(batch, id_col, text_col)
+    keyed.where(~F.col("_h").startswith("u|")).select(
+        F.col("_h").alias("h")
+    ).distinct().write.mode("append").parquet(f"{path}/paragraphs")
+
+
+def dedup_paragraphs_incremental(
+    spark,
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph-dedup an ingest batch against a PERSISTED paragraph
+    index — the daily-ingest posture of :func:`dedup_paragraphs`: the
+    INDEX side always wins (it represents already-published text,
+    regardless of id ordering); within the batch, the smallest
+    (doc, pos) occurrence of each unindexed paragraph wins; empty
+    paragraphs keep verbatim. When the indexed corpus's ids precede the
+    batch's, the output is IDENTICAL to the direct path over
+    corpus ∪ batch restricted to batch docs (pinned by test and by the
+    shared contract oracle).
+
+    Scale shape: per-batch cost is O(batch paragraphs + one index-hash
+    scan) — the index join is an anti join on the 16-byte key, pinned
+    ``shuffle_hash`` (the index side is unbounded and duplicate-heavy;
+    the usual Catalyst broadcast-underestimate trap), and the published
+    text is never re-read."""
+    idx = spark.read.parquet(f"{path}/paragraphs").distinct()
+    keyed = _paragraph_keyed(batch, id_col, text_col).transform(
+        tracked_persist
+    )  # two consumers: the fresh-paragraph anti join + the flag join-back
+    canon = (
+        keyed.join(
+            idx.hint("shuffle_hash"),
+            keyed["_h"] == idx["h"],
+            "left_anti",
+        )
+        .groupBy("_h")
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("_first")
+        )
+    )
+    flagged = keyed.join(canon, "_h", "left").withColumn(
+        "_keep",
+        F.coalesce(
+            (F.col("_first.d") == F.col(id_col))
+            & (F.col("_first.p") == F.col("pos")),
+            F.lit(False),
+        ),
+    )
+    return _reassemble_paragraphs(flagged, id_col, text_col)

@@ -892,6 +892,42 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_paragraphs(d.select("doc_id", planted.alias("text")))
 
 
+def q_dedup_paragraphs_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted-paragraph-index dedup (r8): docs 0..249 (the published
+    corpus, every planted cross-doc paragraph's canonical among them)
+    are indexed once; the batch = docs 250+ dedups against the stored
+    hashes — output identical to the direct path over the full set
+    restricted to batch docs, so the oracle is the shared chain with an
+    output filter."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.substring("text", 1, 60),
+        F.lit("\n"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("planted shared paragraph alpha beta gamma"),
+        ).otherwise(
+            F.concat(F.lit("solo paragraph "), F.col("doc_id").cast("string"))
+        ),
+        F.lit("\n"),
+        F.substring("text", 61, 100000),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("\n"), F.substring("text", 1, 60)),
+        ).otherwise(F.lit("")),
+    )
+    src = d.select("doc_id", planted.alias("text"))
+    path = tempfile.mkdtemp(prefix="pidx_") + "/pidx"
+    dedup.build_paragraph_index(src.where(F.col("doc_id") < 250), path)
+    return dedup.dedup_paragraphs_incremental(
+        spark, src.where(F.col("doc_id") >= 250), path
+    )
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (r8): target = the English documents,
     raw pool = everything else; hashed unigram+bigram features in 512
@@ -1081,6 +1117,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         q_decontaminate_substrings_incremental
     ),
     "dedup_paragraphs": q_dedup_paragraphs,
+    "dedup_paragraphs_incremental": q_dedup_paragraphs_incremental,
     "dsir_select": q_dsir_select,
     "media_dedup_exact": q_media_dedup_exact,
     "media_ahash": q_media_ahash,
@@ -2980,10 +3017,16 @@ LLM_ORACLE_SQL["pipeline_capstone"] = f"""
 # CCNet paragraph-level dedup: split the planted multi-paragraph docs on
 # chr(10), keep the corpus-wide first occurrence of each normalized
 # paragraph (empty normalizations keep verbatim — per-occurrence unique
-# key on the Spark side, the norm='' short-circuit here), reassemble
+# key on the Spark side, the norm='' short-circuit here), reassemble.
+# The incremental entry shares the chain verbatim: with the indexed
+# corpus's ids (< 250) preceding the batch's, "index wins, then batch
+# first occurrence" IS the full-set first-occurrence rule restricted to
+# batch docs — so its oracle is the same SQL with the output filter.
 _SQL_NORM_PARA = _SQL_NORM.replace("lower(text)", "lower(para)")
 
-LLM_ORACLE_SQL["dedup_paragraphs"] = f"""
+
+def _sql_dedup_paragraphs(out_where: str = "") -> str:
+    return f"""
         WITH src AS (
             SELECT doc_id,
                    substr(text, 1, 60) || chr(10)
@@ -3016,8 +3059,15 @@ LLM_ORACLE_SQL["dedup_paragraphs"] = f"""
                sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
                sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
         FROM flagged
+        {out_where}
         GROUP BY doc_id
         HAVING sum(CASE WHEN keep THEN 1 ELSE 0 END) >= 1"""
+
+
+LLM_ORACLE_SQL["dedup_paragraphs"] = _sql_dedup_paragraphs()
+LLM_ORACLE_SQL["dedup_paragraphs_incremental"] = _sql_dedup_paragraphs(
+    "WHERE doc_id >= 250"
+)
 
 # DSIR: hashed unigram+bigram bucket models (Laplace), per-doc log
 # importance weight, Gumbel top-k from the md5-uniform — every step is

@@ -786,3 +786,111 @@ class TestDedupParagraphs:
         # 2 empties in doc 1 + 1 in doc 2 all survive (unique keys)
         assert out[1].text == "a\n\nb\n\nc"
         assert out[2].text == "x\n\ny"
+
+
+class TestParagraphIndex:
+    """Persisted paragraph-hash index: incremental ≡ direct restricted
+    to the batch, O(batch) appends extend it, replay is idempotent, and
+    the index side wins regardless of id ordering."""
+
+    @pytest.fixture()
+    def corpus_batch(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "alpha one\nshared banner\nalpha tail"),
+                (2, "beta one\nshared banner\nbeta tail"),
+            ],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "new prose\nshared banner\nnew tail"),
+                (11, "late copy\nnew prose\nlate tail"),  # batch-internal dup
+                (12, "shared banner"),                    # vanishes entirely
+            ],
+            ["doc_id", "text"],
+        )
+        return corpus, batch
+
+    def _direct_restricted(self, corpus, batch, min_id):
+        full = dedup.dedup_paragraphs(corpus.unionByName(batch))
+        return {
+            r.doc_id: (r.text, r.n_kept, r.n_dropped)
+            for r in full.collect()
+            if r.doc_id >= min_id
+        }
+
+    def test_incremental_equals_direct_restricted(
+        self, spark, corpus_batch, tmp_path
+    ):
+        corpus, batch = corpus_batch
+        path = str(tmp_path / "pidx")
+        dedup.build_paragraph_index(corpus, path)
+        got = {
+            r.doc_id: (r.text, r.n_kept, r.n_dropped)
+            for r in dedup.dedup_paragraphs_incremental(
+                spark, batch, path
+            ).collect()
+        }
+        assert got == self._direct_restricted(corpus, batch, 10)
+        assert 12 not in got  # pure-boilerplate batch doc vanishes
+        # batch-internal first occurrence of 'new prose' (doc 10) wins
+        assert got[11][0] == "late copy\nlate tail"
+
+    def test_append_extends_and_replay_idempotent(
+        self, spark, corpus_batch, tmp_path
+    ):
+        corpus, batch = corpus_batch
+        extra = spark.createDataFrame(
+            [(5, "middle wave\nfresh paragraph here")], ["doc_id", "text"]
+        )
+        path = str(tmp_path / "pidx")
+        dedup.build_paragraph_index(corpus, path)
+        dedup.append_paragraph_index(extra, path)
+        got = {
+            r.doc_id: (r.text, r.n_kept, r.n_dropped)
+            for r in dedup.dedup_paragraphs_incremental(
+                spark, batch.unionByName(
+                    spark.createDataFrame(
+                        [(13, "fresh paragraph here\nunique coda")],
+                        ["doc_id", "text"],
+                    )
+                ), path
+            ).collect()
+        }
+        want = self._direct_restricted(
+            corpus.unionByName(extra),
+            batch.unionByName(
+                spark.createDataFrame(
+                    [(13, "fresh paragraph here\nunique coda")],
+                    ["doc_id", "text"],
+                )
+            ),
+            10,
+        )
+        assert got == want
+        assert got[13][0] == "unique coda"  # appended hash suppressed it
+        # replaying the same append changes nothing
+        dedup.append_paragraph_index(extra, path)
+        again = {
+            r.doc_id: (r.text, r.n_kept, r.n_dropped)
+            for r in dedup.dedup_paragraphs_incremental(
+                spark, batch, path
+            ).collect()
+        }
+        assert again == self._direct_restricted(
+            corpus.unionByName(extra), batch, 10
+        )
+
+    def test_index_wins_regardless_of_id_order(self, spark, tmp_path):
+        corpus = spark.createDataFrame(
+            [(100, "published paragraph\npublished tail")], ["doc_id", "text"]
+        )
+        batch = spark.createDataFrame(
+            [(1, "published paragraph\nbrand new")], ["doc_id", "text"]
+        )
+        path = str(tmp_path / "pidx")
+        dedup.build_paragraph_index(corpus, path)
+        got = dedup.dedup_paragraphs_incremental(spark, batch, path).collect()
+        # batch id 1 < corpus id 100, but the INDEX still wins
+        assert got[0].text == "brand new" and got[0].n_dropped == 1
