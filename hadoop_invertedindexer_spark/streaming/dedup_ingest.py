@@ -132,3 +132,41 @@ def maintain_window_index(
         spark, source_dir, source_schema, checkpoint_dir,
         _append_tier, max_files_per_trigger,
     )
+
+
+def maintain_paragraph_index(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Continuous form of ``append_paragraph_index`` (r8): drain newly
+    PUBLISHED document files with availableNow and write each
+    micro-batch's distinct normalized-paragraph hashes as an idempotent
+    ``batch=<id>`` tier under ``paragraphs/``.
+    ``dedup_paragraphs_incremental`` reads the tiered layout unchanged —
+    partition discovery adds a ``batch`` column the anti join never
+    looks at, and duplicate hashes across tiers are harmless to an anti
+    probe. Same single-maintainer rule as the MinHash and window-hash
+    tiers: one root is maintained by EITHER the flat batch build/append
+    OR this stream, never both."""
+    from pyspark.sql import functions as F
+
+    from hadoop_invertedindexer_spark.operators.dedup import _paragraph_keyed
+    from hadoop_invertedindexer_spark.streaming.events import run_tier_maintenance
+
+    def _append_tier(batch_df: DataFrame, batch_id: int) -> None:
+        _paragraph_keyed(batch_df, id_col, text_col).where(
+            ~F.col("_h").startswith("u|")
+        ).select(F.col("_h").alias("h")).distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/paragraphs/batch={batch_id}")
+
+    run_tier_maintenance(
+        spark, source_dir, source_schema, checkpoint_dir,
+        _append_tier, max_files_per_trigger,
+    )

@@ -894,3 +894,65 @@ class TestParagraphIndex:
         got = dedup.dedup_paragraphs_incremental(spark, batch, path).collect()
         # batch id 1 < corpus id 100, but the INDEX still wins
         assert got[0].text == "brand new" and got[0].n_dropped == 1
+
+
+def test_streaming_paragraph_index_matches_batch_build(spark, tmp_path):
+    """The stream-maintained paragraph-hash tiers must dedup an ingest
+    batch identically to a one-shot batch build over the same published
+    corpus, and a fresh-checkpoint replay must leave the answer
+    unchanged (overwrite-your-own-batch idempotency)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hadoop_invertedindexer_spark.streaming import dedup_ingest
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    pub1 = spark.createDataFrame(
+        [(100, "first banner\nday one prose")], schema
+    )
+    pub2 = spark.createDataFrame(
+        [(101, "second banner\nday two prose")], schema
+    )
+    stage, src = str(tmp_path / "stage"), str(tmp_path / "src")
+    pub1.coalesce(1).write.mode("overwrite").parquet(f"{stage}/d1")
+    pub2.coalesce(1).write.mode("overwrite").parquet(f"{stage}/d2")
+    os.makedirs(src, exist_ok=True)
+    for i, d in enumerate(sorted(glob.glob(f"{stage}/d*/part-*.parquet"))):
+        shutil.copyfile(d, f"{src}/day{i}.parquet")
+
+    stream_path = str(tmp_path / "p_stream")
+    dedup_ingest.maintain_paragraph_index(
+        spark, src, schema, stream_path, str(tmp_path / "ck1")
+    )
+    batch_path = str(tmp_path / "p_batch")
+    dedup.build_paragraph_index(pub1.union(pub2), batch_path)
+
+    batch = spark.createDataFrame(
+        [
+            (200, "first banner\nnew material\nsecond banner"),
+            (201, "entirely novel document text"),
+        ],
+        schema,
+    )
+
+    def result(path):
+        return sorted(
+            tuple(r)
+            for r in dedup.dedup_paragraphs_incremental(
+                spark, batch, path
+            ).collect()
+        )
+
+    got = result(stream_path)
+    assert got == result(batch_path)
+    assert got[0][1:] == ("new material", 1, 2)  # both banners scrubbed
+    # replay with a fresh checkpoint: converges, never double-inserts
+    dedup_ingest.maintain_paragraph_index(
+        spark, src, schema, stream_path, str(tmp_path / "ck2")
+    )
+    assert result(stream_path) == result(batch_path)
