@@ -473,7 +473,21 @@ def dsir_select(
             - F.log((F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(float(nb))))
         ).alias("lr"),
     )
-    docf = rf.groupBy(id_col, "feature").agg(F.count(F.lit(1)).alias("c"))
+    return _dsir_score(rf, lrm, k, seed, gumbel, id_col)
+
+
+def _dsir_score(
+    feats: DataFrame,
+    lrm: DataFrame,
+    k: int,
+    seed: str,
+    gumbel: bool,
+    id_col: str,
+) -> DataFrame:
+    """Score a (id, feature) stream against a log-ratio model and take
+    the Gumbel (or plain) top-k — the shared tail of the direct and
+    persisted-model DSIR paths."""
+    docf = feats.groupBy(id_col, "feature").agg(F.count(F.lit(1)).alias("c"))
     scored = docf.join(F.broadcast(lrm), "feature").groupBy(id_col).agg(
         F.sum("c").cast("bigint").alias("n_grams"),
         F.sum(F.col("c") * F.col("lr")).alias("_logw"),
@@ -502,3 +516,74 @@ def dsir_select(
         .orderBy(F.desc("sel_key"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+def build_dsir_model(
+    raw: DataFrame,
+    target: DataFrame,
+    path: str,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the DSIR log-ratio model — the selection family's member
+    of the engine's persisted-index trio pattern: both distributions are
+    estimated ONCE (one pass over each corpus), and every future ingest
+    batch is scored against the stored ``n_buckets``-row table without
+    re-reading either estimation corpus. Layout: ``model/`` holds
+    (feature, lr), ``params/`` pins n_buckets so batch features can
+    never be hashed into a different space than the stored model."""
+    from hadoop_invertedindexer_spark.caching import tracked_persist
+
+    spark = raw.sparkSession
+    nb = int(n_buckets)
+    tf = _hashed_gram_features(target, nb, id_col, text_col)
+    rf = _hashed_gram_features(raw, nb, id_col, text_col)
+    tc = tf.groupBy("feature").agg(F.count(F.lit(1)).alias("ct"))
+    rc = rf.groupBy("feature").agg(F.count(F.lit(1)).alias("cr"))
+    buckets = spark.range(nb).select(F.col("id").cast("int").alias("feature"))
+    model = tracked_persist(
+        buckets.join(tc, "feature", "left")
+        .join(rc, "feature", "left")
+        .select(
+            "feature",
+            F.coalesce("ct", F.lit(0)).cast("bigint").alias("ct"),
+            F.coalesce("cr", F.lit(0)).cast("bigint").alias("cr"),
+        )
+    )
+    tots = model.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    model.crossJoin(F.broadcast(tots)).select(
+        "feature",
+        (
+            F.log((F.col("ct") + F.lit(1.0)) / (F.col("tt") + F.lit(float(nb))))
+            - F.log((F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(float(nb))))
+        ).alias("lr"),
+    ).write.mode("overwrite").parquet(f"{path}/model")
+    spark.createDataFrame([(nb,)], "n_buckets int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/params")
+
+
+def dsir_select_incremental(
+    spark,
+    batch: DataFrame,
+    path: str,
+    k: int = 100,
+    seed: str = "dsir",
+    gumbel: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score an ingest batch against a PERSISTED DSIR model and take
+    the top-k — the daily-ingest posture of :func:`dsir_select`: the
+    stored log-ratio table (``n_buckets`` rows, broadcast) is the whole
+    model, so per-batch cost is one gram explode + one (doc, feature)
+    groupBy + one per-doc sum + TakeOrderedAndProject; neither
+    estimation corpus is ever re-read. Scoring the model's own raw pool
+    reproduces :func:`dsir_select` exactly (pinned by test and by the
+    shared contract oracle). Note the k-cut is batch-LOCAL — selection
+    quotas across batches are the caller's mixture policy."""
+    p = spark.read.parquet(f"{path}/params").head()
+    lrm = spark.read.parquet(f"{path}/model")
+    feats = _hashed_gram_features(batch, p.n_buckets, id_col, text_col)
+    return _dsir_score(feats, lrm, k, seed, gumbel, id_col)

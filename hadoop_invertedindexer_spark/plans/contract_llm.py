@@ -943,6 +943,26 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-model DSIR (r8): the log-ratio model is built once from
+    the same en/non-en split as ``dsir_select`` and stored; scoring the
+    raw pool against the STORED model reproduces the direct path
+    exactly, so the oracle is shared verbatim."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="dsir_") + "/dsir"
+    sampling.build_dsir_model(
+        raw=d.where(F.col("lang") != "en"),
+        target=d.where(F.col("lang") == "en"),
+        path=path,
+        n_buckets=512,
+    )
+    return sampling.dsir_select_incremental(
+        spark, d.where(F.col("lang") != "en"), path, k=50
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_metadata_summary(
         multimodal.binary_docs(_docs(spark, sf_dir))
@@ -1119,6 +1139,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_paragraphs_incremental": q_dedup_paragraphs_incremental,
     "dsir_select": q_dsir_select,
+    "dsir_select_incremental": q_dsir_select_incremental,
     "media_dedup_exact": q_media_dedup_exact,
     "media_ahash": q_media_ahash,
     "media_near_dup": q_media_near_dup,
@@ -3141,3 +3162,8 @@ LLM_ORACLE_SQL["dsir_select"] = f"""
         SELECT doc_id, n_grams, round(logw, 6) AS logw,
                round(skey, 6) AS sel_key
         FROM gk ORDER BY sel_key DESC, doc_id LIMIT 50"""
+
+# the persisted-model path's output is identical to the direct path by
+# construction (the stored table IS the inline log-ratio model), so the
+# oracle is shared verbatim
+LLM_ORACLE_SQL["dsir_select_incremental"] = LLM_ORACLE_SQL["dsir_select"]

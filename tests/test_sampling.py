@@ -317,3 +317,66 @@ class TestDsirSelect:
         assert all(abs(r.sel_key - r.logw) < 1e-9 for r in out)
         ordered = [r.doc_id for r in out]
         assert set(ordered[:2]) == {1, 2}
+
+
+class TestDsirModelIndex:
+    """Persisted DSIR model: scoring the model's own raw pool equals the
+    direct path; a new batch scores O(batch) against the stored table."""
+
+    def test_incremental_equals_direct_on_raw_pool(self, spark, tmp_path):
+        target = spark.createDataFrame(
+            [(100 + i, "solar panels convert sunlight into power")
+             for i in range(3)],
+            ["doc_id", "text"],
+        )
+        raw = spark.createDataFrame(
+            [
+                (1, "solar panels convert light"),
+                (2, "medieval castles and stone walls"),
+                (3, "sunlight into clean power grids"),
+            ],
+            ["doc_id", "text"],
+        )
+        path = str(tmp_path / "dsir")
+        sampling.build_dsir_model(raw, target, path, n_buckets=128)
+        direct = sorted(
+            tuple(r)
+            for r in sampling.dsir_select(
+                raw, target, k=3, n_buckets=128
+            ).collect()
+        )
+        stored = sorted(
+            tuple(r)
+            for r in sampling.dsir_select_incremental(
+                spark, raw, path, k=3
+            ).collect()
+        )
+        assert direct == stored
+
+    def test_new_batch_scores_against_frozen_model(self, spark, tmp_path):
+        target = spark.createDataFrame(
+            [(100, "solar panels convert sunlight into power")],
+            ["doc_id", "text"],
+        )
+        raw = spark.createDataFrame(
+            [(1, "medieval castles and stone walls")], ["doc_id", "text"]
+        )
+        path = str(tmp_path / "dsir")
+        sampling.build_dsir_model(raw, target, path, n_buckets=128)
+        batch = spark.createDataFrame(
+            [
+                (10, "solar panels convert sunlight"),   # target-like
+                (11, "jazz quartets improvise nightly"),  # off-distribution
+            ],
+            ["doc_id", "text"],
+        )
+        out = sampling.dsir_select_incremental(
+            spark, batch, path, k=2, gumbel=False
+        ).collect()
+        logw = {r.doc_id: r.logw for r in out}
+        assert logw[10] > logw[11]
+        # repeat scoring: the stored model is frozen => identical result
+        again = sampling.dsir_select_incremental(
+            spark, batch, path, k=2, gumbel=False
+        ).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
