@@ -552,8 +552,13 @@ def build_dsir_model(
         )
     )
     tots = model.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    # counts ride along with lr: the health metrics
+    # (dsir_model_divergence) read them back without ever touching the
+    # estimation corpora again
     model.crossJoin(F.broadcast(tots)).select(
         "feature",
+        "ct",
+        "cr",
         (
             F.log((F.col("ct") + F.lit(1.0)) / (F.col("tt") + F.lit(float(nb))))
             - F.log((F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(float(nb))))
@@ -587,3 +592,70 @@ def dsir_select_incremental(
     lrm = spark.read.parquet(f"{path}/model")
     feats = _hashed_gram_features(batch, p.n_buckets, id_col, text_col)
     return _dsir_score(feats, lrm, k, seed, gumbel, id_col)
+
+
+def dsir_model_divergence(
+    spark,
+    path: str,
+    batch: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row health report of a persisted DSIR model — the selection
+    family's analogue of ``ivf_index_drift``: everything derives from
+    the STORED (feature, ct, cr) table (plus one batch pass when
+    ``batch`` is given); the estimation corpora are never re-read.
+
+    Columns: bucket coverage on each side (``n_target_buckets`` /
+    ``n_raw_buckets`` — collapsing coverage means the hash space is too
+    big or an estimation corpus was thin), ``kl_target_raw`` — the
+    smoothed KL(target‖raw) the importance weights are worth (≈0 means
+    DSIR has nothing to select on), and ``max_abs_lr`` — the clipping
+    radar for extreme per-bucket weights. With ``batch``,
+    ``kl_batch_raw`` adds the staleness signal: the smoothed
+    KL(batch‖raw) between today's ingest and the stored raw
+    distribution — when it climbs, the stored model no longer describes
+    what is being scored, and ``build_dsir_model`` should be re-run (the
+    rebuild-trigger pattern of the IVF drift probe). Floats round(6).
+    """
+    p = spark.read.parquet(f"{path}/params").head()
+    nb = int(p.n_buckets)
+    m = spark.read.parquet(f"{path}/model")
+    if batch is not None:
+        bc = (
+            _hashed_gram_features(batch, nb, id_col, text_col)
+            .groupBy("feature")
+            .agg(F.count(F.lit(1)).alias("cb"))
+        )
+        m = m.join(bc, "feature", "left").withColumn(
+            "cb", F.coalesce("cb", F.lit(0)).cast("bigint")
+        )
+    tots = m.agg(
+        F.sum("ct").alias("tt"),
+        F.sum("cr").alias("tr"),
+        *([F.sum("cb").alias("tb")] if batch is not None else []),
+    )
+    j = m.crossJoin(F.broadcast(tots))
+    pt = (F.col("ct") + F.lit(1.0)) / (F.col("tt") + F.lit(float(nb)))
+    pr = (F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(float(nb)))
+    cols = [
+        F.lit(nb).cast("int").alias("n_buckets"),
+        F.sum((F.col("ct") > 0).cast("int")).cast("bigint").alias(
+            "n_target_buckets"
+        ),
+        F.sum((F.col("cr") > 0).cast("int")).cast("bigint").alias(
+            "n_raw_buckets"
+        ),
+        F.round(F.sum(pt * (F.log(pt) - F.log(pr))), 6).alias(
+            "kl_target_raw"
+        ),
+        F.round(F.max(F.abs("lr")), 6).alias("max_abs_lr"),
+    ]
+    if batch is not None:
+        pb = (F.col("cb") + F.lit(1.0)) / (F.col("tb") + F.lit(float(nb)))
+        cols.append(
+            F.round(F.sum(pb * (F.log(pb) - F.log(pr))), 6).alias(
+                "kl_batch_raw"
+            )
+        )
+    return j.agg(*cols)

@@ -963,6 +963,24 @@ def q_dsir_select_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_model_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR model health (r8): build the persisted model from the same
+    en/non-en split, then report bucket coverage + smoothed
+    KL(target‖raw) + max |log-ratio| off the STORED counts — the
+    selection family's ivf_drift."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="dsirm_") + "/dsir"
+    sampling.build_dsir_model(
+        raw=d.where(F.col("lang") != "en"),
+        target=d.where(F.col("lang") == "en"),
+        path=path,
+        n_buckets=512,
+    )
+    return sampling.dsir_model_divergence(spark, path)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_metadata_summary(
         multimodal.binary_docs(_docs(spark, sf_dir))
@@ -1140,6 +1158,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_paragraphs_incremental": q_dedup_paragraphs_incremental,
     "dsir_select": q_dsir_select,
     "dsir_select_incremental": q_dsir_select_incremental,
+    "dsir_model_divergence": q_dsir_model_divergence,
     "media_dedup_exact": q_media_dedup_exact,
     "media_ahash": q_media_ahash,
     "media_near_dup": q_media_near_dup,
@@ -3093,8 +3112,7 @@ LLM_ORACLE_SQL["dedup_paragraphs_incremental"] = _sql_dedup_paragraphs(
 # DSIR: hashed unigram+bigram bucket models (Laplace), per-doc log
 # importance weight, Gumbel top-k from the md5-uniform — every step is
 # the identical double math on both engines, round(6) on the outputs
-LLM_ORACLE_SQL["dsir_select"] = f"""
-        WITH tgt AS (
+_SQL_DSIR_CTES = f"""tgt AS (
             SELECT doc_id, {_SQL_NORM} AS norm FROM documents
             WHERE lang = 'en'),
         rawd AS (
@@ -3145,7 +3163,10 @@ LLM_ORACLE_SQL["dsir_select"] = f"""
             SELECT feature,
                    ln((ct + 1.0) / (tt + 512.0))
                    - ln((cr + 1.0) / (tr + 512.0)) AS lr
-            FROM model CROSS JOIN tots),
+            FROM model CROSS JOIN tots)"""
+
+LLM_ORACLE_SQL["dsir_select"] = f"""
+        WITH {_SQL_DSIR_CTES},
         docf AS (
             SELECT doc_id, feature, count(*) AS c
             FROM rfeat GROUP BY doc_id, feature),
@@ -3167,3 +3188,22 @@ LLM_ORACLE_SQL["dsir_select"] = f"""
 # construction (the stored table IS the inline log-ratio model), so the
 # oracle is shared verbatim
 LLM_ORACLE_SQL["dsir_select_incremental"] = LLM_ORACLE_SQL["dsir_select"]
+
+# DSIR model health: bucket coverage, the smoothed KL(target||raw) the
+# importance weights are worth, and the max |log-ratio| — recomputed by
+# the oracle from the same model CTEs the selection oracle uses
+LLM_ORACLE_SQL["dsir_model_divergence"] = f"""
+        WITH {_SQL_DSIR_CTES}
+        SELECT 512::INT AS n_buckets,
+               sum(CASE WHEN ct > 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_target_buckets,
+               sum(CASE WHEN cr > 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_raw_buckets,
+               round(sum(((ct + 1.0) / (tt + 512.0))
+                         * (ln((ct + 1.0) / (tt + 512.0))
+                            - ln((cr + 1.0) / (tr + 512.0)))), 6)
+                   AS kl_target_raw,
+               round(max(abs(ln((ct + 1.0) / (tt + 512.0))
+                             - ln((cr + 1.0) / (tr + 512.0)))), 6)
+                   AS max_abs_lr
+        FROM model CROSS JOIN tots"""

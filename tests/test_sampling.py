@@ -380,3 +380,60 @@ class TestDsirModelIndex:
             spark, batch, path, k=2, gumbel=False
         ).collect()
         assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+class TestDsirModelDivergence:
+    """Model-health metrics off the stored counts: coverage is exact on
+    a hand-built corpus, KL >= 0 and ~0 for identical distributions, and
+    the batch-staleness signal climbs for a drifted ingest and resets
+    after a rebuild."""
+
+    def test_identical_distributions_near_zero_kl(self, spark, tmp_path):
+        same = [(i, "alpha beta gamma delta") for i in range(4)]
+        target = spark.createDataFrame(same, ["doc_id", "text"])
+        raw = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(x[1] for x in same)],
+            ["doc_id", "text"],
+        )
+        path = str(tmp_path / "m")
+        sampling.build_dsir_model(raw, target, path, n_buckets=64)
+        r = sampling.dsir_model_divergence(spark, path).head()
+        assert r.n_buckets == 64
+        # 4 unigrams + 3 bigrams = 7 distinct grams on BOTH sides;
+        # coverage counts BUCKETS, so hash collisions may merge some
+        assert r.n_target_buckets == r.n_raw_buckets
+        assert 1 <= r.n_target_buckets <= 7
+        assert abs(r.kl_target_raw) < 1e-6 and abs(r.max_abs_lr) < 1e-6
+
+    def test_batch_drift_climbs_and_rebuild_resets(self, spark, tmp_path):
+        target = spark.createDataFrame(
+            [(1, "solar panels convert sunlight")], ["doc_id", "text"]
+        )
+        raw = spark.createDataFrame(
+            [(10 + i, "medieval castles and stone walls") for i in range(3)],
+            ["doc_id", "text"],
+        )
+        path = str(tmp_path / "m")
+        sampling.build_dsir_model(raw, target, path, n_buckets=64)
+        like_raw = spark.createDataFrame(
+            [(50, "medieval castles and stone walls")], ["doc_id", "text"]
+        )
+        drifted = spark.createDataFrame(
+            [(60, "quantum chips etch qubits onto wafers")], ["doc_id", "text"]
+        )
+        kl_like = sampling.dsir_model_divergence(
+            spark, path, batch=like_raw
+        ).head().kl_batch_raw
+        kl_drift = sampling.dsir_model_divergence(
+            spark, path, batch=drifted
+        ).head().kl_batch_raw
+        assert kl_drift > kl_like >= 0
+        # rebuild over the shifted raw pool: the drifted batch is now
+        # in-distribution and its staleness signal drops
+        sampling.build_dsir_model(
+            raw.unionByName(drifted), target, path, n_buckets=64
+        )
+        kl_after = sampling.dsir_model_divergence(
+            spark, path, batch=drifted
+        ).head().kl_batch_raw
+        assert kl_after < kl_drift
