@@ -115,3 +115,65 @@ def prepare_tokens(
     if stopwords is not None:
         toks = filter_stopwords(toks, stopwords, col=out)
     return toks
+
+
+# HTML patterns share one shape: (?is) flags and lazy bodies parse
+# identically under Java regex (Spark) and RE2 (DuckDB), and none uses
+# a backreference (RE2 has none) — script/style pairing is expanded
+# into two literal patterns instead.
+_HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+_HTML_NEWLINE_RE = (
+    r"(?i)<br\s*/?>|</p\s*>|</div\s*>|</h[1-6]\s*>|</li\s*>|</tr\s*>"
+    r"|</blockquote\s*>|</section\s*>|</article\s*>"
+)
+_HTML_TAG_RE = r"(?s)<[^>]+>"
+
+
+def strip_html(col: Column | str) -> Column:
+    """HTML → text for crawl preprocessing (EXT; the step BEFORE every
+    filter/dedup operator in a CCNet / RefinedWeb-style web pipeline —
+    the reference only ever sees plain text, ref
+    src/InvertedIndexer.java:96):
+
+    1. ``<script>``/``<style>`` blocks and comments drop wholesale
+       (their contents are code, not prose);
+    2. block-level closing tags and ``<br>`` become newlines, so
+       document structure survives as PARAGRAPHS — the downstream
+       contract :func:`..operators.dedup.dedup_paragraphs` needs;
+    3. remaining tags strip;
+    4. the named entities that dominate real crawl text decode
+       (``&lt; &gt; &quot; &#39; &apos; &nbsp;`` then ``&amp;`` LAST so
+       ``&amp;lt;`` becomes the literal ``&lt;`` exactly once —
+       numeric ``&#NN;`` forms beyond ``&#39;`` are left as-is, a
+       documented subset, not a silent one);
+    5. spaces/tabs collapse, 3+ newlines collapse to a paragraph
+       break, edges trim.
+
+    Every step is a ``regexp_replace`` — whole-stage codegen, zero
+    Python — and every pattern parses identically under Java regex and
+    RE2 (no backreferences anywhere), so the whole chain is
+    oracle-restatable.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # RE2 (DuckDB) has no backreferences: expand the script|style pair
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script\s*>", "")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style\s*>", "")
+    c = F.regexp_replace(c, _HTML_COMMENT_RE, "")
+    c = F.regexp_replace(c, _HTML_NEWLINE_RE, "\n")
+    c = F.regexp_replace(c, _HTML_TAG_RE, " ")
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    # trim() strips only spaces (both engines); edge newlines — e.g. a
+    # trailing </p> — need their own pass
+    return F.regexp_replace(F.trim(c), "^\n+|\n+$", "")

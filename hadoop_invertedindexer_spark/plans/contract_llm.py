@@ -981,6 +981,38 @@ def q_dsir_model_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.dsir_model_divergence(spark, path)
 
 
+def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text crawl preprocessing (r8): every doc is wrapped in a
+    PLANTED page — style block + comment in the head, an h1 title, a
+    paragraph with encoded entities, and a script with a bare ``<`` —
+    then stripped back. Both engines restate the identical regex chain
+    (Java regex and RE2 parse every pattern the same; no
+    backreferences), so the recovered text + paragraph newlines
+    hash-match."""
+    from hadoop_invertedindexer_spark.functions import textprep
+
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit(
+            "<html><head><style>p color red</style>"
+            "<!-- crawler junk --></head><body><h1>"
+        ),
+        F.substring("text", 1, 40),
+        F.lit("</h1><p>"),
+        F.substring("text", 41, 100000),
+        F.lit(
+            " &amp; more &lt;tags&gt;</p>"
+            "<script>var x = 1 < 2;</script></body></html>"
+        ),
+    )
+    out = textprep.strip_html(html)
+    return d.select(
+        "doc_id",
+        out.alias("text"),
+        F.length(out).cast("long").alias("n_chars"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_metadata_summary(
         multimodal.binary_docs(_docs(spark, sf_dir))
@@ -1159,6 +1191,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "dsir_select_incremental": q_dsir_select_incremental,
     "dsir_model_divergence": q_dsir_model_divergence,
+    "html_to_text": q_html_to_text,
     "media_dedup_exact": q_media_dedup_exact,
     "media_ahash": q_media_ahash,
     "media_near_dup": q_media_near_dup,
@@ -3207,3 +3240,45 @@ LLM_ORACLE_SQL["dsir_model_divergence"] = f"""
                              - ln((cr + 1.0) / (tr + 512.0)))), 6)
                    AS max_abs_lr
         FROM model CROSS JOIN tots"""
+
+# HTML->text: the same regex chain as functions/textprep.strip_html,
+# restated with RE2 syntax (identical pattern text; DuckDB needs the
+# explicit 'g' flag where Spark replaces globally by default). Plain
+# string on purpose: the {3,} quantifier would fight an f-string.
+LLM_ORACLE_SQL["html_to_text"] = """
+        WITH h AS (
+            SELECT doc_id,
+                   '<html><head><style>p color red</style>'
+                   || '<!-- crawler junk --></head><body><h1>'
+                   || substr(text, 1, 40) || '</h1><p>'
+                   || substr(text, 41, 100000)
+                   || ' &amp; more &lt;tags&gt;</p>'
+                   || '<script>var x = 1 < 2;</script></body></html>'
+                       AS html
+            FROM documents),
+        s AS (
+            SELECT doc_id, regexp_replace(trim(
+                regexp_replace(
+                regexp_replace(
+                regexp_replace(
+                replace(replace(replace(replace(replace(replace(replace(
+                regexp_replace(
+                regexp_replace(
+                regexp_replace(
+                regexp_replace(
+                regexp_replace(html,
+                    '(?is)<script[^>]*>.*?</script\\s*>', '', 'g'),
+                    '(?is)<style[^>]*>.*?</style\\s*>', '', 'g'),
+                    '(?s)<!--.*?-->', '', 'g'),
+                    '(?i)<br\\s*/?>|</p\\s*>|</div\\s*>|</h[1-6]\\s*>|</li\\s*>|</tr\\s*>|</blockquote\\s*>|</section\\s*>|</article\\s*>',
+                    e'\\n', 'g'),
+                    '(?s)<[^>]+>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' '),
+                    '&amp;', '&'),
+                    '[ \\t]+', ' ', 'g'),
+                    ' ?\\n ?', e'\\n', 'g'),
+                    '\\n{3,}', e'\\n\\n', 'g')),
+                    '^\\n+|\\n+$', '', 'g') AS text
+            FROM h)
+        SELECT doc_id, text, length(text)::BIGINT AS n_chars FROM s"""

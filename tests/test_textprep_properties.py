@@ -72,3 +72,66 @@ def test_posting_sort_matches_reference_model(spark, counts):
     got = postings(df).first().postings
     expected = sorted((f"{c}#{d}" for c, d in counts), reverse=True)
     assert list(got) == expected
+
+
+class TestStripHtml:
+    """Planted-page fixtures for the crawl-preprocessing HTML stripper."""
+
+    def _strip(self, spark, s):
+        from hadoop_invertedindexer_spark.functions.textprep import strip_html
+
+        return (
+            spark.createDataFrame([(s,)], ["raw"])
+            .select(strip_html("raw").alias("t"))
+            .head()
+            .t
+        )
+
+    def test_script_style_comment_dropped_wholesale(self, spark):
+        got = self._strip(
+            spark,
+            "<style>body red</style>keep"
+            "<script>var x = 1 < 2; if (x) beep();</script>"
+            "<!-- secret --> this",
+        )
+        assert got == "keep this"
+
+    def test_block_tags_become_paragraphs(self, spark):
+        got = self._strip(
+            spark, "<h1>Title</h1><p>one</p><p>two</p><div>three</div>"
+        )
+        assert got == "Title\none\ntwo\nthree"
+
+    def test_entity_decode_order_amp_last(self, spark):
+        # '&amp;lt;' must decode to the literal '&lt;' exactly once,
+        # never cascade to '<'
+        got = self._strip(spark, "<p>a &amp; b &amp;lt; c &nbsp; d</p>")
+        assert got == 'a & b &lt; c d'
+
+    def test_plain_text_with_newlines_passes_through(self, spark):
+        assert self._strip(spark, "plain one\nplain two") == (
+            "plain one\nplain two"
+        )
+
+    def test_unclosed_tag_is_stripped_not_swallowed(self, spark):
+        got = self._strip(spark, "before <em>emph after")
+        assert got == "before emph after"
+
+    def test_feeds_paragraph_dedup(self, spark):
+        """The stripper's newline structure is exactly what
+        dedup_paragraphs consumes: a shared banner paragraph across two
+        stripped pages dedups away."""
+        from hadoop_invertedindexer_spark.functions.textprep import strip_html
+        from hadoop_invertedindexer_spark.operators import dedup
+
+        pages = spark.createDataFrame(
+            [
+                (1, "<p>cookie banner</p><p>alpha prose</p>"),
+                (2, "<p>cookie banner</p><p>beta prose</p>"),
+            ],
+            ["doc_id", "raw"],
+        )
+        stripped = pages.select("doc_id", strip_html("raw").alias("text"))
+        out = {r.doc_id: r.text for r in dedup.dedup_paragraphs(stripped).collect()}
+        assert out[1] == "cookie banner\nalpha prose"
+        assert out[2] == "beta prose"
