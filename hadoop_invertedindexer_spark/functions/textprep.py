@@ -177,3 +177,40 @@ def strip_html(col: Column | str) -> Column:
     # trim() strips only spaces (both engines); edge newlines — e.g. a
     # trailing </p> — need their own pass
     return F.regexp_replace(F.trim(c), "^\n+|\n+$", "")
+
+
+# sentence boundary: sentence-final punctuation (optional closing
+# quote/bracket) + one space + an upper-case/digit opener. Expressed as
+# sentinel INSERTION (capture groups re-emitted around \x01) rather than
+# a lookaround split: RE2 (the oracle engine) has no lookbehind, but
+# both engines replace with capture groups — Spark spells them $1,
+# DuckDB \1 — and the sentinel split is then a plain string_split.
+_SENT_BOUNDARY_RE = "([.!?][\"')\\]]?) ([A-Z0-9])"
+
+
+def split_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sent_id, sentence): regex sentence segmentation (EXT) — the
+    unit under sentence-level chunking, embedding, and decontamination.
+    A document splits after ``[.!?]`` (with an optional closing
+    quote/bracket) when the next character starts a new sentence
+    (capital or digit). The scanner is non-overlapping but re-emits the
+    consumed opener, so consecutive short sentences all split
+    ("Hi. OK. Go." → 3). Known heuristic limits, by design:
+    abbreviations ("Dr. Smith") and decimal-free initials split a
+    sentence early — the punkt-style model fix is a vocabulary, not a
+    different plan shape. Empty docs yield one empty sentence
+    (positional fidelity: every doc appears).
+
+    Scale shape: one regexp_replace + split + posexplode — a pure
+    projection; the only cost is the output's own row count."""
+    marked = F.regexp_replace(
+        F.col(text_col), _SENT_BOUNDARY_RE, "$1\x01$2"
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(marked, "\x01")).alias("sent_id", "sentence"),
+    )

@@ -1013,6 +1013,26 @@ def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (r8): boundaries are PLANTED mid-corpus
+    (the synthetic text has no sentence-final punctuation + capital
+    openers of its own), covering ., !, ? and the no-boundary negative
+    (the tail resumes lowercase). Both engines insert the same sentinel
+    via capture-group replacement — Spark spells groups $1, DuckDB \\1 —
+    then split on it."""
+    from hadoop_invertedindexer_spark.functions import textprep
+
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.substring("text", 1, 50),
+        F.lit(
+            ". Alpha beta gamma. Delta says hello! Echo asks why? and then "
+        ),
+        F.substring("text", 51, 100000),
+    )
+    return textprep.split_sentences(d.select("doc_id", planted.alias("text")))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_metadata_summary(
         multimodal.binary_docs(_docs(spark, sf_dir))
@@ -1192,6 +1212,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select_incremental": q_dsir_select_incremental,
     "dsir_model_divergence": q_dsir_model_divergence,
     "html_to_text": q_html_to_text,
+    "split_sentences": q_split_sentences,
     "media_dedup_exact": q_media_dedup_exact,
     "media_ahash": q_media_ahash,
     "media_near_dup": q_media_near_dup,
@@ -3282,3 +3303,27 @@ LLM_ORACLE_SQL["html_to_text"] = """
                     '^\\n+|\\n+$', '', 'g') AS text
             FROM h)
         SELECT doc_id, text, length(text)::BIGINT AS n_chars FROM s"""
+
+# sentence segmentation: the sentinel-insertion formulation (RE2 has no
+# lookbehind, so the boundary is a capture-group replacement both
+# engines express — the replacement SYNTAX differs ($1 vs \1) but the
+# inserted sentinel stream is identical). Plain string: the regex
+# brackets would fight an f-string.
+LLM_ORACLE_SQL["split_sentences"] = """
+        WITH src AS (
+            SELECT doc_id,
+                   substr(text, 1, 50)
+                   || '. Alpha beta gamma. Delta says hello! Echo asks why? and then '
+                   || substr(text, 51, 100000) AS text
+            FROM documents),
+        m AS (
+            SELECT doc_id,
+                   regexp_replace(text,
+                       '([.!?]["'')\\]]?) ([A-Z0-9])',
+                       '\\1' || chr(1) || '\\2', 'g') AS t
+            FROM src)
+        SELECT doc_id,
+               unnest(range(0, len(string_split(t, chr(1)))))::INT
+                   AS sent_id,
+               unnest(string_split(t, chr(1))) AS sentence
+        FROM m"""

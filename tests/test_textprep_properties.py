@@ -135,3 +135,39 @@ class TestStripHtml:
         out = {r.doc_id: r.text for r in dedup.dedup_paragraphs(stripped).collect()}
         assert out[1] == "cookie banner\nalpha prose"
         assert out[2] == "beta prose"
+
+
+class TestSplitSentences:
+    def _sents(self, spark, s):
+        from hadoop_invertedindexer_spark.functions.textprep import (
+            split_sentences,
+        )
+
+        rows = split_sentences(
+            spark.createDataFrame([(1, s)], ["doc_id", "text"])
+        ).collect()
+        return [r.sentence for r in sorted(rows, key=lambda r: r.sent_id)]
+
+    def test_consecutive_short_sentences_all_split(self, spark):
+        assert self._sents(spark, "Hi. OK. Go.") == ["Hi.", "OK.", "Go."]
+
+    def test_terminators_and_closing_quote(self, spark):
+        got = self._sents(spark, 'He said "stop." Then left! Really? Yes.')
+        assert got == ['He said "stop."', "Then left!", "Really?", "Yes."]
+
+    def test_no_boundary_without_capital_opener(self, spark):
+        # lowercase continuation and decimals never split
+        assert self._sents(spark, "pi is 3.14 and that. is that") == [
+            "pi is 3.14 and that. is that"
+        ]
+
+    def test_abbreviation_limit_is_documented_behavior(self, spark):
+        # the known heuristic limit: an abbreviation before a capital
+        # splits early (punkt-style vocabularies fix this, not the plan)
+        assert self._sents(spark, "Dr. Smith arrived.") == [
+            "Dr.",
+            "Smith arrived.",
+        ]
+
+    def test_empty_doc_yields_one_empty_sentence(self, spark):
+        assert self._sents(spark, "") == [""]
