@@ -96,6 +96,7 @@ HEADLINE = [
     "pipeline_capstone",      # filter->dedup->upsample->split->pack e2e (r8)
     "decontaminate_substrings",  # span-granular eval scrub, semi-join probe (r8)
     "classifier_score",       # fastText-style hashed linear inference (r8)
+    "classifier_train",       # batch-perceptron training, integer-exact (r8)
     "perplexity_buckets",     # CCNet terciles via histogram cumsum (r8)
     "upsample_corpus",        # deterministic fractional mixture upsampling (r7)
     "dsir_select",            # DSIR hashed-ngram importance resampling (r8)

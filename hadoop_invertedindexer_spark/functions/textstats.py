@@ -687,6 +687,111 @@ def classifier_score(
     )
 
 
+def classifier_train(
+    docs,
+    n_iters: int = 5,
+    n_features: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "y",
+):
+    """Distributed batch-perceptron training — the TRAINING half of the
+    DCLM / FineWeb-Edu quality-classifier loop (:func:`classifier_score`
+    is the inference half): given docs labeled ±1 in ``label_col``,
+    learn a linear model over the same md5-60bit hashed bag-of-words
+    features the scorer uses, so the trained table drops straight into
+    ``classifier_score(weights=...)``.
+
+    The update rule is the batch (a.k.a. parallel) perceptron of
+    McDonald, Hall & Mann 2010 §2: per iteration, every currently
+    misclassified doc (y·margin ≤ 0 — the zero margin counts as wrong,
+    which makes iteration 1 from the all-zero model a full pass) adds
+    y·x to the weights SIMULTANEOUSLY. Unlike SGD/logistic descent,
+    every quantity is an INTEGER (feature counts × integer weights), so
+    the whole training loop is bit-reproducible on any partitioning and
+    in ANSI SQL — the same property that made ``bpe_train``'s loop
+    oracle-checkable. Training stops early when an iteration finds no
+    misclassified docs (the data became separated).
+
+    Returns the (feature int, weight long) table, non-zero rows only.
+    Docs whose text normalizes to zero tokens have no features and are
+    ignored (they can't influence — or be classified by — a
+    bag-of-words linear model).
+
+    Scale shape: the corpus is exploded/hashed/counted ONCE into the
+    persisted ``feats`` projection, hash-partitioned by doc id; each
+    iteration reuses that partitioning for the per-doc margin groupBy
+    and the misclassified semi-join (no corpus re-shuffle), and pays one
+    feature-keyed shuffle whose output is ≤ ``n_features`` rows. The
+    model itself (≤ ``n_features`` rows) lives on the driver between
+    iterations and broadcasts into the margin join — metadata scale,
+    the pagerank/bpe_train driver-loop pattern.
+    """
+    from hadoop_invertedindexer_spark.caching import tracked_persist
+    from hadoop_invertedindexer_spark.operators.dedup import token_array
+
+    spark = docs.sparkSession
+    feats = (
+        docs.select(
+            F.col(id_col),
+            F.col(label_col).cast("long").alias("_y"),
+            F.explode(
+                F.filter(token_array(text_col), lambda t: t != "")
+            ).alias("token"),
+        )
+        .select(
+            id_col,
+            "_y",
+            F.pmod(
+                F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+                F.lit(n_features),
+            ).cast("int").alias("feature"),
+        )
+        .groupBy(id_col, "_y", "feature")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .repartition(F.col(id_col))
+        .transform(tracked_persist)
+    )
+    w: dict[int, int] = {}
+    for _ in range(n_iters):
+        if w:
+            wdf = spark.createDataFrame(
+                sorted(w.items()), "feature int, weight long"
+            )
+            margins = (
+                feats.join(F.broadcast(wdf), "feature", "left")
+                .groupBy(id_col, "_y")
+                .agg(
+                    F.sum(
+                        F.col("cnt") * F.coalesce("weight", F.lit(0))
+                    ).alias("_margin")
+                )
+            )
+        else:
+            margins = feats.groupBy(id_col, "_y").agg(
+                F.lit(0).cast("long").alias("_margin")
+            )
+        mis = margins.where(
+            F.col("_y") * F.col("_margin") <= 0
+        ).select(id_col)
+        # delta rows ≤ n_features — the per-iteration collect is model
+        # scale, never corpus scale (same class as bpe_train's argmax)
+        delta = (
+            feats.join(mis, id_col)
+            .groupBy("feature")
+            .agg(F.sum(F.col("_y") * F.col("cnt")).alias("d"))
+            .collect()
+        )
+        if not delta:
+            break
+        for row in delta:
+            w[row["feature"]] = w.get(row["feature"], 0) + int(row["d"])
+    rows = sorted((f, c) for f, c in w.items() if c != 0)
+    return spark.createDataFrame(rows, "feature int, weight long")
+
+
 def score_buckets(
     scored,
     score_col: str = "avg_nll",

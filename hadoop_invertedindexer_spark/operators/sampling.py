@@ -147,6 +147,75 @@ def stratified_take(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    n_shards: int = 64,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle into training shards —
+    the last-mile ordering step of a training-data pipeline: trainers
+    read shard files in ``seq`` order, and re-running the pipeline (or
+    re-ingesting a doc) reproduces the exact same order, unlike
+    ``rand()``-keyed shuffles. Bumping ``epoch`` re-keys the hash, so
+    each epoch is a fresh, equally reproducible permutation ("reshuffle
+    every epoch" semantics without state).
+
+    Output: ``df`` plus ``shard`` (md5-60bit of ``'ep{epoch}|id'`` mod
+    ``n_shards``) and ``seq`` (1-based position within the shard,
+    ordered by the same hash with the id as tie-break).
+
+    Scale shape: one shuffle, keyed by ``shard`` — exactly the physical
+    layout the written artifact needs, so the sort is per-shard
+    (``n_shards`` independent tasks, each sorting corpus/n_shards rows),
+    never a global order. Pick ``n_shards`` so a shard fits a task
+    (at 100 TB: tens of thousands), then write with
+    :func:`write_epoch_shards` to keep the layout on disk."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"ep{epoch}|"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    out = df.withColumn("_h", h).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return out.withColumn(
+        "seq", F.row_number().over(w).cast("bigint")
+    ).drop("_h")
+
+
+def write_epoch_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize :func:`epoch_shuffle` as the on-disk training layout:
+    parquet partitioned by ``shard``, rows within each shard file in
+    ``seq`` order (``repartition(shard)`` + ``sortWithinPartitions`` —
+    parquet preserves row order within a file, so a trainer streaming
+    one shard directory reads the epoch's sequence with zero further
+    sorting)."""
+    shuffled = epoch_shuffle(df, n_shards=n_shards, epoch=epoch, id_col=id_col)
+    (
+        shuffled.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "seq")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     strata_col: str = "lang",

@@ -398,6 +398,30 @@ def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.classifier_score(_docs(spark, sf_dir), n_features=1024)
 
 
+def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier TRAINING (r8): batch perceptron over hashed
+    bag-of-words features on a planted-label corpus — even doc_ids get
+    a ' qualitymarker' suffix and label +1, odd get ' junkmarker' and
+    −1, so the learned table must separate on the marker features. Four
+    integer-exact update rounds; the oracle replays them as unrolled
+    MATERIALIZED CTEs (margin → misclassified set → summed y·x delta →
+    full-outer weight merge), bit-equal because every quantity is an
+    integer."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" qualitymarker")
+            ).otherwise(F.lit(" junkmarker")),
+        ).alias("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y"),
+    )
+    return textstats.classifier_train(d, n_iters=4, n_features=1024)
+
+
 def q_ngram_nll_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-LM scoring (r8): the eval split (every 50th doc) scored
     under the trigram model trained on the TRAIN split only — the
@@ -1184,6 +1208,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_nll": q_ngram_nll,
     "ngram_nll_ref": q_ngram_nll_ref,
     "classifier_score": q_classifier_score,
+    "classifier_train": q_classifier_train,
     "perplexity_buckets": q_perplexity_buckets,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
@@ -2957,6 +2982,63 @@ LLM_ORACLE_SQL["classifier_score"] = f"""
         SELECT doc_id, n_tokens::BIGINT AS n_tokens,
                round(1.0 / (1.0 + exp(-(0.0 + m))), 6) AS score
         FROM s"""
+
+# batch-perceptron training (r8): integer-exact unrolled update rounds.
+# w0 = {} makes round 1's margins all zero (y·0 ≤ 0 → everybody
+# misclassified → w1 = Σ y·x); each later round is margin →
+# misclassified set → summed y·x delta → full-outer weight merge. Every
+# CTE is MATERIALIZED — m{i} and d{i} each read feats, and w{i} reads
+# w{i-1} plus d{i}, so inlining would re-expand the chain per round
+# (the r5 unrolled-iteration lesson).
+def _sql_classifier_train(n_iters: int, n_features: int = 1024) -> str:
+    parts = [
+        """src AS MATERIALIZED (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 2 = 0 THEN ' qualitymarker'
+                                ELSE ' junkmarker' END AS text,
+                   CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS y
+            FROM documents)""",
+        f"""feats AS MATERIALIZED (
+            SELECT doc_id, y,
+                   (('0x' || substr(md5(token), 1, 15))::BIGINT
+                        % {n_features})::INT AS feature,
+                   count(*)::BIGINT AS cnt
+            FROM (SELECT doc_id, y,
+                         unnest(string_split({_SQL_NORM}, ' ')) AS token
+                  FROM src)
+            WHERE token <> ''
+            GROUP BY doc_id, y, feature)""",
+        """w1 AS MATERIALIZED (
+            SELECT feature, sum(y * cnt)::BIGINT AS weight
+            FROM feats GROUP BY feature)""",
+    ]
+    for i in range(2, n_iters + 1):
+        parts.append(f"""m{i} AS MATERIALIZED (
+            SELECT f.doc_id, f.y,
+                   sum(f.cnt * coalesce(w.weight, 0))::BIGINT AS margin
+            FROM feats f LEFT JOIN w{i - 1} w USING (feature)
+            GROUP BY f.doc_id, f.y)""")
+        parts.append(f"""d{i} AS MATERIALIZED (
+            SELECT f.feature, sum(f.y * f.cnt)::BIGINT AS delta
+            FROM feats f
+            JOIN (SELECT doc_id FROM m{i} WHERE y * margin <= 0) m
+                USING (doc_id)
+            GROUP BY f.feature)""")
+        parts.append(f"""w{i} AS MATERIALIZED (
+            SELECT coalesce(w.feature, d.feature) AS feature,
+                   (coalesce(w.weight, 0) + coalesce(d.delta, 0))::BIGINT
+                       AS weight
+            FROM w{i - 1} w FULL OUTER JOIN d{i} d
+                ON w.feature = d.feature)""")
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"""
+        SELECT feature, weight FROM w{n_iters} WHERE weight <> 0"""
+    )
+
+
+LLM_ORACLE_SQL["classifier_train"] = _sql_classifier_train(4)
 
 LLM_ORACLE_SQL["ngram_nll"] = _sql_ngram_nll()
 LLM_ORACLE_SQL["ngram_nll_ref"] = _sql_ngram_nll(

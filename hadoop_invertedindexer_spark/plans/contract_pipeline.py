@@ -135,8 +135,19 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.chunk_text(_docs(spark, sf_dir), chunk_chars=200, overlap=50)
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle (r8): md5('ep1|'||id) keys
+    both the shard assignment (mod 16) and the within-shard order — the
+    reproducible trainer-facing permutation; the full (doc, shard, seq)
+    listing pins every position."""
+    return sampling.epoch_shuffle(
+        _docs(spark, sf_dir), n_shards=16, epoch=1
+    ).select("doc_id", "shard", "seq")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": q_temperature_mix,
+    "epoch_shuffle": q_epoch_shuffle,
     "text_chunks": q_text_chunks,
     "train_test_split": q_train_test_split,
     "leakage_safe_split": q_leakage_safe_split,
@@ -176,6 +187,16 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                substr(text, i * 150 + 1, 200) AS chunk,
                length(substr(text, i * 150 + 1, 200))::BIGINT AS n_chars
         FROM idx""",
+    "epoch_shuffle": """
+        WITH h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('ep1|' || doc_id::VARCHAR),
+                                   1, 15))::BIGINT AS h
+            FROM documents)
+        SELECT doc_id, (h % 16)::INT AS shard,
+               row_number() OVER (PARTITION BY h % 16
+                                  ORDER BY h, doc_id)::BIGINT AS seq
+        FROM h""",
     "train_test_split": f"""
         SELECT CASE WHEN {_SQL_NIB} <= 'b' THEN 'train'
                     WHEN {_SQL_NIB} <= 'd' THEN 'val'

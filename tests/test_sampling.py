@@ -215,6 +215,57 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert len({plain[i] for i in (0, 1, 2, 3)}) > 1
 
 
+class TestEpochShuffle:
+    def test_permutation_properties(self, spark, sf_dir):
+        d = read_table(spark, sf_dir, "documents")
+        s = sampling.epoch_shuffle(d, n_shards=8, epoch=0)
+        rows = s.select("doc_id", "shard", "seq").collect()
+        assert len(rows) == d.count()  # a permutation: every row, once
+        assert len({r.doc_id for r in rows}) == len(rows)
+        # within each shard, seq is exactly 1..count (dense, 1-based)
+        by_shard: dict[int, list[int]] = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r.seq)
+        for seqs in by_shard.values():
+            assert sorted(seqs) == list(range(1, len(seqs) + 1))
+
+    def test_reproducible_and_epoch_varies(self, spark, sf_dir):
+        d = read_table(spark, sf_dir, "documents")
+        a = sorted(
+            (r.doc_id, r.shard, r.seq)
+            for r in sampling.epoch_shuffle(d, 8, epoch=1).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.shard, r.seq)
+            for r in sampling.epoch_shuffle(
+                d.repartition(11), 8, epoch=1
+            ).collect()
+        )
+        assert a == b  # rerun + repartition reproduce the permutation
+        c = sorted(
+            (r.doc_id, r.shard, r.seq)
+            for r in sampling.epoch_shuffle(d, 8, epoch=2).collect()
+        )
+        assert a != c  # a new epoch is a fresh permutation
+
+    def test_write_epoch_shards_layout(self, spark, sf_dir, tmp_path):
+        d = read_table(spark, sf_dir, "documents").limit(100)
+        out = str(tmp_path / "shards")
+        sampling.write_epoch_shards(d, out, n_shards=4, epoch=0)
+        back = spark.read.parquet(out)
+        want = {
+            (r.doc_id, r.shard, r.seq)
+            for r in sampling.epoch_shuffle(d, 4, epoch=0).collect()
+        }
+        got = {(r.doc_id, r.shard, r.seq) for r in back.collect()}
+        assert got == want
+        # within one shard directory, file row order IS seq order
+        one = back.where(F.col("shard") == back.select(
+            F.min("shard")).collect()[0][0])
+        seqs = [r.seq for r in one.collect()]
+        assert seqs == sorted(seqs)
+
+
 class TestUpsampleCorpus:
     def _ups(self, spark, rows, weights, repart=None):
         from hadoop_invertedindexer_spark.operators import sampling

@@ -368,6 +368,136 @@ class TestClassifierScore:
         assert all(0.0 < s < 1.0 for _, s in a)
 
 
+def _perceptron_model(labeled, n_iters, n_features):
+    """Pure-Python mirror of the batch perceptron: labeled =
+    [(tokens, y)], returns {feature: weight} (zeros kept)."""
+    import hashlib
+
+    def feat(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_features
+
+    fvecs = []
+    for toks, y in labeled:
+        v = {}
+        for t in toks:
+            v[feat(t)] = v.get(feat(t), 0) + 1
+        if v:
+            fvecs.append((v, y))
+    w = {}
+    for _ in range(n_iters):
+        mis = [
+            (v, y)
+            for v, y in fvecs
+            if y * sum(c * w.get(f, 0) for f, c in v.items()) <= 0
+        ]
+        if not mis:
+            break
+        for v, y in mis:
+            for f, c in v.items():
+                w[f] = w.get(f, 0) + y * c
+    return w
+
+
+class TestClassifierTrain:
+    def test_matches_python_mirror(self, spark):
+        labeled = [
+            (["good", "good", "nice"], 1),
+            (["bad"], -1),
+            (["meh", "bad", "bad"], -1),
+        ]
+        docs = spark.createDataFrame(
+            [(i, " ".join(t), y) for i, (t, y) in enumerate(labeled)],
+            ["doc_id", "text", "y"],
+        )
+        got = {
+            r.feature: r.weight
+            for r in ts.classifier_train(
+                docs, n_iters=6, n_features=64
+            ).collect()
+        }
+        want = {
+            f: c
+            for f, c in _perceptron_model(labeled, 6, 64).items()
+            if c != 0
+        }
+        assert got == want
+
+    def test_trained_weights_separate(self, spark):
+        # shared noise vocabulary + a class marker: after training, the
+        # inference half must rank every positive above every negative
+        rows = [
+            (i, f"the common filler text number {i % 3} "
+                + ("goodsignal" if i % 2 == 0 else "badsignal"),
+             1 if i % 2 == 0 else -1)
+            for i in range(10)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+        w = ts.classifier_train(docs, n_iters=10, n_features=256)
+        scored = {
+            r.doc_id: r.score
+            for r in ts.classifier_score(
+                docs, weights=w, n_features=256
+            ).collect()
+        }
+        pos = [scored[i] for i in range(10) if i % 2 == 0]
+        neg = [scored[i] for i in range(10) if i % 2 == 1]
+        assert min(pos) > max(neg)
+
+    def test_early_stop_idempotent_after_separation(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha", 1), (2, "omega", -1)], ["doc_id", "text", "y"]
+        )
+        short = sorted(
+            (r.feature, r.weight)
+            for r in ts.classifier_train(
+                docs, n_iters=3, n_features=32
+            ).collect()
+        )
+        long = sorted(
+            (r.feature, r.weight)
+            for r in ts.classifier_train(
+                docs, n_iters=12, n_features=32
+            ).collect()
+        )
+        assert short == long  # separated -> extra iterations are no-ops
+
+    def test_partitioning_invariance_and_empty_docs(self, spark):
+        rows = [
+            (i, f"tok{i % 5} tok{i % 7} "
+                + ("ham" if i % 2 == 0 else "spam"),
+             1 if i % 2 == 0 else -1)
+            for i in range(12)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+        base = sorted(
+            (r.feature, r.weight)
+            for r in ts.classifier_train(
+                docs, n_iters=4, n_features=128
+            ).collect()
+        )
+        repart = sorted(
+            (r.feature, r.weight)
+            for r in ts.classifier_train(
+                docs.repartition(9), n_iters=4, n_features=128
+            ).collect()
+        )
+        assert base == repart
+        # zero-token docs carry no features and must not perturb training
+        noisy = docs.union(
+            spark.createDataFrame(
+                [(100, "", 1), (101, "...!!!", -1)],
+                ["doc_id", "text", "y"],
+            )
+        )
+        with_empty = sorted(
+            (r.feature, r.weight)
+            for r in ts.classifier_train(
+                noisy, n_iters=4, n_features=128
+            ).collect()
+        )
+        assert with_empty == base
+
+
 class TestScoreBuckets:
     def test_exact_terciles_on_distinct_scores(self, spark):
         df = spark.createDataFrame(
