@@ -719,14 +719,20 @@ def classifier_train(
     bag-of-words linear model).
 
     Scale shape: the corpus is exploded/hashed/counted ONCE into the
-    persisted ``feats`` projection, hash-partitioned by doc id; each
-    iteration reuses that partitioning for the per-doc margin groupBy
-    and the misclassified semi-join (no corpus re-shuffle), and pays one
-    feature-keyed shuffle whose output is ≤ ``n_features`` rows. The
-    model itself (≤ ``n_features`` rows) lives on the driver between
+    persisted ``feats`` projection; each iteration is a SINGLE pass over
+    it — broadcast-join the weights, attach the per-doc margin with a
+    doc-partitioned window (no aggregate-then-rejoin: the plan audit
+    showed the join form re-exchanges the corpus twice per round, and a
+    cached plan's partitioning isn't visible to consumers anyway),
+    filter the misclassified rows map-side, and pay one feature-keyed
+    shuffle whose input is only the still-misclassified rows (shrinking
+    every round) and whose output is ≤ ``n_features`` rows. The model
+    itself (≤ ``n_features`` rows) lives on the driver between
     iterations and broadcasts into the margin join — metadata scale,
     the pagerank/bpe_train driver-loop pattern.
     """
+    from pyspark.sql import Window
+
     from hadoop_invertedindexer_spark.caching import tracked_persist
     from hadoop_invertedindexer_spark.operators.dedup import token_array
 
@@ -751,36 +757,33 @@ def classifier_train(
         )
         .groupBy(id_col, "_y", "feature")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .repartition(F.col(id_col))
         .transform(tracked_persist)
     )
+    byd = Window.partitionBy(id_col)
     w: dict[int, int] = {}
     for _ in range(n_iters):
         if w:
             wdf = spark.createDataFrame(
                 sorted(w.items()), "feature int, weight long"
             )
-            margins = (
+            mis_rows = (
                 feats.join(F.broadcast(wdf), "feature", "left")
-                .groupBy(id_col, "_y")
-                .agg(
+                .withColumn(
+                    "_margin",
                     F.sum(
                         F.col("cnt") * F.coalesce("weight", F.lit(0))
-                    ).alias("_margin")
+                    ).over(byd),
                 )
+                .where(F.col("_y") * F.col("_margin") <= 0)
             )
         else:
-            margins = feats.groupBy(id_col, "_y").agg(
-                F.lit(0).cast("long").alias("_margin")
-            )
-        mis = margins.where(
-            F.col("_y") * F.col("_margin") <= 0
-        ).select(id_col)
+            # round 1 from the zero model: margin 0 everywhere, so the
+            # whole corpus is misclassified — skip the window pass
+            mis_rows = feats
         # delta rows ≤ n_features — the per-iteration collect is model
         # scale, never corpus scale (same class as bpe_train's argmax)
         delta = (
-            feats.join(mis, id_col)
-            .groupBy("feature")
+            mis_rows.groupBy("feature")
             .agg(F.sum(F.col("_y") * F.col("cnt")).alias("d"))
             .collect()
         )
