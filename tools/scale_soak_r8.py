@@ -34,6 +34,14 @@ round, with the scale question each answers:
   (doc, feature) groupBy grow. Expect ~linear.
 * ``classifier_score`` — broadcast weight vector is constant-size; the
   token stream + one per-doc aggregate grow. Expect ~linear.
+* ``classifier_train`` — the feats build is one linear pass; each of
+  the 4 perceptron rounds re-reads the persisted feats (window margin +
+  feature agg over shrinking misclassified rows), and the model/delta
+  stay ≤ n_features. Expect ~linear in N with a flat per-round model
+  cost.
+* ``epoch_shuffle`` — one shard-keyed shuffle + per-shard sorts; with
+  shards ∝ a constant here, per-shard sort size grows linearly (at real
+  scale you grow n_shards with the corpus). Expect ~linear.
 * ``perplexity_buckets`` — the milli-cell histogram stays ~|cells|
   regardless of N; the scored stream underneath grows. Expect ~linear
   with the unigram_nll term dominating.
@@ -71,6 +79,8 @@ R8_OPS = [
     "dedup_paragraphs",
     "dsir_select",
     "classifier_score",
+    "classifier_train",
+    "epoch_shuffle",
     "perplexity_buckets",
 ]
 
