@@ -95,6 +95,7 @@ HEADLINE = [
     "bpe_train",              # distributed BPE merge training on the word dict (r8)
     "pipeline_capstone",      # filter->dedup->upsample->split->pack e2e (r8)
     "decontaminate_substrings",  # span-granular eval scrub, semi-join probe (r8)
+    "contamination_report",   # eval-side %-contaminated measurement (r8)
     "classifier_score",       # fastText-style hashed linear inference (r8)
     "classifier_train",       # batch-perceptron training, integer-exact (r8)
     "perplexity_buckets",     # CCNet terciles via histogram cumsum (r8)

@@ -1462,6 +1462,80 @@ def decontaminate_substrings_incremental(
     )
 
 
+def contamination_report(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-side contamination MEASUREMENT — the "% of the benchmark is
+    contaminated" table every model paper publishes (Brown et al. 2020
+    appendix C; Lee et al. 2022 §6.2 report the same statistic before
+    scrubbing): for each EVAL doc, how many of its tokens sit inside a
+    length-``n`` token window that also appears anywhere in the training
+    corpus. The mirror image of :func:`decontaminate_substrings` (which
+    edits the TRAIN side): same window emit, same hash equi-join, same
+    interval-islands merge so overlapping matched windows are counted as
+    UNION coverage, never double-counted — but pointed at the benchmark
+    and reporting instead of rewriting.
+
+    Returns one row per eval doc: (``id_col``, ``n_tokens``,
+    ``contaminated_tokens``, ``contaminated_frac`` round(6)).
+
+    Scale shape: the train corpus — the big side — pays one window emit
+    and a DISTINCT on 8-byte hashes, then ONE equi-join against the
+    benchmark-sized eval window stream (``shuffle_hash`` pinned: a
+    distinct-of-corpus frame is exactly the under-estimated-aggregate
+    shape Catalyst loves to broadcast); islands/fractions run at eval
+    scale. Nothing corpus-sized is ever windowed twice or sorted."""
+    from pyspark.sql import Window
+
+    etoks = (
+        evalset.select(
+            F.col(id_col).alias("id"), token_array(text_col).alias("tk")
+        )
+        .withColumn("t_len", F.size("tk"))
+        .select("id", "t_len")
+    )
+    train_sh = (
+        _window_hashes(_spread(train, id_col), n, id_col, text_col)
+        .select("sh")
+        .distinct()
+    )
+    hits = _window_hashes(evalset, n, id_col, text_col).join(
+        train_sh.hint("shuffle_hash"), "sh", "left_semi"
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    covered = (
+        hits.withColumn("pe", F.max("e").over(wprev))
+        .withColumn(
+            "new_island",
+            (F.col("pe").isNull() | (F.col("pos") > F.col("pe") + 1)).cast(
+                "int"
+            ),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+        .groupBy("id", "island")
+        .agg(F.min("pos").alias("rs"), F.max("e").alias("re"))
+        .groupBy("id")
+        .agg(F.sum(F.col("re") - F.col("rs") + 1).alias("cov"))
+    )
+    return etoks.join(covered, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.col("t_len").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("cov"), F.lit(0)).cast("long").alias(
+            "contaminated_tokens"
+        ),
+        F.round(
+            F.coalesce(F.col("cov"), F.lit(0))
+            / F.col("t_len").cast("double"),
+            6,
+        ).alias("contaminated_frac"),
+    )
+
+
 def source_overlap(
     docs: DataFrame,
     source_col: str = "source",

@@ -859,6 +859,31 @@ def q_decontaminate_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-side contamination measurement (r8): the same canary-planted
+    train/eval split as decontaminate_substrings, but reporting per EVAL
+    doc how many of its tokens are covered by windows shared with train
+    (union coverage via the islands merge) — the '% contaminated' table,
+    not the scrub."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            (F.col("doc_id") % 9 == 0) | (F.col("doc_id") % 50 == 0),
+            F.lit(
+                " benchmark canary alpha bravo charlie delta echo"
+                " foxtrot golf hotel"
+            ),
+        ).otherwise(F.lit("")),
+    )
+    src = d.select("doc_id", planted.alias("text"))
+    return dedup.contamination_report(
+        train=src.where(F.col("doc_id") % 50 != 0),
+        evalset=src.where(F.col("doc_id") % 50 == 0),
+        n=8,
+    )
+
+
 def q_decontaminate_substrings_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1228,6 +1253,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_passages": q_duplicate_passages,
     "dedup_substrings": q_dedup_substrings,
     "decontaminate_substrings": q_decontaminate_substrings,
+    "contamination_report": q_contamination_report,
     "decontaminate_substrings_incremental": (
         q_decontaminate_substrings_incremental
     ),
@@ -2200,6 +2226,56 @@ LLM_ORACLE_SQL: dict[str, str] = {
         SELECT tl.doc_id, coalesce(a.text, '') AS text,
                (tl.tl - coalesce(a.nkept, 0))::BIGINT AS removed_tokens
         FROM tl LEFT JOIN agg a USING (doc_id)""",
+    "contamination_report": f"""
+        WITH src AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 9 = 0 OR doc_id % 50 = 0
+                                THEN ' benchmark canary alpha bravo'
+                                     || ' charlie delta echo foxtrot'
+                                     || ' golf hotel'
+                                ELSE '' END AS text
+            FROM documents),
+        toks AS (
+            SELECT doc_id, string_split({_SQL_NORM}, ' ') AS tk
+            FROM src WHERE doc_id % 50 <> 0),
+        etoks AS (
+            SELECT doc_id, string_split({_SQL_NORM}, ' ') AS tk
+            FROM src WHERE doc_id % 50 = 0),
+        ewin AS (
+            SELECT doc_id AS id, i - 1 AS pos,
+                   least(i + 6, len(tk) - 1) AS e,
+                   array_to_string(tk[i:least(i + 7, len(tk))], ' ') AS sh
+            FROM etoks,
+                 unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS t(i)),
+        twin AS (
+            SELECT DISTINCT
+                   array_to_string(tk[i:least(i + 7, len(tk))], ' ') AS sh
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(tk) - 7, 1))) AS t(i)),
+        hits AS (SELECT w.id, w.pos, w.e FROM ewin w JOIN twin USING (sh)),
+        isl AS (
+            SELECT id, pos, e,
+                   max(e) OVER (PARTITION BY id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS pe
+            FROM hits),
+        isl2 AS (
+            SELECT id, pos, e,
+                   sum(CASE WHEN pe IS NULL OR pos > pe + 1
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY id ORDER BY pos) AS island
+            FROM isl),
+        spans AS (
+            SELECT id, min(pos) AS rs, max(e) AS re
+            FROM isl2 GROUP BY id, island),
+        cov AS (
+            SELECT id, sum(re - rs + 1) AS cov FROM spans GROUP BY id),
+        tl AS (SELECT doc_id, len(tk) AS tl FROM etoks)
+        SELECT tl.doc_id, tl.tl::BIGINT AS n_tokens,
+               coalesce(c.cov, 0)::BIGINT AS contaminated_tokens,
+               round(coalesce(c.cov, 0) / tl.tl::DOUBLE, 6)
+                   AS contaminated_frac
+        FROM tl LEFT JOIN cov c ON c.id = tl.doc_id""",
     "knn_classify": f"""
         WITH nn AS (
             SELECT qid, vec_id FROM (

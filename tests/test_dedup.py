@@ -602,6 +602,66 @@ class TestSourceOverlap:
         assert all(a < b for a, b in est)
 
 
+class TestContaminationReport:
+    """Eval-side contamination measurement (r8): the mirror of
+    decontaminate_substrings — per eval doc, union token coverage of
+    windows shared with train."""
+
+    def _run(self, spark, train_rows, eval_rows, n=8):
+        train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+        ev = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+        return {
+            r.doc_id: (r.n_tokens, r.contaminated_tokens, r.contaminated_frac)
+            for r in dedup.contamination_report(train, ev, n=n).collect()
+        }
+
+    TRAIN = [
+        (1, "own words here alpha beta gamma delta epsilon zeta"
+            " eta theta tail bits")
+    ]
+
+    def test_quoted_span_counted_once(self, spark):
+        # eval doc quotes an 8-token train passage with 2 own tokens on
+        # each side: three overlapping 8-windows match, union = 8 tokens
+        out = self._run(
+            spark,
+            self.TRAIN,
+            [(100, "prefix words alpha beta gamma delta epsilon zeta"
+                   " eta theta suffix end")],
+        )
+        assert out[100] == (12, 8, round(8 / 12, 6))
+
+    def test_clean_eval_zero(self, spark):
+        out = self._run(
+            spark, self.TRAIN,
+            [(101, "completely unrelated benchmark question text here ok")],
+        )
+        assert out[101] == (7, 0, 0.0)
+
+    def test_eval_subset_of_train_fully_contaminated(self, spark):
+        out = self._run(
+            spark, self.TRAIN,
+            [(102, "alpha beta gamma delta epsilon zeta eta theta")],
+        )
+        assert out[102] == (8, 8, 1.0)
+
+    def test_disjoint_quotes_union_not_double_count(self, spark):
+        train = [
+            (1, "one two three four five six seven eight"),
+            (2, "red orange yellow green blue indigo violet ultra"),
+        ]
+        ev = [(200, "one two three four five six seven eight MID words"
+                    " red orange yellow green blue indigo violet ultra END")]
+        out = self._run(spark, train, ev)
+        assert out[200] == (19, 16, round(16 / 19, 6))
+
+    def test_every_eval_doc_reported(self, spark):
+        ev = [(i, f"unique eval words {i} nothing shared") for i in range(3)]
+        out = self._run(spark, self.TRAIN, ev)
+        assert set(out) == {0, 1, 2}
+        assert all(v[1] == 0 for v in out.values())
+
+
 class TestWindowIndexIncremental:
     """Persisted window-hash index (r8): the substring family's member
     of the build/append/query incremental trio."""
