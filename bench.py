@@ -100,6 +100,7 @@ HEADLINE = [
     "classifier_train",       # batch-perceptron training, integer-exact (r8)
     "perplexity_buckets",     # CCNet terciles via histogram cumsum (r8)
     "upsample_corpus",        # deterministic fractional mixture upsampling (r7)
+    "epoch_shuffle",          # per-epoch deterministic shard permutation (r8)
     "dsir_select",            # DSIR hashed-ngram importance resampling (r8)
     "audio_features",         # SAU1 decode + int16 signal stats (mapInPandas) (r5)
     "bloom_join_reduction",   # 128 KiB key bitmap prunes the fact map-side (r5)
