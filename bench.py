@@ -101,6 +101,8 @@ HEADLINE = [
     "perplexity_buckets",     # CCNet terciles via histogram cumsum (r8)
     "upsample_corpus",        # deterministic fractional mixture upsampling (r7)
     "epoch_shuffle",          # per-epoch deterministic shard permutation (r8)
+    "dedup_urls",             # canonical-URL first-stage crawl dedup (r8)
+    "mixture_plan",           # per-stratum token budget -> rate plan (r8)
     "dsir_select",            # DSIR hashed-ngram importance resampling (r8)
     "audio_features",         # SAU1 decode + int16 signal stats (mapInPandas) (r5)
     "bloom_join_reduction",   # 128 KiB key bitmap prunes the fact map-side (r5)

@@ -86,6 +86,34 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def dedup_urls(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup — the FIRST dedup stage of every web-crawl
+    pipeline (CCNet and FineWeb both deduplicate exact URLs before any
+    content pass, because a crawler re-fetches the same page across
+    snapshots far more often than distinct pages share text): group by
+    the CANONICAL form of the URL (case-folded host, tracking params
+    scrubbed, fragment dropped — :func:`functions.urls.canonicalize_url`,
+    so ``?utm_source=`` variants of one page collapse), keep the
+    smallest id. Returns (``canon_url``, ``keep_id``, ``n_dups``) — the
+    same keeper contract as :func:`dedup_exact`.
+
+    Scale shape: identical to ``dedup_exact`` with the canonical URL as
+    the key — one shuffle of (canon_url, id); page CONTENT never moves,
+    which is the whole point of running the URL pass first (it shrinks
+    the corpus before any text ever shuffles)."""
+    from hadoop_invertedindexer_spark.functions.urls import canonicalize_url
+
+    keyed = docs.select(
+        F.col(id_col), canonicalize_url(F.col(url_col)).alias("canon_url")
+    )
+    return keyed.groupBy("canon_url").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+    )
+
+
 def dedup_incremental(
     new_docs: DataFrame,
     corpus: DataFrame,

@@ -147,6 +147,76 @@ def stratified_take(
     )
 
 
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, int],
+    token_budget: int,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture PLANNING — the step before :func:`upsample_corpus` /
+    :func:`temperature_mix` runs: given target mixture weights in
+    thousandths (the ``upsample_corpus`` convention) and a total token
+    budget, compute per stratum how many tokens the corpus HAS, how many
+    the mixture WANTS, and the sampling rate in thousandths that closes
+    the gap — > 1000 means the stratum must be upsampled (epochs), <
+    1000 downsampled, 0 dropped (weight 0 or absent). This is the
+    arithmetic behind every published data-mixture table (e.g. the
+    GPT-3/Llama per-source "epochs over the dataset" column).
+
+    Returns (``stratum``, ``n_docs``, ``avail_tokens``,
+    ``target_tokens``, ``rate_mils``), one row per stratum present in
+    the corpus. All integer arithmetic (floor at each step), so the
+    plan is bit-reproducible and feeds ``upsample_corpus``'s
+    integer-thousandths contract directly.
+
+    Scale shape: one corpus pass aggregating to ≤ |strata| rows (token
+    counts ride the partial agg), then a broadcast join against the
+    literal weight table — the plan itself is metadata-scale."""
+    from hadoop_invertedindexer_spark.operators.dedup import token_array
+
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), f"{strata_col} string, _wm long"
+    )
+    avail = (
+        docs.select(
+            F.col(strata_col),
+            F.size(F.filter(token_array(text_col), lambda t: t != ""))
+            .cast("long")
+            .alias("_nt"),
+        )
+        .groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").alias("avail_tokens"),
+        )
+    )
+    target = F.floor(
+        F.lit(int(token_budget)) * F.coalesce("_wm", F.lit(0)) / F.lit(1000)
+    ).cast("long")
+    return (
+        avail.join(F.broadcast(wdf), strata_col, "left")
+        .withColumn("target_tokens", target)
+        .select(
+            F.col(strata_col).alias("stratum"),
+            "n_docs",
+            "avail_tokens",
+            "target_tokens",
+            F.when(
+                F.col("avail_tokens") > 0,
+                F.floor(
+                    F.col("target_tokens") * F.lit(1000)
+                    / F.col("avail_tokens")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rate_mils"),
+        )
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     n_shards: int = 64,

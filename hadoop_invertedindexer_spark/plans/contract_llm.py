@@ -665,6 +665,32 @@ def _planted_url():
     )
 
 
+def q_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (r8): the planted URLs collide ONLY after
+    canonicalization — the path repeats every 40 ids while host case and
+    tracking params vary per id — so the keeper groups (same id mod
+    120 by CRT over the host/path/query residues) value-check the
+    canonicalize-then-group pipeline, not a string group-by."""
+    host = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.Example.COM"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("docs.spark.test"))
+        .otherwise(F.lit("Data.Example.com"))
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/p/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&q="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("#frag"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return dedup.dedup_urls(d)
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real parse_url + HOF query scrub on the Spark side; the oracle
     rebuilds host/path/clean-query from the planted geometry (the
@@ -1245,6 +1271,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_meta": q_audio_meta,
     "vocab_build": q_vocab_build,
     "url_canonicalize": q_url_canonicalize,
+    "dedup_urls": q_dedup_urls,
     "domain_stats": q_domain_stats,
     "domain_stats_psl": q_domain_stats_psl,
     "tokens_encode": q_tokens_encode,
@@ -1826,6 +1853,19 @@ LLM_ORACLE_SQL: dict[str, str] = {
     # from the doc_id arithmetic (hosts lowercased, utm_*/ref params
     # scrubbed leaving q=, fragment never reassembled) — lockstep with
     # functions/urls.py + _planted_url
+    "dedup_urls": """
+        WITH u AS (
+            SELECT doc_id,
+                   'https://'
+                   || CASE doc_id % 3 WHEN 0 THEN 'www.example.com'
+                                      WHEN 1 THEN 'docs.spark.test'
+                                      ELSE 'data.example.com' END
+                   || '/p/' || (doc_id % 40)
+                   || '?q=' || (doc_id % 5) AS canon_url
+            FROM documents)
+        SELECT canon_url, min(doc_id) AS keep_id,
+               count(*)::BIGINT AS n_dups
+        FROM u GROUP BY canon_url""",
     "url_canonicalize": """
         WITH u AS (
             SELECT doc_id,

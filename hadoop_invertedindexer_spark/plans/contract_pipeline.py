@@ -19,6 +19,7 @@ from hadoop_invertedindexer_spark.functions import textstats
 from hadoop_invertedindexer_spark.operators import sampling
 from hadoop_invertedindexer_spark.plans.contract_llm import (
     STOPWORDS,
+    _SQL_NORM,
     _SQL_QUALITY,
 )
 from hadoop_invertedindexer_spark.sources.tables import read_table, spread_partitions
@@ -135,6 +136,19 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.chunk_text(_docs(spark, sf_dir), chunk_chars=200, overlap=50)
 
 
+MIXTURE_WEIGHTS = {"en": 500, "de": 300, "fr": 150, "es": 50}
+MIXTURE_BUDGET = 100_000
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning (r8): per-lang available vs target tokens and
+    the integer-thousandths rate that feeds upsample_corpus — strata
+    outside the weight table plan to rate 0 (dropped)."""
+    return sampling.mixture_plan(
+        _docs(spark, sf_dir), MIXTURE_WEIGHTS, MIXTURE_BUDGET
+    )
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-epoch global shuffle (r8): md5('ep1|'||id) keys
     both the shard assignment (mod 16) and the within-shard order — the
@@ -148,6 +162,7 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": q_temperature_mix,
     "epoch_shuffle": q_epoch_shuffle,
+    "mixture_plan": q_mixture_plan,
     "text_chunks": q_text_chunks,
     "train_test_split": q_train_test_split,
     "leakage_safe_split": q_leakage_safe_split,
@@ -187,6 +202,26 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                substr(text, i * 150 + 1, 200) AS chunk,
                length(substr(text, i * 150 + 1, 200))::BIGINT AS n_chars
         FROM idx""",
+    "mixture_plan": f"""
+        WITH t AS (
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(len(list_filter(string_split({_SQL_NORM}, ' '),
+                                       t -> t <> ''))) AS avail
+            FROM documents GROUP BY lang),
+        w AS (
+            SELECT * FROM (VALUES ('en', 500), ('de', 300),
+                                  ('fr', 150), ('es', 50)) AS w(lang, wm))
+        SELECT t.lang AS stratum,
+               t.n_docs::BIGINT AS n_docs,
+               t.avail::BIGINT AS avail_tokens,
+               (100000 * coalesce(w.wm, 0) // 1000)::BIGINT
+                   AS target_tokens,
+               CASE WHEN t.avail > 0
+                    THEN (100000 * coalesce(w.wm, 0) // 1000) * 1000
+                         // t.avail
+                    ELSE 0 END::BIGINT AS rate_mils
+        FROM t LEFT JOIN w USING (lang)""",
     "epoch_shuffle": """
         WITH h AS (
             SELECT doc_id,

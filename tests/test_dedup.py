@@ -602,6 +602,36 @@ class TestSourceOverlap:
         assert all(a < b for a, b in est)
 
 
+class TestDedupUrls:
+    """URL-level dedup (r8): canonical-form grouping, min-id keeper."""
+
+    def test_collapse_only_after_canonicalization(self, spark):
+        rows = [
+            (1, "https://WWW.Example.COM/a?utm_source=x&q=1#f"),
+            (2, "https://www.example.com/a?q=1&ref=feed"),
+            (3, "https://www.example.com/b?q=1"),  # different path
+            (4, "https://www.example.com/a?q=2"),  # different real param
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "url"])
+        out = {
+            r.canon_url: (r.keep_id, r.n_dups)
+            for r in dedup.dedup_urls(docs).collect()
+        }
+        assert out["https://www.example.com/a?q=1"] == (1, 2)
+        assert out["https://www.example.com/b?q=1"] == (3, 1)
+        assert out["https://www.example.com/a?q=2"] == (4, 1)
+
+    def test_keeper_is_min_id_and_partition_invariant(self, spark):
+        rows = [(i, f"https://Ex.com/p?utm_medium=m&k={i % 3}") for i in
+                range(9, 0, -1)]
+        docs = spark.createDataFrame(rows, ["doc_id", "url"])
+        a = sorted(map(tuple, dedup.dedup_urls(docs).collect()))
+        b = sorted(map(tuple, dedup.dedup_urls(docs.repartition(5)).collect()))
+        assert a == b
+        keepers = {r[1] for r in a}
+        assert keepers == {1, 2, 3}  # min id per k residue
+
+
 class TestContaminationReport:
     """Eval-side contamination measurement (r8): the mirror of
     decontaminate_substrings — per eval doc, union token coverage of

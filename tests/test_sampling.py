@@ -215,6 +215,39 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert len({plain[i] for i in (0, 1, 2, 3)}) > 1
 
 
+class TestMixturePlan:
+    def test_hand_computed_rates(self, spark):
+        rows = [
+            (1, "one two three four", "a"),       # 4 tokens
+            (2, "five six", "a"),                 # 2 tokens -> a avail 6
+            (3, "seven eight nine ten", "b"),     # b avail 4
+            (4, "lone", "c"),                     # c: not in weights
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+        out = {
+            r.stratum: (r.n_docs, r.avail_tokens, r.target_tokens,
+                        r.rate_mils)
+            for r in sampling.mixture_plan(
+                docs, {"a": 600, "b": 250, "zz": 100}, 100
+            ).collect()
+        }
+        # target = floor(100 * w / 1000); rate = floor(target*1000/avail)
+        assert out["a"] == (2, 6, 60, 10000)   # 10 epochs of stratum a
+        assert out["b"] == (1, 4, 25, 6250)
+        assert out["c"] == (1, 1, 0, 0)        # unweighted -> dropped
+        assert "zz" not in out                 # absent stratum: no row
+
+    def test_rate_feeds_upsample_contract(self, spark):
+        # rate_mils == 1000 exactly when target == avail (identity plan)
+        docs = spark.createDataFrame(
+            [(i, "tok " * 10, "x") for i in range(5)],
+            ["doc_id", "text", "lang"],
+        )
+        out = sampling.mixture_plan(docs, {"x": 1000}, 50).collect()[0]
+        assert out.avail_tokens == 50 and out.target_tokens == 50
+        assert out.rate_mils == 1000
+
+
 class TestEpochShuffle:
     def test_permutation_properties(self, spark, sf_dir):
         d = read_table(spark, sf_dir, "documents")
