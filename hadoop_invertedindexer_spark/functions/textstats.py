@@ -795,6 +795,69 @@ def classifier_train(
     return spark.createDataFrame(rows, "feature int, weight long")
 
 
+def classifier_predict(
+    docs,
+    weights,
+    n_features: int = 1024,
+    bias: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Hard-vote classification with a trained linear model — the
+    perceptron's own decision function: ``pred = sign(bias + Σ_t
+    w[h(t)])`` over the SUMMED hashed-feature margin (exactly what
+    :func:`classifier_train` optimizes, zero margin → −1, the training
+    convention). Contrast :func:`classifier_score`, whose MEAN+sigmoid
+    is the length-normalized calibrated variant for thresholding /
+    bucketing: the mean erases document length, which for a perceptron
+    trained on count vectors is part of the signal — use predict for
+    labeling with trained weights, score for rate-controlled filtering.
+
+    Returns (``id_col``, ``n_tokens``, ``margin``, ``pred`` ∈ {−1, 1}).
+    Integer end-to-end (weights are the trainer's integer table), so
+    predictions are bit-reproducible and oracle-checkable.
+
+    Scale shape: identical to ``classifier_score`` — one broadcast join
+    against the ≤ ``n_features`` weight table, one per-doc aggregate,
+    all codegen."""
+    from hadoop_invertedindexer_spark.operators.dedup import token_array
+
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(token_array(text_col), lambda t: t != "")
+        ).alias("token"),
+    ).select(
+        id_col,
+        F.pmod(
+            F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+            F.lit(n_features),
+        ).cast("int").alias("feature"),
+    )
+    margins = (
+        tok.join(F.broadcast(weights), "feature", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (
+                F.lit(int(bias))
+                + F.sum(F.coalesce("weight", F.lit(0)))
+            ).cast("long").alias("margin"),
+        )
+    )
+    return margins.select(
+        id_col,
+        "n_tokens",
+        "margin",
+        F.when(F.col("margin") > 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("int")
+        .alias("pred"),
+    )
+
+
 def score_buckets(
     scored,
     score_col: str = "avg_nll",

@@ -422,6 +422,27 @@ def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.classifier_train(d, n_iters=4, n_features=1024)
 
 
+def q_classifier_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→predict composition (r8): the 4-round perceptron's hard
+    votes over its own planted-label corpus — summed integer margin,
+    sign decision. Value-checks that the trained table and the decision
+    function agree bit-for-bit across engines."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" qualitymarker")
+            ).otherwise(F.lit(" junkmarker")),
+        ).alias("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y"),
+    )
+    w = textstats.classifier_train(d, n_iters=4, n_features=1024)
+    return textstats.classifier_predict(d, w, n_features=1024)
+
+
 def q_ngram_nll_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-LM scoring (r8): the eval split (every 50th doc) scored
     under the trigram model trained on the TRAIN split only — the
@@ -1260,6 +1281,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_nll_ref": q_ngram_nll_ref,
     "classifier_score": q_classifier_score,
     "classifier_train": q_classifier_train,
+    "classifier_predict": q_classifier_predict,
     "perplexity_buckets": q_perplexity_buckets,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
@@ -3106,7 +3128,9 @@ LLM_ORACLE_SQL["classifier_score"] = f"""
 # CTE is MATERIALIZED — m{i} and d{i} each read feats, and w{i} reads
 # w{i-1} plus d{i}, so inlining would re-expand the chain per round
 # (the r5 unrolled-iteration lesson).
-def _sql_classifier_train(n_iters: int, n_features: int = 1024) -> str:
+def _sql_classifier_train_parts(
+    n_iters: int, n_features: int = 1024
+) -> list[str]:
     parts = [
         """src AS MATERIALIZED (
             SELECT doc_id,
@@ -3146,15 +3170,37 @@ def _sql_classifier_train(n_iters: int, n_features: int = 1024) -> str:
                        AS weight
             FROM w{i - 1} w FULL OUTER JOIN d{i} d
                 ON w.feature = d.feature)""")
+    return parts
+
+
+def _sql_classifier_train(n_iters: int, n_features: int = 1024) -> str:
     return (
         "WITH "
-        + ",\n        ".join(parts)
+        + ",\n        ".join(_sql_classifier_train_parts(n_iters, n_features))
         + f"""
         SELECT feature, weight FROM w{n_iters} WHERE weight <> 0"""
     )
 
 
 LLM_ORACLE_SQL["classifier_train"] = _sql_classifier_train(4)
+
+# hard-vote inference with the 4-round trained model (r8): the summed
+# integer margin and sign(margin) over the same planted corpus — the
+# perceptron's own decision function, distinct from classifier_score's
+# mean+sigmoid calibration
+LLM_ORACLE_SQL["classifier_predict"] = (
+    "WITH "
+    + ",\n        ".join(_sql_classifier_train_parts(4))
+    + """,
+        m AS (
+            SELECT f.doc_id, sum(f.cnt)::BIGINT AS n_tokens,
+                   sum(f.cnt * coalesce(w.weight, 0))::BIGINT AS margin
+            FROM feats f LEFT JOIN w4 w USING (feature)
+            GROUP BY f.doc_id)
+        SELECT doc_id, n_tokens, margin,
+               (CASE WHEN margin > 0 THEN 1 ELSE -1 END)::INT AS pred
+        FROM m"""
+)
 
 LLM_ORACLE_SQL["ngram_nll"] = _sql_ngram_nll()
 LLM_ORACLE_SQL["ngram_nll_ref"] = _sql_ngram_nll(

@@ -180,3 +180,32 @@ def test_capstone_contract_invariants(spark, sf_dir):
         .collect()[0][0]
     )
     assert total == expect
+
+
+def test_classifier_distills_the_heuristic_filter(spark, sf_dir):
+    """The DCLM/FineWeb-Edu weak-supervision loop: corpus_filter's
+    heuristic verdicts become ±1 labels, classifier_train distills them
+    into a linear model, and classifier_predict's hard votes must beat
+    the majority-class baseline on the training labels (measured: 0.73
+    vs 0.64 at sf0.01 — the synthetic corpus' ~31-word shared vocabulary
+    limits how much a bag-of-counts model CAN recover of length/
+    repetition-driven verdicts, so this pins real-but-partial signal,
+    not perfect separation). Everything is hash-deterministic, so the
+    accuracy is reproducible, not a flaky statistical bound."""
+    docs = read_table(spark, sf_dir, "documents")
+    verdicts = textstats.corpus_filter(docs, STOPWORDS, min_tokens=20)
+    labeled = docs.join(verdicts.select("doc_id", "is_kept"), "doc_id").select(
+        "doc_id",
+        "text",
+        F.when(F.col("is_kept"), F.lit(1)).otherwise(F.lit(-1)).alias("y"),
+    )
+    w = textstats.classifier_train(labeled, n_iters=20, n_features=512)
+    preds = textstats.classifier_predict(
+        labeled, w, n_features=512
+    ).join(labeled.select("doc_id", "y"), "doc_id")
+    rows = [(r.pred, r.y) for r in preds.collect()]
+    assert len(rows) == docs.count()
+    n_pos = sum(1 for _, y in rows if y == 1)
+    baseline = max(n_pos, len(rows) - n_pos) / len(rows)
+    acc = sum(1 for p, y in rows if p == y) / len(rows)
+    assert acc > baseline + 0.05, (acc, baseline)

@@ -461,6 +461,42 @@ class TestClassifierTrain:
         )
         assert short == long  # separated -> extra iterations are no-ops
 
+    def test_predict_matches_python_decision(self, spark):
+        import hashlib
+
+        labeled = [
+            (["good", "good", "nice"], 1),
+            (["bad"], -1),
+            (["meh", "bad", "bad"], -1),
+        ]
+        docs = spark.createDataFrame(
+            [(i, " ".join(t), y) for i, (t, y) in enumerate(labeled)],
+            ["doc_id", "text", "y"],
+        )
+        w = ts.classifier_train(docs, n_iters=6, n_features=64)
+        model = _perceptron_model(labeled, 6, 64)
+
+        def feat(t):
+            return int(
+                hashlib.md5(t.encode()).hexdigest()[:15], 16
+            ) % 64
+
+        got = {
+            r.doc_id: (r.n_tokens, r.margin, r.pred)
+            for r in ts.classifier_predict(
+                docs, w, n_features=64
+            ).collect()
+        }
+        for i, (toks, _) in enumerate(labeled):
+            m = sum(model.get(feat(t), 0) for t in toks)
+            assert got[i] == (len(toks), m, 1 if m > 0 else -1)
+
+    def test_predict_zero_margin_is_negative(self, spark):
+        docs = spark.createDataFrame([(1, "tok tok")], ["doc_id", "text"])
+        w = spark.createDataFrame([], "feature int, weight long")
+        r = ts.classifier_predict(docs, w, n_features=16).collect()[0]
+        assert (r.margin, r.pred) == (0, -1)
+
     def test_partitioning_invariance_and_empty_docs(self, spark):
         rows = [
             (i, f"tok{i % 5} tok{i % 7} "
