@@ -694,6 +694,7 @@ def classifier_train(
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "y",
+    init_weights=None,
 ):
     """Distributed batch-perceptron training — the TRAINING half of the
     DCLM / FineWeb-Edu quality-classifier loop (:func:`classifier_score`
@@ -716,7 +717,9 @@ def classifier_train(
     Returns the (feature int, weight long) table, non-zero rows only.
     Docs whose text normalizes to zero tokens have no features and are
     ignored (they can't influence — or be classified by — a
-    bag-of-words linear model).
+    bag-of-words linear model). Pass ``init_weights`` (a previously
+    returned table) to WARM-START: the weight table is the loop's whole
+    state, so training resumes exactly where it stopped.
 
     Scale shape: the corpus is exploded/hashed/counted ONCE into the
     persisted ``feats`` projection; each iteration is a SINGLE pass over
@@ -760,7 +763,15 @@ def classifier_train(
         .transform(tracked_persist)
     )
     byd = Window.partitionBy(id_col)
-    w: dict[int, int] = {}
+    # warm start: the perceptron's whole loop state IS the weight
+    # table, so resuming from a stored model continues training exactly
+    # (on unchanged data, continue(train(k), m) == train(k+m) — pinned
+    # by test; the bpe_train_continue property, same reason)
+    w: dict[int, int] = (
+        {int(r["feature"]): int(r["weight"]) for r in init_weights.collect()}
+        if init_weights is not None
+        else {}
+    )
     for _ in range(n_iters):
         if w:
             wdf = spark.createDataFrame(

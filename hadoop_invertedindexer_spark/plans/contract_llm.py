@@ -422,6 +422,31 @@ def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.classifier_train(d, n_iters=4, n_features=1024)
 
 
+def q_classifier_train_continue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Warm-started perceptron (r8): 2 rounds, then CONTINUE for 2 more
+    from the stored table — must equal the from-scratch 4-round model
+    (the weight table is the loop's entire state), so the oracle is
+    shared verbatim with classifier_train."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" qualitymarker")
+            ).otherwise(F.lit(" junkmarker")),
+        ).alias("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y"),
+    )
+    w2 = textstats.classifier_train(d, n_iters=2, n_features=1024)
+    return textstats.classifier_train(
+        d, n_iters=2, n_features=1024, init_weights=w2
+    )
+
+
 def q_classifier_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train→predict composition (r8): the 4-round perceptron's hard
     votes over its own planted-label corpus — summed integer margin,
@@ -1282,6 +1307,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_score": q_classifier_score,
     "classifier_train": q_classifier_train,
     "classifier_predict": q_classifier_predict,
+    "classifier_train_continue": q_classifier_train_continue,
     "perplexity_buckets": q_perplexity_buckets,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
@@ -3183,6 +3209,8 @@ def _sql_classifier_train(n_iters: int, n_features: int = 1024) -> str:
 
 
 LLM_ORACLE_SQL["classifier_train"] = _sql_classifier_train(4)
+# warm start shares the chain: continue(train(2), 2) == w4 exactly
+LLM_ORACLE_SQL["classifier_train_continue"] = _sql_classifier_train(4)
 
 # hard-vote inference with the 4-round trained model (r8): the summed
 # integer margin and sign(margin) over the same planted corpus — the

@@ -496,3 +496,49 @@ def test_dedup_paragraphs_no_corpus_window_no_cartesian(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan  # map-side combine on the canonical pick
+
+
+def test_epoch_shuffle_no_global_sort_one_exchange(spark):
+    """The per-epoch permutation must sort WITHIN shards, never
+    globally: a global=true Sort here would funnel the corpus through
+    one task ordering at 100 TB. One shard-keyed exchange feeds both
+    the window sort and the output layout."""
+    qs = entrymod.queries()
+    plan = _plan(qs["epoch_shuffle"](spark, SF))
+    assert "global=true" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dedup_urls_single_exchange_no_text(spark):
+    """URL dedup shuffles exactly one (canon_url, id) exchange with
+    map-side combine — page content must never move (the reason the URL
+    pass runs before any text pass)."""
+    qs = entrymod.queries()
+    plan = _plan(qs["dedup_urls"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan  # map-side keeper combine
+    assert "text" not in plan  # the text column never enters the plan
+
+
+def test_mixture_plan_weight_join_broadcast(spark):
+    """The plan frame is metadata-scale: one corpus aggregate down to
+    |strata| rows, then the literal weight table joins BROADCAST — a
+    shuffle join against a VALUES table would be pure overhead."""
+    qs = entrymod.queries()
+    plan = _plan(qs["mixture_plan"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_classifier_predict_broadcast_weights_partial_agg(spark):
+    """Inference = one broadcast join against the ≤ n_features weight
+    table + one partially-aggregated per-doc margin — the corpus
+    shuffles once, the model never does."""
+    from hadoop_invertedindexer_spark.functions import textstats
+
+    docs = read_table(spark, SF, "documents")
+    w = spark.createDataFrame([(1, 5)], "feature int, weight long")
+    plan = _plan(textstats.classifier_predict(docs, w, n_features=64))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan

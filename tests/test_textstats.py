@@ -491,6 +491,27 @@ class TestClassifierTrain:
             m = sum(model.get(feat(t), 0) for t in toks)
             assert got[i] == (len(toks), m, 1 if m > 0 else -1)
 
+    def test_warm_start_equals_from_scratch(self, spark):
+        rows = [
+            (i, f"tok{i % 5} tok{i % 7} "
+                + ("ham" if i % 2 == 0 else "spam"),
+             1 if i % 2 == 0 else -1)
+            for i in range(12)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+        w2 = ts.classifier_train(docs, n_iters=2, n_features=128)
+        cont = sorted(
+            map(tuple, ts.classifier_train(
+                docs, n_iters=3, n_features=128, init_weights=w2
+            ).collect())
+        )
+        scratch = sorted(
+            map(tuple, ts.classifier_train(
+                docs, n_iters=5, n_features=128
+            ).collect())
+        )
+        assert cont == scratch  # weight table is the loop's whole state
+
     def test_predict_zero_margin_is_negative(self, spark):
         docs = spark.createDataFrame([(1, "tok tok")], ["doc_id", "text"])
         w = spark.createDataFrame([], "feature int, weight long")
