@@ -1564,6 +1564,66 @@ def contamination_report(
     )
 
 
+def contamination_report_incremental(
+    spark,
+    evalset: DataFrame,
+    path: str,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`contamination_report` against a PERSISTED train-side
+    window index (:func:`build_window_index` pointed at the TRAINING
+    corpus — at 100 TB that index is the artifact you keep, because
+    re-windowing the corpus per benchmark is the cost that hurts):
+    per-benchmark cost is O(benchmark windows + one scan of stored
+    8-byte hashes), the train text is never re-read, and new-corpus
+    appends go through ``append_window_index``. Identical output to the
+    direct path with the index's corpus as ``train`` (pinned by test and
+    by the shared contract oracle)."""
+    from pyspark.sql import Window
+
+    idx = spark.read.parquet(f"{path}/windows").distinct()
+    etoks = (
+        evalset.select(
+            F.col(id_col).alias("id"), token_array(text_col).alias("tk")
+        )
+        .withColumn("t_len", F.size("tk"))
+        .select("id", "t_len")
+    )
+    hits = _window_hashes(evalset, n, id_col, text_col).join(
+        idx.hint("shuffle_hash"), "sh", "left_semi"
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    covered = (
+        hits.withColumn("pe", F.max("e").over(wprev))
+        .withColumn(
+            "new_island",
+            (F.col("pe").isNull() | (F.col("pos") > F.col("pe") + 1)).cast(
+                "int"
+            ),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+        .groupBy("id", "island")
+        .agg(F.min("pos").alias("rs"), F.max("e").alias("re"))
+        .groupBy("id")
+        .agg(F.sum(F.col("re") - F.col("rs") + 1).alias("cov"))
+    )
+    return etoks.join(covered, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.col("t_len").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("cov"), F.lit(0)).cast("long").alias(
+            "contaminated_tokens"
+        ),
+        F.round(
+            F.coalesce(F.col("cov"), F.lit(0))
+            / F.col("t_len").cast("double"),
+            6,
+        ).alias("contaminated_frac"),
+    )
+
+
 def source_overlap(
     docs: DataFrame,
     source_col: str = "source",

@@ -956,6 +956,34 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_report_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted-train-index contamination measurement (r8): the TRAIN
+    split's window hashes go into a stored index, then the eval split
+    measures against the stored hashes — output identical to the direct
+    report by construction, so the oracle is shared verbatim."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            (F.col("doc_id") % 9 == 0) | (F.col("doc_id") % 50 == 0),
+            F.lit(
+                " benchmark canary alpha bravo charlie delta echo"
+                " foxtrot golf hotel"
+            ),
+        ).otherwise(F.lit("")),
+    )
+    src = d.select("doc_id", planted.alias("text"))
+    path = tempfile.mkdtemp(prefix="tidx_") + "/tidx"
+    dedup.build_window_index(src.where(F.col("doc_id") % 50 != 0), path, n=8)
+    return dedup.contamination_report_incremental(
+        spark, src.where(F.col("doc_id") % 50 == 0), path, n=8
+    )
+
+
 def q_decontaminate_substrings_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1329,6 +1357,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substrings": q_dedup_substrings,
     "decontaminate_substrings": q_decontaminate_substrings,
     "contamination_report": q_contamination_report,
+    "contamination_report_incremental": q_contamination_report_incremental,
     "decontaminate_substrings_incremental": (
         q_decontaminate_substrings_incremental
     ),
@@ -2845,6 +2874,9 @@ _SQL_REP_PLANTED_SRC = """
 # the incremental path's output is identical to the direct path by
 # construction (the index stores exactly the eval window-hash set), so
 # the oracle is shared verbatim
+LLM_ORACLE_SQL["contamination_report_incremental"] = LLM_ORACLE_SQL[
+    "contamination_report"
+]
 LLM_ORACLE_SQL["decontaminate_substrings_incremental"] = LLM_ORACLE_SQL[
     "decontaminate_substrings"
 ]

@@ -692,6 +692,58 @@ class TestContaminationReport:
         assert all(v[1] == 0 for v in out.values())
 
 
+class TestContaminationReportIncremental:
+    def test_incremental_equals_direct(self, spark, tmp_path):
+        train = spark.createDataFrame(
+            [(1, "own words here alpha beta gamma delta epsilon zeta"
+                 " eta theta tail bits"),
+             (2, "one two three four five six seven eight nine")],
+            ["doc_id", "text"],
+        )
+        ev = spark.createDataFrame(
+            [(100, "prefix words alpha beta gamma delta epsilon zeta"
+                   " eta theta suffix end"),
+             (101, "completely unrelated benchmark question text here")],
+            ["doc_id", "text"],
+        )
+        direct = sorted(
+            map(tuple, dedup.contamination_report(train, ev, n=8).collect())
+        )
+        path = str(tmp_path / "tidx")
+        dedup.build_window_index(train, path, n=8)
+        inc = sorted(
+            map(tuple, dedup.contamination_report_incremental(
+                spark, ev, path, n=8
+            ).collect())
+        )
+        assert inc == direct
+
+    def test_append_extends_the_measured_corpus(self, spark, tmp_path):
+        t1 = spark.createDataFrame(
+            [(1, "one two three four five six seven eight nine")],
+            ["doc_id", "text"],
+        )
+        t2 = spark.createDataFrame(
+            [(2, "red orange yellow green blue indigo violet ultra")],
+            ["doc_id", "text"],
+        )
+        ev = spark.createDataFrame(
+            [(100, "red orange yellow green blue indigo violet ultra")],
+            ["doc_id", "text"],
+        )
+        path = str(tmp_path / "tidx")
+        dedup.build_window_index(t1, path, n=8)
+        before = dedup.contamination_report_incremental(
+            spark, ev, path, n=8
+        ).collect()[0]
+        assert before.contaminated_tokens == 0
+        dedup.append_window_index(t2, path, n=8)
+        after = dedup.contamination_report_incremental(
+            spark, ev, path, n=8
+        ).collect()[0]
+        assert (after.contaminated_tokens, after.contaminated_frac) == (8, 1.0)
+
+
 class TestWindowIndexIncremental:
     """Persisted window-hash index (r8): the substring family's member
     of the build/append/query incremental trio."""

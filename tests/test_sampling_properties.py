@@ -87,3 +87,54 @@ def test_weighted_sample_monotone_in_weight(spark, weights, denom):
     assert {i for i, w in rows if w >= denom} <= kept
     weight_of = dict(rows)
     assert all(weight_of[i] > 0 for i in kept)
+
+
+@HSETTINGS
+@given(
+    ids=ids_strategy,
+    n_shards=st.integers(min_value=1, max_value=9),
+    epoch=st.integers(min_value=0, max_value=3),
+)
+def test_epoch_shuffle_is_a_dense_permutation(spark, ids, n_shards, epoch):
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    rows = sampling.epoch_shuffle(df, n_shards=n_shards, epoch=epoch).collect()
+    assert {r.doc_id for r in rows} == set(ids)  # every row exactly once
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < n_shards
+        by_shard.setdefault(r.shard, []).append(r.seq)
+    for seqs in by_shard.values():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1))  # dense seq
+
+
+@HSETTINGS
+@given(
+    toks=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=1, max_size=25
+    ),
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=0, max_value=1000),
+        max_size=3,
+    ),
+    budget=st.integers(min_value=0, max_value=10_000),
+)
+def test_mixture_plan_matches_python_arithmetic(spark, toks, weights, budget):
+    # one doc per entry: stratum = a/b/c round-robin, token count = v+1
+    rows = [
+        (i, "t " * (v + 1), "abc"[i % 3]) for i, v in enumerate(toks)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r.stratum: (r.n_docs, r.avail_tokens, r.target_tokens, r.rate_mils)
+        for r in sampling.mixture_plan(df, weights, budget).collect()
+    }
+    want: dict[str, tuple[int, int, int, int]] = {}
+    for i, v in enumerate(toks):
+        s = "abc"[i % 3]
+        n, a = want.get(s, (0, 0))[:2] if s in want else (0, 0)
+        want[s] = (n + 1, a + v + 1, 0, 0)
+    for s, (n, a, _, _) in want.items():
+        t = budget * weights.get(s, 0) // 1000
+        want[s] = (n, a, t, (t * 1000 // a) if a > 0 else 0)
+    assert got == want
