@@ -258,3 +258,44 @@ def with_registered_domain_psl(
         ),
     ).otherwise(F.array_join(parts, "."))
     return tagged.withColumn(out_col, domain).drop(*helper_cols, "_psl_n")
+
+
+def filter_optout_domains(
+    df: DataFrame,
+    optout_domains: DataFrame,
+    url_col: str = "url",
+    psl: bool = True,
+    suffixes: DataFrame | None = None,
+) -> DataFrame:
+    """Opt-out / blocklist domain filtering — the compliance stage every
+    published crawl pipeline runs before anything else touches the text
+    (robots.txt opt-outs, DMCA/blocklists, publisher do-not-train
+    lists): drop every document whose URL's REGISTERED DOMAIN appears in
+    ``optout_domains`` (one ``domain`` column). Matching on the
+    registered domain — not the raw host — is the point: an opt-out for
+    ``example.com`` must catch ``cdn.Example.COM`` and
+    ``a.b.example.com`` too.
+
+    ``psl=True`` routes through :func:`with_registered_domain_psl`
+    (full publicsuffix.org semantics — broadcast rule cascade), else the
+    fast two-label heuristic. Returns ``df``'s rows minus the opted-out
+    ones, with the derived ``_domain`` helper dropped.
+
+    Scale shape: domain derivation is either pure codegen (heuristic) or
+    the PSL broadcast cascade — the corpus never shuffles either way —
+    and the filter itself is one BROADCAST anti-join against the
+    (small) opt-out list. Deterministic: a pure function of the URL, so
+    re-ingests drop the same rows."""
+    hosted = df.withColumn("_host", url_host(F.col(url_col)))
+    if psl:
+        domained = with_registered_domain_psl(
+            hosted, host_col="_host", out_col="_domain", suffixes=suffixes
+        )
+    else:
+        domained = hosted.withColumn(
+            "_domain", registered_domain(F.col("_host"))
+        )
+    opt = optout_domains.select(F.lower(F.col("domain")).alias("_domain"))
+    return domained.join(
+        F.broadcast(opt), "_domain", "left_anti"
+    ).drop("_host", "_domain")

@@ -711,6 +711,18 @@ def _planted_url():
     )
 
 
+def q_filter_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-out compliance filtering (r8): an opt-out for 'example.com'
+    must drop BOTH planted example.com hosts (www., Data. — different
+    case, different subdomains) via the PSL registered domain, keeping
+    only the spark.test third of the corpus."""
+    from hadoop_invertedindexer_spark.functions import urls
+
+    d = _docs(spark, sf_dir).select("doc_id", _planted_url().alias("url"))
+    opt = spark.createDataFrame([("example.com",)], ["domain"])
+    return urls.filter_optout_domains(d, opt).select("doc_id", "url")
+
+
 def q_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup (r8): the planted URLs collide ONLY after
     canonicalization — the path repeats every 40 ids while host case and
@@ -1348,6 +1360,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_build": q_vocab_build,
     "url_canonicalize": q_url_canonicalize,
     "dedup_urls": q_dedup_urls,
+    "filter_optout": q_filter_optout,
     "domain_stats": q_domain_stats,
     "domain_stats_psl": q_domain_stats_psl,
     "tokens_encode": q_tokens_encode,
@@ -1930,6 +1943,12 @@ LLM_ORACLE_SQL: dict[str, str] = {
     # from the doc_id arithmetic (hosts lowercased, utm_*/ref params
     # scrubbed leaving q=, fragment never reassembled) — lockstep with
     # functions/urls.py + _planted_url
+    "filter_optout": """
+        SELECT doc_id,
+               'https://docs.spark.test/p/' || doc_id
+                   || '?utm_source=feed&ref=' || (doc_id % 7)
+                   || '&q=' || (doc_id % 5) || '#frag' AS url
+        FROM documents WHERE doc_id % 3 = 1""",
     "dedup_urls": """
         WITH u AS (
             SELECT doc_id,

@@ -145,3 +145,42 @@ def test_registered_domain_psl_join_is_broadcast(spark):
     plan = urls.with_registered_domain_psl(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_filter_optout_catches_subdomains_and_case(spark):
+    rows = [
+        (1, "https://cdn.Example.COM/a"),
+        (2, "https://a.b.example.com/b?x=1"),
+        (3, "https://other.org/c"),
+        (4, "https://example.com/d"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "url"])
+    opt = spark.createDataFrame([("Example.com",)], ["domain"])
+    kept = {r.doc_id for r in urls.filter_optout_domains(docs, opt).collect()}
+    assert kept == {3}  # every example.com variant dropped, case-blind
+
+
+def test_filter_optout_psl_registrable_not_suffix(spark):
+    # PSL semantics: the registrable unit under co.uk is foo.co.uk —
+    # an opt-out for foo.co.uk drops its subdomains but NOT bar.co.uk
+    # (the two-label heuristic would call both 'co.uk' and either drop
+    # both or neither)
+    rows = [
+        (1, "https://www.foo.co.uk/p"),
+        (2, "https://foo.co.uk/q"),
+        (3, "https://bar.co.uk/r"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "url"])
+    opt = spark.createDataFrame([("foo.co.uk",)], ["domain"])
+    kept = {r.doc_id for r in urls.filter_optout_domains(docs, opt).collect()}
+    assert kept == {3}
+
+
+def test_filter_optout_heuristic_path_and_plan(spark):
+    rows = [(1, "https://x.site-a.com/p"), (2, "https://y.site-b.com/q")]
+    docs = spark.createDataFrame(rows, ["doc_id", "url"])
+    opt = spark.createDataFrame([("site-a.com",)], ["domain"])
+    out = urls.filter_optout_domains(docs, opt, psl=False)
+    assert {r.doc_id for r in out.collect()} == {2}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan  # corpus never shuffles
