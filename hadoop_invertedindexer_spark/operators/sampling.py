@@ -222,6 +222,7 @@ def epoch_shuffle(
     n_shards: int = 64,
     epoch: int = 0,
     id_col: str = "doc_id",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Deterministic per-epoch global shuffle into training shards —
     the last-mile ordering step of a training-data pipeline: trainers
@@ -234,6 +235,13 @@ def epoch_shuffle(
     Output: ``df`` plus ``shard`` (md5-60bit of ``'ep{epoch}|id'`` mod
     ``n_shards``) and ``seq`` (1-based position within the shard,
     ordered by the same hash with the id as tie-break).
+
+    ``order_col`` prepends a CURRICULUM key to the within-shard order
+    (e.g. a quality/difficulty score, or a length column to batch
+    similar lengths together and cut padding waste): rows sort by
+    (``order_col``, hash, id) inside each shard, so every shard streams
+    the curriculum while shard ASSIGNMENT — and therefore cross-shard
+    balance — stays the pure hash permutation.
 
     Scale shape: one shuffle, keyed by ``shard`` — exactly the physical
     layout the written artifact needs, so the sort is per-shard
@@ -257,7 +265,10 @@ def epoch_shuffle(
     out = df.withColumn("_h", h).withColumn(
         "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")
     )
-    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    order = [F.col("_h"), F.col(id_col)]
+    if order_col is not None:
+        order.insert(0, F.col(order_col))
+    w = Window.partitionBy("shard").orderBy(*order)
     return out.withColumn(
         "seq", F.row_number().over(w).cast("bigint")
     ).drop("_h")

@@ -159,7 +159,18 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shard", "seq")
 
 
+def q_curriculum_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered epoch shuffle (r8): shard assignment stays the
+    pure hash permutation; WITHIN each shard, rows stream shortest-first
+    (n_chars as the curriculum key, hash+id tie-break) — the
+    padding-reduction / easy-first layout."""
+    return sampling.epoch_shuffle(
+        _docs(spark, sf_dir), n_shards=16, epoch=1, order_col="n_chars"
+    ).select("doc_id", "n_chars", "shard", "seq")
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "curriculum_shuffle": q_curriculum_shuffle,
     "temperature_mix": q_temperature_mix,
     "epoch_shuffle": q_epoch_shuffle,
     "mixture_plan": q_mixture_plan,
@@ -222,6 +233,16 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                          // t.avail
                     ELSE 0 END::BIGINT AS rate_mils
         FROM t LEFT JOIN w USING (lang)""",
+    "curriculum_shuffle": """
+        WITH h AS (
+            SELECT doc_id, n_chars,
+                   ('0x' || substr(md5('ep1|' || doc_id::VARCHAR),
+                                   1, 15))::BIGINT AS h
+            FROM documents)
+        SELECT doc_id, n_chars, (h % 16)::INT AS shard,
+               row_number() OVER (PARTITION BY h % 16
+                                  ORDER BY n_chars, h, doc_id)::BIGINT AS seq
+        FROM h""",
     "epoch_shuffle": """
         WITH h AS (
             SELECT doc_id,

@@ -281,6 +281,26 @@ class TestEpochShuffle:
         )
         assert a != c  # a new epoch is a fresh permutation
 
+    def test_curriculum_order_within_unchanged_shards(self, spark, sf_dir):
+        d = read_table(spark, sf_dir, "documents")
+        plain = {
+            r.doc_id: r.shard
+            for r in sampling.epoch_shuffle(d, 8, epoch=3).collect()
+        }
+        curr = sampling.epoch_shuffle(
+            d, 8, epoch=3, order_col="n_chars"
+        ).collect()
+        # shard assignment is untouched by the curriculum key
+        assert {r.doc_id: r.shard for r in curr} == plain
+        lens = {r.doc_id: r.n_chars for r in d.select(
+            "doc_id", "n_chars").collect()}
+        by_shard: dict[int, list[tuple[int, int]]] = {}
+        for r in curr:
+            by_shard.setdefault(r.shard, []).append((r.seq, lens[r.doc_id]))
+        for rows in by_shard.values():
+            ordered = [n for _, n in sorted(rows)]
+            assert ordered == sorted(ordered)  # shortest-first stream
+
     def test_write_epoch_shards_layout(self, spark, sf_dir, tmp_path):
         d = read_table(spark, sf_dir, "documents").limit(100)
         out = str(tmp_path / "shards")
