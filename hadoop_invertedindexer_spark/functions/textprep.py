@@ -214,3 +214,71 @@ def split_sentences(
         F.col(id_col),
         F.posexplode(F.split(marked, "\x01")).alias("sent_id", "sentence"),
     )
+
+
+def split_long_docs(
+    df: DataFrame,
+    max_tokens: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment long documents into context-window-sized sub-documents at
+    SENTENCE boundaries — the standard preprocessing step between
+    cleaning and packing (a 50k-token doc must become ~max_tokens pieces
+    that never cut a sentence in half; cutting mid-sentence is what
+    char-window chunking like ``chunk_text`` does, which is right for
+    embeddings but wrong for training examples).
+
+    Sentences come from :func:`split_sentences`; a sub-doc closes when
+    the NEXT sentence would start past ``max_tokens`` (the next-fit
+    ``floor((cum − nt)/max)`` rule :func:`pack_sequences` uses, keyed by
+    the running whitespace-token count) — so a sub-doc exceeds the
+    budget only by the tail of its last sentence, and a single oversized
+    sentence becomes its own sub-doc rather than being split. Rejoining
+    with one space restores the exact original text (the boundary regex
+    consumed exactly the one inter-sentence space), proven by the
+    conservation fixture.
+
+    Returns (``id_col``, ``chunk_id``, ``text``, ``n_sentences``,
+    ``n_tokens``); short docs come back whole as chunk 0.
+
+    Scale shape: a pure sentence-explode projection, ONE doc-keyed
+    window cumsum, one (doc, chunk) groupBy whose reassembly sorts only
+    each chunk's own sentences — nothing corpus-wide ever sorts, and
+    chunk counts are data-bounded by total tokens / max_tokens."""
+    from pyspark.sql import Window
+
+    sent = split_sentences(df, id_col, text_col)
+    trimmed = F.trim(F.col("sentence"))
+    nt = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, "\\s+"))
+    ).cast("long")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("sent_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keyed = sent.withColumn("_nt", nt).withColumn(
+        "chunk_id",
+        F.floor(
+            (F.sum("_nt").over(w) - F.col("_nt")) / F.lit(int(max_tokens))
+        ).cast("bigint"),
+    )
+    return keyed.groupBy(id_col, "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("sent_id").alias("i"),
+                            F.col("sentence").alias("s"),
+                        )
+                    )
+                ),
+                lambda st: st["s"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_sentences"),
+        F.sum("_nt").alias("n_tokens"),
+    )

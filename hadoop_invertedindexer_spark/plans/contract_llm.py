@@ -1194,6 +1194,27 @@ def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textprep.split_sentences(d.select("doc_id", planted.alias("text")))
 
 
+def q_split_long_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary document segmentation (r8): the same planted
+    sentence boundaries as split_sentences, re-packed into ≤40-token
+    sub-docs by the next-fit cumsum rule — every chunk is a
+    space-rejoin of whole sentences, so chunk texts, counts, and token
+    masses all value-check."""
+    from hadoop_invertedindexer_spark.functions import textprep
+
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.substring("text", 1, 50),
+        F.lit(
+            ". Alpha beta gamma. Delta says hello! Echo asks why? and then "
+        ),
+        F.substring("text", 51, 100000),
+    )
+    return textprep.split_long_docs(
+        d.select("doc_id", planted.alias("text")), max_tokens=40
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_metadata_summary(
         multimodal.binary_docs(_docs(spark, sf_dir))
@@ -1381,6 +1402,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_model_divergence": q_dsir_model_divergence,
     "html_to_text": q_html_to_text,
     "split_sentences": q_split_sentences,
+    "split_long_docs": q_split_long_docs,
     "media_dedup_exact": q_media_dedup_exact,
     "media_ahash": q_media_ahash,
     "media_near_dup": q_media_near_dup,
@@ -3650,3 +3672,43 @@ LLM_ORACLE_SQL["split_sentences"] = """
                    AS sent_id,
                unnest(string_split(t, chr(1))) AS sentence
         FROM m"""
+
+# sentence-boundary doc segmentation (r8): the split_sentences chain,
+# then the pack_sequences next-fit rule — chunk = (cum − nt) // max —
+# and an ORDER BY string_agg reassembly per (doc, chunk)
+LLM_ORACLE_SQL["split_long_docs"] = """
+        WITH src AS (
+            SELECT doc_id,
+                   substr(text, 1, 50)
+                   || '. Alpha beta gamma. Delta says hello! Echo asks why? and then '
+                   || substr(text, 51, 100000) AS text
+            FROM documents),
+        m AS (
+            SELECT doc_id,
+                   regexp_replace(text,
+                       '([.!?]["'')\\]]?) ([A-Z0-9])',
+                       '\\1' || chr(1) || '\\2', 'g') AS t
+            FROM src),
+        sent AS (
+            SELECT doc_id,
+                   unnest(range(0, len(string_split(t, chr(1)))))::INT
+                       AS sent_id,
+                   unnest(string_split(t, chr(1))) AS sentence
+            FROM m),
+        tk AS (
+            SELECT doc_id, sent_id, sentence,
+                   CASE WHEN trim(sentence) = '' THEN 0
+                        ELSE len(string_split_regex(trim(sentence),
+                                                    '\\s+')) END AS nt
+            FROM sent),
+        c AS (
+            SELECT doc_id, sent_id, sentence, nt,
+                   sum(nt) OVER (PARTITION BY doc_id ORDER BY sent_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum
+            FROM tk)
+        SELECT doc_id, ((cum - nt) // 40)::BIGINT AS chunk_id,
+               string_agg(sentence, ' ' ORDER BY sent_id) AS text,
+               count(*)::BIGINT AS n_sentences,
+               sum(nt)::BIGINT AS n_tokens
+        FROM c GROUP BY doc_id, ((cum - nt) // 40)"""

@@ -171,3 +171,49 @@ class TestSplitSentences:
 
     def test_empty_doc_yields_one_empty_sentence(self, spark):
         assert self._sents(spark, "") == [""]
+
+
+class TestSplitLongDocs:
+    def _chunks(self, spark, s, max_tokens):
+        from hadoop_invertedindexer_spark.functions.textprep import (
+            split_long_docs,
+        )
+
+        rows = split_long_docs(
+            spark.createDataFrame([(1, s)], ["doc_id", "text"]),
+            max_tokens=max_tokens,
+        ).collect()
+        return [
+            (r.text, r.n_sentences, r.n_tokens)
+            for r in sorted(rows, key=lambda r: r.chunk_id)
+        ]
+
+    def test_next_fit_at_sentence_boundaries(self, spark):
+        # 3 sentences of 2/3/2 tokens, budget 4: chunk closes when the
+        # NEXT sentence would start past the budget
+        got = self._chunks(spark, "Aa bb. Cc dd ee. Ff gg.", 4)
+        assert got == [("Aa bb. Cc dd ee.", 2, 5), ("Ff gg.", 1, 2)]
+
+    def test_short_doc_comes_back_whole(self, spark):
+        assert self._chunks(spark, "One tiny doc here", 512) == [
+            ("One tiny doc here", 1, 4)
+        ]
+
+    def test_oversized_sentence_is_its_own_chunk(self, spark):
+        # first sentence fills the budget exactly, so the 30-token
+        # sentence starts a fresh chunk — and stays WHOLE in it
+        s = (
+            "Aa bb cc dd ee. W0 "
+            + " ".join(f"w{i}" for i in range(1, 30))
+            + ". Tail here."
+        )
+        got = self._chunks(spark, s, 5)
+        assert len(got) == 3
+        assert got[1][1] == 1 and got[1][2] == 30  # alone, never split
+
+    def test_rejoin_conserves_original_text(self, spark):
+        s = 'He said "stop." Then left! Really? Yes. And 3.14 held.'
+        got = self._chunks(spark, s, 3)
+        assert " ".join(t for t, _, _ in got) == s
+        # token mass conserved across chunks
+        assert sum(n for _, _, n in got) == len(s.split())
