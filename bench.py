@@ -103,6 +103,9 @@ HEADLINE = [
     "epoch_shuffle",          # per-epoch deterministic shard permutation (r8)
     "dedup_urls",             # canonical-URL first-stage crawl dedup (r8)
     "mixture_plan",           # per-stratum token budget -> rate plan (r8)
+    "filter_optout",          # registered-domain opt-out anti-join (r8)
+    "curriculum_shuffle",     # within-shard curriculum ordering (r8)
+    "split_long_docs",        # sentence-boundary context-window split (r8)
     "dsir_select",            # DSIR hashed-ngram importance resampling (r8)
     "audio_features",         # SAU1 decode + int16 signal stats (mapInPandas) (r5)
     "bloom_join_reduction",   # 128 KiB key bitmap prunes the fact map-side (r5)
