@@ -126,6 +126,58 @@ HEADLINE = [
 
 
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+# Full per-query timings land here (committed), NOT on stdout: the driver
+# tail-captures only ~2000 chars of stdout and the 76-query dict made the
+# headline line 2,418 chars — BENCH_r08/r09.json both recorded
+# parsed:null. The stdout line carries the totals plus a pointer.
+QUERIES_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
+)
+# Hard budget for the single stdout line, with margin under the driver's
+# 2000-char tail window (pinned by tests/test_bench_guard.py).
+STDOUT_LINE_BUDGET = 1800
+
+
+def build_stdout_payload(
+    total: float, sf: str, timings: dict[str, float]
+) -> dict:
+    """The ONE driver-parseable stdout JSON line. Compact by contract:
+    totals + query count + a pointer to the committed per-query file —
+    never the per-query dict itself (r4/r8/r9 overflow lesson)."""
+    return {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "queries_file": os.path.basename(QUERIES_PATH),
+    }
+
+
+def write_queries_file(
+    total: float,
+    sf: str,
+    repeats: int,
+    timings: dict[str, float],
+    scale_files: list[str],
+    path: str = QUERIES_PATH,
+) -> None:
+    """Persist the full per-query medians (and the offline scale-soak
+    file list) where the judge and driver can read them without any
+    stdout length constraint."""
+    doc = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "repeats": repeats,
+        "queries": timings,
+    }
+    if scale_files:
+        doc["scale_results_files"] = scale_files
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+        fh.write("\n")
 REGRESSION_FACTOR = 1.5
 # Absolute slack on top of the ratio: sub-second queries jitter +-0.2s
 # between clean median-of-3 runs (Python worker startup, GC timing), so
@@ -281,18 +333,12 @@ def main() -> None:
             gate_timings[name] = min(gate_timings[name], retried)
 
     total = round(sum(timings.values()), 3)
-    payload = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
     # The offline scale-soak measurements (tools/scale_soak.py — too long
-    # to run inside the per-round bench) live in committed files; stdout
-    # carries only their NAMES. Round-4 lesson: inlining the blob made the
-    # single JSON line overflow the driver's tail capture (BENCH_r04.json
-    # ended up with parsed:null), so the stdout line must stay compact.
+    # to run inside the per-round bench) live in committed files; the
+    # queries file carries only their NAMES. Per-query timings likewise
+    # go to bench_queries.json, never stdout: at 76 queries the inlined
+    # dict pushed the line to 2,418 chars against the driver's 2,000-char
+    # tail window and BENCH_r08/r09.json both came back parsed:null.
     here = os.path.dirname(os.path.abspath(__file__))
     scale_files = sorted(
         f for f in os.listdir(here)
@@ -301,9 +347,10 @@ def main() -> None:
         )
         and f.endswith(".json")
     )
-    if scale_files:
-        payload["scale_results_files"] = scale_files
-    print(json.dumps(payload))
+    write_queries_file(total, sf, repeats, timings, scale_files)
+    line = json.dumps(build_stdout_payload(total, sf, timings))
+    assert len(line) < STDOUT_LINE_BUDGET, len(line)
+    print(line)
     spark.stop()
 
     if do_update:

@@ -41,6 +41,48 @@ def test_missing_baseline_keys_are_reported():
     assert bench.missing_from_timings(base, base) == []
 
 
+def test_stdout_line_stays_under_driver_tail_window():
+    # The driver tail-captures ~2000 chars of stdout; the 76-query dict
+    # inlined in the headline line made BENCH_r08/r09.json parsed:null.
+    # The payload must stay compact REGARDLESS of how many queries run.
+    timings = {f"query_with_a_long_name_{i:03d}": 123.456 for i in range(500)}
+    payload = bench.build_stdout_payload(9999.999, "0.1", timings)
+    line = json.dumps(payload)
+    assert len(line) < bench.STDOUT_LINE_BUDGET, len(line)
+    # the driver-required keys are present and the full dict is NOT
+    assert payload["metric"] == "headline_queries_total"
+    assert payload["unit"] == "sec"
+    assert payload["n_queries"] == 500
+    assert payload["queries_file"] == "bench_queries.json"
+    assert "queries" not in payload
+
+
+def test_queries_file_roundtrips_full_timings(tmp_path):
+    timings = {f"q{i}": float(i) for i in range(80)}
+    path = str(tmp_path / "bench_queries.json")
+    bench.write_queries_file(
+        12.5, "0.1", 3, timings, ["scale_results_r8_ops.json"], path=path
+    )
+    with open(path) as fh:
+        doc = json.load(fh)
+    assert doc["queries"] == timings
+    assert doc["value"] == 12.5
+    assert doc["sf"] == 0.1
+    assert doc["scale_results_files"] == ["scale_results_r8_ops.json"]
+
+
+def test_committed_queries_file_exists_and_covers_headline():
+    # All 76+ per-query timings must be recoverable from the committed
+    # artifact even when the driver only captures the compact stdout line.
+    assert os.path.exists(bench.QUERIES_PATH), "bench_queries.json must be committed"
+    with open(bench.QUERIES_PATH) as fh:
+        doc = json.load(fh)
+    assert set(bench.HEADLINE) <= set(doc["queries"]), (
+        set(bench.HEADLINE) - set(doc["queries"])
+    )
+    assert all(v > 0 for v in doc["queries"].values())
+
+
 def test_committed_baseline_parses_and_covers_headline():
     path = bench.BASELINE_PATH
     assert os.path.exists(path), "bench_baseline.json must be committed"
