@@ -250,6 +250,53 @@ def pack_tokens(
     )
 
 
+# Symbol-boundary sentinels for BPE merge application (r10, ADVICE
+# high): a merge must rewrite exactly one ADJACENT SYMBOL PAIR, but a
+# literal replace over the bare space-joined symbol string can fire
+# across symbol boundaries — with symbols 't'+'he', the pattern 't h'
+# matches inside 't he' and produces 'the' via a merge (t,h) that was
+# never learned, diverging from Sennrich 2016 and corrupting subsequent
+# pair counts. Fix: apply every merge in a WRAPPED representation where
+# each symbol is bracketed as \x02sym\x03 — the pattern
+# \x02lhs\x03\x02rhs\x03 can then only ever match two whole adjacent
+# symbols, and adjacent matches share no delimiter (a single-space
+# sentinel would: the first replacement consumes the shared space and
+# greedy 'a b a b' -> 'ab a b' instead of 'ab ab'). Left-to-right
+# non-overlapping replace in the wrapped space IS exact greedy BPE, and
+# the same chr(2)/chr(3) construction runs verbatim in the DuckDB
+# oracle (_sql_bpe_ctes). Assumption (holds by construction): tokens
+# come out of token_array's normalization, which never yields the STX/
+# ETX control characters, so symbols cannot contain the sentinels.
+_SYM_OPEN = "\x02"
+_SYM_CLOSE = "\x03"
+
+
+def _sym_wrap(col):
+    """space-joined symbol string -> sentinel-wrapped: 't he' ->
+    '\\x02t\\x03\\x02he\\x03'."""
+    return F.concat(
+        F.lit(_SYM_OPEN),
+        F.replace(col, F.lit(" "), F.lit(_SYM_CLOSE + _SYM_OPEN)),
+        F.lit(_SYM_CLOSE),
+    )
+
+
+def _sym_unwrap(col):
+    """Inverse of :func:`_sym_wrap`: boundaries back to single spaces,
+    then the lone leading/trailing sentinels dropped."""
+    out = F.replace(col, F.lit(_SYM_CLOSE + _SYM_OPEN), F.lit(" "))
+    out = F.replace(out, F.lit(_SYM_OPEN), F.lit(""))
+    return F.replace(out, F.lit(_SYM_CLOSE), F.lit(""))
+
+
+def _merge_pattern(lhs: str, rhs: str) -> str:
+    return _SYM_OPEN + lhs + _SYM_CLOSE + _SYM_OPEN + rhs + _SYM_CLOSE
+
+
+def _merge_replacement(merged: str) -> str:
+    return _SYM_OPEN + merged + _SYM_CLOSE
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int = 32,
@@ -269,8 +316,10 @@ def bpe_train(
     array-side off the materialized symbol array — overlapping
     occurrences all count, the reference get_stats semantics), pick the
     argmax under the total order (freq desc, pair asc), and apply it
-    with a literal ``replace`` — whose left-to-right non-overlapping
-    substitution IS the BPE greedy merge ('a a a' + (a,a) -> 'aa a'),
+    with a literal ``replace`` over the SENTINEL-WRAPPED symbol string
+    (see ``_SYM_OPEN``) — whose left-to-right non-overlapping
+    substitution on whole bracketed symbols IS the BPE greedy merge
+    ('a a a' + (a,a) -> 'aa a', and never across symbol boundaries),
     identical in Spark and ANSI SQL, which keeps the whole training loop
     oracle-checkable.
 
@@ -345,7 +394,14 @@ def _bpe_loop(
         merged = lhs + rhs
         merges.append((r, lhs, rhs, merged, freq))
         cur = cur.select(
-            F.replace("ws", F.lit(pair), F.lit(merged)).alias("ws"), "cnt"
+            _sym_unwrap(
+                F.replace(
+                    _sym_wrap(F.col("ws")),
+                    F.lit(_merge_pattern(lhs, rhs)),
+                    F.lit(_merge_replacement(merged)),
+                )
+            ).alias("ws"),
+            "cnt",
         )
         if (r - start_rank) % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
@@ -386,8 +442,12 @@ def bpe_train_continue(
     cur = _bpe_word_dict(docs, text_col).localCheckpoint(eager=True)
     for i, (_, lhs, rhs) in enumerate(prior, 1):
         cur = cur.select(
-            F.replace(
-                "ws", F.lit(lhs + " " + rhs), F.lit(lhs + rhs)
+            _sym_unwrap(
+                F.replace(
+                    _sym_wrap(F.col("ws")),
+                    F.lit(_merge_pattern(lhs, rhs)),
+                    F.lit(_merge_replacement(lhs + rhs)),
+                )
             ).alias("ws"),
             "cnt",
         )
@@ -412,9 +472,13 @@ def bpe_encode(
     """Apply a trained BPE merge table: every document's normalized
     words become character-symbol strings, and the merges replay in rank
     order over the whole document at once — words separated by a ``|``
-    sentinel (stripped by normalization from real text, so no trained
-    pair ever spans it, and cross-word merges cannot happen). Returns
-    (id_col, n_pieces, pieces_str) with pieces space-joined in order.
+    sentinel symbol (stripped by normalization from real text, so no
+    trained pair ever spans it, and cross-word merges cannot happen).
+    The document is wrapped into the symbol-bracketed form ONCE, all
+    merges replay as whole-symbol replaces in that space (see
+    ``_SYM_OPEN`` — boundary-aware by construction), and the result
+    unwraps once at the end. Returns (id_col, n_pieces, pieces_str)
+    with pieces space-joined in order.
 
     The merge table is MODEL-sized: it collects to the driver (the
     persisted-ANN-params pattern) and compiles into the plan. Up to
@@ -425,7 +489,7 @@ def bpe_encode(
     tokenizers use a trie; a 30k-merge replay is the honest relational
     equivalent, not the hot path)."""
     ordered = [
-        (m.lhs + " " + m.rhs, m.merged)
+        (_merge_pattern(m.lhs, m.rhs), _merge_replacement(m.merged))
         for m in merges.orderBy("merge_rank").collect()
     ]
     base = docs.select(
@@ -439,18 +503,27 @@ def bpe_encode(
         ).alias("ws"),
     )
     if len(ordered) <= max_expr_merges:
-        expr = F.col("ws")
-        for pair, merged in ordered:
-            expr = F.replace(expr, F.lit(pair), F.lit(merged))
-        enc = base.select(F.col(id_col), expr.alias("ws"))
+        expr = _sym_wrap(F.col("ws"))
+        for pat, rep in ordered:
+            expr = F.replace(expr, F.lit(pat), F.lit(rep))
+        enc = base.select(F.col(id_col), _sym_unwrap(expr).alias("ws"))
     else:
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf("string")
         def _apply(ws: pandas.Series) -> pandas.Series:
-            for pair, merged in ordered:
-                ws = ws.str.replace(pair, merged, regex=False)
-            return ws
+            ws = (
+                _SYM_OPEN
+                + ws.str.replace(" ", _SYM_CLOSE + _SYM_OPEN, regex=False)
+                + _SYM_CLOSE
+            )
+            for pat, rep in ordered:
+                ws = ws.str.replace(pat, rep, regex=False)
+            return (
+                ws.str.replace(_SYM_CLOSE + _SYM_OPEN, " ", regex=False)
+                .str.replace(_SYM_OPEN, "", regex=False)
+                .str.replace(_SYM_CLOSE, "", regex=False)
+            )
 
         enc = base.select(F.col(id_col), _apply("ws").alias("ws"))
     pieces = F.filter(F.split("ws", " "), lambda p: p != F.lit("|"))

@@ -2993,13 +2993,43 @@ LLM_ORACLE_SQL["unigram_nll"] = f"""
         CROSS JOIN stats s
         GROUP BY t.doc_id"""
 
+# Symbol-boundary sentinels, oracle side (r10, ADVICE high — mirrors
+# vocab._SYM_OPEN/_SYM_CLOSE exactly): merges apply as literal replaces
+# over the WRAPPED form chr(2)||sym||chr(3) per symbol, so a pattern can
+# only match two whole adjacent symbols — never across a boundary the
+# way the bare space-joined replace could ('t h' firing inside 't he').
+_SQL_SYM_WRAP = "chr(2) || replace({x}, ' ', chr(3) || chr(2)) || chr(3)"
+_SQL_SYM_UNWRAP = (
+    "replace(replace(replace({x}, chr(3) || chr(2), ' '),"
+    " chr(2), ''), chr(3), '')"
+)
+
+
+def _sql_merge_pattern(pair_src: str) -> str:
+    """The wrapped two-symbol search pattern for the argmax pair row of
+    CTE ``pair_src`` (pair is the space-joined 'lhs rhs' string)."""
+    return (
+        f"(SELECT chr(2) || split_part(pair, ' ', 1) || chr(3)"
+        f" || chr(2) || split_part(pair, ' ', 2) || chr(3) FROM {pair_src})"
+    )
+
+
+def _sql_merge_replacement(pair_src: str) -> str:
+    return (
+        f"(SELECT chr(2) || replace(pair, ' ', '') || chr(3)"
+        f" FROM {pair_src})"
+    )
+
+
 def _sql_bpe_ctes(num_merges: int) -> str:
-    """Unrolled BPE training steps (r8): w0 = the char-symbol word
-    dictionary; per step, p{i} = the argmax pair of w{i-1} (freq desc,
-    pair asc) and w{i} = w{i-1} with the greedy replace applied. Every
-    CTE is MATERIALIZED — w{i} references w{i-1} once and p{i} twice, so
-    un-materialized inlining would re-expand the chain exponentially
-    (the r5 DuckDB-unrolled-iteration lesson)."""
+    """Unrolled BPE training steps (r8; boundary-aware merges r10): w0 =
+    the char-symbol word dictionary; per step, p{i} = the argmax pair of
+    w{i-1} (freq desc, pair asc) and w{i} = w{i-1} with the greedy
+    whole-symbol replace applied in the sentinel-wrapped space, then
+    unwrapped back to the space-joined form. Every CTE is MATERIALIZED —
+    w{i} references w{i-1} once and p{i} twice, so un-materialized
+    inlining would re-expand the chain exponentially (the r5
+    DuckDB-unrolled-iteration lesson)."""
     parts = [
         f"""w0 AS MATERIALIZED (
             SELECT array_to_string(string_split(word, ''), ' ') AS ws, cnt
@@ -3009,6 +3039,11 @@ def _sql_bpe_ctes(num_merges: int) -> str:
                   WHERE word <> '' GROUP BY word))"""
     ]
     for i in range(1, num_merges + 1):
+        merged_expr = (
+            f"replace({_SQL_SYM_WRAP.format(x='ws')},"
+            f" {_sql_merge_pattern(f'p{i}')},"
+            f" {_sql_merge_replacement(f'p{i}')})"
+        )
         parts.append(f"""p{i} AS MATERIALIZED (
             SELECT pair, sum(cnt) AS freq FROM (
                 SELECT cnt, unnest(list_transform(
@@ -3018,8 +3053,7 @@ def _sql_bpe_ctes(num_merges: int) -> str:
                 FROM w{i - 1})
             GROUP BY pair ORDER BY freq DESC, pair LIMIT 1)""")
         parts.append(f"""w{i} AS MATERIALIZED (
-            SELECT replace(ws, (SELECT pair FROM p{i}),
-                           (SELECT replace(pair, ' ', '') FROM p{i})) AS ws,
+            SELECT {_SQL_SYM_UNWRAP.format(x=merged_expr)} AS ws,
                    cnt
             FROM w{i - 1})""")
     return ",\n        ".join(parts)
@@ -3063,11 +3097,15 @@ def _sql_bpe_encode() -> str:
         f"list_filter(string_split({_SQL_NORM}, ' '), w -> w <> ''), "
         "w -> array_to_string(string_split(w, ''), ' ')), ' | ')"
     )
+    # wrap once, replay every merge as a whole-symbol replace in the
+    # wrapped space, unwrap once — exactly vocab.bpe_encode's expr path
+    expr = _SQL_SYM_WRAP.format(x=expr)
     for i in range(1, _BPE_CONTRACT_MERGES + 1):
         expr = (
-            f"replace({expr}, (SELECT pair FROM p{i}),"
-            f" (SELECT replace(pair, ' ', '') FROM p{i}))"
+            f"replace({expr}, {_sql_merge_pattern(f'p{i}')},"
+            f" {_sql_merge_replacement(f'p{i}')})"
         )
+    expr = _SQL_SYM_UNWRAP.format(x=expr)
     return f"""
         WITH {_sql_bpe_ctes(_BPE_CONTRACT_MERGES)},
         enc AS (SELECT doc_id, {expr} AS ws FROM documents),

@@ -217,6 +217,52 @@ class TestBpe:
         ).collect()[0]
         assert r.pieces_str == "a b c a" and r.n_pieces == 4
 
+    def test_merge_never_fires_across_symbol_boundaries(self, spark):
+        # ADVICE r9 (high): with symbols 'xa'+'b' after merge (x,a), an
+        # unanchored substring replace would let merge (a,b) fire inside
+        # 'xa b' ('xa b' contains the substring 'a b') producing 'xab' —
+        # a piece assembled by a merge that was never learned. The
+        # boundary-aware application must leave the word as 'xa b'.
+        # Corpus: 'xa' dominates so (x,a) is merge 1; 'ab' makes (a,b)
+        # merge 2; the probe word 'xab' must end as pieces [xa, b].
+        lm = spark.createDataFrame(
+            [(1, "xa xa xa xa ab ab ab")], ["doc_id", "text"]
+        )
+        m = vocab.bpe_train(lm, num_merges=2)
+        learned = [(r.lhs, r.rhs) for r in m.orderBy("merge_rank").collect()]
+        assert learned == [("x", "a"), ("a", "b")]
+        r = vocab.bpe_encode(
+            spark.createDataFrame([(9, "xab")], ["doc_id", "text"]), m
+        ).collect()[0]
+        assert r.pieces_str == "xa b" and r.n_pieces == 2
+        # same guarantee on the slow (pandas UDF) path
+        r2 = vocab.bpe_encode(
+            spark.createDataFrame([(9, "xab")], ["doc_id", "text"]),
+            m,
+            max_expr_merges=0,
+        ).collect()[0]
+        assert r2.pieces_str == "xa b" and r2.n_pieces == 2
+
+    def test_training_pair_counts_see_symbol_boundaries(self, spark):
+        # the training loop itself must not corrupt the dictionary: in
+        # 'xab xab xab ab', after merge (x,a) the word 'xab' is 'xa b';
+        # a boundary-blind replace of later merges would rewrite it to
+        # 'xab' and the (xa,b) pair would vanish from the counts.
+        docs = spark.createDataFrame(
+            [(1, "xab xab xab xab ab ab ab")], ["doc_id", "text"]
+        )
+        m = [
+            (r.lhs, r.rhs, r.freq)
+            for r in vocab.bpe_train(docs, num_merges=3)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        # (x,a) x4 wins rank 1 (ties with (a,b) broken pair-asc? no:
+        # (a,b) appears in xab x4 + ab x3 = 7 > 4, so (a,b) is rank 1,
+        # then 'x ab' words leave (x,ab) x4, merged 'xab'
+        assert m[0] == ("a", "b", 7)
+        assert m[1] == ("x", "ab", 4)
+
     def test_encode_udf_path_matches_expression_path(self, spark):
         docs = spark.createDataFrame(
             [(i, self.SENNRICH) for i in range(4)], ["doc_id", "text"]
