@@ -1105,7 +1105,19 @@ def dedup_substrings(
     joins pin ``shuffle_hash`` (the duplicate-heavy-corpus broadcast
     trap measured on duplicate_passages' 10x soak). The final rebuild's
     per-token ``exists`` scans the doc's own removal spans — a handful
-    of intervals, not a corpus-sized structure."""
+    of intervals, not a corpus-sized structure.
+
+    Collision trade-off (ADVICE r9, documented deliberately): window
+    equality is decided on the raw 64-bit ``xxhash64`` of the window
+    string, and removal is irreversible. At ~1e12 windows (the 100 TB
+    regime) birthday collisions are EXPECTED (~n²/2^65 ≈ tens of
+    thousands of colliding pairs), each of which removes one innocent
+    n-token span — a ~1e-8 fraction of the corpus, far below the noise
+    floor of the dedup itself (Lee et al. 2022 ship the same trade in
+    their hash-based variant). Where that is not acceptable, carry
+    ``sh_str`` through the keeper join and compare the strings on
+    match — one extra corpus-width string column through the first
+    shuffle, zero false removals."""
     from pyspark.sql import Window
 
     toks = (
@@ -1252,7 +1264,15 @@ def decontaminate_substrings(
     plus the doc-keyed rebuild; the eval side — benchmark-sized, but
     not always broadcast-small — is deduplicated to distinct window
     hashes before the join. Only matched windows (bounded by true
-    contamination) reach the islands merge."""
+    contamination) reach the islands merge.
+
+    Collision trade-off (ADVICE r9): matches are raw 64-bit window
+    hashes and excision is irreversible — same deliberate trade as
+    :func:`dedup_substrings` (see its docstring for the numbers); a
+    false positive here over-scrubs a span, it never under-scrubs, so
+    the compliance direction is safe. The incremental path
+    (:func:`decontaminate_substrings_incremental`) stores ONLY hashes,
+    so an exact-verify variant would need the eval text retained."""
     from pyspark.sql import Window
 
     toks = (
@@ -1382,10 +1402,34 @@ def build_window_index(
     signatures, IVF assignments, now window hashes): the reference
     corpus is scanned once at build time, and every future ingest batch
     decontaminates against the stored 8-byte hashes without re-reading
-    any reference text."""
+    any reference text.
+
+    The window width ``n`` is persisted alongside the hashes (the
+    MinHash index's params pattern, :func:`build_minhash_index`):
+    window hashes are only comparable between sides windowed with the
+    SAME n, so every reader loads and asserts it — an index built with
+    one n and queried with another would otherwise match nothing and
+    silently under-decontaminate a compliance stage (ADVICE r9)."""
     _window_hashes(_spread(docs, id_col), n, id_col, text_col).select(
         "sh"
     ).distinct().write.mode("overwrite").parquet(f"{path}/windows")
+    docs.sparkSession.createDataFrame([(n,)], "n int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/params")
+
+
+def _assert_window_index_n(spark, path: str, n: int) -> None:
+    """Loudly refuse to query/append a window index with a different n
+    than it was built with — the hashes would simply never match and the
+    caller would read 'no contamination' where none was checked."""
+    stored = int(spark.read.parquet(f"{path}/params").head().n)
+    if stored != n:
+        raise ValueError(
+            f"window index at {path} was built with n={stored} but is "
+            f"being used with n={n}; window hashes of different widths "
+            "never match, so this would silently decontaminate nothing "
+            "— pass the index's n or rebuild the index"
+        )
 
 
 def append_window_index(
@@ -1400,7 +1444,9 @@ def append_window_index(
     present land again as duplicate rows; they cost bytes, not
     correctness (the decontamination join is a semi join), and a
     periodic compaction (read-distinct-rewrite) reclaims them — the
-    standard append-mostly index trade, same as the MinHash tiers."""
+    standard append-mostly index trade, same as the MinHash tiers.
+    The batch must be windowed with the index's stored n (asserted)."""
+    _assert_window_index_n(batch.sparkSession, path, n)
     _window_hashes(batch, n, id_col, text_col).select(
         "sh"
     ).distinct().write.mode("append").parquet(f"{path}/windows")
@@ -1421,9 +1467,12 @@ def decontaminate_substrings_incremental(
     O(batch windows + index-hash scan), and the reference text is never
     touched again. The daily-ingest posture of
     ``minhash_index_pairs``/``query_ivf_index`` for the substring
-    family."""
+    family. The stored window width is asserted against ``n`` (ADVICE
+    r9: a mismatched n would match nothing and silently skip the
+    decontamination)."""
     from pyspark.sql import Window
 
+    _assert_window_index_n(spark, path, n)
     idx = spark.read.parquet(f"{path}/windows").distinct()
     toks = (
         _spread(batch, id_col)
@@ -1580,9 +1629,11 @@ def contamination_report_incremental(
     8-byte hashes), the train text is never re-read, and new-corpus
     appends go through ``append_window_index``. Identical output to the
     direct path with the index's corpus as ``train`` (pinned by test and
-    by the shared contract oracle)."""
+    by the shared contract oracle). The stored window width is asserted
+    against ``n`` (ADVICE r9)."""
     from pyspark.sql import Window
 
+    _assert_window_index_n(spark, path, n)
     idx = spark.read.parquet(f"{path}/windows").distinct()
     etoks = (
         evalset.select(

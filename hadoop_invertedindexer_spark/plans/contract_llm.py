@@ -3400,7 +3400,9 @@ LLM_ORACLE_SQL["corpus_filter"] = f"""
 # dedup via row_number on the normalized text (same equality classes as
 # sha2), the upsample integer cross-multiplication, the md5-nibble
 # split on the ORIGINAL doc id, and the pack_tokens stream restated
-# with sid = doc*1000 + epoch
+# with the dense stride sid = doc_id*4 + epoch (epoch < 4 by
+# construction; a sparse doc*1000 stride would inflate the pack bucket
+# summary 1000x — see the stream CTE below)
 _CAP_SRC = """SELECT doc_id, text, source FROM documents
             UNION ALL
             SELECT doc_id + 1000000 AS doc_id, text, source FROM documents

@@ -814,6 +814,33 @@ class TestWindowIndexIncremental:
         )
         assert once == twice
 
+    def test_mismatched_n_fails_loudly(self, spark, tmp_path):
+        """ADVICE r9: window hashes of different widths never match, so
+        querying an n=8 index with n=4 would silently report zero
+        contamination. The persisted params table turns that into a
+        loud error on every reader AND the appender."""
+        import pytest
+
+        train = spark.createDataFrame(self.TRAIN, ["doc_id", "text"])
+        ev = spark.createDataFrame(self.EVAL, ["doc_id", "text"])
+        path = str(tmp_path / "widx")
+        dedup.build_window_index(ev, path, n=8)
+        with pytest.raises(ValueError, match="built with n=8"):
+            dedup.decontaminate_substrings_incremental(
+                spark, train, path, n=4
+            )
+        with pytest.raises(ValueError, match="built with n=8"):
+            dedup.contamination_report_incremental(spark, train, path, n=4)
+        with pytest.raises(ValueError, match="built with n=8"):
+            dedup.append_window_index(ev, path, n=4)
+        # the matching n still works end-to-end
+        assert (
+            dedup.contamination_report_incremental(spark, ev, path, n=8)
+            .collect()[0]
+            .contaminated_frac
+            == 1.0
+        )
+
 
 def test_streaming_window_index_matches_batch_build(spark, tmp_path):
     """The stream-maintained window-hash tiers must decontaminate
