@@ -624,6 +624,61 @@ def synthetic_classifier_weights(
     )
 
 
+def _hashed_gram_features(
+    docs,
+    n_features: int,
+    word_ngrams: int,
+    id_col: str,
+    text_col: str,
+    extra_cols: tuple[str, ...] = (),
+):
+    """The shared hashed-feature stream of the classifier trio (r10):
+    md5-60bit(gram) mod ``n_features`` over the normalized token
+    sequence, where grams = the tokens themselves plus, at
+    ``word_ngrams=2``, every adjacent token bigram ('a b') — fastText's
+    wordNgrams feature, the same hashing trick over a wider gram set.
+    Bigrams are built ARRAY-SIDE with one shifted ``zip_with`` over the
+    materialized token array (the O(n) form; per-element ``element_at``
+    re-splitting is the r7-profiled O(n²) interpreted-HOF trap), so the
+    plan stays explode → broadcast-join — word_ngrams changes the gram
+    VOLUME (≈2×), never the shuffle count."""
+    if word_ngrams not in (1, 2):
+        raise ValueError(
+            f"word_ngrams={word_ngrams}: only 1 (bag of words) and 2 "
+            "(fastText wordNgrams bigrams) are supported"
+        )
+    from hadoop_invertedindexer_spark.operators.dedup import token_array
+
+    base = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.filter(token_array(text_col), lambda t: t != "").alias("_tk"),
+    )
+    grams = F.col("_tk")
+    if word_ngrams == 2:
+        m = F.greatest(F.size("_tk") - 1, F.lit(0))
+        grams = F.concat(
+            grams,
+            F.zip_with(
+                F.slice("_tk", F.lit(1), m),
+                F.slice("_tk", F.lit(2), m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        )
+    return base.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(grams).alias("gram"),
+    ).select(
+        id_col,
+        *extra_cols,
+        F.pmod(
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(n_features),
+        ).cast("int").alias("feature"),
+    )
+
+
 def classifier_score(
     docs,
     weights=None,
@@ -631,6 +686,7 @@ def classifier_score(
     bias: float = 0.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    word_ngrams: int = 1,
 ):
     """Model-based quality scoring — the fastText-style linear
     classifier inference step of the DCLM / FineWeb-Edu pipelines (the
@@ -639,41 +695,33 @@ def classifier_score(
     (md5-60bit of the token mod ``n_features`` — the hashing trick, no
     vocabulary file), a broadcast weight vector, and
 
-        score = sigmoid(bias + mean_t w[h(t)])
+        score = sigmoid(bias + mean_g w[h(g)])
 
-    per document. Returns (``id_col``, n_tokens, score), score round(6).
+    per document, the mean over all grams. Returns (``id_col``,
+    n_tokens, score), score round(6); with ``word_ngrams=2`` (fastText
+    wordNgrams parity, r10) the gram set adds every adjacent token
+    bigram, and ``n_tokens`` counts GRAMS — the model's input features,
+    fastText's own normalizer — so 2T−1 for a T-token doc.
     Out-of-table features (never, when weights covers 0..n_features-1)
     contribute 0. ``weights=None`` uses
     :func:`synthetic_classifier_weights` — swap in trained weights for
     production.
 
     Scale shape: the model is ``n_features`` rows, BROADCAST; the corpus
-    explodes to tokens, maps through one broadcast join, and pays ONE
+    explodes to grams, maps through one broadcast join, and pays ONE
     shuffle (the per-doc mean) — identical cost class to unigram_nll.
     Inference is pure codegen: the sigmoid is an expression, not a UDF;
-    at 100 TB this is the cheapest possible classifier pass (a real
-    fastText model adds bigram features — same pipeline, one more gram
-    stream)."""
-    from hadoop_invertedindexer_spark.caching import tracked_persist
-    from hadoop_invertedindexer_spark.operators.dedup import token_array
-
+    at 100 TB this is the cheapest possible classifier pass, and the
+    bigram stream only widens the explode (~2×), never adds a
+    shuffle."""
     spark = docs.sparkSession
     w = (
         weights
         if weights is not None
         else synthetic_classifier_weights(spark, n_features)
     )
-    tok = docs.select(
-        F.col(id_col),
-        F.explode(F.filter(token_array(text_col), lambda t: t != "")).alias(
-            "token"
-        ),
-    ).select(
-        id_col,
-        F.pmod(
-            F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("bigint"),
-            F.lit(n_features),
-        ).cast("int").alias("feature"),
+    tok = _hashed_gram_features(
+        docs, n_features, word_ngrams, id_col, text_col
     )
     scored = tok.join(F.broadcast(w), "feature", "left").groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -695,13 +743,16 @@ def classifier_train(
     text_col: str = "text",
     label_col: str = "y",
     init_weights=None,
+    word_ngrams: int = 1,
 ):
     """Distributed batch-perceptron training — the TRAINING half of the
     DCLM / FineWeb-Edu quality-classifier loop (:func:`classifier_score`
     is the inference half): given docs labeled ±1 in ``label_col``,
     learn a linear model over the same md5-60bit hashed bag-of-words
-    features the scorer uses, so the trained table drops straight into
-    ``classifier_score(weights=...)``.
+    features the scorer uses — plus, at ``word_ngrams=2``, fastText's
+    hashed adjacent-bigram features (r10) — so the trained table drops
+    straight into ``classifier_score(weights=..., word_ngrams=...)`` /
+    :func:`classifier_predict` called with the SAME ``word_ngrams``.
 
     The update rule is the batch (a.k.a. parallel) perceptron of
     McDonald, Hall & Mann 2010 §2: per iteration, every currently
@@ -737,26 +788,20 @@ def classifier_train(
     from pyspark.sql import Window
 
     from hadoop_invertedindexer_spark.caching import tracked_persist
-    from hadoop_invertedindexer_spark.operators.dedup import token_array
 
     spark = docs.sparkSession
     feats = (
-        docs.select(
-            F.col(id_col),
-            F.col(label_col).cast("long").alias("_y"),
-            F.explode(
-                F.filter(token_array(text_col), lambda t: t != "")
-            ).alias("token"),
-        )
-        .select(
+        _hashed_gram_features(
+            docs.select(
+                F.col(id_col),
+                F.col(label_col).cast("long").alias("_y"),
+                F.col(text_col),
+            ),
+            n_features,
+            word_ngrams,
             id_col,
-            "_y",
-            F.pmod(
-                F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast(
-                    "bigint"
-                ),
-                F.lit(n_features),
-            ).cast("int").alias("feature"),
+            text_col,
+            extra_cols=("_y",),
         )
         .groupBy(id_col, "_y", "feature")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -813,6 +858,7 @@ def classifier_predict(
     bias: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    word_ngrams: int = 1,
 ):
     """Hard-vote classification with a trained linear model — the
     perceptron's own decision function: ``pred = sign(bias + Σ_t
@@ -824,28 +870,17 @@ def classifier_predict(
     trained on count vectors is part of the signal — use predict for
     labeling with trained weights, score for rate-controlled filtering.
 
-    Returns (``id_col``, ``n_tokens``, ``margin``, ``pred`` ∈ {−1, 1}).
+    Returns (``id_col``, ``n_tokens``, ``margin``, ``pred`` ∈ {−1, 1});
+    with ``word_ngrams=2`` (pass the value the model was TRAINED with)
+    ``n_tokens`` counts grams, matching the trainer's feature volume.
     Integer end-to-end (weights are the trainer's integer table), so
     predictions are bit-reproducible and oracle-checkable.
 
     Scale shape: identical to ``classifier_score`` — one broadcast join
     against the ≤ ``n_features`` weight table, one per-doc aggregate,
     all codegen."""
-    from hadoop_invertedindexer_spark.operators.dedup import token_array
-
-    tok = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.filter(token_array(text_col), lambda t: t != "")
-        ).alias("token"),
-    ).select(
-        id_col,
-        F.pmod(
-            F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast(
-                "bigint"
-            ),
-            F.lit(n_features),
-        ).cast("int").alias("feature"),
+    tok = _hashed_gram_features(
+        docs, n_features, word_ngrams, id_col, text_col
     )
     margins = (
         tok.join(F.broadcast(weights), "feature", "left")

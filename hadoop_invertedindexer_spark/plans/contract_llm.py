@@ -468,6 +468,58 @@ def q_classifier_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.classifier_predict(d, w, n_features=1024)
 
 
+def q_classifier_train_bigrams(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """fastText-parity hashed BIGRAM features (r10, VERDICT r9 ask 4):
+    the same 4-round planted-label perceptron with word_ngrams=2 — the
+    gram set widens to tokens + adjacent bigrams, everything else
+    (hashing, updates, integer exactness) identical. The learned table
+    must differ from the unigram model only through the extra
+    features."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" qualitymarker")
+            ).otherwise(F.lit(" junkmarker")),
+        ).alias("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y"),
+    )
+    return textstats.classifier_train(
+        d, n_iters=4, n_features=1024, word_ngrams=2
+    )
+
+
+def q_classifier_predict_bigrams(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bigram-model train→predict composition (r10): the wordNgrams=2
+    perceptron's hard votes over its planted corpus — n_tokens counts
+    grams (2T−1), the margin sums weights over tokens AND bigrams."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" qualitymarker")
+            ).otherwise(F.lit(" junkmarker")),
+        ).alias("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y"),
+    )
+    w = textstats.classifier_train(
+        d, n_iters=4, n_features=1024, word_ngrams=2
+    )
+    return textstats.classifier_predict(
+        d, w, n_features=1024, word_ngrams=2
+    )
+
+
 def q_ngram_nll_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-LM scoring (r8): the eval split (every 50th doc) scored
     under the trigram model trained on the TRAIN split only — the
@@ -1369,6 +1421,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_train": q_classifier_train,
     "classifier_predict": q_classifier_predict,
     "classifier_train_continue": q_classifier_train_continue,
+    "classifier_train_bigrams": q_classifier_train_bigrams,
+    "classifier_predict_bigrams": q_classifier_predict_bigrams,
     "perplexity_buckets": q_perplexity_buckets,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
@@ -3266,16 +3320,10 @@ LLM_ORACLE_SQL["classifier_score"] = f"""
 # w{i-1} plus d{i}, so inlining would re-expand the chain per round
 # (the r5 unrolled-iteration lesson).
 def _sql_classifier_train_parts(
-    n_iters: int, n_features: int = 1024
+    n_iters: int, n_features: int = 1024, word_ngrams: int = 1
 ) -> list[str]:
-    parts = [
-        """src AS MATERIALIZED (
-            SELECT doc_id,
-                   text || CASE WHEN doc_id % 2 = 0 THEN ' qualitymarker'
-                                ELSE ' junkmarker' END AS text,
-                   CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS y
-            FROM documents)""",
-        f"""feats AS MATERIALIZED (
+    if word_ngrams == 1:
+        feats = f"""feats AS MATERIALIZED (
             SELECT doc_id, y,
                    (('0x' || substr(md5(token), 1, 15))::BIGINT
                         % {n_features})::INT AS feature,
@@ -3284,7 +3332,33 @@ def _sql_classifier_train_parts(
                          unnest(string_split({_SQL_NORM}, ' ')) AS token
                   FROM src)
             WHERE token <> ''
-            GROUP BY doc_id, y, feature)""",
+            GROUP BY doc_id, y, feature)"""
+    else:
+        # fastText wordNgrams=2 (r10): grams = tokens plus adjacent
+        # bigrams, built over the PRE-FILTERED token list (empties
+        # removed before pairing, matching the Spark array)
+        feats = f"""feats AS MATERIALIZED (
+            SELECT doc_id, y,
+                   (('0x' || substr(md5(gram), 1, 15))::BIGINT
+                        % {n_features})::INT AS feature,
+                   count(*)::BIGINT AS cnt
+            FROM (SELECT doc_id, y,
+                         unnest(list_concat(toks, list_transform(
+                             generate_series(2, len(toks)),
+                             j -> toks[j - 1] || ' ' || toks[j]))) AS gram
+                  FROM (SELECT doc_id, y,
+                               list_filter(string_split({_SQL_NORM}, ' '),
+                                           t -> t <> '') AS toks
+                        FROM src))
+            GROUP BY doc_id, y, feature)"""
+    parts = [
+        """src AS MATERIALIZED (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 2 = 0 THEN ' qualitymarker'
+                                ELSE ' junkmarker' END AS text,
+                   CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS y
+            FROM documents)""",
+        feats,
         """w1 AS MATERIALIZED (
             SELECT feature, sum(y * cnt)::BIGINT AS weight
             FROM feats GROUP BY feature)""",
@@ -3310,10 +3384,14 @@ def _sql_classifier_train_parts(
     return parts
 
 
-def _sql_classifier_train(n_iters: int, n_features: int = 1024) -> str:
+def _sql_classifier_train(
+    n_iters: int, n_features: int = 1024, word_ngrams: int = 1
+) -> str:
     return (
         "WITH "
-        + ",\n        ".join(_sql_classifier_train_parts(n_iters, n_features))
+        + ",\n        ".join(
+            _sql_classifier_train_parts(n_iters, n_features, word_ngrams)
+        )
         + f"""
         SELECT feature, weight FROM w{n_iters} WHERE weight <> 0"""
     )
@@ -3322,15 +3400,23 @@ def _sql_classifier_train(n_iters: int, n_features: int = 1024) -> str:
 LLM_ORACLE_SQL["classifier_train"] = _sql_classifier_train(4)
 # warm start shares the chain: continue(train(2), 2) == w4 exactly
 LLM_ORACLE_SQL["classifier_train_continue"] = _sql_classifier_train(4)
+# fastText-parity bigram features (r10): the same 4-round chain with
+# the gram set widened to tokens + adjacent bigrams
+LLM_ORACLE_SQL["classifier_train_bigrams"] = _sql_classifier_train(
+    4, word_ngrams=2
+)
 
 # hard-vote inference with the 4-round trained model (r8): the summed
 # integer margin and sign(margin) over the same planted corpus — the
 # perceptron's own decision function, distinct from classifier_score's
 # mean+sigmoid calibration
-LLM_ORACLE_SQL["classifier_predict"] = (
-    "WITH "
-    + ",\n        ".join(_sql_classifier_train_parts(4))
-    + """,
+def _sql_classifier_predict(word_ngrams: int = 1) -> str:
+    return (
+        "WITH "
+        + ",\n        ".join(
+            _sql_classifier_train_parts(4, word_ngrams=word_ngrams)
+        )
+        + """,
         m AS (
             SELECT f.doc_id, sum(f.cnt)::BIGINT AS n_tokens,
                    sum(f.cnt * coalesce(w.weight, 0))::BIGINT AS margin
@@ -3339,6 +3425,12 @@ LLM_ORACLE_SQL["classifier_predict"] = (
         SELECT doc_id, n_tokens, margin,
                (CASE WHEN margin > 0 THEN 1 ELSE -1 END)::INT AS pred
         FROM m"""
+    )
+
+
+LLM_ORACLE_SQL["classifier_predict"] = _sql_classifier_predict()
+LLM_ORACLE_SQL["classifier_predict_bigrams"] = _sql_classifier_predict(
+    word_ngrams=2
 )
 
 LLM_ORACLE_SQL["ngram_nll"] = _sql_ngram_nll()

@@ -542,3 +542,21 @@ def test_classifier_predict_broadcast_weights_partial_agg(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_classifier_bigram_features_keep_the_plan_shape(spark):
+    """wordNgrams=2 (r10) widens the explode to tokens + zip_with
+    bigrams but must not change the plan contract: still ONE broadcast
+    join against the weight table, one partially-aggregated per-doc
+    margin, and no per-row Python."""
+    from hadoop_invertedindexer_spark.functions import textstats
+
+    docs = read_table(spark, SF, "documents")
+    w = spark.createDataFrame([(1, 5)], "feature int, weight long")
+    plan = _plan(
+        textstats.classifier_predict(docs, w, n_features=64, word_ngrams=2)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -491,6 +491,78 @@ class TestClassifierTrain:
             m = sum(model.get(feat(t), 0) for t in toks)
             assert got[i] == (len(toks), m, 1 if m > 0 else -1)
 
+    def test_bigram_predict_matches_python_mirror(self, spark):
+        """wordNgrams=2 (r10): grams = tokens + adjacent bigrams, each
+        hashed exactly like a token whose text is 'a b' — n_tokens
+        counts grams (2T−1), the margin sums weights over all of them.
+        Mirrored token-by-token in Python against a hand weight table."""
+        import hashlib
+
+        def feat(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 64
+
+        toks = ["red", "green", "blue"]
+        grams = toks + ["red green", "green blue"]
+        weights = {feat(g): i + 1 for i, g in enumerate(grams)}
+        wdf = spark.createDataFrame(
+            sorted(weights.items()), "feature int, weight long"
+        )
+        docs = spark.createDataFrame(
+            [(1, " ".join(toks))], ["doc_id", "text"]
+        )
+        r = ts.classifier_predict(
+            docs, wdf, n_features=64, word_ngrams=2
+        ).collect()[0]
+        want_margin = sum(weights[feat(g)] for g in grams)
+        assert (r.n_tokens, r.margin) == (len(grams), want_margin)
+        # unigram call over the same weights must NOT see the bigrams
+        r1 = ts.classifier_predict(docs, wdf, n_features=64).collect()[0]
+        assert r1.n_tokens == 3
+        assert r1.margin == sum(weights[feat(t)] for t in toks)
+
+    def test_bigram_training_orders_words(self, spark):
+        """The signal bigrams exist for: two classes with IDENTICAL
+        bags of words, differing only in word order — a unigram model
+        cannot separate them (margins are equal by construction), the
+        bigram model must."""
+        rows = [
+            (i, "sun rises early today" if i % 2 == 0
+             else "early today sun rises", 1 if i % 2 == 0 else -1)
+            for i in range(8)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+        w1 = ts.classifier_train(docs, n_iters=8, n_features=256)
+        p1 = ts.classifier_predict(docs, w1, n_features=256).collect()
+        # identical bags -> identical margins -> one side misclassified
+        assert len({r.margin for r in p1}) == 1
+        w2 = ts.classifier_train(
+            docs, n_iters=8, n_features=256, word_ngrams=2
+        )
+        p2 = {
+            r.doc_id: r.pred
+            for r in ts.classifier_predict(
+                docs, w2, n_features=256, word_ngrams=2
+            ).collect()
+        }
+        assert all(
+            p2[i] == (1 if i % 2 == 0 else -1) for i in range(8)
+        )
+
+    def test_single_token_doc_has_no_bigrams(self, spark):
+        docs = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+        w = spark.createDataFrame([], "feature int, weight long")
+        r = ts.classifier_predict(
+            docs, w, n_features=16, word_ngrams=2
+        ).collect()[0]
+        assert r.n_tokens == 1  # 2*1 - 1
+
+    def test_word_ngrams_3_rejected(self, spark):
+        import pytest
+
+        docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="word_ngrams=3"):
+            ts.classifier_score(docs, n_features=16, word_ngrams=3)
+
     def test_warm_start_equals_from_scratch(self, spark):
         rows = [
             (i, f"tok{i % 5} tok{i % 7} "
