@@ -462,6 +462,80 @@ def bpe_train_continue(
     return spark.createDataFrame(out, schema)
 
 
+def build_bpe_model(
+    docs: DataFrame,
+    path: str,
+    num_merges: int = 32,
+    text_col: str = "text",
+    min_freq: int = 1,
+    checkpoint_every: int = 8,
+) -> None:
+    """Train and PERSIST a BPE model (r10, VERDICT r9 ask 5) — the
+    tokenizer's member of the engine's stored-model pattern
+    (``build_dsir_model``, the classifier weight table, the
+    MinHash/window/paragraph indexes): the training corpus is paid
+    once, and every future ingest batch encodes against the stored
+    merge table without re-reading it. Layout: ``merges/`` holds the
+    (merge_rank, lhs, rhs, merged, freq) table — with the
+    boundary-aware merges of :func:`bpe_train`, so the artifact can
+    never contain a cross-symbol merge — and ``params/`` pins
+    (num_merges, min_freq) for provenance and for
+    :func:`extend_bpe_model`'s rank continuation."""
+    merges = bpe_train(docs, num_merges, text_col, min_freq, checkpoint_every)
+    merges.write.mode("overwrite").parquet(f"{path}/merges")
+    docs.sparkSession.createDataFrame(
+        [(int(num_merges), int(min_freq))], "num_merges int, min_freq int"
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def extend_bpe_model(
+    docs: DataFrame,
+    path: str,
+    num_merges: int = 32,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> None:
+    """Grow a persisted BPE model in place: replay the stored merges
+    over the (possibly grown) corpus via :func:`bpe_train_continue`,
+    learn ``num_merges`` more, and APPEND only the new rows — existing
+    merges stay frozen (every already-encoded shard keeps its pieces),
+    exactly the daily-vocab-growth posture the continue path was built
+    for. min_freq comes from the stored params (an extension that
+    suddenly admitted rarer pairs would silently change model
+    quality)."""
+    spark = docs.sparkSession
+    p = spark.read.parquet(f"{path}/params").head()
+    prior = spark.read.parquet(f"{path}/merges")
+    new = bpe_train_continue(
+        docs,
+        prior,
+        num_merges=num_merges,
+        text_col=text_col,
+        min_freq=int(p.min_freq),
+        checkpoint_every=checkpoint_every,
+    )
+    new.write.mode("append").parquet(f"{path}/merges")
+
+
+def bpe_encode_incremental(
+    spark,
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_expr_merges: int = 64,
+) -> DataFrame:
+    """Encode an ingest batch against a PERSISTED BPE model — identical
+    output to :func:`bpe_encode` with the stored merge table (pinned by
+    test and by the shared contract oracle). Per-batch cost is O(batch):
+    the model read is the |merges|-row parquet (model scale — the same
+    class as the DSIR table), it compiles into the same literal-replace
+    plan, and no training corpus is ever touched — at 100 TB the stored
+    ``merges/`` dir IS the tokenizer you ship to every encode job."""
+    merges = spark.read.parquet(f"{path}/merges")
+    return bpe_encode(batch, merges, id_col, text_col, max_expr_merges)
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: DataFrame,

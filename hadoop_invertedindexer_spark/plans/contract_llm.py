@@ -551,6 +551,22 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.bpe_encode(d, vocab.bpe_train(d, num_merges=10))
 
 
+def q_bpe_encode_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stored-BPE-model encode (r10, VERDICT r9 ask 5): train the
+    10-merge model into a persisted artifact, then encode the corpus
+    against the STORED merges — identical output to the direct
+    train→encode chain by construction, so the oracle is shared
+    verbatim with bpe_encode."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="bpem_") + "/bpem"
+    vocab.build_bpe_model(d, path, num_merges=10)
+    return vocab.bpe_encode_incremental(spark, d, path)
+
+
 def q_bpe_continue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warm-start BPE (r8): train 5 merges, then CONTINUE for 5 more —
     must equal merges 6-10 of the from-scratch 10-merge chain (BPE state
@@ -1427,6 +1443,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
     "bpe_continue": q_bpe_continue,
+    "bpe_encode_incremental": q_bpe_encode_incremental,
     "pii_redact": q_pii_redact,
     "repetition_removal": q_repetition_removal,
     "boilerplate_removal": q_boilerplate_removal,
@@ -3174,6 +3191,10 @@ def _sql_bpe_encode() -> str:
 
 
 LLM_ORACLE_SQL["bpe_encode"] = _sql_bpe_encode()
+# stored-model encode (r10) reproduces the direct chain exactly — the
+# persisted merges/ table IS bpe_train's output — so the oracle is
+# shared verbatim
+LLM_ORACLE_SQL["bpe_encode_incremental"] = _sql_bpe_encode()
 
 
 # interpolated trigram LM (r8): the same capped-table construction as

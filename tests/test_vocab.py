@@ -364,6 +364,84 @@ class TestBpeContinue:
         assert any(r.lhs == "z" and r.rhs == "z" for r in new)  # sees new data
 
 
+class TestBpeStoredModel:
+    """Persisted BPE model artifact + O(batch) incremental encode
+    (r10, VERDICT r9 ask 5 — the DSIR/classifier stored-model pattern
+    for the tokenizer)."""
+
+    CORPUS = [(1, TestBpe.SENNRICH), (2, "lowest slower newest widest low")]
+
+    def test_incremental_encode_equals_direct(self, spark, tmp_path):
+        docs = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        path = str(tmp_path / "bpem")
+        vocab.build_bpe_model(docs, path, num_merges=8)
+        inc = {
+            r.doc_id: (r.n_pieces, r.pieces_str)
+            for r in vocab.bpe_encode_incremental(spark, docs, path).collect()
+        }
+        direct = {
+            r.doc_id: (r.n_pieces, r.pieces_str)
+            for r in vocab.bpe_encode(
+                docs, vocab.bpe_train(docs, num_merges=8)
+            ).collect()
+        }
+        assert inc == direct
+
+    def test_params_persisted(self, spark, tmp_path):
+        docs = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        path = str(tmp_path / "bpem")
+        vocab.build_bpe_model(docs, path, num_merges=6, min_freq=2)
+        p = spark.read.parquet(f"{path}/params").head()
+        assert (p.num_merges, p.min_freq) == (6, 2)
+        m = spark.read.parquet(f"{path}/merges")
+        assert m.count() <= 6
+        assert min(r.freq for r in m.collect()) >= 2
+
+    def test_extend_equals_longer_train(self, spark, tmp_path):
+        """extend(build(k), m) must hold the full-model property the
+        continue path pins: stored merges == train(k+m) exactly (same
+        corpus), with prior ranks frozen."""
+        docs = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        path = str(tmp_path / "bpem")
+        vocab.build_bpe_model(docs, path, num_merges=4)
+        vocab.extend_bpe_model(docs, path, num_merges=4)
+        stored = sorted(
+            tuple(r) for r in spark.read.parquet(f"{path}/merges").collect()
+        )
+        full = sorted(
+            tuple(r) for r in vocab.bpe_train(docs, num_merges=8).collect()
+        )
+        assert stored == full
+        # and the encode against the extended artifact matches direct
+        inc = sorted(
+            map(tuple, vocab.bpe_encode_incremental(spark, docs, path).collect())
+        )
+        direct = sorted(
+            map(
+                tuple,
+                vocab.bpe_encode(
+                    docs, vocab.bpe_train(docs, num_merges=8)
+                ).collect(),
+            )
+        )
+        assert inc == direct
+
+    def test_batch_encode_never_reads_train_corpus(self, spark, tmp_path):
+        """The O(batch) claim in plan terms: the incremental encode's
+        plan scans only the batch frame — a one-row batch compiles to a
+        one-row scan plus the collected model, no other table."""
+        docs = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        path = str(tmp_path / "bpem")
+        vocab.build_bpe_model(docs, path, num_merges=4)
+        batch = spark.createDataFrame([(99, "low lower")], ["doc_id", "text"])
+        enc = vocab.bpe_encode_incremental(spark, batch, path)
+        plan = enc._jdf.queryExecution().executedPlan().toString()
+        # the merge table was collected driver-side into literals: the
+        # executed plan contains NO scan of the merges parquet
+        assert "bpem" not in plan
+        assert enc.count() == 1
+
+
 def test_pack_tokens_consumes_bpe_pieces(spark):
     """The packer accepts the subword vocab (VERDICT r7 ask 3's final
     clause): bpe_encode's piece stream IS a pack_tokens input —
