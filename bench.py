@@ -86,6 +86,9 @@ HEADLINE = [
     "duplicate_passages",     # substring-level dedup: islands over dup 8-grams (r5)
     "dedup_substrings",       # ExactSubstr keep-one-copy rewrite (r8)
     "dedup_paragraphs",       # CCNet paragraph-level first-occurrence dedup (r8)
+    "dedup_sentences",        # C4 three-sentence-span keep-one-copy (r10)
+    "classifier_train_bigrams",  # fastText wordNgrams=2 perceptron (r10)
+    "bpe_encode_incremental", # stored-model BPE encode, O(batch) (r10)
     "triangle_count",         # degree-ordered wedge join over co-purchases (r5)
     "tokens_encode",          # vocab build + broadcast-mapped id sequences (r5)
     "pack_tokens",            # GPT-style block packing, two-level prefix-sum offsets (r7)

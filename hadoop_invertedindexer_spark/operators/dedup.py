@@ -1059,6 +1059,66 @@ def duplicate_passages(
     )
 
 
+def _keeper_protected_drop_spans(marked: DataFrame) -> DataFrame:
+    """The interval-overlay sweep shared by :func:`dedup_substrings`
+    (token windows) and :func:`dedup_sentences` (sentence spans, r10):
+    from occurrences of duplicated units — (id, pos, e, kept) where
+    ``kept`` marks the canonical occurrence — compute per-doc removal
+    intervals at endpoint granularity: ±1 boundary events for dropped
+    (dd) and kept (kd) coverage, one running-sum sweep per doc, keep
+    segments where dropped coverage > 0 AND kept coverage == 0 (the
+    keeper-protection term), then merge touching segments into islands.
+    Returns (id, drop_ivals: array<struct<rs,re>>)."""
+    from pyspark.sql import Window
+
+    events = (
+        marked.select(
+            "id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("pos").alias("b"),
+                        F.when(F.col("kept"), 0).otherwise(1).alias("dd"),
+                        F.when(F.col("kept"), 1).otherwise(0).alias("kd"),
+                    ),
+                    F.struct(
+                        (F.col("e") + 1).alias("b"),
+                        F.when(F.col("kept"), 0).otherwise(-1).alias("dd"),
+                        F.when(F.col("kept"), -1).otherwise(0).alias("kd"),
+                    ),
+                )
+            ).alias("ev"),
+        )
+        .groupBy("id", F.col("ev.b").alias("b"))
+        .agg(F.sum("ev.dd").alias("dd"), F.sum("ev.kd").alias("kd"))
+    )
+    w = Window.partitionBy("id").orderBy("b")
+    sweep = events.select(
+        "id",
+        "b",
+        F.sum("dd").over(w).alias("dcov"),
+        F.sum("kd").over(w).alias("kcov"),
+        F.lead("b").over(w).alias("nb"),
+    )
+    seg = sweep.where(
+        F.col("nb").isNotNull() & (F.col("dcov") > 0) & (F.col("kcov") == 0)
+    ).select("id", F.col("b").alias("s"), (F.col("nb") - 1).alias("e"))
+    ws = Window.partitionBy("id").orderBy("s")
+    wprev = ws.rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        seg.withColumn("pe", F.max("e").over(wprev))
+        .withColumn(
+            "new_island",
+            (F.col("pe").isNull() | (F.col("s") > F.col("pe") + 1)).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(ws))
+        .groupBy("id", "island")
+        .agg(F.min("s").alias("rs"), F.max("e").alias("re"))
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("rs", "re")).alias("drop_ivals"))
+    )
+
+
 def dedup_substrings(
     docs: DataFrame,
     n: int = 8,
@@ -1166,54 +1226,7 @@ def dedup_substrings(
             & (F.col("pos") == F.col("keeper.pos"))
         ).alias("kept"),
     )
-    # interval overlay: +-1 boundary events for dropped (dd) and kept
-    # (kd) coverage, one running-sum sweep per doc
-    events = (
-        marked.select(
-            "id",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("pos").alias("b"),
-                        F.when(F.col("kept"), 0).otherwise(1).alias("dd"),
-                        F.when(F.col("kept"), 1).otherwise(0).alias("kd"),
-                    ),
-                    F.struct(
-                        (F.col("e") + 1).alias("b"),
-                        F.when(F.col("kept"), 0).otherwise(-1).alias("dd"),
-                        F.when(F.col("kept"), -1).otherwise(0).alias("kd"),
-                    ),
-                )
-            ).alias("ev"),
-        )
-        .groupBy("id", F.col("ev.b").alias("b"))
-        .agg(F.sum("ev.dd").alias("dd"), F.sum("ev.kd").alias("kd"))
-    )
-    w = Window.partitionBy("id").orderBy("b")
-    sweep = events.select(
-        "id",
-        "b",
-        F.sum("dd").over(w).alias("dcov"),
-        F.sum("kd").over(w).alias("kcov"),
-        F.lead("b").over(w).alias("nb"),
-    )
-    seg = sweep.where(
-        F.col("nb").isNotNull() & (F.col("dcov") > 0) & (F.col("kcov") == 0)
-    ).select("id", F.col("b").alias("s"), (F.col("nb") - 1).alias("e"))
-    ws = Window.partitionBy("id").orderBy("s")
-    wprev = ws.rowsBetween(Window.unboundedPreceding, -1)
-    spans = (
-        seg.withColumn("pe", F.max("e").over(wprev))
-        .withColumn(
-            "new_island",
-            (F.col("pe").isNull() | (F.col("s") > F.col("pe") + 1)).cast("int"),
-        )
-        .withColumn("island", F.sum("new_island").over(ws))
-        .groupBy("id", "island")
-        .agg(F.min("s").alias("rs"), F.max("e").alias("re"))
-        .groupBy("id")
-        .agg(F.collect_list(F.struct("rs", "re")).alias("drop_ivals"))
-    )
+    spans = _keeper_protected_drop_spans(marked)
     ivals = F.coalesce(
         F.col("drop_ivals"),
         F.array().cast("array<struct<rs:bigint,re:bigint>>"),
@@ -1831,6 +1844,128 @@ def _reassemble_paragraphs(
             F.sum((~F.col("_keep")).cast("int")).cast("long").alias("n_dropped"),
         )
         .where(F.col("n_kept") >= 1)
+    )
+
+
+# ------------------------------------------------------------ sentences
+
+
+def dedup_sentences(
+    docs: DataFrame,
+    span: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style three-sentence-span dedup (Raffel et al. 2020 §2.2: "we
+    discarded all but one of any three-sentence span occurring more
+    than once in the data set") — the granularity between
+    :func:`dedup_paragraphs` (needs explicit ``\\n`` structure) and
+    :func:`dedup_substrings` (fixed token windows): boilerplate that
+    repeats as SENTENCES (cookie notices, share-this prompts) is
+    removed at sentence boundaries, keeping exactly one copy
+    corpus-wide.
+
+    Semantics (composing :func:`split_sentences`'s segmentation with
+    the ExactSubstr keeper machinery):
+
+    * units = sentences from the sentinel-insertion boundary regex;
+      docs with fewer than ``span`` sentences contribute one whole-doc
+      span (the short-doc convention of :func:`dedup_substrings`);
+    * a span's dup key = md5 of the PER-SENTENCE dedup normalizations
+      joined with an un-typeable separator — formatting differences
+      inside a sentence don't defeat the match, sentence boundaries do
+      (all-blank spans get per-occurrence unique keys: the
+      blank-line-skew guard of :func:`dedup_paragraphs`);
+    * a span VALUE is duplicated when it occurs ≥ 2 times anywhere
+      (within-doc repeats count); the canonical occurrence = min
+      (doc_id, pos), and a sentence is removed when covered by ≥ 1
+      non-canonical occurrence and NO canonical one — the same
+      keeper-protection sweep, at sentence granularity;
+    * output = one row per input doc: (``doc_id``, ``text`` — surviving
+      sentences joined with one space, which restores the original
+      inter-sentence spacing the boundary regex consumed —
+      ``removed_sentences``).
+
+    Scale shape: identical cost class to :func:`dedup_substrings` with
+    ~20× fewer units (sentences vs token positions): one hash
+    aggregation on the 16-byte span key, keeper join + interval sweep
+    over occurrences of DUPLICATED spans only, one doc-keyed rebuild;
+    ``shuffle_hash`` pinned on the unbounded-side joins, never a
+    position fan-out."""
+    from hadoop_invertedindexer_spark.functions.textprep import (
+        _SENT_BOUNDARY_RE,
+    )
+
+    sn_arr = F.split(
+        F.regexp_replace(F.col(text_col), _SENT_BOUNDARY_RE, "$1\x01$2"),
+        "\x01",
+    )
+    toks = (
+        _spread(docs, id_col)
+        .select(F.col(id_col).alias("id"), sn_arr.alias("sn"))
+        .withColumn("s_len", F.size("sn"))
+        .transform(tracked_persist)  # span emit + rebuild
+    )
+    norm_join = lambda arr: F.concat_ws(  # noqa: E731
+        "\x02", F.transform(arr, lambda s: normalized_text(s))
+    )
+    wins = toks.select(
+        "id",
+        "s_len",
+        F.posexplode(
+            F.when(
+                F.col("s_len") < span, F.array(norm_join(F.col("sn")))
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("s_len") - span),
+                    lambda i: norm_join(F.slice(F.col("sn"), i + 1, span)),
+                )
+            )
+        ).alias("pos", "sp"),
+    ).select(
+        "id",
+        "pos",
+        F.least(F.col("pos") + span - 1, F.col("s_len") - 1).alias("e"),
+        F.when(
+            F.replace(F.col("sp"), F.lit("\x02"), F.lit("")) == "",
+            F.concat_ws("|", F.lit("u"), F.col("id"), F.col("pos")),
+        ).otherwise(F.md5("sp")).alias("sh"),
+    )
+    dup = (
+        wins.groupBy("sh")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct("id", "pos")).alias("keeper"),
+        )
+        .where(F.col("c") >= 2)
+        .select("sh", "keeper")
+    )
+    marked = wins.join(dup.hint("shuffle_hash"), "sh").select(
+        "id",
+        "pos",
+        "e",
+        (
+            (F.col("id") == F.col("keeper.id"))
+            & (F.col("pos") == F.col("keeper.pos"))
+        ).alias("kept"),
+    )
+    spans = _keeper_protected_drop_spans(marked)
+    ivals = F.coalesce(
+        F.col("drop_ivals"),
+        F.array().cast("array<struct<rs:bigint,re:bigint>>"),
+    )
+    kept_sents = F.filter(
+        F.col("sn"),
+        lambda t, i: ~F.exists(
+            ivals, lambda iv: (i >= iv["rs"]) & (i <= iv["re"])
+        ),
+    )
+    return toks.join(spans.hint("shuffle_hash"), "id", "left").select(
+        F.col("id").alias(id_col),
+        F.concat_ws(" ", kept_sents).alias("text"),
+        (F.col("s_len") - F.size(kept_sents)).cast("long").alias(
+            "removed_sentences"
+        ),
     )
 
 

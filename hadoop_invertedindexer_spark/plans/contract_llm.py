@@ -986,6 +986,41 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 three-sentence-span dedup (r10, VERDICT r9 ask 6): sentence
+    boundaries AND duplicated spans are PLANTED (the synthetic corpus
+    has neither) — every 6th doc gains the same three shared sentences
+    mid-doc (cross-doc duplication; canonical = doc 0), and every 11th
+    doc gains a three-sentence run repeated twice whose first sentence
+    embeds the doc's OWN leading 20 chars (a pure within-doc repeat:
+    the doc-specific material keeps it from duplicating across docs).
+    Flanking spans mix planted sentences with per-doc prefix/tail
+    sentences, so exactly the planted spans duplicate."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.substring("text", 1, 50),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.lit(
+                ". Aaa shared span. Bbb shared span."
+                " Ccc shared span. And then "
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(". Wda "),
+                F.substring("text", 1, 20),
+                F.lit(". Wdb own rep. Wdc own rep. Wda "),
+                F.substring("text", 1, 20),
+                F.lit(". Wdb own rep. Wdc own rep. After that "),
+            ),
+        ).otherwise(F.lit("")),
+        F.substring("text", 51, 100000),
+    )
+    return dedup.dedup_sentences(d.select("doc_id", planted.alias("text")))
+
+
 def q_decontaminate_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level decontamination (r8): every 50th doc plays the
     eval set (the decontaminate/bloom split); a 10-token canary passage
@@ -1460,6 +1495,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,
     "duplicate_passages": q_duplicate_passages,
     "dedup_substrings": q_dedup_substrings,
+    "dedup_sentences": q_dedup_sentences,
     "decontaminate_substrings": q_decontaminate_substrings,
     "contamination_report": q_contamination_report,
     "contamination_report_incremental": q_contamination_report_incremental,
@@ -2986,6 +3022,123 @@ _SQL_REP_PLANTED_SRC = """
 # the incremental path's output is identical to the direct path by
 # construction (the index stores exactly the eval window-hash set), so
 # the oracle is shared verbatim
+# C4 three-sentence-span dedup (r10): the dedup_substrings sweep at
+# sentence granularity — sentinel-insertion segmentation (the
+# split_sentences chain), span key = md5 of per-sentence normalizations
+# joined with chr(2) (all-blank spans get unique 'u|' keys), total
+# count >= 2, canonical = first (id, pos), keeper-protected coverage
+# sweep, rebuild via string_agg of surviving sentences with ' '. The
+# boundary regex is spelled as a plain string (\1 capture, chr(1)
+# sentinel — the split_sentences oracle convention).
+_SQL_SENT_SPLIT = (
+    "string_split(regexp_replace(text,"
+    " '([.!?][\"'')\\]]?) ([A-Z0-9])',"
+    " '\\1' || chr(1) || '\\2', 'g'), chr(1))"
+)
+_SQL_SENT_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(s), '"
+    + _SQL_PUNCT
+    + "', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+LLM_ORACLE_SQL["dedup_sentences"] = f"""
+        WITH src AS (
+            SELECT doc_id,
+                   substr(text, 1, 50)
+                   || CASE WHEN doc_id % 6 = 0
+                           THEN '. Aaa shared span. Bbb shared span.'
+                                || ' Ccc shared span. And then '
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN '. Wda ' || substr(text, 1, 20)
+                                || '. Wdb own rep. Wdc own rep. Wda '
+                                || substr(text, 1, 20)
+                                || '. Wdb own rep. Wdc own rep. After that '
+                           ELSE '' END
+                   || substr(text, 51, 100000) AS text
+            FROM documents),
+        sents AS (
+            SELECT doc_id, {_SQL_SENT_SPLIT} AS sn
+            FROM src),
+        nrm AS (
+            SELECT doc_id, sn,
+                   list_transform(sn, s -> {_SQL_SENT_NORM}) AS ns
+            FROM sents),
+        win AS (
+            SELECT doc_id AS id, i - 1 AS pos,
+                   least(i + 1, len(sn) - 1) AS e,
+                   array_to_string(ns[i:least(i + 2, len(ns))], chr(2)) AS sp
+            FROM nrm,
+                 unnest(generate_series(1, greatest(len(sn) - 2, 1))) AS t(i)),
+        keyd AS (
+            SELECT id, pos, e,
+                   CASE WHEN replace(sp, chr(2), '') = ''
+                        THEN 'u|' || id::VARCHAR || '|' || pos::VARCHAR
+                        ELSE md5(sp) END AS sh
+            FROM win),
+        occ AS (
+            SELECT id, pos, e,
+                   row_number() OVER (PARTITION BY sh ORDER BY id, pos) = 1
+                       AS kept,
+                   count(*) OVER (PARTITION BY sh) AS c
+            FROM keyd),
+        marked AS (SELECT id, pos, e, kept FROM occ WHERE c >= 2),
+        ev AS (
+            SELECT id, pos AS b,
+                   CASE WHEN kept THEN 0 ELSE 1 END AS dd,
+                   CASE WHEN kept THEN 1 ELSE 0 END AS kd
+            FROM marked
+            UNION ALL
+            SELECT id, e + 1,
+                   CASE WHEN kept THEN 0 ELSE -1 END,
+                   CASE WHEN kept THEN -1 ELSE 0 END
+            FROM marked),
+        evg AS (
+            SELECT id, b, sum(dd) AS dd, sum(kd) AS kd
+            FROM ev GROUP BY id, b),
+        sweep AS (
+            SELECT id, b,
+                   sum(dd) OVER (PARTITION BY id ORDER BY b) AS dcov,
+                   sum(kd) OVER (PARTITION BY id ORDER BY b) AS kcov,
+                   lead(b) OVER (PARTITION BY id ORDER BY b) AS nb
+            FROM evg),
+        seg AS (
+            SELECT id, b AS s, nb - 1 AS e FROM sweep
+            WHERE nb IS NOT NULL AND dcov > 0 AND kcov = 0),
+        mrg AS (
+            SELECT id, s, e,
+                   max(e) OVER (PARTITION BY id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS pe
+            FROM seg),
+        isl AS (
+            SELECT id, s, e,
+                   sum(CASE WHEN pe IS NULL OR s > pe + 1
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY id ORDER BY s) AS island
+            FROM mrg),
+        spans AS (
+            SELECT id, min(s) AS rs, max(e) AS re
+            FROM isl GROUP BY id, island),
+        sente AS (
+            SELECT doc_id, i - 1 AS pos, sn[i] AS sent, len(sn) AS sl
+            FROM sents, unnest(generate_series(1, len(sn))) AS t(i)),
+        keep AS (
+            SELECT t.doc_id, t.pos, t.sent
+            FROM sente t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.id = t.doc_id AND t.pos BETWEEN s.rs AND s.re)),
+        agg AS (
+            SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS text,
+                   count(*) AS nkept
+            FROM keep GROUP BY doc_id),
+        sl AS (SELECT doc_id, len(sn) AS sl FROM sents)
+        SELECT sl.doc_id, coalesce(a.text, '') AS text,
+               (sl.sl - coalesce(a.nkept, 0))::BIGINT AS removed_sentences
+        FROM sl LEFT JOIN agg a USING (doc_id)"""
+
+
 LLM_ORACLE_SQL["contamination_report_incremental"] = LLM_ORACLE_SQL[
     "contamination_report"
 ]

@@ -505,6 +505,75 @@ class TestDedupSubstrings:
         assert out.select("doc_id").distinct().count() == 6
 
 
+class TestDedupSentences:
+    """C4 three-sentence-span dedup (r10): keep-one-copy at sentence
+    granularity, composing split_sentences' boundaries with the
+    ExactSubstr keeper machinery."""
+
+    def _run(self, spark, rows, span=3):
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            r.doc_id: (r.text, r.removed_sentences)
+            for r in dedup.dedup_sentences(docs, span=span).collect()
+        }
+
+    def test_shared_span_removed_canonical_untouched(self, spark):
+        shared = "Aaa shared one. Bbb shared two. Ccc shared three."
+        out = self._run(
+            spark,
+            [
+                (1, f"intro zero here. {shared} And tail zero"),
+                (2, f"different intro x. {shared} And tail two"),
+            ],
+        )
+        assert out[1] == (
+            f"intro zero here. {shared} And tail zero", 0
+        )
+        assert out[2] == ("different intro x. And tail two", 3)
+
+    def test_within_doc_repeat_counts(self, spark):
+        run = "Wda own xq. Wdb own rep. Wdc own rep."
+        out = self._run(spark, [(5, f"start words here. {run} {run} Tail end")])
+        assert out[5] == (f"start words here. {run} Tail end", 3)
+
+    def test_short_docs_dedup_as_whole(self, spark):
+        # < span sentences: the whole doc is one span (the short-doc
+        # convention), so exact-copy two-sentence docs still dedup
+        t = "Only two here. Second sentence now."
+        out = self._run(spark, [(1, t), (2, t)])
+        assert out[1] == (t, 0)
+        assert out[2] == ("", 2)
+
+    def test_normalization_defeats_formatting_differences(self, spark):
+        a = "Aaa shared one. Bbb shared two. Ccc shared three."
+        b = "AAA shared, one. BBB shared two! CCC shared; three."
+        out = self._run(
+            spark,
+            [(1, f"intro alpha beta. {a} Tail gamma one"),
+             (2, f"intro delta eps. {b} Tail gamma two")],
+        )
+        assert out[1][1] == 0  # canonical
+        assert out[2] == ("intro delta eps. Tail gamma two", 3)
+
+    def test_no_duplication_is_identity(self, spark):
+        # unlike the token-granular rewrite, the sentence rewrite keeps
+        # ORIGINAL sentence text (punctuation, case) — only the keys
+        # normalize. Space-rejoin restores the exact input.
+        t = "First unique one. Second unique two! Third unique three?"
+        out = self._run(spark, [(9, t)])
+        assert out[9] == (t, 0)
+
+    def test_every_input_doc_appears_once(self, spark):
+        rows = [
+            (i, f"doc number {i} words. More doc {i} text. Final {i} bit.")
+            for i in range(5)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = dedup.dedup_sentences(docs)
+        assert out.count() == 5
+        assert out.select("doc_id").distinct().count() == 5
+
+
 class TestDecontaminateSubstrings:
     """Substring-level decontamination (r8): eval windows excised from
     train at span granularity."""

@@ -228,3 +228,79 @@ def test_dedup_paragraphs_matches_python_model(spark, texts):
         for r in dedup.dedup_paragraphs(docs).collect()
     }
     assert got == _model_dedup_paragraphs(texts)
+
+
+# sentence vocabulary: capital openers + terminal punctuation so the
+# boundary regex re-splits a space-joined doc back into its sentences;
+# norm-equivalent variants ('Alpha beta.' vs 'alpha BETA!') exercise the
+# per-sentence normalization inside the span key
+_SENT = st.sampled_from(
+    [
+        "Alpha beta.",
+        "alpha BETA!",
+        "Gamma delta.",
+        "Eps zeta here.",
+        "Theta iota.",
+    ]
+)
+_SDOC = st.lists(_SENT, min_size=1, max_size=8).map(" ".join)
+
+
+def _model_dedup_sentences(texts: list[str], span: int = 3):
+    """Independent reimplementation of the C4 three-sentence-span rule
+    (r10): boundary-regex split, per-sentence-normalized span keys
+    (whole-doc span when shorter), min-(doc,pos) canonical,
+    dropped-minus-kept coverage at sentence granularity, space rejoin."""
+    import re
+
+    def norm(s: str) -> str:
+        t = re.sub(r'[`~!@#$%^&*()_+=\[\]{}\\|;\':",./<>?-]', " ", s.lower())
+        return re.sub(r"\s+", " ", t).strip()
+
+    def sents(t: str) -> list[str]:
+        marked = re.sub(r'([.!?]["\')\]]?) ([A-Z0-9])', "\\1\x01\\2", t)
+        return marked.split("\x01")
+
+    occ: dict[tuple, list[tuple[int, int, int]]] = {}
+    sn_by: dict[int, list[str]] = {}
+    for did, t in enumerate(texts):
+        sn = sents(t)
+        sn_by[did] = sn
+        S = len(sn)
+        if S < span:
+            items = [(0, tuple(norm(s) for s in sn), S - 1)]
+        else:
+            items = [
+                (p, tuple(norm(s) for s in sn[p : p + span]), p + span - 1)
+                for p in range(S - span + 1)
+            ]
+        for p, key, e in items:
+            if all(k == "" for k in key):
+                continue  # blank spans are per-occurrence unique
+            occ.setdefault(key, []).append((did, p, e))
+    drop: dict[int, set[int]] = {d: set() for d in sn_by}
+    keep: dict[int, set[int]] = {d: set() for d in sn_by}
+    for lst in occ.values():
+        if len(lst) < 2:
+            continue
+        keeper = min((d, p) for d, p, _ in lst)
+        for d, p, e in lst:
+            cov = range(p, e + 1)
+            (keep if (d, p) == keeper else drop)[d].update(cov)
+    out = set()
+    for d, sn in sn_by.items():
+        removed = drop[d] - keep[d]
+        kept = [s for i, s in enumerate(sn) if i not in removed]
+        out.add((d, " ".join(kept), len(sn) - len(kept)))
+    return out
+
+
+@HSETTINGS
+@given(texts=st.lists(_SDOC, min_size=1, max_size=5))
+def test_dedup_sentences_matches_python_model(spark, texts):
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.text, r.removed_sentences)
+        for r in dedup.dedup_sentences(docs).collect()
+    }
+    assert got == _model_dedup_sentences(texts)

@@ -393,6 +393,22 @@ def test_dedup_substrings_unbounded_joins_never_broadcast(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_dedup_sentences_unbounded_joins_never_broadcast(spark):
+    """r10: the sentence-granularity twin of the dedup_substrings plan
+    contract — duplicated-span keeper join and removal-span join are
+    shuffled hash joins on high-cardinality keys (span hash / doc id),
+    never broadcasts; every sweep window partitions by doc id, so no
+    single-partition stage; and the whole operator stays JVM-side."""
+    from hadoop_invertedindexer_spark.operators.dedup import dedup_sentences
+
+    docs = read_table(spark, SF, "documents")
+    plan = _plan(dedup_sentences(docs))
+    assert plan.count("ShuffledHashJoin") >= 2
+    assert "BroadcastHashJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_ngram_nll_model_tables_broadcast(spark):
     """r8: all five model-side joins (uni, bigram, bigram-context,
     trigram, trigram-context) plus the stats frame enter through
