@@ -106,6 +106,7 @@ HEADLINE = [
     "epoch_shuffle",          # per-epoch deterministic shard permutation (r8)
     "dedup_urls",             # canonical-URL first-stage crawl dedup (r8)
     "mixture_plan",           # per-stratum token budget -> rate plan (r8)
+    "data_card",              # per-(source,lang,quality) composition report (r10)
     "filter_optout",          # registered-domain opt-out anti-join (r8)
     "curriculum_shuffle",     # within-shard curriculum ordering (r8)
     "split_long_docs",        # sentence-boundary context-window split (r8)

@@ -19,6 +19,10 @@ from hadoop_invertedindexer_spark.functions import textstats
 from hadoop_invertedindexer_spark.operators import sampling
 from hadoop_invertedindexer_spark.plans.contract_llm import (
     STOPWORDS,
+    _S_DE,
+    _S_EN,
+    _S_ES,
+    _S_FR,
     _SQL_NORM,
     _SQL_QUALITY,
 )
@@ -149,6 +153,15 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data-card report (r10): per-(source, lang_id,
+    quality-bucket) doc/token counts, exact-dup counts and rates, and
+    the net post-dedup masses — the composition table that feeds
+    mixture_plan (net_tokens == mixture_plan's avail_tokens over the
+    deduped corpus, pinned by the e2e test)."""
+    return sampling.data_card(_docs(spark, sf_dir), STOPWORDS)
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-epoch global shuffle (r8): md5('ep1|'||id) keys
     both the shard assignment (mod 16) and the within-shard order — the
@@ -174,6 +187,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": q_temperature_mix,
     "epoch_shuffle": q_epoch_shuffle,
     "mixture_plan": q_mixture_plan,
+    "data_card": q_data_card,
     "text_chunks": q_text_chunks,
     "train_test_split": q_train_test_split,
     "leakage_safe_split": q_leakage_safe_split,
@@ -233,6 +247,39 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                          // t.avail
                     ELSE 0 END::BIGINT AS rate_mils
         FROM t LEFT JOIN w USING (lang)""",
+    # data-card report (r10): lang CASE + quality bucket + normalized
+    # token counts + corpus-wide first-occurrence dup flags, one
+    # grouped rollup — every quantity integer or thousandths
+    "data_card": f"""
+        WITH base AS (
+            SELECT source,
+                   CASE
+                     WHEN ({_S_EN}) > 0 AND ({_S_EN}) >= ({_S_DE})
+                          AND ({_S_EN}) >= ({_S_ES})
+                          AND ({_S_EN}) >= ({_S_FR}) THEN 'en'
+                     WHEN ({_S_DE}) > 0 AND ({_S_DE}) >= ({_S_ES})
+                          AND ({_S_DE}) >= ({_S_FR}) THEN 'de'
+                     WHEN ({_S_ES}) > 0 AND ({_S_ES}) >= ({_S_FR}) THEN 'es'
+                     WHEN ({_S_FR}) > 0 THEN 'fr'
+                     ELSE 'und'
+                   END AS lang,
+                   CASE WHEN {_SQL_QUALITY} >= {QUALITY_THRESHOLD}
+                        THEN 'hi' ELSE 'lo' END AS quality_bucket,
+                   len(list_filter(string_split({_SQL_NORM}, ' '),
+                                   t -> t <> ''))::BIGINT AS nt,
+                   (row_number() OVER (PARTITION BY {_SQL_NORM}
+                                       ORDER BY doc_id) > 1) AS is_dup
+            FROM documents)
+        SELECT source, lang, quality_bucket,
+               count(*)::BIGINT AS n_docs,
+               sum(nt)::BIGINT AS n_tokens,
+               sum(is_dup::INT)::BIGINT AS n_dup_docs,
+               sum(CASE WHEN is_dup THEN nt ELSE 0 END)::BIGINT AS dup_tokens,
+               (count(*) - sum(is_dup::INT))::BIGINT AS net_docs,
+               (sum(nt) - sum(CASE WHEN is_dup THEN nt ELSE 0 END))::BIGINT
+                   AS net_tokens,
+               (sum(is_dup::INT) * 1000 // count(*))::BIGINT AS dup_rate_mils
+        FROM base GROUP BY source, lang, quality_bucket""",
     "curriculum_shuffle": """
         WITH h AS (
             SELECT doc_id, n_chars,

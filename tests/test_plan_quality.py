@@ -546,6 +546,24 @@ def test_mixture_plan_weight_join_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_data_card_two_exchanges_no_broadcast(spark):
+    """r10: the data-card report pays exactly the shuffles it needs —
+    one exchange on the high-cardinality normalized text (the dup
+    window) and one partially-aggregated metadata-scale groupBy; the
+    lang/quality/token expressions are pure codegen, nothing corpus-
+    sized broadcasts, and no single-partition stage exists."""
+    from hadoop_invertedindexer_spark.operators.sampling import data_card
+    from hadoop_invertedindexer_spark.plans.contract_llm import STOPWORDS
+
+    docs = read_table(spark, SF, "documents")
+    plan = _plan(data_card(docs, STOPWORDS))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_classifier_predict_broadcast_weights_partial_agg(spark):
     """Inference = one broadcast join against the ≤ n_features weight
     table + one partially-aggregated per-doc margin — the corpus

@@ -215,6 +215,82 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert len({plain[i] for i in (0, 1, 2, 3)}) > 1
 
 
+class TestDataCard:
+    """Corpus data-card report (r10): per-(source, lang, quality) cell
+    counts on planted inputs — the dup flags are corpus-wide, the
+    token counting matches mixture_plan, rates in thousandths."""
+
+    STOP = ["the", "and", "for", "with", "that", "this", "from"]
+
+    def test_hand_computed_cells(self, spark):
+        # 'the and with' markers force lang=en; dup = exact normalized
+        # copy ACROSS sources (still counts — corpus-wide convention)
+        rows = [
+            (1, "the quick and brown fox runs with vigor today", "web"),
+            (2, "the quick and brown fox runs with vigor today", "books"),
+            (3, "der hund und die katze ist mit haus", "web"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        out = {
+            (r.source, r.lang): r
+            for r in sampling.data_card(docs, self.STOP).collect()
+        }
+        web_en = out[("web", "en")]
+        assert (web_en.n_docs, web_en.n_tokens) == (1, 9)
+        assert (web_en.n_dup_docs, web_en.dup_rate_mils) == (0, 0)
+        # doc 2 is the corpus-wide duplicate (doc 1 is first), so the
+        # books cell reports 1 dup doc and zero net mass
+        books = out[("books", "en")]
+        assert (books.n_docs, books.n_dup_docs) == (1, 1)
+        assert (books.net_docs, books.net_tokens) == (0, 0)
+        assert books.dup_rate_mils == 1000
+        assert ("web", "de") in out  # the German doc lands in its cell
+
+    def test_net_masses_match_mixture_plan(self, spark):
+        from pyspark.sql import Window
+
+        from hadoop_invertedindexer_spark.operators.dedup import (
+            normalized_text,
+        )
+
+        rows = [
+            (i, f"some text number {i % 3} the and with filler words", "s0")
+            for i in range(9)
+        ] + [(100 + i, "unique doc " + "tok " * i, "s1") for i in range(4)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        card = sampling.data_card(docs, self.STOP).collect()
+        net = {}
+        for r in card:
+            net[r.source] = net.get(r.source, 0) + r.net_tokens
+        deduped = (
+            docs.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(normalized_text("text")).orderBy(
+                        "doc_id"
+                    )
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        plan = sampling.mixture_plan(
+            deduped, {"s0": 500, "s1": 500}, 1000, strata_col="source"
+        )
+        assert {r.stratum: r.avail_tokens for r in plan.collect()} == net
+
+    def test_quality_bucket_cut(self, spark):
+        # a punctuation-soup doc falls in 'lo', clean prose in 'hi'
+        rows = [
+            (1, "the gentle morning light spread over the hills and the"
+                " river ran with calm water that day for everyone", "w"),
+            (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))", "w"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        out = {r.quality_bucket for r in sampling.data_card(docs, self.STOP).collect()}
+        assert out == {"hi", "lo"}
+
+
 class TestMixturePlan:
     def test_hand_computed_rates(self, spark):
         rows = [
