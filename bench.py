@@ -78,6 +78,7 @@ HEADLINE = [
     "weighted_sample",        # hash-deterministic weighted Bernoulli
     "quantize_embeddings",    # int8 scalar quantization (bandwidth lever)
     "similarity_pq",          # PQ codebooks + exact-integer ADC over 8-byte codes
+    "ivf_drift_read",         # drift probe READ path vs pre-built index (r10)
     "cohort_retention",       # per-user-week collapse + retention matrix
     "hourly_anomalies",       # gap-filled grid + integer-exact z-scores
     "pagerank",               # iterative: 5 lineage-truncated rounds
