@@ -1969,6 +1969,109 @@ def dedup_sentences(
     )
 
 
+def decontaminate_sentences(
+    train: DataFrame,
+    evalset: DataFrame,
+    span: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-span decontamination (r10) — :func:`dedup_sentences`
+    minus the keeper protection, oriented like
+    :func:`decontaminate_substrings`: excise from every TRAIN document
+    any ``span``-sentence run that appears ANYWHERE in the eval set.
+    The sentence granularity is what benchmark text actually leaks as
+    (a quoted question, a verbatim passage re-flowed with different
+    inner whitespace — which the per-sentence normalization still
+    matches, while the token-window scrub needs n contiguous tokens).
+
+    Semantics: units/keys exactly as :func:`dedup_sentences` (sentinel
+    boundary split, per-sentence normalized span keys, whole-doc span
+    for short docs); every train span matching an eval span key is
+    dropped coverage — there is no canonical copy to protect — and the
+    same interval sweep (with zero kept coverage by construction)
+    yields the removal islands. All-blank spans never match (excluded
+    from the eval key set). Returns one row per train doc: (``doc_id``,
+    ``text`` — surviving sentences space-joined — ``removed_sentences``).
+
+    Scale shape: train pays one span emit + ONE left-semi equi-join on
+    the 16-byte span key (``shuffle_hash`` pinned — the eval side is
+    benchmark-sized but the distinct-of-spans frame is the
+    under-estimated aggregate shape Catalyst loves to broadcast) plus
+    the doc-keyed rebuild; only matched spans reach the islands
+    merge."""
+    from hadoop_invertedindexer_spark.functions.textprep import (
+        _SENT_BOUNDARY_RE,
+    )
+
+    sn_arr = F.split(
+        F.regexp_replace(F.col(text_col), _SENT_BOUNDARY_RE, "$1\x01$2"),
+        "\x01",
+    )
+    norm_join = lambda arr: F.concat_ws(  # noqa: E731
+        "\x02", F.transform(arr, lambda s: normalized_text(s))
+    )
+
+    def spans_of(frame):
+        return frame.select(
+            "id",
+            "s_len",
+            F.posexplode(
+                F.when(
+                    F.col("s_len") < span, F.array(norm_join(F.col("sn")))
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("s_len") - span),
+                        lambda i: norm_join(F.slice(F.col("sn"), i + 1, span)),
+                    )
+                )
+            ).alias("pos", "sp"),
+        ).where(
+            F.replace(F.col("sp"), F.lit("\x02"), F.lit("")) != ""
+        ).select(
+            "id",
+            "pos",
+            F.least(F.col("pos") + span - 1, F.col("s_len") - 1).alias("e"),
+            F.md5("sp").alias("sh"),
+        )
+
+    toks = (
+        _spread(train, id_col)
+        .select(F.col(id_col).alias("id"), sn_arr.alias("sn"))
+        .withColumn("s_len", F.size("sn"))
+        .transform(tracked_persist)  # span emit + rebuild
+    )
+    eval_sh = (
+        spans_of(
+            evalset.select(F.col(id_col).alias("id"), sn_arr.alias("sn"))
+            .withColumn("s_len", F.size("sn"))
+        )
+        .select("sh")
+        .distinct()
+    )
+    hits = spans_of(toks).join(eval_sh.hint("shuffle_hash"), "sh", "left_semi")
+    # every matched span is dropped coverage; the shared sweep runs with
+    # kept ≡ false, so its protection term is vacuous by construction
+    spans = _keeper_protected_drop_spans(hits.withColumn("kept", F.lit(False)))
+    ivals = F.coalesce(
+        F.col("drop_ivals"),
+        F.array().cast("array<struct<rs:bigint,re:bigint>>"),
+    )
+    kept_sents = F.filter(
+        F.col("sn"),
+        lambda t, i: ~F.exists(
+            ivals, lambda iv: (i >= iv["rs"]) & (i <= iv["re"])
+        ),
+    )
+    return toks.join(spans.hint("shuffle_hash"), "id", "left").select(
+        F.col("id").alias(id_col),
+        F.concat_ws(" ", kept_sents).alias("text"),
+        (F.col("s_len") - F.size(kept_sents)).cast("long").alias(
+            "removed_sentences"
+        ),
+    )
+
+
 def build_paragraph_index(
     docs: DataFrame,
     path: str,

@@ -1048,6 +1048,33 @@ def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_sentences(d.select("doc_id", planted.alias("text")))
 
 
+def q_decontaminate_sentences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sentence-span decontamination (r10): every 50th doc plays the
+    eval set; a three-sentence canary block is planted on BOTH the eval
+    docs and every 9th train doc — contaminated train docs lose exactly
+    the three canary sentences (flanking spans mix in doc-specific
+    prefix/tail sentences, so only the canary triple matches)."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.substring("text", 1, 50),
+        F.when(
+            (F.col("doc_id") % 9 == 0) | (F.col("doc_id") % 50 == 0),
+            F.lit(
+                ". Canary alpha one. Canary bravo two."
+                " Canary charlie three. And then "
+            ),
+        ).otherwise(F.lit("")),
+        F.substring("text", 51, 100000),
+    )
+    src = d.select("doc_id", planted.alias("text"))
+    return dedup.decontaminate_sentences(
+        train=src.where(F.col("doc_id") % 50 != 0),
+        evalset=src.where(F.col("doc_id") % 50 == 0),
+    )
+
+
 def q_decontaminate_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level decontamination (r8): every 50th doc plays the
     eval set (the decontaminate/bloom split); a 10-token canary passage
@@ -1524,6 +1551,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_passages": q_duplicate_passages,
     "dedup_substrings": q_dedup_substrings,
     "dedup_sentences": q_dedup_sentences,
+    "decontaminate_sentences": q_decontaminate_sentences,
     "decontaminate_substrings": q_decontaminate_substrings,
     "contamination_report": q_contamination_report,
     "contamination_report_incremental": q_contamination_report_incremental,
@@ -3170,6 +3198,108 @@ LLM_ORACLE_SQL["dedup_sentences"] = f"""
 # the read-path probe reproduces ivf_drift exactly (metrics are a pure
 # function of the stored assignments, same build params) — shared oracle
 LLM_ORACLE_SQL["ivf_drift_read"] = LLM_ORACLE_SQL["ivf_drift"]
+
+# sentence-span decontamination (r10): the dedup_sentences chain minus
+# keeper protection — train spans semi-matched against the eval split's
+# DISTINCT span keys, every match dropped coverage (kept ≡ false, so
+# kcov is identically 0 through the shared sweep shape)
+LLM_ORACLE_SQL["decontaminate_sentences"] = f"""
+        WITH src AS (
+            SELECT doc_id,
+                   substr(text, 1, 50)
+                   || CASE WHEN doc_id % 9 = 0 OR doc_id % 50 = 0
+                           THEN '. Canary alpha one. Canary bravo two.'
+                                || ' Canary charlie three. And then '
+                           ELSE '' END
+                   || substr(text, 51, 100000) AS text
+            FROM documents),
+        sents AS (
+            SELECT doc_id, {_SQL_SENT_SPLIT} AS sn
+            FROM src WHERE doc_id % 50 <> 0),
+        nrm AS (
+            SELECT doc_id, sn,
+                   list_transform(sn, s -> {_SQL_SENT_NORM}) AS ns
+            FROM sents),
+        win AS (
+            SELECT doc_id AS id, i - 1 AS pos,
+                   least(i + 1, len(sn) - 1) AS e,
+                   array_to_string(ns[i:least(i + 2, len(ns))], chr(2)) AS sp
+            FROM nrm,
+                 unnest(generate_series(1, greatest(len(sn) - 2, 1))) AS t(i)),
+        keyd AS (
+            SELECT id, pos, e, md5(sp) AS sh
+            FROM win WHERE replace(sp, chr(2), '') <> ''),
+        esents AS (
+            SELECT doc_id, {_SQL_SENT_SPLIT} AS sn
+            FROM src WHERE doc_id % 50 = 0),
+        enrm AS (
+            SELECT doc_id, sn,
+                   list_transform(sn, s -> {_SQL_SENT_NORM}) AS ns
+            FROM esents),
+        ewin AS (
+            SELECT array_to_string(ns[i:least(i + 2, len(ns))], chr(2)) AS sp
+            FROM enrm,
+                 unnest(generate_series(1, greatest(len(sn) - 2, 1))) AS t(i)),
+        ekey AS (
+            SELECT DISTINCT md5(sp) AS sh
+            FROM ewin WHERE replace(sp, chr(2), '') <> ''),
+        marked AS (
+            SELECT k.id, k.pos, k.e, false AS kept
+            FROM keyd k JOIN ekey USING (sh)),
+        ev AS (
+            SELECT id, pos AS b,
+                   CASE WHEN kept THEN 0 ELSE 1 END AS dd,
+                   CASE WHEN kept THEN 1 ELSE 0 END AS kd
+            FROM marked
+            UNION ALL
+            SELECT id, e + 1,
+                   CASE WHEN kept THEN 0 ELSE -1 END,
+                   CASE WHEN kept THEN -1 ELSE 0 END
+            FROM marked),
+        evg AS (
+            SELECT id, b, sum(dd) AS dd, sum(kd) AS kd
+            FROM ev GROUP BY id, b),
+        sweep AS (
+            SELECT id, b,
+                   sum(dd) OVER (PARTITION BY id ORDER BY b) AS dcov,
+                   sum(kd) OVER (PARTITION BY id ORDER BY b) AS kcov,
+                   lead(b) OVER (PARTITION BY id ORDER BY b) AS nb
+            FROM evg),
+        seg AS (
+            SELECT id, b AS s, nb - 1 AS e FROM sweep
+            WHERE nb IS NOT NULL AND dcov > 0 AND kcov = 0),
+        mrg AS (
+            SELECT id, s, e,
+                   max(e) OVER (PARTITION BY id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS pe
+            FROM seg),
+        isl AS (
+            SELECT id, s, e,
+                   sum(CASE WHEN pe IS NULL OR s > pe + 1
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY id ORDER BY s) AS island
+            FROM mrg),
+        spans AS (
+            SELECT id, min(s) AS rs, max(e) AS re
+            FROM isl GROUP BY id, island),
+        sente AS (
+            SELECT doc_id, i - 1 AS pos, sn[i] AS sent, len(sn) AS sl
+            FROM sents, unnest(generate_series(1, len(sn))) AS t(i)),
+        keep AS (
+            SELECT t.doc_id, t.pos, t.sent
+            FROM sente t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.id = t.doc_id AND t.pos BETWEEN s.rs AND s.re)),
+        agg AS (
+            SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS text,
+                   count(*) AS nkept
+            FROM keep GROUP BY doc_id),
+        sl AS (SELECT doc_id, len(sn) AS sl FROM sents)
+        SELECT sl.doc_id, coalesce(a.text, '') AS text,
+               (sl.sl - coalesce(a.nkept, 0))::BIGINT AS removed_sentences
+        FROM sl LEFT JOIN agg a USING (doc_id)"""
 
 LLM_ORACLE_SQL["contamination_report_incremental"] = LLM_ORACLE_SQL[
     "contamination_report"

@@ -574,6 +574,67 @@ class TestDedupSentences:
         assert out.select("doc_id").distinct().count() == 5
 
 
+class TestDecontaminateSentences:
+    """Sentence-span eval scrub (r10): dedup_sentences minus keeper
+    protection, oriented train-vs-eval."""
+
+    CANARY = "Canary alpha one. Canary bravo two. Canary charlie three."
+
+    def _run(self, spark, train_rows, eval_rows, span=3):
+        tr = spark.createDataFrame(train_rows, ["doc_id", "text"])
+        ev = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+        return {
+            r.doc_id: (r.text, r.removed_sentences)
+            for r in dedup.decontaminate_sentences(tr, ev, span=span).collect()
+        }
+
+    def test_canary_spans_excised(self, spark):
+        out = self._run(
+            spark,
+            [
+                (1, f"own intro here. {self.CANARY} And my tail"),
+                (2, "clean doc alpha. Clean doc beta. Clean doc gamma."),
+            ],
+            [(100, f"eval intro differs. {self.CANARY} Eval tail x")],
+        )
+        assert out[1] == ("own intro here. And my tail", 3)
+        assert out[2][1] == 0
+
+    def test_no_keeper_protection_even_first_copy_goes(self, spark):
+        # unlike dedup_sentences, the train side has no canonical copy:
+        # EVERY matching occurrence is scrubbed, including a repeat
+        rep = f"{self.CANARY}"
+        out = self._run(
+            spark,
+            [(1, f"intro sentence here. {rep} Middle words now. {rep} Tail")],
+            [(100, f"e intro. {rep} E tail")],
+        )
+        # both canary runs excised (6 sentences), everything else kept
+        assert out[1][1] == 6
+        assert "Canary" not in out[1][0]
+        assert out[1][0].startswith("intro sentence here.")
+
+    def test_whole_short_eval_doc_matches_short_train_doc(self, spark):
+        t = "Only two here. Second sentence now."
+        out = self._run(spark, [(1, t)], [(100, t)])
+        assert out[1] == ("", 2)
+
+    def test_clean_train_is_identity(self, spark):
+        t = "First unique one. Second unique two! Third unique three?"
+        out = self._run(spark, [(9, t)], [(100, "Nothing shared at all.")])
+        assert out[9] == (t, 0)
+
+    def test_every_train_doc_appears(self, spark):
+        rows = [
+            (i, f"doc number {i} words. More doc {i} text. Final {i} bit.")
+            for i in range(5)
+        ]
+        tr = spark.createDataFrame(rows, ["doc_id", "text"])
+        ev = spark.createDataFrame([(100, "Eval only.")], ["doc_id", "text"])
+        out = dedup.decontaminate_sentences(tr, ev)
+        assert out.count() == 5
+
+
 class TestDecontaminateSubstrings:
     """Substring-level decontamination (r8): eval windows excised from
     train at span granularity."""

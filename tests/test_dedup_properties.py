@@ -304,3 +304,62 @@ def test_dedup_sentences_matches_python_model(spark, texts):
         for r in dedup.dedup_sentences(docs).collect()
     }
     assert got == _model_dedup_sentences(texts)
+
+
+def _model_decontaminate_sentences(
+    train: list[str], evalset: list[str], span: int = 3
+):
+    """Independent reimplementation of the sentence-span eval scrub:
+    every train span whose normalized key appears in the eval span set
+    is dropped coverage — no keeper protection."""
+    import re
+
+    def norm(s: str) -> str:
+        t = re.sub(r'[`~!@#$%^&*()_+=\[\]{}\\|;\':",./<>?-]', " ", s.lower())
+        return re.sub(r"\s+", " ", t).strip()
+
+    def sents(t: str) -> list[str]:
+        marked = re.sub(r'([.!?]["\')\]]?) ([A-Z0-9])', "\\1\x01\\2", t)
+        return marked.split("\x01")
+
+    def spans_of(sn: list[str]):
+        S = len(sn)
+        if S < span:
+            return [(0, tuple(norm(s) for s in sn), S - 1)]
+        return [
+            (p, tuple(norm(s) for s in sn[p : p + span]), p + span - 1)
+            for p in range(S - span + 1)
+        ]
+
+    ekeys = set()
+    for t in evalset:
+        for _, key, _ in spans_of(sents(t)):
+            if not all(k == "" for k in key):
+                ekeys.add(key)
+    out = set()
+    for did, t in enumerate(train):
+        sn = sents(t)
+        removed: set[int] = set()
+        for p, key, e in spans_of(sn):
+            if not all(k == "" for k in key) and key in ekeys:
+                removed.update(range(p, e + 1))
+        kept = [s for i, s in enumerate(sn) if i not in removed]
+        out.add((did, " ".join(kept), len(sn) - len(kept)))
+    return out
+
+
+@HSETTINGS
+@given(
+    train=st.lists(_SDOC, min_size=1, max_size=4),
+    evalset=st.lists(_SDOC, min_size=1, max_size=3),
+)
+def test_decontaminate_sentences_matches_python_model(spark, train, evalset):
+    tr = spark.createDataFrame(list(enumerate(train)), ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(evalset)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.text, r.removed_sentences)
+        for r in dedup.decontaminate_sentences(tr, ev).collect()
+    }
+    assert got == _model_decontaminate_sentences(train, evalset)

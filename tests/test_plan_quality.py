@@ -409,6 +409,27 @@ def test_dedup_sentences_unbounded_joins_never_broadcast(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_decontaminate_sentences_semi_join_shuffle_hash(spark):
+    """r10: the train-vs-eval semi join pins shuffle_hash (the
+    distinct-of-spans eval frame is the under-estimated aggregate shape
+    Catalyst loves to broadcast), the sweep windows partition by doc
+    id, and the operator stays JVM-side."""
+    from hadoop_invertedindexer_spark.operators.dedup import (
+        decontaminate_sentences,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    plan = _plan(
+        decontaminate_sentences(
+            docs.where("doc_id % 50 != 0"), docs.where("doc_id % 50 = 0")
+        )
+    )
+    assert plan.count("ShuffledHashJoin") >= 2
+    assert "BroadcastHashJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_ngram_nll_model_tables_broadcast(spark):
     """r8: all five model-side joins (uni, bigram, bigram-context,
     trigram, trigram-context) plus the stats frame enter through
