@@ -1850,6 +1850,83 @@ def _reassemble_paragraphs(
 # ------------------------------------------------------------ sentences
 
 
+def _sentence_frame(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sn, s_len): every doc's sentence array from the
+    sentinel-insertion boundary regex — the shared head of the sentence
+    family (dedup / decontaminate / index build)."""
+    from hadoop_invertedindexer_spark.functions.textprep import (
+        _SENT_BOUNDARY_RE,
+    )
+
+    sn_arr = F.split(
+        F.regexp_replace(F.col(text_col), _SENT_BOUNDARY_RE, "$1\x01$2"),
+        "\x01",
+    )
+    return docs.select(F.col(id_col).alias("id"), sn_arr.alias("sn")).withColumn(
+        "s_len", F.size("sn")
+    )
+
+
+def _sentence_norm_join(arr):
+    """Span key body: per-sentence dedup normalizations joined with an
+    un-typeable separator."""
+    return F.concat_ws("\x02", F.transform(arr, lambda s: normalized_text(s)))
+
+
+def _sentence_spans(frame: DataFrame, span: int) -> DataFrame:
+    """(id, pos, e, sp): every ``span``-wide sentence run of a
+    (id, sn, s_len) frame — whole-doc span for short docs, covered end
+    clamped. ``sp`` is the raw normalized-join key body (blank handling
+    is the caller's: dedup adds unique keys, index/decontaminate drop
+    blanks)."""
+    return frame.select(
+        "id",
+        "s_len",
+        F.posexplode(
+            F.when(
+                F.col("s_len") < span,
+                F.array(_sentence_norm_join(F.col("sn"))),
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("s_len") - span),
+                    lambda i: _sentence_norm_join(
+                        F.slice(F.col("sn"), i + 1, span)
+                    ),
+                )
+            )
+        ).alias("pos", "sp"),
+    ).select(
+        "id",
+        "pos",
+        F.least(F.col("pos") + span - 1, F.col("s_len") - 1).alias("e"),
+        "sp",
+    )
+
+
+def _sentence_rebuild(
+    toks: DataFrame, spans: DataFrame, id_col: str
+) -> DataFrame:
+    """Excise the removal intervals from the sentence arrays and
+    space-rejoin — the shared tail of the sentence family."""
+    ivals = F.coalesce(
+        F.col("drop_ivals"),
+        F.array().cast("array<struct<rs:bigint,re:bigint>>"),
+    )
+    kept_sents = F.filter(
+        F.col("sn"),
+        lambda t, i: ~F.exists(
+            ivals, lambda iv: (i >= iv["rs"]) & (i <= iv["re"])
+        ),
+    )
+    return toks.join(spans.hint("shuffle_hash"), "id", "left").select(
+        F.col("id").alias(id_col),
+        F.concat_ws(" ", kept_sents).alias("text"),
+        (F.col("s_len") - F.size(kept_sents)).cast("long").alias(
+            "removed_sentences"
+        ),
+    )
+
+
 def dedup_sentences(
     docs: DataFrame,
     span: int = 3,
@@ -1892,40 +1969,13 @@ def dedup_sentences(
     over occurrences of DUPLICATED spans only, one doc-keyed rebuild;
     ``shuffle_hash`` pinned on the unbounded-side joins, never a
     position fan-out."""
-    from hadoop_invertedindexer_spark.functions.textprep import (
-        _SENT_BOUNDARY_RE,
+    toks = _sentence_frame(_spread(docs, id_col), id_col, text_col).transform(
+        tracked_persist  # span emit + rebuild
     )
-
-    sn_arr = F.split(
-        F.regexp_replace(F.col(text_col), _SENT_BOUNDARY_RE, "$1\x01$2"),
-        "\x01",
-    )
-    toks = (
-        _spread(docs, id_col)
-        .select(F.col(id_col).alias("id"), sn_arr.alias("sn"))
-        .withColumn("s_len", F.size("sn"))
-        .transform(tracked_persist)  # span emit + rebuild
-    )
-    norm_join = lambda arr: F.concat_ws(  # noqa: E731
-        "\x02", F.transform(arr, lambda s: normalized_text(s))
-    )
-    wins = toks.select(
-        "id",
-        "s_len",
-        F.posexplode(
-            F.when(
-                F.col("s_len") < span, F.array(norm_join(F.col("sn")))
-            ).otherwise(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("s_len") - span),
-                    lambda i: norm_join(F.slice(F.col("sn"), i + 1, span)),
-                )
-            )
-        ).alias("pos", "sp"),
-    ).select(
+    wins = _sentence_spans(toks, span).select(
         "id",
         "pos",
-        F.least(F.col("pos") + span - 1, F.col("s_len") - 1).alias("e"),
+        "e",
         F.when(
             F.replace(F.col("sp"), F.lit("\x02"), F.lit("")) == "",
             F.concat_ws("|", F.lit("u"), F.col("id"), F.col("pos")),
@@ -1949,23 +1999,8 @@ def dedup_sentences(
             & (F.col("pos") == F.col("keeper.pos"))
         ).alias("kept"),
     )
-    spans = _keeper_protected_drop_spans(marked)
-    ivals = F.coalesce(
-        F.col("drop_ivals"),
-        F.array().cast("array<struct<rs:bigint,re:bigint>>"),
-    )
-    kept_sents = F.filter(
-        F.col("sn"),
-        lambda t, i: ~F.exists(
-            ivals, lambda iv: (i >= iv["rs"]) & (i <= iv["re"])
-        ),
-    )
-    return toks.join(spans.hint("shuffle_hash"), "id", "left").select(
-        F.col("id").alias(id_col),
-        F.concat_ws(" ", kept_sents).alias("text"),
-        (F.col("s_len") - F.size(kept_sents)).cast("long").alias(
-            "removed_sentences"
-        ),
+    return _sentence_rebuild(
+        toks, _keeper_protected_drop_spans(marked), id_col
     )
 
 
@@ -2000,75 +2035,155 @@ def decontaminate_sentences(
     under-estimated aggregate shape Catalyst loves to broadcast) plus
     the doc-keyed rebuild; only matched spans reach the islands
     merge."""
-    from hadoop_invertedindexer_spark.functions.textprep import (
-        _SENT_BOUNDARY_RE,
-    )
 
-    sn_arr = F.split(
-        F.regexp_replace(F.col(text_col), _SENT_BOUNDARY_RE, "$1\x01$2"),
-        "\x01",
-    )
-    norm_join = lambda arr: F.concat_ws(  # noqa: E731
-        "\x02", F.transform(arr, lambda s: normalized_text(s))
-    )
-
-    def spans_of(frame):
-        return frame.select(
-            "id",
-            "s_len",
-            F.posexplode(
-                F.when(
-                    F.col("s_len") < span, F.array(norm_join(F.col("sn")))
-                ).otherwise(
-                    F.transform(
-                        F.sequence(F.lit(0), F.col("s_len") - span),
-                        lambda i: norm_join(F.slice(F.col("sn"), i + 1, span)),
-                    )
-                )
-            ).alias("pos", "sp"),
-        ).where(
+    def keyed_nonblank(frame):
+        return _sentence_spans(frame, span).where(
             F.replace(F.col("sp"), F.lit("\x02"), F.lit("")) != ""
-        ).select(
-            "id",
-            "pos",
-            F.least(F.col("pos") + span - 1, F.col("s_len") - 1).alias("e"),
-            F.md5("sp").alias("sh"),
-        )
+        ).select("id", "pos", "e", F.md5("sp").alias("sh"))
 
-    toks = (
-        _spread(train, id_col)
-        .select(F.col(id_col).alias("id"), sn_arr.alias("sn"))
-        .withColumn("s_len", F.size("sn"))
-        .transform(tracked_persist)  # span emit + rebuild
+    toks = _sentence_frame(_spread(train, id_col), id_col, text_col).transform(
+        tracked_persist  # span emit + rebuild
     )
     eval_sh = (
-        spans_of(
-            evalset.select(F.col(id_col).alias("id"), sn_arr.alias("sn"))
-            .withColumn("s_len", F.size("sn"))
-        )
+        keyed_nonblank(_sentence_frame(evalset, id_col, text_col))
         .select("sh")
         .distinct()
     )
-    hits = spans_of(toks).join(eval_sh.hint("shuffle_hash"), "sh", "left_semi")
+    hits = keyed_nonblank(toks).join(
+        eval_sh.hint("shuffle_hash"), "sh", "left_semi"
+    )
     # every matched span is dropped coverage; the shared sweep runs with
     # kept ≡ false, so its protection term is vacuous by construction
     spans = _keeper_protected_drop_spans(hits.withColumn("kept", F.lit(False)))
-    ivals = F.coalesce(
-        F.col("drop_ivals"),
-        F.array().cast("array<struct<rs:bigint,re:bigint>>"),
+    return _sentence_rebuild(toks, spans, id_col)
+
+
+def build_sentence_index(
+    docs: DataFrame,
+    path: str,
+    span: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the DISTINCT sentence-span key set of an
+    already-published corpus — the sentence family's member of the
+    engine's persisted-index trio (MinHash signatures, window hashes,
+    paragraph hashes, now sentence spans): the corpus is scanned once
+    at build time, and every future ingest batch span-dedups against
+    the stored 16-byte md5 keys without re-reading any published text.
+    All-blank spans are excluded (always kept, never deduped). The
+    span width is persisted alongside the keys and asserted by every
+    reader/appender — spans of different widths never match, so a
+    mismatch would silently dedup nothing (the window-index n-param
+    lesson, applied from day one)."""
+    keyed = _sentence_spans(
+        _sentence_frame(_spread(docs, id_col), id_col, text_col), span
     )
-    kept_sents = F.filter(
-        F.col("sn"),
-        lambda t, i: ~F.exists(
-            ivals, lambda iv: (i >= iv["rs"]) & (i <= iv["re"])
-        ),
+    keyed.where(
+        F.replace(F.col("sp"), F.lit("\x02"), F.lit("")) != ""
+    ).select(F.md5("sp").alias("h")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{path}/sentences")
+    docs.sparkSession.createDataFrame([(span,)], "span int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/params")
+
+
+def _assert_sentence_index_span(spark, path: str, span: int) -> None:
+    stored = int(spark.read.parquet(f"{path}/params").head().span)
+    if stored != span:
+        raise ValueError(
+            f"sentence index at {path} was built with span={stored} but "
+            f"is being used with span={span}; span keys of different "
+            "widths never match, so this would silently dedup nothing "
+            "— pass the index's span or rebuild the index"
+        )
+
+
+def append_sentence_index(
+    batch: DataFrame,
+    path: str,
+    span: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a published batch's distinct span keys: O(batch) —
+    existing index files are never read or rewritten; re-appended keys
+    land as harmless duplicate rows (the dedup probe is a semi/anti
+    join), reclaimed by periodic compaction. The batch must be spanned
+    with the index's stored width (asserted)."""
+    _assert_sentence_index_span(batch.sparkSession, path, span)
+    keyed = _sentence_spans(
+        _sentence_frame(batch, id_col, text_col), span
     )
-    return toks.join(spans.hint("shuffle_hash"), "id", "left").select(
-        F.col("id").alias(id_col),
-        F.concat_ws(" ", kept_sents).alias("text"),
-        (F.col("s_len") - F.size(kept_sents)).cast("long").alias(
-            "removed_sentences"
-        ),
+    keyed.where(
+        F.replace(F.col("sp"), F.lit("\x02"), F.lit("")) != ""
+    ).select(F.md5("sp").alias("h")).distinct().write.mode("append").parquet(
+        f"{path}/sentences"
+    )
+
+
+def dedup_sentences_incremental(
+    spark,
+    batch: DataFrame,
+    path: str,
+    span: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-dedup an ingest batch against a PERSISTED sentence index —
+    the daily-ingest posture of :func:`dedup_sentences`, completing the
+    family's trio symmetry with the window and paragraph indexes. The
+    index side always wins: a batch span whose key is stored drops in
+    EVERY occurrence (its canonical copy is already published), while
+    spans new to the index keep the normal within-batch keeper
+    semantics. With an index whose corpus ids all precede the batch
+    ids, the output equals :func:`dedup_sentences` over
+    (corpus ∪ batch) restricted to batch docs — pinned by test and by
+    the shared contract oracle.
+
+    Scale shape: per-batch cost is O(batch spans + one scan of stored
+    16-byte keys); the published text is never re-read, and appends go
+    through :func:`append_sentence_index`."""
+    _assert_sentence_index_span(spark, path, span)
+    idx = spark.read.parquet(f"{path}/sentences").select("h").distinct()
+    toks = _sentence_frame(_spread(batch, id_col), id_col, text_col).transform(
+        tracked_persist  # span emit + rebuild
+    )
+    wins = _sentence_spans(toks, span).select(
+        "id",
+        "pos",
+        "e",
+        F.when(
+            F.replace(F.col("sp"), F.lit("\x02"), F.lit("")) == "",
+            F.concat_ws("|", F.lit("u"), F.col("id"), F.col("pos")),
+        ).otherwise(F.md5("sp")).alias("sh"),
+    ).transform(tracked_persist)  # feeds the index probe AND the batch side
+    in_idx = wins.join(
+        idx.hint("shuffle_hash"), wins.sh == idx.h, "left_semi"
+    ).select("id", "pos", "e", F.lit(False).alias("kept"))
+    fresh = wins.join(idx.hint("shuffle_hash"), wins.sh == idx.h, "left_anti")
+    dup = (
+        fresh.groupBy("sh")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct("id", "pos")).alias("keeper"),
+        )
+        .where(F.col("c") >= 2)
+        .select("sh", "keeper")
+    )
+    batch_marked = fresh.join(dup.hint("shuffle_hash"), "sh").select(
+        "id",
+        "pos",
+        "e",
+        (
+            (F.col("id") == F.col("keeper.id"))
+            & (F.col("pos") == F.col("keeper.pos"))
+        ).alias("kept"),
+    )
+    marked = in_idx.unionByName(batch_marked)
+    return _sentence_rebuild(
+        toks, _keeper_protected_drop_spans(marked), id_col
     )
 
 

@@ -1048,6 +1048,47 @@ def q_dedup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_sentences(d.select("doc_id", planted.alias("text")))
 
 
+def q_dedup_sentences_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted-sentence-index dedup (r10): docs 0..249 (the published
+    corpus — every planted cross-doc span's canonical among them) are
+    indexed once; the batch = docs 250+ span-dedups against the stored
+    keys. With index ids preceding batch ids this equals the direct
+    chain over the union restricted to batch docs, so the oracle is
+    the shared chain with an output filter."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.substring("text", 1, 50),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.lit(
+                ". Aaa shared span. Bbb shared span."
+                " Ccc shared span. And then "
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(". Wda "),
+                F.substring("text", 1, 20),
+                F.lit(". Wdb own rep. Wdc own rep. Wda "),
+                F.substring("text", 1, 20),
+                F.lit(". Wdb own rep. Wdc own rep. After that "),
+            ),
+        ).otherwise(F.lit("")),
+        F.substring("text", 51, 100000),
+    )
+    src = d.select("doc_id", planted.alias("text"))
+    path = tempfile.mkdtemp(prefix="sidx_") + "/sidx"
+    dedup.build_sentence_index(src.where(F.col("doc_id") < 250), path)
+    return dedup.dedup_sentences_incremental(
+        spark, src.where(F.col("doc_id") >= 250), path
+    )
+
+
 def q_decontaminate_sentences(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1552,6 +1593,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substrings": q_dedup_substrings,
     "dedup_sentences": q_dedup_sentences,
     "decontaminate_sentences": q_decontaminate_sentences,
+    "dedup_sentences_incremental": q_dedup_sentences_incremental,
     "decontaminate_substrings": q_decontaminate_substrings,
     "contamination_report": q_contamination_report,
     "contamination_report_incremental": q_contamination_report_incremental,
@@ -3097,7 +3139,13 @@ _SQL_SENT_NORM = (
     + "', ' ', 'g'), '\\s+', ' ', 'g'))"
 )
 
-LLM_ORACLE_SQL["dedup_sentences"] = f"""
+def _sql_dedup_sentences(out_where: str = "") -> str:
+    """The full sentence-span keep-one-copy chain; ``out_where``
+    restricts the output rows — the incremental twin is the SAME chain
+    over (indexed corpus ∪ batch) filtered to batch docs (index ids
+    all precede batch ids, so index-side canonicals dominate exactly
+    like the stored keys do)."""
+    return f"""
         WITH src AS (
             SELECT doc_id,
                    substr(text, 1, 50)
@@ -3192,7 +3240,15 @@ LLM_ORACLE_SQL["dedup_sentences"] = f"""
         sl AS (SELECT doc_id, len(sn) AS sl FROM sents)
         SELECT sl.doc_id, coalesce(a.text, '') AS text,
                (sl.sl - coalesce(a.nkept, 0))::BIGINT AS removed_sentences
-        FROM sl LEFT JOIN agg a USING (doc_id)"""
+        FROM sl LEFT JOIN agg a USING (doc_id){out_where}"""
+
+
+LLM_ORACLE_SQL["dedup_sentences"] = _sql_dedup_sentences()
+# persisted-index incremental (r10): identical chain over
+# (indexed corpus = docs < 250, batch = docs >= 250), batch docs only
+LLM_ORACLE_SQL["dedup_sentences_incremental"] = _sql_dedup_sentences(
+    "\n        WHERE sl.doc_id >= 250"
+)
 
 
 # the read-path probe reproduces ivf_drift exactly (metrics are a pure

@@ -134,6 +134,66 @@ def maintain_window_index(
     )
 
 
+def init_sentence_index(
+    spark: SparkSession,
+    path: str,
+    span: int = 3,
+) -> None:
+    """Pinned params table of a (possibly still empty) sentence-span
+    index (r10): the streaming maintainer derives every batch's span
+    width from it, so stored keys can never drift from the dedup
+    contract — the same drift guard the batch build writes."""
+    spark.createDataFrame([(span,)], "span int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/params")
+
+
+def maintain_sentence_index(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Continuous form of ``append_sentence_index`` (r10): drain newly
+    PUBLISHED document files with availableNow and write each
+    micro-batch's distinct sentence-span keys as an idempotent
+    ``batch=<id>`` tier under ``sentences/``.
+    ``dedup_sentences_incremental`` reads the tiered layout unchanged —
+    partition discovery adds a ``batch`` column the probes never look
+    at, and duplicate keys across tiers are harmless to semi/anti
+    probes. Same single-maintainer rule as the other index tiers: one
+    root is maintained by EITHER the flat batch build/append OR this
+    stream, never both."""
+    from pyspark.sql import functions as F
+
+    from hadoop_invertedindexer_spark.operators.dedup import (
+        _sentence_frame,
+        _sentence_spans,
+    )
+    from hadoop_invertedindexer_spark.streaming.events import run_tier_maintenance
+
+    p = spark.read.parquet(f"{index_path}/params").head()
+
+    def _append_tier(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = _sentence_spans(
+            _sentence_frame(batch_df, id_col, text_col), int(p.span)
+        )
+        keyed.where(
+            F.replace(F.col("sp"), F.lit("\x02"), F.lit("")) != ""
+        ).select(F.md5("sp").alias("h")).distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/sentences/batch={batch_id}")
+
+    run_tier_maintenance(
+        spark, source_dir, source_schema, checkpoint_dir,
+        _append_tier, max_files_per_trigger,
+    )
+
+
 def maintain_paragraph_index(
     spark: SparkSession,
     source_dir: str,

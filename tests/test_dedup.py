@@ -1036,6 +1036,131 @@ def test_streaming_window_index_matches_batch_build(spark, tmp_path):
     assert result(stream_path) == result(batch_path)
 
 
+class TestSentenceIndex:
+    """Persisted sentence-span index trio (r10): incremental == direct
+    over (corpus ∪ batch), index side always wins, append extends,
+    replay idempotent, span param asserted."""
+
+    CORPUS = [
+        (1, "published intro one. Shared pub alpha. Shared pub bravo."
+            " Shared pub charlie. Pub tail one"),
+    ]
+    BATCH = [
+        (10, "fresh intro here. Shared pub alpha. Shared pub bravo."
+             " Shared pub charlie. Fresh tail x"),
+        (11, "batch own text. Batch dup one. Batch dup two."
+             " Batch dup three. Middle bit."),
+        (12, "other intro y. Batch dup one. Batch dup two."
+             " Batch dup three. Other tail z"),
+    ]
+
+    def test_incremental_equals_direct_over_union(self, spark, tmp_path):
+        corpus = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        batch = spark.createDataFrame(self.BATCH, ["doc_id", "text"])
+        path = str(tmp_path / "sidx")
+        dedup.build_sentence_index(corpus, path)
+        inc = {
+            r.doc_id: (r.text, r.removed_sentences)
+            for r in dedup.dedup_sentences_incremental(
+                spark, batch, path
+            ).collect()
+        }
+        direct = {
+            r.doc_id: (r.text, r.removed_sentences)
+            for r in dedup.dedup_sentences(corpus.union(batch)).collect()
+            if r.doc_id >= 10
+        }
+        assert inc == direct
+        # index side won: the published span is gone from doc 10, and
+        # the batch-internal dup kept exactly one copy (doc 11)
+        assert inc[10] == ("fresh intro here. Fresh tail x", 3)
+        assert inc[11][1] == 0 and inc[12][1] == 3
+
+    def test_append_extends_then_idempotent(self, spark, tmp_path):
+        corpus = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        batch = spark.createDataFrame(self.BATCH[:1], ["doc_id", "text"])
+        extra = spark.createDataFrame(
+            [(2, "second pub doc. Fresh tail x was published. More here.")],
+            ["doc_id", "text"],
+        )
+        path = str(tmp_path / "sidx")
+        dedup.build_sentence_index(corpus, path)
+        before = dedup.dedup_sentences_incremental(
+            spark, batch, path
+        ).collect()[0]
+        assert before.removed_sentences == 3
+        dedup.append_sentence_index(extra, path)
+        dedup.append_sentence_index(extra, path)  # replay: harmless
+        after = dedup.dedup_sentences_incremental(
+            spark, batch, path
+        ).collect()[0]
+        assert after.removed_sentences == before.removed_sentences
+
+    def test_mismatched_span_fails_loudly(self, spark, tmp_path):
+        import pytest as _pytest
+
+        corpus = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        batch = spark.createDataFrame(self.BATCH, ["doc_id", "text"])
+        path = str(tmp_path / "sidx")
+        dedup.build_sentence_index(corpus, path, span=3)
+        with _pytest.raises(ValueError, match="built with span=3"):
+            dedup.dedup_sentences_incremental(spark, batch, path, span=2)
+        with _pytest.raises(ValueError, match="built with span=3"):
+            dedup.append_sentence_index(batch, path, span=2)
+
+
+def test_streaming_sentence_index_matches_batch_build(spark, tmp_path):
+    """The stream-maintained sentence-span tiers must dedup identically
+    to a one-shot batch build over the same published corpus, and a
+    fresh-checkpoint replay must leave the answer unchanged."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hadoop_invertedindexer_spark.streaming import dedup_ingest
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    p1 = spark.createDataFrame(TestSentenceIndex.CORPUS, schema)
+    p2 = spark.createDataFrame(
+        [(2, "second pub doc. Other tail z was here. More published.")],
+        schema,
+    )
+    stage, src = str(tmp_path / "stage"), str(tmp_path / "src")
+    p1.coalesce(1).write.mode("overwrite").parquet(f"{stage}/d1")
+    p2.coalesce(1).write.mode("overwrite").parquet(f"{stage}/d2")
+    os.makedirs(src, exist_ok=True)
+    for i, d in enumerate(sorted(glob.glob(f"{stage}/d*/part-*.parquet"))):
+        shutil.copyfile(d, f"{src}/day{i}.parquet")
+
+    stream_path = str(tmp_path / "s_stream")
+    dedup_ingest.init_sentence_index(spark, stream_path, span=3)
+    dedup_ingest.maintain_sentence_index(
+        spark, src, schema, stream_path, str(tmp_path / "ck1")
+    )
+    batch_path = str(tmp_path / "s_batch")
+    dedup.build_sentence_index(p1.union(p2), batch_path)
+
+    batch = spark.createDataFrame(TestSentenceIndex.BATCH, schema)
+
+    def result(path):
+        return sorted(
+            tuple(r)
+            for r in dedup.dedup_sentences_incremental(
+                spark, batch, path
+            ).collect()
+        )
+
+    assert result(stream_path) == result(batch_path)
+    dedup_ingest.maintain_sentence_index(
+        spark, src, schema, stream_path, str(tmp_path / "ck2")
+    )
+    assert result(stream_path) == result(batch_path)
+
+
 class TestDedupParagraphs:
     """Planted-paragraph fixtures for the CCNet paragraph-level dedup:
     first-occurrence-wins across and within documents, empty paragraphs
