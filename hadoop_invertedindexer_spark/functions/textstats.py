@@ -904,6 +904,77 @@ def classifier_predict(
     )
 
 
+def classifier_auc(
+    scored,
+    label_col: str = "y",
+    margin_col: str = "margin",
+):
+    """Classifier EVAL report — ROC-AUC and sign-decision accuracy of a
+    margin column against ±1 labels, the go/no-go metric of every
+    quality-classifier retrain (fastText's own ``test`` verb). One row:
+    (n_pos, n_neg, n_docs, n_correct, accuracy_mils, auc_mils), all
+    integers / integer thousandths so the report is bit-reproducible
+    across engines.
+
+    AUC is computed by the Mann-Whitney rank-sum identity over GROUPED
+    margins — no per-row global sort: group the corpus by its (integer)
+    margin, cumulative-sum the tiny per-margin histogram, and fold the
+    tie-aware average ranks in one aggregate. With ``p_m`` positives of
+    ``g_m`` rows at margin ``m`` and ``C_m`` rows strictly below,
+    ``2·Σ_pos avgrank = Σ_m p_m (2 C_m + g_m + 1)``, and ``auc_mils =
+    (2·ranksum − n_pos (n_pos+1)) · 1000 // (2 n_pos n_neg)`` — ties
+    count half, the textbook convention. Degenerate label sets (no
+    positives or no negatives) yield NULL auc_mils rather than a fake
+    score.
+
+    Accuracy uses the trainer's own decision rule (margin > 0 → +1,
+    else −1 — ``classifier_predict``'s convention).
+
+    Scale shape: one corpus-side partial aggregate down to the distinct-
+    margin histogram (metadata scale: margins are bounded by the integer
+    weight mass, thousands of cells at worst), one single-partition
+    window over that tiny frame (the pack_tokens bucket-summary
+    pattern), and one one-row cross join — the corpus is scanned once
+    and never sorted."""
+    from pyspark.sql import Window
+
+    m, y = F.col(margin_col), F.col(label_col)
+    g = scored.groupBy(margin_col).agg(
+        F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("pos"),
+        F.count(F.lit(1)).cast("long").alias("tot"),
+        F.sum(F.when((m > 0) == (y == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("ok"),
+    )
+    cum_w = Window.orderBy(margin_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = g.withColumn(
+        "cum", F.coalesce(F.sum("tot").over(cum_w), F.lit(0))
+    )
+    t = c.agg(
+        F.sum(F.col("pos") * (2 * F.col("cum") + F.col("tot") + 1))
+        .cast("long")
+        .alias("ranksum2"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("tot") - F.col("pos")).cast("long").alias("n_neg"),
+        F.sum("tot").cast("long").alias("n_docs"),
+        F.sum("ok").cast("long").alias("n_correct"),
+    )
+    return t.select(
+        "n_pos",
+        "n_neg",
+        "n_docs",
+        "n_correct",
+        F.expr("n_correct * 1000 DIV n_docs").alias("accuracy_mils"),
+        F.expr(
+            "CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL"
+            " ELSE (ranksum2 - n_pos * (n_pos + 1)) * 1000"
+            " DIV (2 * n_pos * n_neg) END"
+        ).alias("auc_mils"),
+    )
+
+
 def score_buckets(
     scored,
     score_col: str = "avg_nll",

@@ -547,6 +547,34 @@ def q_classifier_predict_bigrams(
     )
 
 
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVAL report (r10): ROC-AUC + accuracy of the 4-round
+    perceptron's margins against its own planted ±1 labels — the
+    fastText-``test`` metric every quality-classifier retrain gates on.
+    Tie-aware rank-sum AUC over the grouped integer margins, everything
+    integer thousandths, so the one-row report value-hashes against the
+    SQL twin built on the same train chain."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" qualitymarker")
+            ).otherwise(F.lit(" junkmarker")),
+        ).alias("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y"),
+    )
+    w = textstats.classifier_train(d, n_iters=4, n_features=1024)
+    preds = textstats.classifier_predict(d, w, n_features=1024)
+    labeled = preds.withColumn(
+        "y",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    return textstats.classifier_auc(labeled)
+
+
 def q_ngram_nll_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-LM scoring (r8): the eval split (every 50th doc) scored
     under the trigram model trained on the TRAIN split only — the
@@ -1567,6 +1595,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_score": q_classifier_score,
     "classifier_train": q_classifier_train,
     "classifier_predict": q_classifier_predict,
+    "classifier_auc": q_classifier_auc,
     "classifier_train_continue": q_classifier_train_continue,
     "classifier_train_bigrams": q_classifier_train_bigrams,
     "classifier_predict_bigrams": q_classifier_predict_bigrams,
@@ -3824,6 +3853,51 @@ LLM_ORACLE_SQL["classifier_predict"] = _sql_classifier_predict()
 LLM_ORACLE_SQL["classifier_predict_bigrams"] = _sql_classifier_predict(
     word_ngrams=2
 )
+
+
+# classifier EVAL report (r10): the same 4-round train chain, margins
+# re-keyed with their labels, then the tie-aware grouped rank-sum AUC +
+# sign-decision accuracy — keep the rollup in lockstep with
+# textstats.classifier_auc
+def _sql_classifier_auc() -> str:
+    return (
+        "WITH "
+        + ",\n        ".join(_sql_classifier_train_parts(4))
+        + """,
+        marg AS (
+            SELECT f.doc_id, f.y,
+                   sum(f.cnt * coalesce(w.weight, 0))::BIGINT AS margin
+            FROM feats f LEFT JOIN w4 w USING (feature)
+            GROUP BY f.doc_id, f.y),
+        g AS (
+            SELECT margin,
+                   sum((y = 1)::INT)::BIGINT AS pos,
+                   count(*)::BIGINT AS tot,
+                   sum(((margin > 0) = (y = 1))::INT)::BIGINT AS ok
+            FROM marg GROUP BY margin),
+        c AS (
+            SELECT pos, tot, ok,
+                   coalesce(sum(tot) OVER (ORDER BY margin
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum
+            FROM g),
+        t AS (
+            SELECT sum(pos * (2 * cum + tot + 1))::BIGINT AS ranksum2,
+                   sum(pos)::BIGINT AS n_pos,
+                   sum(tot - pos)::BIGINT AS n_neg,
+                   sum(tot)::BIGINT AS n_docs,
+                   sum(ok)::BIGINT AS n_correct
+            FROM c)
+        SELECT n_pos, n_neg, n_docs, n_correct,
+               (n_correct * 1000 // n_docs)::BIGINT AS accuracy_mils,
+               (CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                     ELSE (ranksum2 - n_pos * (n_pos + 1)) * 1000
+                          // (2 * n_pos * n_neg) END)::BIGINT AS auc_mils
+        FROM t"""
+    )
+
+
+LLM_ORACLE_SQL["classifier_auc"] = _sql_classifier_auc()
 
 LLM_ORACLE_SQL["ngram_nll"] = _sql_ngram_nll()
 LLM_ORACLE_SQL["ngram_nll_ref"] = _sql_ngram_nll(

@@ -627,6 +627,54 @@ class TestClassifierTrain:
         assert with_empty == base
 
 
+class TestClassifierAuc:
+    def _auc(self, spark, rows):
+        df = spark.createDataFrame(rows, ["doc_id", "margin", "y"])
+        return ts.classifier_auc(df).first()
+
+    def test_perfect_separation(self, spark):
+        # every positive outranks every negative -> AUC 1.0, acc 1.0
+        r = self._auc(
+            spark, [(0, 3, 1), (1, 2, 1), (2, -1, -1), (3, -4, -1)]
+        )
+        assert (r.n_pos, r.n_neg, r.n_docs, r.n_correct) == (2, 2, 4, 4)
+        assert r.auc_mils == 1000
+        assert r.accuracy_mils == 1000
+
+    def test_inverted_ranking(self, spark):
+        r = self._auc(spark, [(0, -3, 1), (1, 5, -1)])
+        assert r.auc_mils == 0
+        assert r.accuracy_mils == 0
+
+    def test_ties_count_half(self, spark):
+        # one positive and one negative at the same margin: U = 0.5,
+        # AUC = 0.5; margin 1 > 0 predicts +1 for both -> acc 1/2
+        r = self._auc(spark, [(0, 1, 1), (1, 1, -1)])
+        assert r.auc_mils == 500
+        assert r.accuracy_mils == 500
+
+    def test_textbook_mixed_case(self, spark):
+        # margins pos {4, 1}, neg {3, 0}: pairs won = (4>3)+(4>0)
+        # +(1>0) = 3 of 4 -> AUC 0.75; decision margin>0 gets
+        # pos 4,1 right and neg 3 wrong, neg 0 right -> acc 3/4
+        r = self._auc(
+            spark, [(0, 4, 1), (1, 1, 1), (2, 3, -1), (3, 0, -1)]
+        )
+        assert r.auc_mils == 750
+        assert r.accuracy_mils == 750
+
+    def test_degenerate_single_class_is_null(self, spark):
+        r = self._auc(spark, [(0, 2, 1), (1, 1, 1)])
+        assert r.auc_mils is None
+        assert r.accuracy_mils == 1000
+
+    def test_zero_margin_predicts_negative(self, spark):
+        # classifier_predict's convention: margin 0 -> -1
+        r = self._auc(spark, [(0, 0, -1), (1, 1, 1)])
+        assert r.n_correct == 2
+        assert r.auc_mils == 1000
+
+
 class TestScoreBuckets:
     def test_exact_terciles_on_distinct_scores(self, spark):
         df = spark.createDataFrame(
