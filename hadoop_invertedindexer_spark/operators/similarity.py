@@ -1293,3 +1293,55 @@ def dequantize_embeddings(
             F.col(q_col), lambda v: (v * F.col(scale_col)).cast("float")
         ),
     )
+
+
+def ann_recall(
+    truth: DataFrame,
+    candidates: DataFrame,
+    qid_col: str = "qid",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall@k of an ANN result list against exact ground
+    truth — the index-quality gate every approximate path (IVF / LSH /
+    PQ) must clear before it replaces brute force in a retrieval or
+    SemDeDup stage, and the companion metric to ``ivf_index_drift``'s
+    geometry report (drift says the index aged; recall says by how much
+    it hurts answers).
+
+    Both inputs are (``qid_col``, ``id_col``) neighbor lists (extra
+    columns ignored); ``truth`` defines the denominator, so pass the
+    exact top-k (``cosine_topk_bruteforce``) there and any approximate
+    top-k as ``candidates``. Returns one row per DISTINCT truth query:
+    (qid, n_truth, n_hit, recall_mils) — a query the ANN path missed
+    entirely still reports, with 0. Integer thousandths, so the report
+    value-hashes across engines.
+
+    Scale shape: both sides are queries x k rows — METADATA scale next
+    to the corpus that produced them — so the inner join on
+    (qid, neighbor id) and the per-qid rollup shuffle only neighbor
+    lists, never vectors; the expensive part of recall evaluation is
+    producing the lists, which is the operators' own cost. At 100 TB
+    the truth side comes from a SAMPLED query set (the contract uses
+    every-100th), never all queries."""
+    t = truth.select(
+        F.col(qid_col).alias("qid"), F.col(id_col).alias("nid")
+    )
+    c = candidates.select(
+        F.col(qid_col).alias("qid"), F.col(id_col).alias("nid")
+    )
+    hits = (
+        t.join(c, ["qid", "nid"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    per_q = t.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    return per_q.join(hits, "qid", "left").select(
+        "qid",
+        "n_truth",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        F.expr(
+            "coalesce(n_hit, 0) * 1000 DIV n_truth"
+        ).alias("recall_mils"),
+    )

@@ -257,6 +257,25 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, queries, k=10, nbits=4, dim=64)
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality eval (r10): per-query recall@10 of the LSH
+    path against the exact brute-force truth — the acceptance gate an
+    approximate index must clear before it replaces brute force, and
+    the answer-quality companion to ivf_drift's geometry report. Both
+    neighbor lists are fully deterministic (literal hyperplanes,
+    sequential double folds), so per-query hit counts and the integer-
+    thousandths recall hash-match the SQL twin."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    truth = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    cand = similarity.cosine_topk_lsh(
+        emb, queries, k=10, nbits=4, dim=64
+    )
+    return similarity.ann_recall(truth, cand)
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes for every corpus vector (m=8 subspaces,
     ksub=16 codewords from the first-16-by-id bootstrap). All arithmetic
@@ -1572,6 +1591,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_drift_read": q_ivf_drift_read,
     "decontaminate": q_decontaminate,
     "similarity_bruteforce": q_similarity_bruteforce,
+    "ann_recall_eval": q_ann_recall_eval,
     "similarity_ivf": q_similarity_ivf,
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     "similarity_lsh": q_similarity_lsh,
@@ -3000,6 +3020,66 @@ LLM_ORACLE_SQL: dict[str, str] = {
                        AS rank
             FROM scored) t
         WHERE rank <= 10""",
+    # ANN recall eval (r10): the LSH candidate chain (verbatim from
+    # similarity_lsh) intersected per query with the brute-force truth
+    # top-10 — keep both in lockstep with q_ann_recall_eval
+    "ann_recall_eval": f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   sqrt({_SQL_DOT.format(a='embedding', b='embedding')}) AS nrm,
+                   [{_sql_lsh_sig('embedding', 64, 4, 42)},
+                    {_sql_lsh_sig('embedding', 64, 4, 1042)},
+                    {_sql_lsh_sig('embedding', 64, 4, 2042)}] AS sigs
+            FROM embeddings),
+        banded AS (
+            SELECT vec_id, embedding, nrm,
+                   unnest([0, 1, 2]) AS t, unnest(sigs) AS b
+            FROM sig),
+        cpairs AS (
+            SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id
+            FROM banded q JOIN banded c
+              ON q.t = c.t AND q.b = c.b AND q.vec_id <> c.vec_id
+            WHERE q.vec_id % 100 = 0),
+        cscored AS (
+            SELECT cpairs.qid, cpairs.vec_id,
+                   round({_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+                         / (q.nrm * c.nrm), 6) AS cosine
+            FROM cpairs
+            JOIN sig q ON q.vec_id = cpairs.qid
+            JOIN sig c ON c.vec_id = cpairs.vec_id),
+        cand AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY cosine DESC, vec_id)
+                           AS rank
+                FROM cscored) t
+            WHERE rank <= 10),
+        truth AS (
+            SELECT qid, vec_id FROM (
+                SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round({_sql_cosine('q.embedding',
+                                                       'c.embedding')}, 6)
+                                    DESC, c.vec_id) AS rank
+                FROM embeddings q JOIN embeddings c
+                  ON q.vec_id != c.vec_id
+                WHERE q.vec_id % 100 = 0) t
+            WHERE rank <= 10),
+        hits AS (
+            SELECT t.qid, count(*)::BIGINT AS n_hit
+            FROM truth t JOIN cand c
+              ON t.qid = c.qid AND t.vec_id = c.vec_id
+            GROUP BY t.qid),
+        perq AS (
+            SELECT qid, count(*)::BIGINT AS n_truth
+            FROM truth GROUP BY qid)
+        SELECT p.qid, p.n_truth,
+               coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+               (coalesce(h.n_hit, 0) * 1000 // p.n_truth)::BIGINT
+                   AS recall_mils
+        FROM perq p LEFT JOIN hits h USING (qid)""",
     # exact media dedup: group by the payload identity key instead of
     # md5-ing container bytes DuckDB can't assemble — payloads are pure
     # functions of (w,h,c,frames, text bytes cycled to the raster size),

@@ -715,3 +715,51 @@ class TestIvfDriftRebuild:
         assert r.n_empty_buckets >= 0 and r.max_bucket <= r.n_vectors
         assert 0.0 <= r.avg_qerr <= r.max_qerr <= 2.0
         assert r.imbalance >= 1.0 - 1e-9
+
+
+class TestAnnRecall:
+    def _frames(self, spark, truth_rows, cand_rows):
+        t = spark.createDataFrame(truth_rows, ["qid", "vec_id"])
+        c = (
+            spark.createDataFrame(cand_rows, ["qid", "vec_id"])
+            if cand_rows
+            else spark.createDataFrame([], "qid long, vec_id long")
+        )
+        return t, c
+
+    def test_perfect_and_partial_and_missed(self, spark):
+        truth = [(1, 10), (1, 11), (2, 10), (2, 12), (3, 13), (3, 14)]
+        cand = [
+            (1, 10), (1, 11),          # q1: both found
+            (2, 10), (2, 99),          # q2: one of two + a spurious hit
+        ]                               # q3: the ANN path returned nothing
+        t, c = self._frames(spark, truth, cand)
+        rows = {
+            r.qid: r for r in similarity.ann_recall(t, c).collect()
+        }
+        assert rows[1].recall_mils == 1000 and rows[1].n_hit == 2
+        assert rows[2].recall_mils == 500 and rows[2].n_truth == 2
+        # a query with zero candidates must still report, at 0
+        assert rows[3].recall_mils == 0 and rows[3].n_hit == 0
+
+    def test_spurious_candidates_never_inflate(self, spark):
+        t, c = self._frames(
+            spark, [(1, 10)], [(1, 20), (1, 30), (1, 40)]
+        )
+        r = similarity.ann_recall(t, c).first()
+        assert (r.n_truth, r.n_hit, r.recall_mils) == (1, 0, 0)
+
+    def test_lsh_recall_beats_zero_on_planted_clusters(self, spark):
+        emb = _clustered_emb(spark)
+        queries = emb.where(F.col("vec_id") % 10 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        truth = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+        cand = similarity.cosine_topk_lsh(
+            emb, queries, k=5, nbits=4, dim=8
+        )
+        rep = similarity.ann_recall(truth, cand)
+        got = rep.agg(F.avg("recall_mils")).first()[0]
+        n_q = queries.count()
+        assert rep.count() == n_q          # one row per truth query
+        assert got > 500                    # planted clusters collide
