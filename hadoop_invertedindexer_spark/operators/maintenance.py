@@ -219,3 +219,49 @@ def _drop_table_dir_if_empty(
             return  # data remains
     fs.delete(root, True)
     spark.catalog.refreshByPath(table_dir)
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the audit report
+    behind every dataset release note ("v2.1: +1.2M docs, 40k changed,
+    3k removed") and the precondition check before an incremental
+    maintenance run (``upsert_partitioned`` / the persisted-index
+    ``append_*`` paths should see exactly the 'added'+'changed' rows).
+
+    Rows match on ``id_col``; content identity is the md5 of the
+    ``cols`` projection (unit-separator joined), so TEXT NEVER SHUFFLES
+    — each side reduces to (id, 16-byte fingerprint) before the join.
+    Returns one row per id present in either version:
+    (``id_col``, status ∈ {'added', 'removed', 'changed', 'unchanged'}).
+
+    Scale shape: two projections + ONE full-outer sort-merge/hash join
+    co-partitioned on the id — the same single-exchange shape as
+    ``full_outer_reconcile``; no window, no collect. At 100 TB both
+    sides prune to two columns at the parquet scan."""
+    def fingerprint(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.md5(
+                F.concat_ws(
+                    "\x1f", *[F.col(c).cast("string") for c in cols]
+                )
+            ).alias(alias),
+        )
+
+    o = fingerprint(old, "_fp_old")
+    n = fingerprint(new, "_fp_new")
+    joined = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.col("_id").alias(id_col), status.alias("status")
+    )

@@ -162,6 +162,29 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.data_card(_docs(spark, sf_dir), STOPWORDS)
 
 
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (r10): v_old drops every 13th doc, v_new drops
+    every 11th and revises every 17th — so the per-doc status column
+    exercises all four outcomes (added / removed / changed / unchanged)
+    with known planted membership, value-checking the fingerprint
+    full-outer-join end to end."""
+    from hadoop_invertedindexer_spark.operators.maintenance import (
+        dataset_diff,
+    )
+
+    d = _docs(spark, sf_dir)
+    v_old = d.where(F.col("doc_id") % 13 != 0).select("doc_id", "text")
+    v_new = d.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat("text", F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dataset_diff(v_old, v_new)
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-epoch global shuffle (r8): md5('ep1|'||id) keys
     both the shard assignment (mod 16) and the within-shard order — the
@@ -188,6 +211,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_shuffle": q_epoch_shuffle,
     "mixture_plan": q_mixture_plan,
     "data_card": q_data_card,
+    "dataset_diff": q_dataset_diff,
     "text_chunks": q_text_chunks,
     "train_test_split": q_train_test_split,
     "leakage_safe_split": q_leakage_safe_split,
@@ -280,6 +304,24 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                    AS net_tokens,
                (sum(is_dup::INT) * 1000 // count(*))::BIGINT AS dup_rate_mils
         FROM base GROUP BY source, lang, quality_bucket""",
+    # snapshot diff (r10): both sides reduce to (id, md5 fingerprint)
+    # before ONE full outer join — keep in lockstep with
+    # maintenance.dataset_diff and q_dataset_diff's planted versions
+    "dataset_diff": """
+        WITH o AS (
+            SELECT doc_id AS id, md5(text) AS fpo
+            FROM documents WHERE doc_id % 13 <> 0),
+        n AS (
+            SELECT doc_id AS id,
+                   md5(CASE WHEN doc_id % 17 = 0 THEN text || ' rev2'
+                            ELSE text END) AS fpn
+            FROM documents WHERE doc_id % 11 <> 0)
+        SELECT coalesce(o.id, n.id) AS doc_id,
+               CASE WHEN o.fpo IS NULL THEN 'added'
+                    WHEN n.fpn IS NULL THEN 'removed'
+                    WHEN o.fpo <> n.fpn THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.id = n.id""",
     "curriculum_shuffle": """
         WITH h AS (
             SELECT doc_id, n_chars,

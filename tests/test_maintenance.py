@@ -152,3 +152,51 @@ def test_delete_empties_partition_with_escaped_value(spark, tmp_path):
     delete_keys(spark, path, spark.createDataFrame([(1,)], "id long"), ["id"], "p")
     assert _rows(spark, path) == {(2, "ok", "plain")}
     assert not (tmp_path / "tbl" / "p=a%3Ab").exists()
+
+
+class TestDatasetDiff:
+    def test_all_four_statuses(self, spark):
+        from hadoop_invertedindexer_spark.operators.maintenance import (
+            dataset_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "c2"), (4, "d")], ["doc_id", "text"]
+        )
+        got = {
+            r.doc_id: r.status for r in dataset_diff(old, new).collect()
+        }
+        assert got == {
+            1: "removed",
+            2: "unchanged",
+            3: "changed",
+            4: "added",
+        }
+
+    def test_multi_column_fingerprint(self, spark):
+        from hadoop_invertedindexer_spark.operators.maintenance import (
+            dataset_diff,
+        )
+
+        old = spark.createDataFrame(
+            [(1, "a", "en"), (2, "b", "en")], ["doc_id", "text", "lang"]
+        )
+        new = spark.createDataFrame(
+            [(1, "a", "de"), (2, "b", "en")], ["doc_id", "text", "lang"]
+        )
+        got = {
+            r.doc_id: r.status
+            for r in dataset_diff(
+                old, new, cols=("text", "lang")
+            ).collect()
+        }
+        # lang flip is a change only when lang is fingerprinted
+        assert got == {1: "changed", 2: "unchanged"}
+        text_only = {
+            r.doc_id: r.status
+            for r in dataset_diff(old, new).collect()
+        }
+        assert text_only == {1: "unchanged", 2: "unchanged"}
