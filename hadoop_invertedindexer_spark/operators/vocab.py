@@ -542,6 +542,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_expr_merges: int = 64,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Apply a trained BPE merge table: every document's normalized
     words become character-symbol strings, and the merges replay in rank
@@ -561,13 +562,19 @@ def bpe_encode(
     tables fall back to an Arrow-batched pandas UDF replaying the same
     replaces per batch — same semantics, documented slow path (real
     tokenizers use a trie; a 30k-merge replay is the honest relational
-    equivalent, not the hot path)."""
+    equivalent, not the hot path).
+
+    ``carry_cols`` names extra ``docs`` columns to thread through to the
+    output unchanged (so rollups like :func:`bpe_fertility` ride the
+    single encode pass instead of re-joining the corpus on the id)."""
     ordered = [
         (_merge_pattern(m.lhs, m.rhs), _merge_replacement(m.merged))
         for m in merges.orderBy("merge_rank").collect()
     ]
+    carries = [F.col(c) for c in carry_cols]
     base = docs.select(
         F.col(id_col),
+        *carries,
         F.concat_ws(
             " | ",
             F.transform(
@@ -580,7 +587,9 @@ def bpe_encode(
         expr = _sym_wrap(F.col("ws"))
         for pat, rep in ordered:
             expr = F.replace(expr, F.lit(pat), F.lit(rep))
-        enc = base.select(F.col(id_col), _sym_unwrap(expr).alias("ws"))
+        enc = base.select(
+            F.col(id_col), *carries, _sym_unwrap(expr).alias("ws")
+        )
     else:
         from pyspark.sql.functions import pandas_udf
 
@@ -599,10 +608,74 @@ def bpe_encode(
                 .str.replace(_SYM_CLOSE, "", regex=False)
             )
 
-        enc = base.select(F.col(id_col), _apply("ws").alias("ws"))
+        enc = base.select(
+            F.col(id_col), *carries, _apply("ws").alias("ws")
+        )
     pieces = F.filter(F.split("ws", " "), lambda p: p != F.lit("|"))
     return enc.select(
         F.col(id_col),
+        *carries,
         F.size(pieces).cast("long").alias("n_pieces"),
         F.concat_ws(" ", pieces).alias("pieces_str"),
+    )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    merges: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer FERTILITY report — pieces-per-word and pieces-per-char
+    by corpus stratum, the diagnostic every tokenizer choice is judged
+    on (a vocab trained on English fragments a new language into
+    near-character pieces; fertility per ``group_col`` is how you see
+    it before burning a training run). One row per group:
+    (group, n_docs, n_words, n_chars, n_pieces, fertility_mils,
+    pieces_per_kchar) — fertility = pieces·1000/words, pieces_per_kchar
+    = pieces·1000/chars (1000 = character-level, lower = more
+    compression), both integer thousandths, NULL on empty strata
+    rather than a fake ratio.
+
+    Scale shape: word/char masses ride the encode projection via
+    ``carry_cols`` (the corpus is scanned ONCE, never re-joined on the
+    id), the merge replay is the same JVM replace chain as
+    ``bpe_encode``, and the rollup is one metadata-scale groupBy to
+    ≤ |strata| rows."""
+    words = F.filter(token_array(text_col), lambda t: t != "")
+    staged = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col(group_col),
+        F.size(words).cast("long").alias("_nw"),
+        F.length(F.array_join(words, "")).cast("long").alias("_nc"),
+    )
+    enc = bpe_encode(
+        staged,
+        merges,
+        id_col=id_col,
+        text_col=text_col,
+        carry_cols=(group_col, "_nw", "_nc"),
+    )
+    g = enc.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nw").cast("long").alias("n_words"),
+        F.sum("_nc").cast("long").alias("n_chars"),
+        F.sum("n_pieces").cast("long").alias("n_pieces"),
+    )
+    return g.select(
+        group_col,
+        "n_docs",
+        "n_words",
+        "n_chars",
+        "n_pieces",
+        F.expr(
+            "CASE WHEN n_words = 0 THEN NULL"
+            " ELSE n_pieces * 1000 DIV n_words END"
+        ).alias("fertility_mils"),
+        F.expr(
+            "CASE WHEN n_chars = 0 THEN NULL"
+            " ELSE n_pieces * 1000 DIV n_chars END"
+        ).alias("pieces_per_kchar"),
     )

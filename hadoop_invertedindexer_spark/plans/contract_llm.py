@@ -641,6 +641,16 @@ def q_bpe_encode_incremental(
     return vocab.bpe_encode_incremental(spark, d, path)
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report (r10): pieces-per-word /
+    pieces-per-char of the corpus-trained 10-merge BPE model, rolled up
+    by the table's lang column — the diagnostic a tokenizer choice is
+    judged on before burning a training run. Word/char masses ride the
+    encode projection (carry_cols), so the corpus scans once."""
+    d = _docs(spark, sf_dir)
+    return vocab.bpe_fertility(d, vocab.bpe_train(d, num_merges=10))
+
+
 def q_bpe_continue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warm-start BPE (r8): train 5 merges, then CONTINUE for 5 more —
     must equal merges 6-10 of the from-scratch 10-merge chain (BPE state
@@ -1622,6 +1632,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets": q_perplexity_buckets,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "bpe_fertility": q_bpe_fertility,
     "bpe_continue": q_bpe_continue,
     "bpe_encode_incremental": q_bpe_encode_incremental,
     "pii_redact": q_pii_redact,
@@ -3671,6 +3682,54 @@ def _sql_bpe_encode() -> str:
 
 
 LLM_ORACLE_SQL["bpe_encode"] = _sql_bpe_encode()
+
+
+# tokenizer fertility report (r10): the encode expr with word/char
+# masses carried alongside, grouped by the table's lang column — keep
+# in lockstep with vocab.bpe_fertility
+def _sql_bpe_fertility() -> str:
+    words = (
+        f"list_filter(string_split({_SQL_NORM}, ' '), w -> w <> '')"
+    )
+    expr = (
+        "array_to_string(list_transform("
+        f"{words}, "
+        "w -> array_to_string(string_split(w, ''), ' ')), ' | ')"
+    )
+    expr = _SQL_SYM_WRAP.format(x=expr)
+    for i in range(1, _BPE_CONTRACT_MERGES + 1):
+        expr = (
+            f"replace({expr}, {_sql_merge_pattern(f'p{i}')},"
+            f" {_sql_merge_replacement(f'p{i}')})"
+        )
+    expr = _SQL_SYM_UNWRAP.format(x=expr)
+    return f"""
+        WITH {_sql_bpe_ctes(_BPE_CONTRACT_MERGES)},
+        enc AS (
+            SELECT lang,
+                   len({words})::BIGINT AS nw,
+                   length(array_to_string({words}, ''))::BIGINT AS nc,
+                   {expr} AS ws
+            FROM documents),
+        pieces AS (
+            SELECT lang, nw, nc,
+                   len(list_filter(string_split(ws, ' '),
+                                   p -> p <> '|'))::BIGINT AS np
+            FROM enc)
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(nw)::BIGINT AS n_words,
+               sum(nc)::BIGINT AS n_chars,
+               sum(np)::BIGINT AS n_pieces,
+               (CASE WHEN sum(nw) = 0 THEN NULL
+                     ELSE sum(np) * 1000 // sum(nw) END)::BIGINT
+                   AS fertility_mils,
+               (CASE WHEN sum(nc) = 0 THEN NULL
+                     ELSE sum(np) * 1000 // sum(nc) END)::BIGINT
+                   AS pieces_per_kchar
+        FROM pieces GROUP BY lang"""
+
+
+LLM_ORACLE_SQL["bpe_fertility"] = _sql_bpe_fertility()
 # stored-model encode (r10) reproduces the direct chain exactly — the
 # persisted merges/ table IS bpe_train's output — so the oracle is
 # shared verbatim

@@ -465,3 +465,60 @@ def test_pack_tokens_consumes_bpe_pieces(spark):
     ids = [int(i) for b in blocks for i in b.ids_str.split(",")]
     assert all(i != 0 for i in ids)  # every piece resolves; -1 = separator
     assert ids.count(-1) == len(n_pieces)
+
+
+class TestBpeFertility:
+    def test_zero_merges_is_character_level(self, spark):
+        # with an empty merge table every word stays characters:
+        # pieces == chars -> pieces_per_kchar == 1000 exactly
+        docs = spark.createDataFrame(
+            [(0, "abc de", "en"), (1, "fgh", "de")],
+            ["doc_id", "text", "lang"],
+        )
+        empty = spark.createDataFrame(
+            [], "merge_rank long, lhs string, rhs string, "
+            "merged string, freq long"
+        )
+        rows = {
+            r.lang: r for r in vocab.bpe_fertility(docs, empty).collect()
+        }
+        en, de = rows["en"], rows["de"]
+        assert (en.n_docs, en.n_words, en.n_chars, en.n_pieces) == (
+            1, 2, 5, 5,
+        )
+        assert en.pieces_per_kchar == 1000
+        assert en.fertility_mils == 2500  # 5 pieces / 2 words
+        assert (de.n_words, de.n_pieces, de.fertility_mils) == (1, 3, 3000)
+
+    def test_merges_lower_fertility(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "abab abab abab", "en") for i in range(4)],
+            ["doc_id", "text", "lang"],
+        )
+        trained = vocab.bpe_train(docs, num_merges=3)
+        empty = spark.createDataFrame(
+            [], "merge_rank long, lhs string, rhs string, "
+            "merged string, freq long"
+        )
+        base = vocab.bpe_fertility(docs, empty).first()
+        merged = vocab.bpe_fertility(docs, trained).first()
+        assert base.fertility_mils == 4000  # character level, 4 chars/word
+        # 3 merges on a single repeated word collapse it entirely
+        assert merged.fertility_mils == 1000
+        assert merged.n_words == base.n_words  # masses are model-free
+        assert merged.n_chars == base.n_chars
+
+    def test_encode_carry_cols_passthrough(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "ab", "en", 7)], ["doc_id", "text", "lang", "extra"]
+        )
+        empty = spark.createDataFrame(
+            [], "merge_rank long, lhs string, rhs string, "
+            "merged string, freq long"
+        )
+        r = vocab.bpe_encode(
+            docs, empty, carry_cols=("lang", "extra")
+        ).first()
+        assert (r.lang, r.extra, r.n_pieces, r.pieces_str) == (
+            "en", 7, 2, "a b",
+        )
