@@ -91,6 +91,10 @@ HEADLINE = [
     "decontaminate_sentences",  # sentence-span eval scrub (r10)
     "dedup_sentences_incremental",  # persisted sentence-span index path (r10)
     "classifier_train_bigrams",  # fastText wordNgrams=2 perceptron (r10)
+    "classifier_auc",         # rank-sum ROC-AUC + accuracy eval report (r10)
+    "ann_recall_eval",        # LSH recall@10 vs brute-force truth (r10)
+    "dataset_diff",           # fingerprint snapshot diff, full-outer join (r10)
+    "bpe_fertility",          # pieces-per-word/char tokenizer report (r10)
     "bpe_encode_incremental", # stored-model BPE encode, O(batch) (r10)
     "triangle_count",         # degree-ordered wedge join over co-purchases (r5)
     "tokens_encode",          # vocab build + broadcast-mapped id sequences (r5)
