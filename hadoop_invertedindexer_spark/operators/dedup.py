@@ -86,6 +86,79 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def build_exact_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> None:
+    """Persist the DISTINCT normalized-text hash set of an
+    already-published corpus — the EXACT family's member of the
+    persisted-index trio pattern (MinHash signatures, window hashes,
+    paragraph/sentence spans, now whole-document hashes): build scans
+    the corpus once; every future ingest batch exact-dedups against
+    the stored 32-byte keys without re-reading any published text."""
+    docs.select(
+        F.sha2(normalized_text(text_col), 256).alias("h")
+    ).distinct().write.mode("overwrite").parquet(f"{path}/hashes")
+
+
+def append_exact_index(
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> None:
+    """Append a published batch's distinct document hashes: O(batch) —
+    existing index files are never read or rewritten. Re-appended
+    hashes land as duplicate rows (bytes, not correctness: the dedup
+    join is an anti join), reclaimed by periodic compaction — the same
+    append-mostly trade as every other index tier."""
+    batch.select(
+        F.sha2(normalized_text(text_col), 256).alias("h")
+    ).distinct().write.mode("append").parquet(f"{path}/hashes")
+
+
+def dedup_exact_incremental(
+    spark,
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-dedup an ingest batch against a PERSISTED document-hash
+    index — the daily-ingest posture of :func:`dedup_exact`: a batch
+    doc whose normalized text is already published drops entirely (the
+    INDEX side always wins); among batch-fresh texts the smallest id
+    keeps. Returns the same (keep_id, n_dups) contract as the direct
+    path, with ``n_dups`` counting BATCH occurrences. When the indexed
+    corpus's ids precede the batch's, the output is IDENTICAL to the
+    direct path over corpus ∪ batch restricted to batch-side keepers
+    (pinned by test and by the shared contract oracle — a group with
+    any published member has a corpus keeper, so exactly the
+    batch-fresh groups survive, and their full-group counts ARE their
+    batch counts).
+
+    Scale shape: per-batch cost is O(batch + one index-hash scan) —
+    one anti join on the 32-byte key, pinned ``shuffle_hash`` (the
+    index side is unbounded; the usual Catalyst broadcast-
+    underestimate trap), then the direct path's single hash-keyed
+    aggregate. Published text is never re-read."""
+    idx = spark.read.parquet(f"{path}/hashes").distinct()
+    hashed = batch.select(
+        F.col(id_col), F.sha2(normalized_text(text_col), 256).alias("_h")
+    )
+    fresh = hashed.join(
+        idx.hint("shuffle_hash"), hashed["_h"] == idx["h"], "left_anti"
+    )
+    return (
+        fresh.groupBy("_h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("keep_id", "n_dups")
+    )
+
+
 def dedup_urls(
     docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -55,6 +55,47 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(_docs(spark, sf_dir))
 
 
+def _exact_inc_planted():
+    """Planted duplicate texts for the exact-incremental contract:
+    crossdup groups straddle the corpus/batch boundary at doc 250 (the
+    published copy must win and the whole group must vanish from the
+    report), freshdup groups live entirely in the batch (they must
+    survive with batch counts). CASE order (cross first) is mirrored in
+    the oracle."""
+    return (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("crossdup "), (F.col("doc_id") % 40).cast("string")),
+        )
+        .when(
+            (F.col("doc_id") >= 250) & (F.col("doc_id") % 7 == 0),
+            F.concat(F.lit("freshdup "), (F.col("doc_id") % 21).cast("string")),
+        )
+        .otherwise(F.col("text"))
+    )
+
+
+def q_dedup_exact_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted-index exact dedup (r10): docs < 250 play the published
+    corpus (hash set built into a temp index), docs >= 250 the ingest
+    batch. Cross-boundary planted groups must vanish (index wins);
+    batch-only groups must keep their smallest id with batch counts —
+    equal by construction to the direct chain over corpus ∪ batch
+    restricted to batch-side keepers, which is what the oracle states."""
+    import tempfile
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _exact_inc_planted().alias("text")
+    )
+    path = tempfile.mkdtemp(prefix="exidx_") + "/exidx"
+    dedup.build_exact_index(d.where(F.col("doc_id") < 250), path)
+    return dedup.dedup_exact_incremental(
+        spark, d.where(F.col("doc_id") >= 250), path
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.6, max_df=100)
 
@@ -1589,6 +1630,7 @@ def q_multimodal_features_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
+    "dedup_exact_incremental": q_dedup_exact_incremental,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_portable": q_dedup_minhash_portable,
@@ -2158,6 +2200,23 @@ LLM_ORACLE_SQL: dict[str, str] = {
     "dedup_exact": f"""
         SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         FROM documents GROUP BY {_SQL_NORM}""",
+    # persisted-index exact dedup (r10): the incremental path over the
+    # planted corpus/batch split equals the direct chain restricted to
+    # batch-side keepers — a group with any published (< 250) member
+    # has a corpus keeper and vanishes; batch-fresh groups' full counts
+    # ARE their batch counts. CASE order mirrors _exact_inc_planted.
+    "dedup_exact_incremental": f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'crossdup ' || (doc_id % 40)
+                        WHEN doc_id >= 250 AND doc_id % 7 = 0
+                        THEN 'freshdup ' || (doc_id % 21)
+                        ELSE text END AS text
+            FROM documents)
+        SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM planted GROUP BY {_SQL_NORM}
+        HAVING min(doc_id) >= 250""",
     "ngram_jaccard": f"""
         WITH {_SQL_SHINGLES},
         sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),

@@ -230,3 +230,39 @@ def maintain_paragraph_index(
         spark, source_dir, source_schema, checkpoint_dir,
         _append_tier, max_files_per_trigger,
     )
+
+
+def maintain_exact_index(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    index_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Continuous form of ``append_exact_index`` (r10): drain newly
+    PUBLISHED document files with availableNow and write each
+    micro-batch's distinct normalized-text hashes as an idempotent
+    ``batch=<id>`` tier under ``hashes/``. ``dedup_exact_incremental``
+    reads the tiered layout unchanged — partition discovery adds a
+    ``batch`` column the anti join never looks at, and duplicate hashes
+    across tiers are harmless to an anti probe. Same single-maintainer
+    rule as every other index tier: one root is maintained by EITHER
+    the flat batch build/append OR this stream, never both."""
+    from pyspark.sql import functions as F
+
+    from hadoop_invertedindexer_spark.operators.dedup import normalized_text
+    from hadoop_invertedindexer_spark.streaming.events import run_tier_maintenance
+
+    def _append_tier(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            F.sha2(normalized_text(text_col), 256).alias("h")
+        ).distinct().write.mode("overwrite").parquet(
+            f"{index_path}/hashes/batch={batch_id}"
+        )
+
+    run_tier_maintenance(
+        spark, source_dir, source_schema, checkpoint_dir,
+        _append_tier, max_files_per_trigger,
+    )

@@ -1380,3 +1380,147 @@ def test_streaming_paragraph_index_matches_batch_build(spark, tmp_path):
         spark, src, schema, stream_path, str(tmp_path / "ck2")
     )
     assert result(stream_path) == result(batch_path)
+
+
+class TestExactIndex:
+    """Persisted document-hash index: incremental ≡ direct restricted to
+    batch-side keepers, O(batch) appends extend it, replay is
+    idempotent, and the index side wins regardless of id ordering."""
+
+    @pytest.fixture()
+    def corpus_batch(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "alpha doc"), (2, "Beta,  DOC!"), (3, "alpha doc")],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "beta doc"),        # published (normalization collides)
+                (11, "fresh text"),
+                (12, "fresh  TEXT."),    # batch-internal dup of 11
+                (13, "lonely new doc"),
+            ],
+            ["doc_id", "text"],
+        )
+        return corpus, batch
+
+    def _direct_restricted(self, corpus, batch, min_id):
+        full = dedup.dedup_exact(corpus.unionByName(batch))
+        return {
+            r.keep_id: r.n_dups
+            for r in full.collect()
+            if r.keep_id >= min_id
+        }
+
+    def test_incremental_equals_direct_restricted(
+        self, spark, corpus_batch, tmp_path
+    ):
+        corpus, batch = corpus_batch
+        path = str(tmp_path / "exidx")
+        dedup.build_exact_index(corpus, path)
+        got = {
+            r.keep_id: r.n_dups
+            for r in dedup.dedup_exact_incremental(
+                spark, batch, path
+            ).collect()
+        }
+        assert got == self._direct_restricted(corpus, batch, 10)
+        assert got == {11: 2, 13: 1}  # 10 vanished: published wins
+
+    def test_append_extends_and_replay_idempotent(
+        self, spark, corpus_batch, tmp_path
+    ):
+        corpus, batch = corpus_batch
+        extra = spark.createDataFrame(
+            [(5, "lonely new doc")], ["doc_id", "text"]
+        )
+        path = str(tmp_path / "exidx")
+        dedup.build_exact_index(corpus, path)
+        dedup.append_exact_index(extra, path)
+        got = {
+            r.keep_id: r.n_dups
+            for r in dedup.dedup_exact_incremental(
+                spark, batch, path
+            ).collect()
+        }
+        # the appended hash suppressed doc 13
+        assert got == {11: 2}
+        dedup.append_exact_index(extra, path)  # replay: no change
+        again = {
+            r.keep_id: r.n_dups
+            for r in dedup.dedup_exact_incremental(
+                spark, batch, path
+            ).collect()
+        }
+        assert again == got
+
+    def test_index_wins_regardless_of_id_order(self, spark, tmp_path):
+        corpus = spark.createDataFrame(
+            [(100, "published text")], ["doc_id", "text"]
+        )
+        batch = spark.createDataFrame(
+            [(1, "published text"), (2, "novel")], ["doc_id", "text"]
+        )
+        path = str(tmp_path / "exidx")
+        dedup.build_exact_index(corpus, path)
+        got = {
+            r.keep_id: r.n_dups
+            for r in dedup.dedup_exact_incremental(
+                spark, batch, path
+            ).collect()
+        }
+        # batch id 1 < corpus id 100, but the INDEX still wins
+        assert got == {2: 1}
+
+
+def test_streaming_exact_index_matches_batch_build(spark, tmp_path):
+    """The stream-maintained document-hash tiers must dedup an ingest
+    batch identically to a one-shot batch build over the same published
+    corpus, and a fresh-checkpoint replay must leave the answer
+    unchanged (overwrite-your-own-batch idempotency)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hadoop_invertedindexer_spark.streaming import dedup_ingest
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    pub1 = spark.createDataFrame([(100, "day one prose")], schema)
+    pub2 = spark.createDataFrame([(101, "day two prose")], schema)
+    stage, src = str(tmp_path / "stage"), str(tmp_path / "src")
+    pub1.coalesce(1).write.mode("overwrite").parquet(f"{stage}/d1")
+    pub2.coalesce(1).write.mode("overwrite").parquet(f"{stage}/d2")
+    os.makedirs(src, exist_ok=True)
+    for i, d in enumerate(sorted(glob.glob(f"{stage}/d*/part-*.parquet"))):
+        shutil.copyfile(d, f"{src}/day{i}.parquet")
+
+    stream_path = str(tmp_path / "x_stream")
+    dedup_ingest.maintain_exact_index(
+        spark, src, schema, stream_path, str(tmp_path / "ck1")
+    )
+    batch_path = str(tmp_path / "x_batch")
+    dedup.build_exact_index(pub1.union(pub2), batch_path)
+
+    batch = spark.createDataFrame(
+        [(200, "Day One  PROSE!"), (201, "entirely novel")], schema
+    )
+
+    def result(path):
+        return sorted(
+            tuple(r)
+            for r in dedup.dedup_exact_incremental(
+                spark, batch, path
+            ).collect()
+        )
+
+    got = result(stream_path)
+    assert got == result(batch_path) == [(201, 1)]
+    # replay with a fresh checkpoint: converges, never double-inserts
+    dedup_ingest.maintain_exact_index(
+        spark, src, schema, stream_path, str(tmp_path / "ck2")
+    )
+    assert result(stream_path) == result(batch_path)
