@@ -224,6 +224,7 @@ def data_card(
     id_col: str = "doc_id",
     text_col: str = "text",
     quality_cut: float = 0.5,
+    dup_col: str | None = None,
 ) -> DataFrame:
     """Corpus DATA-CARD report (r10, VERDICT r9 ask 9) — the
     per-(source, lang, quality-bucket) summary every dataset card /
@@ -249,6 +250,11 @@ def data_card(
     exact integers, so the report is bit-reproducible and feeds the
     integer-thousandths contracts downstream.
 
+    ``dup_col`` (r10) names a precomputed boolean duplicate flag and
+    skips the corpus-wide window — the hook
+    :func:`data_card_incremental` uses to substitute its
+    index-membership flag.
+
     Scale shape: one corpus projection (lang/quality/token expressions
     are pure codegen), ONE exchange on the high-cardinality normalized
     text for the duplicate window, and one metadata-scale groupBy to
@@ -265,13 +271,16 @@ def data_card(
         token_array,
     )
 
-    flagged = docs.withColumn(
-        "_dup",
-        F.row_number().over(
-            Window.partitionBy(normalized_text(text_col)).orderBy(id_col)
+    if dup_col is not None:
+        flagged = docs.withColumn("_dup", F.col(dup_col))
+    else:
+        flagged = docs.withColumn(
+            "_dup",
+            F.row_number().over(
+                Window.partitionBy(normalized_text(text_col)).orderBy(id_col)
+            )
+            > 1,
         )
-        > 1,
-    )
     base = flagged.select(
         F.col(source_col).alias("source"),
         lang_id(F.col(text_col)).alias("lang"),
@@ -294,6 +303,113 @@ def data_card(
         (F.count(F.lit(1)) - dup_docs).cast("long").alias("net_docs"),
         (F.sum("_nt") - dup_toks).cast("long").alias("net_tokens"),
         F.floor(dup_docs * F.lit(1000) / F.count(F.lit(1)))
+        .cast("long")
+        .alias("dup_rate_mils"),
+    )
+
+
+def data_card_incremental(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    stopwords: list[str],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_cut: float = 0.5,
+) -> DataFrame:
+    """Data-card report of an INGEST BATCH against a published corpus —
+    O(batch) card maintenance: the corpus-wide duplicate flag comes
+    from the persisted exact-dedup index (``dedup.build_exact_index``)
+    instead of a window over corpus ∪ batch, so published text is never
+    re-read. A batch doc is a duplicate iff its normalized text is
+    already published (index membership) OR occurred earlier in the
+    batch (the in-batch window) — exactly the corpus-wide
+    first-occurrence rule when published ids precede batch ids, which
+    is what makes ``merge_data_cards(card(old), this)`` EQUAL the
+    direct ``data_card(old ∪ batch)`` (pinned by the shared contract
+    oracle).
+
+    Scale shape: one anti-style membership join on the 32-byte hash
+    (``shuffle_hash`` pinned — the index side is unbounded), the
+    in-batch window on the same key, then :func:`data_card`'s
+    metadata-scale rollup. Per-day cost is O(batch + one index-hash
+    scan)."""
+    from pyspark.sql import Window
+
+    from hadoop_invertedindexer_spark.operators.dedup import (
+        normalized_text,
+    )
+
+    idx = (
+        spark.read.parquet(f"{index_path}/hashes")
+        .select("h")
+        .distinct()
+        .withColumn("_pub", F.lit(True))
+    )
+    keyed = batch.withColumn(
+        "_h", F.sha2(normalized_text(text_col), 256)
+    )
+    flagged = (
+        keyed.join(
+            idx.hint("shuffle_hash"),
+            keyed["_h"] == idx["h"],
+            "left",
+        )
+        .withColumn(
+            "_idup",
+            F.coalesce(F.col("_pub"), F.lit(False))
+            | (
+                F.row_number().over(
+                    Window.partitionBy("_h").orderBy(id_col)
+                )
+                > 1
+            ),
+        )
+        .drop("h", "_pub", "_h")
+    )
+    return data_card(
+        flagged,
+        stopwords,
+        source_col=source_col,
+        id_col=id_col,
+        text_col=text_col,
+        quality_cut=quality_cut,
+        dup_col="_idup",
+    )
+
+
+def merge_data_cards(*cards: DataFrame) -> DataFrame:
+    """Fold data-card reports into one — every mass column is an exact
+    integer sum, so cards are ASSOCIATIVE: card(old) ⊕
+    card_incremental(batch vs index(old)) == card(old ∪ batch), the
+    identity the contract oracle pins. Derived columns (net masses,
+    dup_rate_mils) are recomputed from the merged sums, never averaged.
+    The fold is one metadata-scale groupBy over ≤ Σ|cells| rows."""
+    merged = cards[0]
+    for c in cards[1:]:
+        merged = merged.unionByName(c)
+    g = merged.groupBy("source", "lang", "quality_bucket").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_dup_docs").cast("long").alias("n_dup_docs"),
+        F.sum("dup_tokens").cast("long").alias("dup_tokens"),
+    )
+    return g.select(
+        "source",
+        "lang",
+        "quality_bucket",
+        "n_docs",
+        "n_tokens",
+        "n_dup_docs",
+        "dup_tokens",
+        (F.col("n_docs") - F.col("n_dup_docs"))
+        .cast("long")
+        .alias("net_docs"),
+        (F.col("n_tokens") - F.col("dup_tokens"))
+        .cast("long")
+        .alias("net_tokens"),
+        F.floor(F.col("n_dup_docs") * F.lit(1000) / F.col("n_docs"))
         .cast("long")
         .alias("dup_rate_mils"),
     )

@@ -162,6 +162,30 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.data_card(_docs(spark, sf_dir), STOPWORDS)
 
 
+def q_data_card_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """O(batch) data-card maintenance (r10): docs < 250 play the
+    published corpus (card already computed, hash set persisted), docs
+    >= 250 the ingest batch. merge(card(old), card_incremental(batch vs
+    index(old))) must EQUAL data_card over the full corpus — the oracle
+    is shared verbatim with data_card, so the equality is value-hashed,
+    not approximated."""
+    import tempfile
+
+    from hadoop_invertedindexer_spark.operators import dedup
+
+    d = _docs(spark, sf_dir)
+    old = d.where(F.col("doc_id") < 250)
+    batch = d.where(F.col("doc_id") >= 250)
+    path = tempfile.mkdtemp(prefix="cardidx_") + "/exidx"
+    dedup.build_exact_index(old, path)
+    return sampling.merge_data_cards(
+        sampling.data_card(old, STOPWORDS),
+        sampling.data_card_incremental(spark, batch, path, STOPWORDS),
+    )
+
+
 def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (r10): v_old drops every 13th doc, v_new drops
     every 11th and revises every 17th — so the per-doc status column
@@ -211,6 +235,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_shuffle": q_epoch_shuffle,
     "mixture_plan": q_mixture_plan,
     "data_card": q_data_card,
+    "data_card_incremental": q_data_card_incremental,
     "dataset_diff": q_dataset_diff,
     "text_chunks": q_text_chunks,
     "train_test_split": q_train_test_split,
@@ -304,6 +329,9 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                    AS net_tokens,
                (sum(is_dup::INT) * 1000 // count(*))::BIGINT AS dup_rate_mils
         FROM base GROUP BY source, lang, quality_bucket""",
+    # O(batch) card maintenance (r10): the merged old+incremental card
+    # must EQUAL the direct full-corpus card — oracle shared verbatim
+    "data_card_incremental": None,  # assigned below (= data_card's SQL)
     # snapshot diff (r10): both sides reduce to (id, md5 fingerprint)
     # before ONE full outer join — keep in lockstep with
     # maintenance.dataset_diff and q_dataset_diff's planted versions
@@ -408,6 +436,10 @@ from hadoop_invertedindexer_spark.plans.contract_temporal import (  # noqa: E402
 )
 
 _SQL_KEEP_NIB = "substring(md5(keep_id::VARCHAR), 1, 1)"
+
+PIPELINE_ORACLE_SQL["data_card_incremental"] = PIPELINE_ORACLE_SQL[
+    "data_card"
+]
 
 PIPELINE_ORACLE_SQL["leakage_safe_split"] = f"""{SQL_CLUSTERS_CTE_PREFIX},
     labeled AS (

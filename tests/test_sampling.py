@@ -617,3 +617,81 @@ class TestDsirModelDivergence:
             spark, path, batch=drifted
         ).head().kl_batch_raw
         assert kl_after < kl_drift
+
+
+class TestDataCardIncremental:
+    """O(batch) card maintenance (r10): merged old+incremental must
+    equal the direct full-corpus card, including cross-boundary dups,
+    in-batch dups, and cells that exist only in the batch."""
+
+    STOP = ["the", "and", "for", "with", "that", "this", "from"]
+
+    def _cards_equal(self, a, b):
+        key = lambda r: (r.source, r.lang, r.quality_bucket)  # noqa: E731
+        return {key(r): tuple(r) for r in a.collect()} == {
+            key(r): tuple(r) for r in b.collect()
+        }
+
+    def test_merged_equals_direct(self, spark, tmp_path):
+        from hadoop_invertedindexer_spark.operators import dedup
+
+        old_rows = [
+            (1, "the quick and brown fox runs with vigor", "web"),
+            (2, "der hund und die katze ist mit haus", "web"),
+        ]
+        batch_rows = [
+            # cross-boundary dup of doc 1 (different source — corpus-wide)
+            (10, "the quick and brown fox runs with vigor", "books"),
+            # in-batch dup pair
+            (11, "the fresh and novel words with merit", "web"),
+            (12, "the fresh and novel words with merit", "web"),
+            # a source that exists only in the batch
+            (13, "el perro y el gato para la casa", "crawl"),
+        ]
+        old = spark.createDataFrame(old_rows, ["doc_id", "text", "source"])
+        batch = spark.createDataFrame(
+            batch_rows, ["doc_id", "text", "source"]
+        )
+        path = str(tmp_path / "exidx")
+        dedup.build_exact_index(old, path)
+        merged = sampling.merge_data_cards(
+            sampling.data_card(old, self.STOP),
+            sampling.data_card_incremental(spark, batch, path, self.STOP),
+        )
+        direct = sampling.data_card(old.unionByName(batch), self.STOP)
+        assert self._cards_equal(merged, direct)
+        # the cross-boundary and in-batch dups actually registered
+        inc = {
+            (r.source, r.lang): r
+            for r in sampling.data_card_incremental(
+                spark, batch, path, self.STOP
+            ).collect()
+        }
+        assert inc[("books", "en")].n_dup_docs == 1   # published copy wins
+        assert inc[("web", "en")].n_dup_docs == 1     # second in-batch copy
+
+    def test_merge_is_a_pure_fold(self, spark):
+        cols = [
+            "source", "lang", "quality_bucket", "n_docs", "n_tokens",
+            "n_dup_docs", "dup_tokens", "net_docs", "net_tokens",
+            "dup_rate_mils",
+        ]
+        a = spark.createDataFrame(
+            [("web", "en", "hi", 4, 40, 1, 10, 3, 30, 250)], cols
+        )
+        b = spark.createDataFrame(
+            [
+                ("web", "en", "hi", 2, 20, 1, 8, 1, 12, 500),
+                ("crawl", "es", "lo", 3, 33, 0, 0, 3, 33, 0),
+            ],
+            cols,
+        )
+        got = {
+            (r.source, r.lang, r.quality_bucket): r
+            for r in sampling.merge_data_cards(a, b).collect()
+        }
+        web = got[("web", "en", "hi")]
+        assert (web.n_docs, web.n_tokens, web.n_dup_docs) == (6, 60, 2)
+        assert (web.net_docs, web.net_tokens) == (4, 42)
+        assert web.dup_rate_mils == 333  # floor(2*1000/6), recomputed
+        assert got[("crawl", "es", "lo")].n_docs == 3
