@@ -61,6 +61,7 @@ HEADLINE = [
     "events_tumbling",
     "events_session",
     "dedup_exact",
+    "dedup_exact_incremental",  # persisted document-hash index path (r10)
     "dedup_minhash",
     "dedup_minhash_incremental",  # persisted-index daily-ingest path (r6)
     "ngram_jaccard",
@@ -114,6 +115,7 @@ HEADLINE = [
     "dedup_urls",             # canonical-URL first-stage crawl dedup (r8)
     "mixture_plan",           # per-stratum token budget -> rate plan (r8)
     "data_card",              # per-(source,lang,quality) composition report (r10)
+    "data_card_incremental",  # O(batch) card maintenance via exact index (r10)
     "filter_optout",          # registered-domain opt-out anti-join (r8)
     "curriculum_shuffle",     # within-shard curriculum ordering (r8)
     "split_long_docs",        # sentence-boundary context-window split (r8)
