@@ -615,3 +615,86 @@ def test_classifier_bigram_features_keep_the_plan_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_classifier_auc_never_sorts_the_corpus(spark):
+    """r10: AUC computes over the GROUPED margin histogram — the corpus
+    pays one partial aggregate; the only single-partition stage is the
+    window over the metadata-scale histogram, and no range partitioning
+    (a global per-row sort) exists anywhere."""
+    from hadoop_invertedindexer_spark.functions import textstats
+
+    scored = read_table(spark, SF, "documents").select(
+        (F.col("doc_id") % 7 - 3).cast("long").alias("margin"),
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(-1).alias("y"),
+    )
+    plan = _plan(textstats.classifier_auc(scored))
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Exchange SinglePartition") <= 2  # histogram window + one-row fold
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dataset_diff_one_fullouter_fingerprints_only(spark):
+    """r10: both sides reduce to (id, md5) BEFORE the single full outer
+    join — two hash exchanges move 16-byte fingerprints, never text,
+    and nothing broadcasts (full outer cannot)."""
+    from hadoop_invertedindexer_spark.operators.maintenance import (
+        dataset_diff,
+    )
+
+    d = read_table(spark, SF, "documents")
+    plan = _plan(
+        dataset_diff(
+            d.where(F.col("doc_id") % 13 != 0),
+            d.where(F.col("doc_id") % 11 != 0),
+        )
+    )
+    assert "FullOuter" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastHashJoin" not in plan
+    # the exchanges carry the fingerprint projection, not raw text
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_fp_" in line or "_id" in line
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_exact_incremental_anti_join_shuffle_hash(spark, tmp_path):
+    """r10: the index anti join is pinned ShuffledHashJoin (the index
+    side is unbounded — the Catalyst broadcast-underestimate trap), and
+    the keeper aggregate keeps its map-side combine."""
+    from hadoop_invertedindexer_spark.operators import dedup
+
+    d = read_table(spark, SF, "documents")
+    path = str(tmp_path / "exidx")
+    dedup.build_exact_index(d.where(F.col("doc_id") < 250), path)
+    plan = _plan(
+        dedup.dedup_exact_incremental(
+            spark, d.where(F.col("doc_id") >= 250), path
+        )
+    )
+    assert "ShuffledHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "partial_min" in plan  # map-side keeper combine
+
+
+def test_data_card_incremental_index_join_shuffle_hash(spark, tmp_path):
+    """r10: the published-membership join is pinned ShuffledHashJoin —
+    nothing corpus- or index-sized may broadcast; the rollup keeps
+    data_card's partial aggregation."""
+    from hadoop_invertedindexer_spark.operators import dedup, sampling
+    from hadoop_invertedindexer_spark.plans.contract_llm import STOPWORDS
+
+    d = read_table(spark, SF, "documents")
+    path = str(tmp_path / "exidx")
+    dedup.build_exact_index(d.where(F.col("doc_id") < 250), path)
+    plan = _plan(
+        sampling.data_card_incremental(
+            spark, d.where(F.col("doc_id") >= 250), path, STOPWORDS
+        )
+    )
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
