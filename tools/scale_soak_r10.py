@@ -173,12 +173,70 @@ def incremental_30x_soak(spark, src: str, out_json: str) -> None:
     print(json.dumps(result))
 
 
+def exact_30x_soak(spark, src: str, out_json: str) -> None:
+    """The exact-family O(batch) claims (r10 session 2): for each
+    factor, build the document-hash index from the factor-replicated
+    corpus (timed: the one-off cost — one distinct over 32-byte keys,
+    expect ~linear), then run a FIXED 1x batch through
+    ``dedup_exact_incremental`` and ``data_card_incremental`` (timed:
+    must stay ~flat — per-batch cost is O(batch + one index-hash scan),
+    and replicas collapse to the SAME distinct hash set, so even the
+    scan term is constant under the replica construction; the honest
+    growth story is the index build)."""
+    from hadoop_invertedindexer_spark.operators import dedup, sampling
+    from hadoop_invertedindexer_spark.plans.contract_llm import STOPWORDS
+
+    docs_at = {
+        f: spark.read.parquet(f"{_scale_dir(src, f)}/documents.parquet")
+        for f in (1, 10, 30)
+    }
+    batch = docs_at[1]
+    # untimed warmup of both query plans
+    wtmp = tempfile.mkdtemp(prefix="r10xwarm_")
+    dedup.build_exact_index(batch, f"{wtmp}/exidx")
+    dedup.dedup_exact_incremental(
+        spark, batch, f"{wtmp}/exidx"
+    ).write.format("noop").mode("overwrite").save()
+    sampling.data_card_incremental(
+        spark, batch, f"{wtmp}/exidx", STOPWORDS
+    ).write.format("noop").mode("overwrite").save()
+    _hygiene(spark)
+
+    result: dict = {"src": src, "mode": "exact-30x", "factors": {}}
+    for factor in (1, 10, 30):
+        corpus = docs_at[factor]
+        tmp = tempfile.mkdtemp(prefix=f"r10x_{factor}_")
+        fres: dict = {"corpus_docs": corpus.count()}
+        t0 = time.perf_counter()
+        dedup.build_exact_index(corpus, f"{tmp}/exidx")
+        fres["exact_index_build"] = round(time.perf_counter() - t0, 3)
+        _hygiene(spark)
+        t0 = time.perf_counter()
+        dedup.dedup_exact_incremental(
+            spark, batch, f"{tmp}/exidx"
+        ).write.format("noop").mode("overwrite").save()
+        fres["dedup_exact_batch"] = round(time.perf_counter() - t0, 3)
+        _hygiene(spark)
+        t0 = time.perf_counter()
+        sampling.data_card_incremental(
+            spark, batch, f"{tmp}/exidx", STOPWORDS
+        ).write.format("noop").mode("overwrite").save()
+        fres["data_card_batch"] = round(time.perf_counter() - t0, 3)
+        _hygiene(spark)
+        print(f"exact @{factor}x: {fres}", flush=True)
+        result["factors"][str(factor)] = fres
+        with open(out_json, "w") as fh:
+            json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "substring-30x"
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     default_out = {
         "substring-30x": "/root/repo/scale_results_r10_substring.json",
         "incremental-30x": "/root/repo/scale_results_r10_incremental.json",
+        "exact-30x": "/root/repo/scale_results_r10_exact.json",
     }[mode]
     out_json = sys.argv[3] if len(sys.argv) > 3 else default_out
     spark = get_spark(
@@ -189,6 +247,8 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     if mode == "substring-30x":
         substring_30x_soak(spark, src, out_json)
+    elif mode == "exact-30x":
+        exact_30x_soak(spark, src, out_json)
     else:
         incremental_30x_soak(spark, src, out_json)
     spark.stop()
