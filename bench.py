@@ -90,6 +90,7 @@ HEADLINE = [
     "dedup_paragraphs",       # CCNet paragraph-level first-occurrence dedup (r8)
     "dedup_sentences",        # C4 three-sentence-span keep-one-copy (r10)
     "decontaminate_sentences",  # sentence-span eval scrub (r10)
+    "contamination_report_sentences",  # sentence-granular % leak report (r10)
     "dedup_sentences_incremental",  # persisted sentence-span index path (r10)
     "classifier_train_bigrams",  # fastText wordNgrams=2 perceptron (r10)
     "classifier_auc",         # rank-sum ROC-AUC + accuracy eval report (r10)

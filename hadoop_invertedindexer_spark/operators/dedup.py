@@ -1625,6 +1625,32 @@ def decontaminate_substrings_incremental(
     )
 
 
+def _union_coverage(hits: DataFrame) -> DataFrame:
+    """(id, pos, e) matched intervals → (id, cov): total UNION-covered
+    unit count per id via the gaps-and-islands merge — overlapping
+    matches never double-count. Runs at hit scale (eval-sized), one
+    id-keyed window chain; shared by the token- and sentence-granular
+    contamination reports."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        hits.withColumn("pe", F.max("e").over(wprev))
+        .withColumn(
+            "new_island",
+            (F.col("pe").isNull() | (F.col("pos") > F.col("pe") + 1)).cast(
+                "int"
+            ),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+        .groupBy("id", "island")
+        .agg(F.min("pos").alias("rs"), F.max("e").alias("re"))
+        .groupBy("id")
+        .agg(F.sum(F.col("re") - F.col("rs") + 1).alias("cov"))
+    )
+
+
 def contamination_report(
     train: DataFrame,
     evalset: DataFrame,
@@ -1652,8 +1678,6 @@ def contamination_report(
     distinct-of-corpus frame is exactly the under-estimated-aggregate
     shape Catalyst loves to broadcast); islands/fractions run at eval
     scale. Nothing corpus-sized is ever windowed twice or sorted."""
-    from pyspark.sql import Window
-
     etoks = (
         evalset.select(
             F.col(id_col).alias("id"), token_array(text_col).alias("tk")
@@ -1669,22 +1693,7 @@ def contamination_report(
     hits = _window_hashes(evalset, n, id_col, text_col).join(
         train_sh.hint("shuffle_hash"), "sh", "left_semi"
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
-    covered = (
-        hits.withColumn("pe", F.max("e").over(wprev))
-        .withColumn(
-            "new_island",
-            (F.col("pe").isNull() | (F.col("pos") > F.col("pe") + 1)).cast(
-                "int"
-            ),
-        )
-        .withColumn("island", F.sum("new_island").over(w))
-        .groupBy("id", "island")
-        .agg(F.min("pos").alias("rs"), F.max("e").alias("re"))
-        .groupBy("id")
-        .agg(F.sum(F.col("re") - F.col("rs") + 1).alias("cov"))
-    )
+    covered = _union_coverage(hits)
     return etoks.join(covered, "id", "left").select(
         F.col("id").alias(id_col),
         F.col("t_len").cast("long").alias("n_tokens"),
@@ -2129,6 +2138,74 @@ def decontaminate_sentences(
     # kept ≡ false, so its protection term is vacuous by construction
     spans = _keeper_protected_drop_spans(hits.withColumn("kept", F.lit(False)))
     return _sentence_rebuild(toks, spans, id_col)
+
+
+def contamination_report_sentences(
+    train: DataFrame,
+    evalset: DataFrame,
+    span: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-side contamination measurement at SENTENCE granularity
+    (r10) — completes the sentence family's symmetry with the substring
+    family (dedup / decontaminate / report): for each EVAL doc, how
+    many of its sentences sit inside a ``span``-sentence run that also
+    appears anywhere in the training corpus. The "% of the benchmark
+    leaks as quoted passages" table — sentence units catch re-flowed
+    verbatim quotes the token-window report undercounts, and the
+    number is directly comparable to what :func:`decontaminate_sentences`
+    would scrub.
+
+    Units/keys exactly as :func:`dedup_sentences` (sentinel boundary
+    split, per-sentence normalized span keys, whole-doc span for short
+    docs; all-blank spans never match); overlapping matched spans count
+    as UNION coverage via the shared islands merge
+    (:func:`_union_coverage`), never double-counted. Returns one row
+    per eval doc: (``id_col``, ``n_sentences``,
+    ``contaminated_sentences``, ``contaminated_frac`` round(6)).
+
+    Scale shape: the train corpus — the big side — pays one span emit
+    and a DISTINCT on 16-byte keys, then ONE semi join against the
+    benchmark-sized eval span stream (``shuffle_hash`` pinned: the
+    distinct-of-corpus frame is the under-estimated-aggregate shape
+    Catalyst loves to broadcast); islands and fractions run at eval
+    scale."""
+
+    def keyed_nonblank(frame):
+        return (
+            _sentence_spans(frame, span)
+            .where(F.replace(F.col("sp"), F.lit("\x02"), F.lit("")) != "")
+            .select("id", "pos", "e", F.md5("sp").alias("sh"))
+        )
+
+    eframes = _sentence_frame(evalset, id_col, text_col).transform(
+        tracked_persist  # two consumers: the span probe + the length join
+    )
+    esl = eframes.select("id", "s_len")
+    train_sh = (
+        keyed_nonblank(
+            _sentence_frame(_spread(train, id_col), id_col, text_col)
+        )
+        .select("sh")
+        .distinct()
+    )
+    hits = keyed_nonblank(eframes).join(
+        train_sh.hint("shuffle_hash"), "sh", "left_semi"
+    )
+    covered = _union_coverage(hits)
+    return esl.join(covered, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.col("s_len").cast("long").alias("n_sentences"),
+        F.coalesce(F.col("cov"), F.lit(0)).cast("long").alias(
+            "contaminated_sentences"
+        ),
+        F.round(
+            F.coalesce(F.col("cov"), F.lit(0))
+            / F.col("s_len").cast("double"),
+            6,
+        ).alias("contaminated_frac"),
+    )
 
 
 def build_sentence_index(

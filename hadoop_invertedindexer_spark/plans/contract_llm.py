@@ -1214,6 +1214,34 @@ def q_decontaminate_sentences(
     )
 
 
+def q_contamination_report_sentences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sentence-granular contamination measurement (r10): the same
+    canary-planted train/eval split as decontaminate_sentences, but
+    reporting per EVAL doc how many of its sentences are covered by
+    spans shared with train (union coverage via the islands merge) —
+    the '% of the benchmark leaks as quoted passages' table, not the
+    scrub."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.substring("text", 1, 50),
+        F.when(
+            (F.col("doc_id") % 9 == 0) | (F.col("doc_id") % 50 == 0),
+            F.lit(
+                ". Canary alpha one. Canary bravo two."
+                " Canary charlie three. And then "
+            ),
+        ).otherwise(F.lit("")),
+        F.substring("text", 51, 100000),
+    )
+    src = d.select("doc_id", planted.alias("text"))
+    return dedup.contamination_report_sentences(
+        train=src.where(F.col("doc_id") % 50 != 0),
+        evalset=src.where(F.col("doc_id") % 50 == 0),
+    )
+
+
 def q_decontaminate_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level decontamination (r8): every 50th doc plays the
     eval set (the decontaminate/bloom split); a 10-token canary passage
@@ -1695,6 +1723,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substrings": q_dedup_substrings,
     "dedup_sentences": q_dedup_sentences,
     "decontaminate_sentences": q_decontaminate_sentences,
+    "contamination_report_sentences": q_contamination_report_sentences,
     "dedup_sentences_incremental": q_dedup_sentences_incremental,
     "decontaminate_substrings": q_decontaminate_substrings,
     "contamination_report": q_contamination_report,
@@ -3539,6 +3568,75 @@ LLM_ORACLE_SQL["decontaminate_sentences"] = f"""
 LLM_ORACLE_SQL["contamination_report_incremental"] = LLM_ORACLE_SQL[
     "contamination_report"
 ]
+
+# sentence-granular contamination report (r10): the eval side keeps its
+# span POSITIONS (ewin), the train side reduces to a distinct key set,
+# and the islands merge from contamination_report runs over sentence
+# indices — keep the span CTEs in lockstep with decontaminate_sentences
+LLM_ORACLE_SQL["contamination_report_sentences"] = f"""
+        WITH src AS (
+            SELECT doc_id,
+                   substr(text, 1, 50)
+                   || CASE WHEN doc_id % 9 = 0 OR doc_id % 50 = 0
+                           THEN '. Canary alpha one. Canary bravo two.'
+                                || ' Canary charlie three. And then '
+                           ELSE '' END
+                   || substr(text, 51, 100000) AS text
+            FROM documents),
+        esents AS (
+            SELECT doc_id, {_SQL_SENT_SPLIT} AS sn
+            FROM src WHERE doc_id % 50 = 0),
+        enrm AS (
+            SELECT doc_id, sn,
+                   list_transform(sn, s -> {_SQL_SENT_NORM}) AS ns
+            FROM esents),
+        ewin AS (
+            SELECT doc_id AS id, i - 1 AS pos,
+                   least(i + 1, len(sn) - 1) AS e,
+                   array_to_string(ns[i:least(i + 2, len(ns))], chr(2)) AS sp
+            FROM enrm,
+                 unnest(generate_series(1, greatest(len(sn) - 2, 1))) AS t(i)),
+        ekey AS (
+            SELECT id, pos, e, md5(sp) AS sh
+            FROM ewin WHERE replace(sp, chr(2), '') <> ''),
+        tsents AS (
+            SELECT doc_id, {_SQL_SENT_SPLIT} AS sn
+            FROM src WHERE doc_id % 50 <> 0),
+        tnrm AS (
+            SELECT doc_id, sn,
+                   list_transform(sn, s -> {_SQL_SENT_NORM}) AS ns
+            FROM tsents),
+        twin AS (
+            SELECT array_to_string(ns[i:least(i + 2, len(ns))], chr(2)) AS sp
+            FROM tnrm,
+                 unnest(generate_series(1, greatest(len(sn) - 2, 1))) AS t(i)),
+        tkey AS (
+            SELECT DISTINCT md5(sp) AS sh
+            FROM twin WHERE replace(sp, chr(2), '') <> ''),
+        hits AS (SELECT k.id, k.pos, k.e FROM ekey k JOIN tkey USING (sh)),
+        isl AS (
+            SELECT id, pos, e,
+                   max(e) OVER (PARTITION BY id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS pe
+            FROM hits),
+        isl2 AS (
+            SELECT id, pos, e,
+                   sum(CASE WHEN pe IS NULL OR pos > pe + 1
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY id ORDER BY pos) AS island
+            FROM isl),
+        spans AS (
+            SELECT id, min(pos) AS rs, max(e) AS re
+            FROM isl2 GROUP BY id, island),
+        cov AS (
+            SELECT id, sum(re - rs + 1) AS cov FROM spans GROUP BY id),
+        sl AS (SELECT doc_id, len(sn) AS sl FROM esents)
+        SELECT sl.doc_id, sl.sl::BIGINT AS n_sentences,
+               coalesce(c.cov, 0)::BIGINT AS contaminated_sentences,
+               round(coalesce(c.cov, 0) / sl.sl::DOUBLE, 6)
+                   AS contaminated_frac
+        FROM sl LEFT JOIN cov c ON c.id = sl.doc_id"""
 LLM_ORACLE_SQL["decontaminate_substrings_incremental"] = LLM_ORACLE_SQL[
     "decontaminate_substrings"
 ]

@@ -1524,3 +1524,56 @@ def test_streaming_exact_index_matches_batch_build(spark, tmp_path):
         spark, src, schema, stream_path, str(tmp_path / "ck2")
     )
     assert result(stream_path) == result(batch_path)
+
+
+class TestContaminationReportSentences:
+    """Sentence-granular eval-side contamination (r10): union coverage
+    over matched 3-sentence runs, never double-counted."""
+
+    def _report(self, spark, train_rows, eval_rows):
+        train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+        ev = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+        return {
+            r.doc_id: r
+            for r in dedup.contamination_report_sentences(
+                train, ev
+            ).collect()
+        }
+
+    def test_shared_run_counts_and_clean_doc_is_zero(self, spark):
+        got = self._report(
+            spark,
+            [(1, "Shared one. Shared two. Shared three. Train tail here.")],
+            [
+                (100, "Eval head. Shared one. Shared two. Shared three. Eval tail."),
+                (101, "Totally clean. Nothing here. Matches nothing. At all."),
+            ],
+        )
+        hit = got[100]
+        assert hit.n_sentences == 5
+        assert hit.contaminated_sentences == 3  # the shared triple only
+        assert hit.contaminated_frac == 0.6
+        clean = got[101]
+        assert (clean.contaminated_sentences, clean.contaminated_frac) == (
+            0, 0.0,
+        )
+
+    def test_overlapping_matches_union_not_double_count(self, spark):
+        got = self._report(
+            spark,
+            [(1, "S1 alpha. S2 bravo. S3 charlie. S4 delta.")],
+            [(100, "S1 alpha. S2 bravo. S3 charlie. S4 delta.")],
+        )
+        r = got[100]
+        # spans 0-2 and 1-3 both match: union = 4 sentences, not 6
+        assert (r.n_sentences, r.contaminated_sentences) == (4, 4)
+        assert r.contaminated_frac == 1.0
+
+    def test_short_doc_whole_span_matches(self, spark):
+        got = self._report(
+            spark,
+            [(1, "Tiny doc here.")],
+            [(100, "Tiny doc here."), (101, "Different tiny.")],
+        )
+        assert got[100].contaminated_frac == 1.0
+        assert got[101].contaminated_frac == 0.0
