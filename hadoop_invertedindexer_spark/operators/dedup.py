@@ -1726,8 +1726,6 @@ def contamination_report_incremental(
     direct path with the index's corpus as ``train`` (pinned by test and
     by the shared contract oracle). The stored window width is asserted
     against ``n`` (ADVICE r9)."""
-    from pyspark.sql import Window
-
     _assert_window_index_n(spark, path, n)
     idx = spark.read.parquet(f"{path}/windows").distinct()
     etoks = (
@@ -1740,22 +1738,7 @@ def contamination_report_incremental(
     hits = _window_hashes(evalset, n, id_col, text_col).join(
         idx.hint("shuffle_hash"), "sh", "left_semi"
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
-    covered = (
-        hits.withColumn("pe", F.max("e").over(wprev))
-        .withColumn(
-            "new_island",
-            (F.col("pe").isNull() | (F.col("pos") > F.col("pe") + 1)).cast(
-                "int"
-            ),
-        )
-        .withColumn("island", F.sum("new_island").over(w))
-        .groupBy("id", "island")
-        .agg(F.min("pos").alias("rs"), F.max("e").alias("re"))
-        .groupBy("id")
-        .agg(F.sum(F.col("re") - F.col("rs") + 1).alias("cov"))
-    )
+    covered = _union_coverage(hits)
     return etoks.join(covered, "id", "left").select(
         F.col("id").alias(id_col),
         F.col("t_len").cast("long").alias("n_tokens"),
@@ -2171,28 +2154,36 @@ def contamination_report_sentences(
     distinct-of-corpus frame is the under-estimated-aggregate shape
     Catalyst loves to broadcast); islands and fractions run at eval
     scale."""
-
-    def keyed_nonblank(frame):
-        return (
-            _sentence_spans(frame, span)
-            .where(F.replace(F.col("sp"), F.lit("\x02"), F.lit("")) != "")
-            .select("id", "pos", "e", F.md5("sp").alias("sh"))
-        )
-
     eframes = _sentence_frame(evalset, id_col, text_col).transform(
         tracked_persist  # two consumers: the span probe + the length join
     )
     esl = eframes.select("id", "s_len")
     train_sh = (
-        keyed_nonblank(
-            _sentence_frame(_spread(train, id_col), id_col, text_col)
+        _sentence_keys_nonblank(
+            _sentence_frame(_spread(train, id_col), id_col, text_col), span
         )
         .select("sh")
         .distinct()
     )
-    hits = keyed_nonblank(eframes).join(
+    hits = _sentence_keys_nonblank(eframes, span).join(
         train_sh.hint("shuffle_hash"), "sh", "left_semi"
     )
+    return _sentence_report_tail(esl, hits, id_col)
+
+
+def _sentence_keys_nonblank(frame: DataFrame, span: int) -> DataFrame:
+    """(id, pos, e, sh): the non-blank md5 span keys of a sentence
+    frame — shared by the direct and incremental sentence reports."""
+    return (
+        _sentence_spans(frame, span)
+        .where(F.replace(F.col("sp"), F.lit("\x02"), F.lit("")) != "")
+        .select("id", "pos", "e", F.md5("sp").alias("sh"))
+    )
+
+
+def _sentence_report_tail(
+    esl: DataFrame, hits: DataFrame, id_col: str
+) -> DataFrame:
     covered = _union_coverage(hits)
     return esl.join(covered, "id", "left").select(
         F.col("id").alias(id_col),
@@ -2206,6 +2197,39 @@ def contamination_report_sentences(
             6,
         ).alias("contaminated_frac"),
     )
+
+
+def contamination_report_sentences_incremental(
+    spark,
+    evalset: DataFrame,
+    path: str,
+    span: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`contamination_report_sentences` against a PERSISTED
+    train-side sentence index (:func:`build_sentence_index` pointed at
+    the TRAINING corpus — at 100 TB that index is the artifact you
+    keep, because re-spanning the corpus per benchmark is the cost that
+    hurts): per-benchmark cost is O(benchmark spans + one scan of
+    stored 16-byte keys), the train text is never re-read, and
+    new-corpus appends go through ``append_sentence_index`` /
+    ``maintain_sentence_index``. Identical output to the direct path
+    with the index's corpus as ``train`` (pinned by test and by the
+    shared contract oracle). The stored span width is asserted against
+    ``span`` — the window-index n-param lesson, applied from day
+    one."""
+    _assert_sentence_index_span(spark, path, span)
+    idx = spark.read.parquet(f"{path}/sentences").select("h").distinct()
+    eframes = _sentence_frame(evalset, id_col, text_col).transform(
+        tracked_persist  # two consumers: the span probe + the length join
+    )
+    esl = eframes.select("id", "s_len")
+    keyed = _sentence_keys_nonblank(eframes, span)
+    hits = keyed.join(
+        idx.hint("shuffle_hash"), keyed["sh"] == idx["h"], "left_semi"
+    )
+    return _sentence_report_tail(esl, hits, id_col)
 
 
 def build_sentence_index(

@@ -1242,6 +1242,36 @@ def q_contamination_report_sentences(
     )
 
 
+def q_contamination_report_sentences_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted-train-index sentence contamination (r10): the TRAIN
+    side of the same canary-planted split builds a sentence-span index
+    once; the benchmark probes the stored 16-byte keys — identical
+    output to the direct path by construction, so the oracle is shared
+    verbatim with contamination_report_sentences."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.substring("text", 1, 50),
+        F.when(
+            (F.col("doc_id") % 9 == 0) | (F.col("doc_id") % 50 == 0),
+            F.lit(
+                ". Canary alpha one. Canary bravo two."
+                " Canary charlie three. And then "
+            ),
+        ).otherwise(F.lit("")),
+        F.substring("text", 51, 100000),
+    )
+    src = d.select("doc_id", planted.alias("text"))
+    path = tempfile.mkdtemp(prefix="sidx_rep_") + "/sidx"
+    dedup.build_sentence_index(src.where(F.col("doc_id") % 50 != 0), path)
+    return dedup.contamination_report_sentences_incremental(
+        spark, src.where(F.col("doc_id") % 50 == 0), path
+    )
+
+
 def q_decontaminate_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level decontamination (r8): every 50th doc plays the
     eval set (the decontaminate/bloom split); a 10-token canary passage
@@ -1724,6 +1754,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_sentences": q_dedup_sentences,
     "decontaminate_sentences": q_decontaminate_sentences,
     "contamination_report_sentences": q_contamination_report_sentences,
+    "contamination_report_sentences_incremental":
+        q_contamination_report_sentences_incremental,
     "dedup_sentences_incremental": q_dedup_sentences_incremental,
     "decontaminate_substrings": q_decontaminate_substrings,
     "contamination_report": q_contamination_report,
@@ -3637,6 +3669,11 @@ LLM_ORACLE_SQL["contamination_report_sentences"] = f"""
                round(coalesce(c.cov, 0) / sl.sl::DOUBLE, 6)
                    AS contaminated_frac
         FROM sl LEFT JOIN cov c ON c.id = sl.doc_id"""
+# the persisted-index path reproduces the direct report exactly — the
+# stored key set IS the train side's distinct span keys
+LLM_ORACLE_SQL["contamination_report_sentences_incremental"] = (
+    LLM_ORACLE_SQL["contamination_report_sentences"]
+)
 LLM_ORACLE_SQL["decontaminate_substrings_incremental"] = LLM_ORACLE_SQL[
     "decontaminate_substrings"
 ]

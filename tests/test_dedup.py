@@ -1577,3 +1577,36 @@ class TestContaminationReportSentences:
         )
         assert got[100].contaminated_frac == 1.0
         assert got[101].contaminated_frac == 0.0
+
+
+def test_contamination_report_sentences_incremental_matches_direct(
+    spark, tmp_path
+):
+    """The persisted-index sentence report must equal the direct path
+    with the index's corpus as train, and refuse a mismatched span."""
+    train = spark.createDataFrame(
+        [(1, "Shared one. Shared two. Shared three. Train tail here.")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "Eval head. Shared one. Shared two. Shared three. Eval tail.")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "sidx")
+    dedup.build_sentence_index(train, path)
+    inc = sorted(
+        tuple(r)
+        for r in dedup.contamination_report_sentences_incremental(
+            spark, ev, path
+        ).collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in dedup.contamination_report_sentences(train, ev).collect()
+    )
+    assert inc == direct
+    assert inc[0][1:] == (5, 3, 0.6)
+    with pytest.raises(ValueError, match="span"):
+        dedup.contamination_report_sentences_incremental(
+            spark, ev, path, span=5
+        )
