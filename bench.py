@@ -65,6 +65,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_minhash_incremental",  # persisted-index daily-ingest path (r6)
     "ngram_jaccard",
+    "dedup_containment",      # directional subset detector (r10)
     "similarity_bruteforce",
     "similarity_lsh",         # multi-table hyperplane ANN (projection-only)
     "semantic_dedup",         # SemDeDup: cluster-scoped cosine pruning (r6)

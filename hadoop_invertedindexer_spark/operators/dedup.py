@@ -219,25 +219,23 @@ def dedup_incremental(
 # --------------------------------------------------------- n-gram Jaccard
 
 
-def ngram_jaccard_pairs(
+def _shingle_intersections(
     docs: DataFrame,
-    n: int = 3,
-    threshold: float = 0.6,
-    max_df: int = 100,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via a shingle inverted join.
+    n: int,
+    max_df: int,
+    id_col: str,
+    text_col: str,
+):
+    """(inter, sizes): pairwise shared-distinct-shingle counts (id_a <
+    id_b) and per-doc distinct-shingle sizes — the shared head of the
+    set-similarity family (Jaccard, containment).
 
-    |A∩B| comes from counting shared distinct shingles, |A∪B| = |A|+|B|-∩.
-    ``max_df`` drops shingles occurring in more than that many docs
-    (stop-shingles) — the fanout bound that keeps the self-join linear-ish
-    at scale; dropped shingles can only lower recall, never precision.
-    """
-    # shingles shuffle as xxhash64 longs, not ~(3·word) strings: every
-    # downstream exchange/join key is 8 bytes (measured ~20% faster warm
-    # locally; at scale the win is shuffle bytes). A 64-bit collision
-    # would need ~2^32 distinct shingles per corpus to become likely.
+    Shingles shuffle as xxhash64 longs, not ~(3·word) strings: every
+    downstream exchange/join key is 8 bytes (measured ~20% faster warm
+    locally; at scale the win is shuffle bytes). A 64-bit collision
+    would need ~2^32 distinct shingles per corpus to become likely.
+    ``max_df`` drops stop-shingles — the fanout bound that keeps the
+    self-join linear-ish at scale."""
     sh = (
         _spread(docs, id_col)
         .select(
@@ -263,6 +261,25 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return inter, sizes
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle inverted join.
+
+    |A∩B| comes from counting shared distinct shingles, |A∪B| = |A|+|B|-∩.
+    ``max_df`` drops shingles occurring in more than that many docs
+    (stop-shingles) — the fanout bound that keeps the self-join linear-ish
+    at scale; dropped shingles can only lower recall, never precision.
+    """
+    inter, sizes = _shingle_intersections(docs, n, max_df, id_col, text_col)
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -277,6 +294,45 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directional n-gram CONTAINMENT near-dup pairs (Broder 1997's
+    second resemblance measure): containment(A→B) = |A∩B| / |A| — the
+    subset detector Jaccard structurally misses. A document fully
+    embedded in a 10× larger one scores Jaccard ≈ 0.1 (invisible at any
+    sane threshold) but containment 1.0; crawl corpora are full of
+    exactly this shape (an article quoted whole inside an aggregator
+    page, a README embedded in a bundle). Returns one row per passing
+    DIRECTION: (``id_sub``, ``id_super``, ``containment`` round(6)) —
+    the sub side is the document whose shingles are covered.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — the shared
+    ``_shingle_intersections`` head (8-byte shingle keys, ``max_df``
+    stop-shingle fanout cap, one codegen self-join) plus two size joins;
+    the direction split is a projection, not another pass."""
+    inter, sizes = _shingle_intersections(docs, n, max_df, id_col, text_col)
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    scored = inter.join(sa, "id_a").join(sb, "id_b")
+    ab = scored.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_super"),
+        F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment"),
+    )
+    ba = scored.select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_super"),
+        F.round(F.col("inter") / F.col("sz_b"), 6).alias("containment"),
+    )
+    return ab.unionByName(ba).where(F.col("containment") >= threshold)
 
 
 def contamination(

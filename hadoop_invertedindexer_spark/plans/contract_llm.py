@@ -100,6 +100,32 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.6, max_df=100)
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dup pairs (r10): every 41st doc
+    becomes a fixed 6-token passage and its %41==1 neighbor the same
+    passage extended to 13 tokens — the subset docs score containment
+    1.0 INTO the supersets (and among themselves) while the reverse
+    direction sits at 4/11 and is correctly excluded, which is exactly
+    the asymmetry Jaccard cannot represent."""
+    d = _docs(spark, sf_dir)
+    planted = (
+        F.when(
+            F.col("doc_id") % 41 == 0,
+            F.lit("Contain alpha bravo charlie delta echo"),
+        )
+        .when(
+            F.col("doc_id") % 41 == 1,
+            F.lit(
+                "Contain alpha bravo charlie delta echo foxtrot golf"
+                " hotel india juliet kilo lima"
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    src = d.select("doc_id", planted.alias("text"))
+    return dedup.containment_pairs(src, n=3, threshold=0.8, max_df=100)
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: xxhash64 has no DuckDB twin; see tests/test_dedup.py."""
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
@@ -1689,6 +1715,7 @@ def q_multimodal_features_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_incremental": q_dedup_exact_incremental,
+    "dedup_containment": q_dedup_containment,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_portable": q_dedup_minhash_portable,
@@ -2278,6 +2305,55 @@ LLM_ORACLE_SQL: dict[str, str] = {
         SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         FROM planted GROUP BY {_SQL_NORM}
         HAVING min(doc_id) >= 250""",
+    # directional containment (r10): the jaccard machinery over the
+    # planted subset/superset texts, both directions unioned before the
+    # threshold — keep in lockstep with dedup.containment_pairs
+    "dedup_containment": f"""
+        WITH src AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 41 = 0
+                        THEN 'Contain alpha bravo charlie delta echo'
+                        WHEN doc_id % 41 = 1
+                        THEN 'Contain alpha bravo charlie delta echo'
+                             || ' foxtrot golf hotel india juliet kilo'
+                             || ' lima'
+                        ELSE text END AS text
+            FROM documents),
+        shingles AS (
+            SELECT DISTINCT doc_id AS id, sh FROM (
+                SELECT doc_id, unnest(
+                    list_transform(
+                        generate_series(1, greatest(len(toks) - 2, 1)),
+                        i -> array_to_string(
+                                 toks[i:least(i + 2, len(toks))], ' ')
+                    )) AS sh
+                FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ')
+                          AS toks FROM src) t
+            ) u),
+        sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+        kept AS (
+            SELECT s.id, s.sh FROM shingles s
+            JOIN (SELECT sh FROM shingles GROUP BY sh
+                  HAVING count(*) <= 100) c
+              ON s.sh = c.sh),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+            FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id
+            GROUP BY a.id, b.id),
+        scored AS (
+            SELECT id_a, id_b, i, sa.sz AS sz_a, sb.sz AS sz_b
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b),
+        dirs AS (
+            SELECT id_a AS id_sub, id_b AS id_super,
+                   round(i / sz_a::DOUBLE, 6) AS containment
+            FROM scored
+            UNION ALL
+            SELECT id_b, id_a, round(i / sz_b::DOUBLE, 6)
+            FROM scored)
+        SELECT id_sub, id_super, containment
+        FROM dirs WHERE containment >= 0.8""",
     "ngram_jaccard": f"""
         WITH {_SQL_SHINGLES},
         sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),

@@ -1610,3 +1610,52 @@ def test_contamination_report_sentences_incremental_matches_direct(
         dedup.contamination_report_sentences_incremental(
             spark, ev, path, span=5
         )
+
+
+class TestContainmentPairs:
+    def test_subset_fires_directionally(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha bravo charlie delta echo"),
+                (2, "alpha bravo charlie delta echo foxtrot golf hotel"
+                    " india juliet kilo lima mike november oscar papa"),
+                (3, "totally unrelated words live here quietly"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            (r.id_sub, r.id_super): r.containment
+            for r in dedup.containment_pairs(
+                docs, n=3, threshold=0.8
+            ).collect()
+        }
+        # doc 1's 3 shingles are all inside doc 2 -> containment 1.0
+        assert got == {(1, 2): 1.0}
+        # ...while Jaccard on the same pair is 3/14 — invisible at 0.6
+        jac = dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.6
+        ).collect()
+        assert jac == []
+
+    def test_identical_docs_fire_both_directions(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "same words in this doc"), (2, "same words in this doc")],
+            ["doc_id", "text"],
+        )
+        got = {
+            (r.id_sub, r.id_super): r.containment
+            for r in dedup.containment_pairs(docs, threshold=0.8).collect()
+        }
+        assert got == {(1, 2): 1.0, (2, 1): 1.0}
+
+    def test_max_df_cap_drops_stop_shingles(self, spark):
+        # the shared shingle appears in every doc; with max_df=2 it is
+        # a stop-shingle and no pair survives
+        docs = spark.createDataFrame(
+            [(i, "common phrase here") for i in range(1, 5)],
+            ["doc_id", "text"],
+        )
+        assert (
+            dedup.containment_pairs(docs, threshold=0.8, max_df=2).count()
+            == 0
+        )
