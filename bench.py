@@ -101,6 +101,7 @@ HEADLINE = [
     "bpe_encode_incremental", # stored-model BPE encode, O(batch) (r10)
     "triangle_count",         # degree-ordered wedge join over co-purchases (r5)
     "tokens_encode",          # vocab build + broadcast-mapped id sequences (r5)
+    "vocab_coverage",         # per-stratum OOV rate of a capped vocab (r10)
     "pack_tokens",            # GPT-style block packing, two-level prefix-sum offsets (r7)
     "source_overlap",         # per-source MinHash + pairwise Jaccard matrix (r7)
     "unigram_nll",            # CCNet-style LM scoring, capped broadcast model (r7)

@@ -679,3 +679,45 @@ def bpe_fertility(
             " ELSE n_pieces * 1000 DIV n_chars END"
         ).alias("pieces_per_kchar"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary COVERAGE report — OOV rate by corpus stratum for a
+    capped vocabulary, the companion diagnostic to
+    :func:`bpe_fertility` (fertility asks "how many pieces per word";
+    coverage asks "how many words the id space can represent at all"
+    — a vocab built on one language's corpus quietly maps another's
+    tokens to <unk>, and this is the one-pass report that shows it
+    before training). One row per group: (group, n_tokens, n_oov,
+    oov_mils, coverage_mils), integer thousandths.
+
+    Scale shape: one corpus token explode, ONE broadcast join against
+    the ≤ max_size vocab (the token stream never shuffles to meet the
+    vocab — same contract as ``encode_tokens``), then a metadata-scale
+    groupBy to ≤ |strata| rows with partial aggregation."""
+    tok = docs.select(
+        F.col(group_col),
+        F.explode(token_array(text_col)).alias("token"),
+    ).where(F.col("token") != "")
+    inv = vocab.select("token").withColumn("_inv", F.lit(True))
+    mapped = tok.join(F.broadcast(inv), "token", "left")
+    g = mapped.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return g.select(
+        group_col,
+        "n_tokens",
+        "n_oov",
+        F.expr("n_oov * 1000 DIV n_tokens").alias("oov_mils"),
+        F.expr("(n_tokens - n_oov) * 1000 DIV n_tokens").alias(
+            "coverage_mils"
+        ),
+    )

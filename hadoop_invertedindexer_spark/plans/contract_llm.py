@@ -1050,6 +1050,15 @@ def q_tokens_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.encode_tokens(d, vocab.build_vocab(d, max_size=32))
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang OOV/coverage report (r10) of the deliberately small
+    32-entry vocab (the tokens_encode setup, so the OOV path carries
+    real mass) — the diagnostic that shows a vocab under-serving a
+    stratum before training."""
+    d = _docs(spark, sf_dir)
+    return vocab.vocab_coverage(d, vocab.build_vocab(d, max_size=32))
+
+
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode: documents rendered into SAU1 int16-PCM
     containers, headers parsed back by the real codec path. Synthesis
@@ -1774,6 +1783,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_stats": q_domain_stats,
     "domain_stats_psl": q_domain_stats_psl,
     "tokens_encode": q_tokens_encode,
+    "vocab_coverage": q_vocab_coverage,
     "pack_tokens": q_pack_tokens,
     "audio_features": q_audio_features,
     "duplicate_passages": q_duplicate_passages,
@@ -2542,6 +2552,34 @@ LLM_ORACLE_SQL: dict[str, str] = {
                           ORDER BY pos) AS ids_str
         FROM tok2 t LEFT JOIN vocab v USING (token)
         GROUP BY doc_id""",
+    # per-lang coverage report (r10): the tokens_encode vocab CTE +
+    # a lang rollup — keep in lockstep with vocab.vocab_coverage
+    "vocab_coverage": f"""
+        WITH base AS (
+            SELECT doc_id, lang, {_SQL_NORM} AS norm FROM documents),
+        tok AS (
+            SELECT lang, unnest(string_split(norm, ' ')) AS token
+            FROM base),
+        tok2 AS (SELECT * FROM tok WHERE token <> ''),
+        counts AS (
+            SELECT token, count(*) AS c FROM tok2 GROUP BY token),
+        vocab AS (
+            SELECT token FROM (
+                SELECT token,
+                       row_number() OVER (ORDER BY c DESC, token)
+                           AS token_id
+                FROM counts) v
+            WHERE token_id <= 32)
+        SELECT lang, count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_oov,
+               (sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000
+                // count(*))::BIGINT AS oov_mils,
+               ((count(*) - sum(CASE WHEN v.token IS NULL
+                                     THEN 1 ELSE 0 END)) * 1000
+                // count(*))::BIGINT AS coverage_mils
+        FROM tok2 t LEFT JOIN vocab v USING (token)
+        GROUP BY lang""",
     # GPT-style packing twin: same 32-entry vocab mapping as
     # tokens_encode; per-doc DENSE local index (row_number over pos —
     # tok2's pos has gaps where empty tokens were filtered), prefix-sum

@@ -522,3 +522,34 @@ class TestBpeFertility:
         assert (r.lang, r.extra, r.n_pieces, r.pieces_str) == (
             "en", 7, 2, "a b",
         )
+
+
+class TestVocabCoverage:
+    def test_hand_computed_per_stratum(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "aa aa bb", "en"),   # aa,bb in vocab
+                (1, "aa cc dd", "de"),   # cc,dd OOV
+            ],
+            ["doc_id", "text", "lang"],
+        )
+        v = spark.createDataFrame(
+            [("aa", 1, 3), ("bb", 2, 1)],
+            ["token", "token_id", "n_occurrences"],
+        )
+        got = {
+            r.lang: r for r in vocab.vocab_coverage(docs, v).collect()
+        }
+        en = got["en"]
+        assert (en.n_tokens, en.n_oov, en.coverage_mils) == (3, 0, 1000)
+        de = got["de"]
+        assert (de.n_tokens, de.n_oov, de.oov_mils) == (3, 2, 666)
+        assert de.coverage_mils == 333
+
+    def test_full_vocab_is_total_coverage(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "xx yy zz", "en")], ["doc_id", "text", "lang"]
+        )
+        v = vocab.build_vocab(docs, max_size=10)
+        r = vocab.vocab_coverage(docs, v).first()
+        assert (r.n_oov, r.coverage_mils) == (0, 1000)
