@@ -363,3 +363,55 @@ def test_decontaminate_sentences_matches_python_model(spark, train, evalset):
         for r in dedup.decontaminate_sentences(tr, ev).collect()
     }
     assert got == _model_decontaminate_sentences(train, evalset)
+
+
+def _model_containment(texts, n=3, threshold=0.8, max_df=100):
+    """Independent reimplementation: distinct n-gram sets (whole doc if
+    shorter), doc-frequency cap on the intersection side only
+    (denominators stay pre-cap, matching the operator's sizes frame),
+    both directions thresholded on the rounded value."""
+    sets: dict[int, set[str]] = {}
+    for i, t in enumerate(texts):
+        toks = t.split() if t.split() else [""]
+        if len(toks) < n:
+            sets[i] = {" ".join(toks)}
+        else:
+            sets[i] = {
+                " ".join(toks[p : p + n]) for p in range(len(toks) - n + 1)
+            }
+    df: dict[str, set[int]] = {}
+    for i, s in sets.items():
+        for sh in s:
+            df.setdefault(sh, set()).add(i)
+    kept = {
+        i: {sh for sh in s if len(df[sh]) <= max_df}
+        for i, s in sets.items()
+    }
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(kept[a] & kept[b])
+            if inter == 0:
+                continue
+            ca = round(inter / len(sets[a]), 6)
+            cb = round(inter / len(sets[b]), 6)
+            if ca >= threshold:
+                out.add((a, b, ca))
+            if cb >= threshold:
+                out.add((b, a, cb))
+    return out
+
+
+@HSETTINGS
+@given(texts=st.lists(doc, min_size=2, max_size=5))
+def test_containment_pairs_matches_python_model(spark, texts):
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        (r.id_sub, r.id_super, r.containment)
+        for r in dedup.containment_pairs(
+            docs, n=3, threshold=0.8, max_df=100
+        ).collect()
+    }
+    assert got == _model_containment(texts, n=3, threshold=0.8, max_df=100)
