@@ -698,3 +698,40 @@ def test_data_card_incremental_index_join_shuffle_hash(spark, tmp_path):
     assert "BroadcastHashJoin" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_coverage_broadcasts_the_vocab(spark):
+    """r10: the coverage report joins the token stream against the
+    bounded vocab BROADCAST — the stream must never shuffle to meet the
+    model — and rolls up with partial aggregation."""
+    from hadoop_invertedindexer_spark.operators import vocab
+
+    d = read_table(spark, SF, "documents")
+    plan = _plan(vocab.vocab_coverage(d, vocab.build_vocab(d, max_size=32)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_report_sentences_semi_join_shuffle_hash(spark):
+    """r10: the train-side distinct span-key frame is the classic
+    Catalyst broadcast-underestimate shape — the SEMI join must stay
+    pinned ShuffledHashJoin (the eval-scale coverage join-back may
+    broadcast: it is benchmark-sized by construction), and the islands
+    run windowed by eval id, never single-partition."""
+    from hadoop_invertedindexer_spark.operators import dedup
+
+    d = read_table(spark, SF, "documents")
+    plan = _plan(
+        dedup.contamination_report_sentences(
+            train=d.where(F.col("doc_id") % 50 != 0),
+            evalset=d.where(F.col("doc_id") % 50 == 0),
+        )
+    )
+    semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi_lines and all(
+        "ShuffledHashJoin" in ln for ln in semi_lines
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
