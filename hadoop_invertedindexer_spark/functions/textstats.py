@@ -1040,3 +1040,38 @@ def score_buckets(
         )
         .drop("_c1", "_c2")
     )
+
+
+def lang_confusion(
+    docs,
+    gold_col: str = "lang",
+    text_col: str = "text",
+):
+    """Language-ID EVAL report — the confusion matrix of the marker-
+    profile heuristic (:func:`lang_id`) against gold labels, the check
+    you run before trusting a language column to drive mixture_plan or
+    data_card cells (a classifier that folds one language into another
+    silently reshapes the training mixture). One row per non-empty
+    (gold, pred) cell: (gold, pred, n_docs, share_mils) — share_mils =
+    the cell's integer-thousandths share of its GOLD row, so the
+    diagonal reads as per-language recall.
+
+    Scale shape: one corpus pass (the heuristic is a pure codegen CASE
+    over marker counts), one metadata-scale groupBy to ≤ |langs|² cells,
+    and one window over that tiny matrix for the row totals — the
+    corpus is never sorted or re-read."""
+    from pyspark.sql import Window
+
+    g = docs.groupBy(
+        F.col(gold_col).alias("gold"),
+        lang_id(F.col(text_col)).alias("pred"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    row_total = F.sum("n_docs").over(Window.partitionBy("gold"))
+    return g.select(
+        "gold",
+        "pred",
+        "n_docs",
+        F.floor(F.col("n_docs") * F.lit(1000) / row_total)
+        .cast("long")
+        .alias("share_mils"),
+    )

@@ -1050,6 +1050,14 @@ def q_tokens_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.encode_tokens(d, vocab.build_vocab(d, max_size=32))
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID eval (r10): confusion matrix of the marker-profile
+    heuristic against the table's gold lang column — per (gold, pred)
+    cell counts and the integer-thousandths share of the gold row (the
+    diagonal = per-language recall)."""
+    return textstats.lang_confusion(_docs(spark, sf_dir))
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-lang OOV/coverage report (r10) of the deliberately small
     32-entry vocab (the tokens_encode setup, so the OOV path carries
@@ -1746,6 +1754,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_pq": q_similarity_pq,
     "quantize_embeddings": q_quantize_embeddings,
     "lang_id": q_lang_id,
+    "lang_confusion": q_lang_confusion,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
@@ -3002,6 +3011,29 @@ LLM_ORACLE_SQL: dict[str, str] = {
                  ELSE 'und'
                END AS pred_lang
         FROM documents""",
+    # lang-ID confusion matrix (r10): the lang_id CASE grouped against
+    # the gold column, row shares via a window over the tiny matrix
+    "lang_confusion": f"""
+        WITH pred AS (
+            SELECT lang AS gold,
+                   CASE
+                     WHEN ({_S_EN}) > 0 AND ({_S_EN}) >= ({_S_DE})
+                          AND ({_S_EN}) >= ({_S_ES})
+                          AND ({_S_EN}) >= ({_S_FR}) THEN 'en'
+                     WHEN ({_S_DE}) > 0 AND ({_S_DE}) >= ({_S_ES})
+                          AND ({_S_DE}) >= ({_S_FR}) THEN 'de'
+                     WHEN ({_S_ES}) > 0 AND ({_S_ES}) >= ({_S_FR}) THEN 'es'
+                     WHEN ({_S_FR}) > 0 THEN 'fr'
+                     ELSE 'und'
+                   END AS pred
+            FROM documents),
+        cells AS (
+            SELECT gold, pred, count(*)::BIGINT AS n_docs
+            FROM pred GROUP BY gold, pred)
+        SELECT gold, pred, n_docs,
+               (n_docs * 1000 // sum(n_docs) OVER (PARTITION BY gold))
+                   ::BIGINT AS share_mils
+        FROM cells""",
     "quality_score": f"""
         SELECT doc_id,
                {_SQL_PUNCT_RATIO} AS punct_ratio,

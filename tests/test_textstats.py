@@ -722,3 +722,24 @@ class TestScoreBuckets:
         # cell-granular boundaries: each tercile within ~15% of n/3
         for k in ("head", "middle", "tail"):
             assert abs(c[k] - n / 3) <= max(2, 0.15 * n), c
+
+
+class TestLangConfusion:
+    def test_hand_computed_matrix(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "the cat and the dog is here with food", "en"),
+                (1, "the bird and the fish is fast with fins", "en"),
+                (2, "der hund und die katze ist mit haus", "de"),
+                (3, "no markers whatsoever", "de"),  # -> 'und'
+            ],
+            ["doc_id", "text", "lang"],
+        )
+        got = {
+            (r.gold, r.pred): (r.n_docs, r.share_mils)
+            for r in ts.lang_confusion(docs).collect()
+        }
+        assert got[("en", "en")] == (2, 1000)
+        assert got[("de", "de")] == (1, 500)
+        assert got[("de", "und")] == (1, 500)
+        assert ("en", "de") not in got  # empty cells never materialize
