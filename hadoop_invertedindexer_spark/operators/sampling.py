@@ -335,6 +335,26 @@ def data_card_incremental(
     in-batch window on the same key, then :func:`data_card`'s
     metadata-scale rollup. Per-day cost is O(batch + one index-hash
     scan)."""
+    idx = spark.read.parquet(f"{index_path}/hashes")
+    return _data_card_against_hashes(
+        batch, idx, stopwords, source_col, id_col, text_col, quality_cut
+    )
+
+
+def _data_card_against_hashes(
+    batch: DataFrame,
+    hashes: DataFrame,
+    stopwords: list[str],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_cut: float = 0.5,
+) -> DataFrame:
+    """The index-frame core of :func:`data_card_incremental` — takes
+    the published-hash frame directly (any superset of columns with
+    ``h``; may be empty), so callers like the streaming maintainer can
+    pre-filter tiers (e.g. ``batch < batch_id`` for replay
+    idempotency) before flagging."""
     from pyspark.sql import Window
 
     from hadoop_invertedindexer_spark.operators.dedup import (
@@ -342,10 +362,7 @@ def data_card_incremental(
     )
 
     idx = (
-        spark.read.parquet(f"{index_path}/hashes")
-        .select("h")
-        .distinct()
-        .withColumn("_pub", F.lit(True))
+        hashes.select("h").distinct().withColumn("_pub", F.lit(True))
     )
     keyed = batch.withColumn(
         "_h", F.sha2(normalized_text(text_col), 256)

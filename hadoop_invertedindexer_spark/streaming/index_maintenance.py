@@ -146,3 +146,93 @@ def read_term_index_tier(
     return summed.where(F.col("count") != 0).select(
         "word", doc_col, assert_ok.cast("bigint").alias("count")
     )
+
+
+_CARD_COLS = [
+    "source", "lang", "quality_bucket", "n_docs", "n_tokens",
+    "n_dup_docs", "dup_tokens", "net_docs", "net_tokens",
+    "dup_rate_mils",
+]
+
+
+def maintain_data_card(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    card_path: str,
+    checkpoint_dir: str,
+    stopwords: list[str],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_cut: float = 0.5,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming data-card maintenance (r10) — the e2e composition of
+    the exact-hash index tiers and the O(batch) incremental card: each
+    micro-batch of newly published documents (1) cards itself against
+    the hashes of everything published in EARLIER batches, (2) writes
+    that card as an idempotent ``cards/batch=<id>`` tier, and
+    (3) appends its own distinct hashes as a ``hashes/batch=<id>``
+    tier. :func:`read_data_card` folds the card tiers into the exact
+    full-corpus card (``merge_data_cards`` associativity), equal to a
+    one-shot ``data_card`` over everything published when files arrive
+    in id order — pinned by test.
+
+    Replay idempotency: the card computation filters the hash tiers to
+    ``batch < batch_id``, so a re-run after a crash BETWEEN the two
+    writes still computes the same card (its own possibly-landed hash
+    tier is invisible to it), and both writes overwrite their own tier.
+    The ``hashes/`` layout is byte-compatible with
+    ``dedup.dedup_exact_incremental`` / ``maintain_exact_index`` — one
+    artifact can serve both the dedup probe and the card."""
+    from pyspark.sql.utils import AnalysisException
+
+    from hadoop_invertedindexer_spark.operators.dedup import (
+        normalized_text,
+    )
+    from hadoop_invertedindexer_spark.operators.sampling import (
+        _data_card_against_hashes,
+    )
+    from hadoop_invertedindexer_spark.streaming.events import (
+        run_tier_maintenance,
+    )
+
+    def _per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            idx = spark.read.parquet(f"{card_path}/hashes").where(
+                F.col("batch") < batch_id
+            )
+        except AnalysisException:  # first batch: no tiers yet
+            idx = spark.createDataFrame([], "h string")
+        card = _data_card_against_hashes(
+            batch_df, idx, stopwords,
+            source_col=source_col, id_col=id_col,
+            text_col=text_col, quality_cut=quality_cut,
+        )
+        card.write.mode("overwrite").parquet(
+            f"{card_path}/cards/batch={batch_id}"
+        )
+        batch_df.select(
+            F.sha2(normalized_text(text_col), 256).alias("h")
+        ).distinct().write.mode("overwrite").parquet(
+            f"{card_path}/hashes/batch={batch_id}"
+        )
+
+    run_tier_maintenance(
+        spark, source_dir, source_schema, checkpoint_dir,
+        _per_batch, max_files_per_trigger,
+    )
+
+
+def read_data_card(spark: SparkSession, card_path: str) -> DataFrame:
+    """Fold the maintained ``cards/batch=<id>`` tiers into the current
+    full-corpus data card — one metadata-scale groupBy over ≤ Σ|cells|
+    rows (``merge_data_cards``; the ``batch`` partition column is
+    dropped by the projection)."""
+    from hadoop_invertedindexer_spark.operators.sampling import (
+        merge_data_cards,
+    )
+
+    tiers = spark.read.parquet(f"{card_path}/cards").select(*_CARD_COLS)
+    return merge_data_cards(tiers)

@@ -695,3 +695,83 @@ class TestDataCardIncremental:
         assert (web.net_docs, web.net_tokens) == (4, 42)
         assert web.dup_rate_mils == 333  # floor(2*1000/6), recomputed
         assert got[("crawl", "es", "lo")].n_docs == 3
+
+
+def test_streaming_data_card_matches_direct(spark, tmp_path):
+    """The stream-maintained card tiers must fold into exactly the
+    one-shot data_card over everything published (files arrive in id
+    order), and a fresh-checkpoint replay must converge to the same
+    answer (the batch < batch_id filter + overwrite-own-tier
+    idempotency)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hadoop_invertedindexer_spark.streaming import index_maintenance
+
+    STOP = ["the", "and", "for", "with", "that", "this", "from"]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    day1 = spark.createDataFrame(
+        [
+            (1, "the quick and brown fox runs with vigor", "web"),
+            (2, "der hund und die katze ist mit haus", "web"),
+        ],
+        schema,
+    )
+    day2 = spark.createDataFrame(
+        [
+            # cross-batch dup of doc 1, different source
+            (10, "the quick and brown fox runs with vigor", "books"),
+            # in-batch dup pair
+            (11, "the fresh and novel words with merit", "web"),
+            (12, "the fresh and novel words with merit", "web"),
+        ],
+        schema,
+    )
+    stage, src = str(tmp_path / "stage"), str(tmp_path / "src")
+    day1.coalesce(1).write.mode("overwrite").parquet(f"{stage}/d1")
+    day2.coalesce(1).write.mode("overwrite").parquet(f"{stage}/d2")
+    os.makedirs(src, exist_ok=True)
+    # distinct mtimes: the file source orders by modification time, and
+    # equal stamps make day order (which the dup convention depends on)
+    # nondeterministic
+    import time as _time
+
+    t0 = _time.time() - 1000
+    for i, d in enumerate(sorted(glob.glob(f"{stage}/d*/part-*.parquet"))):
+        shutil.copyfile(d, f"{src}/day{i}.parquet")
+        os.utime(f"{src}/day{i}.parquet", (t0 + 100 * i, t0 + 100 * i))
+
+    card_path = str(tmp_path / "card")
+    index_maintenance.maintain_data_card(
+        spark, src, schema, card_path, str(tmp_path / "ck1"), STOP
+    )
+
+    def as_map(df):
+        return {
+            (r.source, r.lang, r.quality_bucket): tuple(r)
+            for r in df.collect()
+        }
+
+    direct = as_map(sampling.data_card(day1.unionByName(day2), STOP))
+    got = as_map(index_maintenance.read_data_card(spark, card_path))
+    assert got == direct
+    # the cross-batch duplicate actually registered in its tier
+    tier2 = {
+        (r.source, r.lang): r.n_dup_docs
+        for r in spark.read.parquet(f"{card_path}/cards/batch=1").collect()
+    }
+    assert tier2[("books", "en")] == 1
+    # replay with a fresh checkpoint: converges, never double-counts
+    index_maintenance.maintain_data_card(
+        spark, src, schema, card_path, str(tmp_path / "ck2"), STOP
+    )
+    assert as_map(index_maintenance.read_data_card(spark, card_path)) == direct
