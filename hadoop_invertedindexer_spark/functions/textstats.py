@@ -1075,3 +1075,54 @@ def lang_confusion(
         .cast("long")
         .alias("share_mils"),
     )
+
+
+def pii_report(
+    docs,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Per-source PII compliance rollup — the dashboard a privacy
+    review reads before a source is cleared for training (and the
+    before/after evidence around a :func:`redact_pii` run): per
+    ``source_col``, total docs, per-pattern hit masses (emails / IPv4s
+    / phone runs), how many docs carry ANY hit, and the integer-
+    thousandths rate of affected docs.
+
+    Scale shape: the three pattern counters are pure regexp codegen
+    riding one corpus projection; the rollup is a metadata-scale
+    groupBy to ≤ |sources| rows with partial aggregation — one pass,
+    no shuffle of text."""
+    e = count_pii(F.col(text_col), EMAIL_REGEX)
+    i = count_pii(F.col(text_col), IPV4_REGEX)
+    p = count_pii(F.col(text_col), PHONE_REGEX)
+    per = docs.select(
+        F.col(source_col).alias("source"),
+        e.alias("_e"),
+        i.alias("_i"),
+        p.alias("_p"),
+    )
+    g = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_e").cast("long").alias("n_emails"),
+        F.sum("_i").cast("long").alias("n_ips"),
+        F.sum("_p").cast("long").alias("n_phones"),
+        F.sum(
+            (
+                (F.col("_e") + F.col("_i") + F.col("_p")) > 0
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_docs_with_pii"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        "n_docs_with_pii",
+        F.expr("n_docs_with_pii * 1000 DIV n_docs").alias(
+            "pii_doc_rate_mils"
+        ),
+    )

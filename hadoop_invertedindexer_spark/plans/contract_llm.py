@@ -861,6 +861,21 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII compliance rollup (r10): PII planted on two
+    thirds of the docs (every id with doc_id % 3 != 2), so the report
+    carries real per-source masses AND a sub-1000 affected-doc rate —
+    value-checking the counters, the any-hit flag, and the
+    thousandths rate in one row per source."""
+    d = _docs(spark, sf_dir)
+    planted = F.when(
+        F.col("doc_id") % 3 != 2, _planted_pii()
+    ).otherwise(F.col("text"))
+    return textstats.pii_report(
+        d.select("doc_id", "source", planted.alias("text"))
+    )
+
+
 def q_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition removal: first occurrence of each token
     kept in document order. array_distinct keeps it a narrow projection —
@@ -1781,6 +1796,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_continue": q_bpe_continue,
     "bpe_encode_incremental": q_bpe_encode_incremental,
     "pii_redact": q_pii_redact,
+    "pii_report": q_pii_report,
     "repetition_removal": q_repetition_removal,
     "boilerplate_removal": q_boilerplate_removal,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -3089,6 +3105,37 @@ LLM_ORACLE_SQL: dict[str, str] = {
                    '{textstats.IPV4_REGEX}', '<IP>', 'g'),
                    '{textstats.PHONE_REGEX}', '<PHONE>', 'g') AS redacted
         FROM planted""",
+    # per-source PII rollup (r10): the pii_redact planted geometry on
+    # two thirds of the docs, grouped — keep in lockstep with
+    # textstats.pii_report and q_pii_report
+    "pii_report": f"""
+        WITH planted AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 3 <> 2
+                        THEN text || ' contact user' || doc_id::VARCHAR
+                             || '@example.com from 10.2.'
+                             || (doc_id % 200)::VARCHAR
+                             || '.7 tel +1 (555) 010-'
+                             || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                        ELSE text END AS t
+            FROM documents),
+        per AS (
+            SELECT source,
+                   len(regexp_extract_all(t,
+                       '{textstats.EMAIL_REGEX}'))::BIGINT AS e,
+                   len(regexp_extract_all(t,
+                       '{textstats.IPV4_REGEX}'))::BIGINT AS i,
+                   len(regexp_extract_all(t,
+                       '{textstats.PHONE_REGEX}'))::BIGINT AS p
+            FROM planted)
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(e)::BIGINT AS n_emails,
+               sum(i)::BIGINT AS n_ips,
+               sum(p)::BIGINT AS n_phones,
+               sum((e + i + p > 0)::INT)::BIGINT AS n_docs_with_pii,
+               (sum((e + i + p > 0)::INT) * 1000 // count(*))::BIGINT
+                   AS pii_doc_rate_mils
+        FROM per GROUP BY source""",
     "repetition_removal": """
         WITH pos AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

@@ -743,3 +743,23 @@ class TestLangConfusion:
         assert got[("de", "de")] == (1, 500)
         assert got[("de", "und")] == (1, 500)
         assert ("en", "de") not in got  # empty cells never materialize
+
+
+class TestPiiReport:
+    def test_hand_computed_rollup(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "mail a@b.io and c@d.io from 1.2.3.4", "web"),
+                (2, "clean words only", "web"),
+                (3, "call +1 (555) 010-42 now", "crawl"),
+            ],
+            ["doc_id", "text", "source"],
+        )
+        got = {r.source: r for r in ts.pii_report(docs).collect()}
+        web = got["web"]
+        assert (web.n_docs, web.n_emails, web.n_ips, web.n_phones) == (
+            2, 2, 1, 0,
+        )
+        assert (web.n_docs_with_pii, web.pii_doc_rate_mils) == (1, 500)
+        crawl = got["crawl"]
+        assert (crawl.n_phones, crawl.pii_doc_rate_mils) == (1, 1000)
