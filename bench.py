@@ -72,6 +72,7 @@ HEADLINE = [
     "semantic_dedup_bounded", # bounded-K kmeans default, O(N*k) assignment (r7)
     "media_near_dup",         # real-codec perceptual aHash + band join (r6)
     "doc_fingerprint",
+    "winnow_fingerprints",    # MOSS rightmost-min windowed selection (r10)
     "repetition_signals",     # Gopher repetition filters: line + n-gram dup fractions (r7)
     "corpus_filter",          # CCNet-style keep/drop verdict with reason attribution (r7)
     "tf_idf",

@@ -68,6 +68,77 @@ def word_ngrams(col="text", n: int = 3):
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS scheme): hash every word ``k``-gram, slide a
+    ``w``-wide window over the hash sequence, and keep each window's
+    RIGHTMOST minimum. The selected set is ~``2/(w+1)`` of all hashes
+    yet GUARANTEES any shared token run of length ≥ ``w + k − 1``
+    shares at least one fingerprint — the storage/recall contract that
+    made winnowing the standard local fingerprinting scheme (plagiarism
+    detection, near-dup sketching at crawl scale). Returns one row per
+    selected position: (``id_col``, pos, fp).
+
+    Portability construction: the k-gram hash is the md5-40bit prefix
+    (reproducible in ANSI SQL), packed as ``h·2^20 + (2^20−1−pos)`` so
+    a single windowed ``min`` implements BOTH the minimum and the
+    rightmost tie-break (larger pos ⇒ smaller packed value), and the
+    selected (pos, fp) decode arithmetically from the min — no join
+    back. Documented cap: per-doc gram positions < 2^20 (split longer
+    docs first — ``split_long_docs`` exists for exactly that).
+
+    Scale shape: one posexplode + ONE doc-keyed exchange; both windows
+    (the running min and the gram count) partition by the doc id, so
+    no task ever sees more than one document's hash stream, and the
+    output is the winnowed ~2/(w+1) fraction. Short docs (< k tokens)
+    fingerprint their whole text — every doc is represented."""
+    from pyspark.sql import Window
+
+    kg = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_ngrams(text_col, k)).alias("pos", "g"),
+    )
+    h40 = F.conv(F.substring(F.md5("g"), 1, 10), 16, 10).cast("long")
+    comb = kg.select(
+        "id",
+        "pos",
+        (h40 * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("pos"))).alias(
+            "c"
+        ),
+    )
+    wcnt = Window.partitionBy("id")
+    wmin = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    staged = comb.select(
+        "id",
+        "pos",
+        F.count(F.lit(1)).over(wcnt).alias("ng"),
+        F.min("c").over(wmin).alias("mc"),
+    )
+    return (
+        staged.where(
+            F.col("pos") <= F.greatest(F.col("ng") - w, F.lit(0))
+        )
+        .select(
+            F.col("id").alias(id_col),
+            (F.lit((1 << 20) - 1) - (F.col("mc") % F.lit(1 << 20)))
+            .cast("long")
+            .alias("pos"),
+            # integer division, NOT '/': the packed value approaches
+            # 2^60 and a double round-trip would lose low bits
+            F.expr("mc DIV 1048576").cast("long").alias("fp"),
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------- exact
 
 

@@ -100,6 +100,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.6, max_df=100)
 
 
+def q_winnow_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnowing fingerprints (r10): every document's MOSS-selected
+    (pos, fp) set at k=5, w=4 — the windowed rightmost-min selection,
+    packed-key tie-break, and arithmetic decode all value-hash against
+    the SQL twin."""
+    return dedup.winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional containment near-dup pairs (r10): every 41st doc
     becomes a fixed 6-token passage and its %41==1 neighbor the same
@@ -1748,6 +1758,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_incremental": q_dedup_exact_incremental,
     "dedup_containment": q_dedup_containment,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_portable": q_dedup_minhash_portable,
@@ -2340,6 +2351,35 @@ LLM_ORACLE_SQL: dict[str, str] = {
         SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         FROM planted GROUP BY {_SQL_NORM}
         HAVING min(doc_id) >= 250""",
+    # winnowing (r10): md5-40bit k-gram hashes packed with the inverted
+    # position, one windowed min per w-window = rightmost-min selection,
+    # arithmetic decode — keep in lockstep with dedup.winnow_fingerprints
+    "winnow_fingerprints": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split({_SQL_NORM}, ' ') AS tk
+            FROM documents),
+        grams AS (
+            SELECT doc_id, i - 1 AS pos,
+                   ('0x' || substr(md5(
+                        array_to_string(tk[i:least(i + 4, len(tk))], ' ')),
+                        1, 10))::BIGINT AS h
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(tk) - 4, 1))) AS t(i)),
+        comb AS (
+            SELECT doc_id, pos,
+                   h * 1048576 + (1048575 - pos) AS c,
+                   count(*) OVER (PARTITION BY doc_id) AS ng
+            FROM grams),
+        wmin AS (
+            SELECT doc_id, pos, ng,
+                   min(c) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                         AND 3 FOLLOWING) AS mc
+            FROM comb)
+        SELECT DISTINCT doc_id,
+               (1048575 - (mc % 1048576))::BIGINT AS pos,
+               (mc // 1048576)::BIGINT AS fp
+        FROM wmin WHERE pos <= greatest(ng - 4, 0)""",
     # directional containment (r10): the jaccard machinery over the
     # planted subset/superset texts, both directions unioned before the
     # threshold — keep in lockstep with dedup.containment_pairs

@@ -415,3 +415,64 @@ def test_containment_pairs_matches_python_model(spark, texts):
         ).collect()
     }
     assert got == _model_containment(texts, n=3, threshold=0.8, max_df=100)
+
+
+def _model_winnow(text: str, k: int = 5, w: int = 4):
+    """Independent winnowing reimplementation: md5-40bit k-gram hashes,
+    rightmost minimum of every w-window."""
+    import hashlib
+
+    toks = text.split() if text.split() else [""]
+    if len(toks) < k:
+        grams = [" ".join(toks)]
+    else:
+        grams = [
+            " ".join(toks[p : p + k]) for p in range(len(toks) - k + 1)
+        ]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:10], 16) for g in grams
+    ]
+    n = len(hs)
+    sel = set()
+    for s in range(max(n - w, 0) + 1):
+        end = min(s + w, n)
+        m = min(hs[s:end])
+        p = max(i for i in range(s, end) if hs[i] == m)
+        sel.add((p, hs[p]))
+    return sel
+
+
+@HSETTINGS
+@given(texts=st.lists(doc, min_size=1, max_size=4))
+def test_winnow_fingerprints_matches_python_model(spark, texts):
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got: dict[int, set] = {}
+    for r in dedup.winnow_fingerprints(docs, k=5, w=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    want = {
+        i: _model_winnow(t)
+        for i, t in enumerate(texts)
+    }
+    assert got == want
+
+
+@HSETTINGS
+@given(
+    shared=st.lists(word, min_size=8, max_size=12).map(" ".join),
+    pre=st.lists(word, min_size=0, max_size=6).map(" ".join),
+    post=st.lists(word, min_size=0, max_size=6).map(" ".join),
+)
+def test_winnow_guarantee_shared_run_shares_a_fingerprint(
+    spark, shared, pre, post
+):
+    """The winnowing contract: any shared token run of length
+    >= w + k - 1 (= 8 at k=5, w=4) must share at least one fp."""
+    a = f"{pre} {shared}".strip()
+    b = f"{shared} {post}".strip()
+    docs = spark.createDataFrame(
+        [(0, a), (1, b)], ["doc_id", "text"]
+    )
+    fps: dict[int, set] = {0: set(), 1: set()}
+    for r in dedup.winnow_fingerprints(docs, k=5, w=4).collect():
+        fps[r.doc_id].add(r.fp)
+    assert fps[0] & fps[1]
