@@ -139,6 +139,51 @@ def winnow_fingerprints(
     )
 
 
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnow-based near-dup pair detection — what MOSS actually does
+    with the fingerprints: documents sharing ≥ ``min_shared`` selected
+    fingerprints are reported as (id_a, id_b, n_shared). Because
+    winnowing guarantees any shared run of ≥ ``w + k − 1`` tokens
+    shares a fingerprint, this catches long verbatim overlaps while
+    joining only the ~2/(w+1)-density selected sets — the sketch-sized
+    alternative to joining every shingle (``ngram_jaccard_pairs`` /
+    ``containment_pairs`` join the full shingle sets).
+
+    Scale shape: the self-join runs on the WINNOWED stream (w+1 ≈ 5×
+    smaller than the gram stream) with the same ``max_df``
+    stop-fingerprint fanout cap as the shingle family; everything keys
+    on 8-byte fingerprints."""
+    fps = (
+        winnow_fingerprints(docs, k, w, id_col, text_col)
+        .select(F.col(id_col).alias("id"), "fp")
+        .distinct()
+        .transform(tracked_persist)  # df-cap + both join sides
+    )
+    cap = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= max_df
+    )
+    kept = fps.join(cap.select("fp"), "fp")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------- exact
 
 

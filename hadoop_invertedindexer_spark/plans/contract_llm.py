@@ -110,6 +110,15 @@ def q_winnow_fingerprints(
     return dedup.winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-based near-dup pairs (r10): documents sharing >= 2
+    df-capped selected fingerprints — MOSS's actual detection step over
+    the ~2/(w+1)-density sketch instead of the full shingle sets."""
+    return dedup.winnow_overlap_pairs(
+        _docs(spark, sf_dir), k=5, w=4, min_shared=2, max_df=100
+    )
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional containment near-dup pairs (r10): every 41st doc
     becomes a fixed 6-token passage and its %41==1 neighbor the same
@@ -1759,6 +1768,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_incremental": q_dedup_exact_incremental,
     "dedup_containment": q_dedup_containment,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_pairs": q_winnow_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_portable": q_dedup_minhash_portable,
@@ -1857,6 +1867,30 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # shared SQL fragments -----------------------------------------------------
+
+# shared winnowing CTE chain (r10): toks -> positional k-gram md5-40bit
+# hashes -> packed keys -> per-doc windowed min (k=5, w=4)
+_SQL_WINNOW_CTES = f"""toks AS (
+            SELECT doc_id, string_split({_SQL_NORM}, ' ') AS tk
+            FROM documents),
+        grams AS (
+            SELECT doc_id, i - 1 AS pos,
+                   ('0x' || substr(md5(
+                        array_to_string(tk[i:least(i + 4, len(tk))], ' ')),
+                        1, 10))::BIGINT AS h
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(tk) - 4, 1))) AS t(i)),
+        comb AS (
+            SELECT doc_id, pos,
+                   h * 1048576 + (1048575 - pos) AS c,
+                   count(*) OVER (PARTITION BY doc_id) AS ng
+            FROM grams),
+        wmin AS (
+            SELECT doc_id, pos, ng,
+                   min(c) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                         AND 3 FOLLOWING) AS mc
+            FROM comb)"""
 
 _SQL_SHINGLES = f"""
 shingles AS (
@@ -2355,31 +2389,32 @@ LLM_ORACLE_SQL: dict[str, str] = {
     # position, one windowed min per w-window = rightmost-min selection,
     # arithmetic decode — keep in lockstep with dedup.winnow_fingerprints
     "winnow_fingerprints": f"""
-        WITH toks AS (
-            SELECT doc_id, string_split({_SQL_NORM}, ' ') AS tk
-            FROM documents),
-        grams AS (
-            SELECT doc_id, i - 1 AS pos,
-                   ('0x' || substr(md5(
-                        array_to_string(tk[i:least(i + 4, len(tk))], ' ')),
-                        1, 10))::BIGINT AS h
-            FROM toks,
-                 unnest(generate_series(1, greatest(len(tk) - 4, 1))) AS t(i)),
-        comb AS (
-            SELECT doc_id, pos,
-                   h * 1048576 + (1048575 - pos) AS c,
-                   count(*) OVER (PARTITION BY doc_id) AS ng
-            FROM grams),
-        wmin AS (
-            SELECT doc_id, pos, ng,
-                   min(c) OVER (PARTITION BY doc_id ORDER BY pos
-                                ROWS BETWEEN CURRENT ROW
-                                         AND 3 FOLLOWING) AS mc
-            FROM comb)
+        WITH {_SQL_WINNOW_CTES}
         SELECT DISTINCT doc_id,
                (1048575 - (mc % 1048576))::BIGINT AS pos,
                (mc // 1048576)::BIGINT AS fp
         FROM wmin WHERE pos <= greatest(ng - 4, 0)""",
+    # winnow-based near-dup pairs (r10): the selected fingerprint sets,
+    # df-capped, self-joined — keep in lockstep with
+    # dedup.winnow_overlap_pairs
+    "winnow_pairs": f"""
+        WITH {_SQL_WINNOW_CTES},
+        sel AS (
+            SELECT DISTINCT doc_id AS id,
+                   (mc // 1048576)::BIGINT AS fp
+            FROM wmin WHERE pos <= greatest(ng - 4, 0)),
+        kept AS (
+            SELECT s.id, s.fp FROM sel s
+            JOIN (SELECT fp FROM sel GROUP BY fp
+                  HAVING count(*) <= 100) c
+              ON s.fp = c.fp)
+        SELECT id_a, id_b, n_shared FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   count(*)::BIGINT AS n_shared
+            FROM kept a JOIN kept b
+              ON a.fp = b.fp AND a.id < b.id
+            GROUP BY a.id, b.id) t
+        WHERE n_shared >= 2""",
     # directional containment (r10): the jaccard machinery over the
     # planted subset/superset texts, both directions unioned before the
     # threshold — keep in lockstep with dedup.containment_pairs

@@ -1659,3 +1659,39 @@ class TestContainmentPairs:
             dedup.containment_pairs(docs, threshold=0.8, max_df=2).count()
             == 0
         )
+
+
+class TestWinnowOverlapPairs:
+    def test_verbatim_overlap_detected_clean_pair_not(self, spark):
+        shared = (
+            "alpha bravo charlie delta echo foxtrot golf hotel india"
+            " juliet kilo lima"
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, f"{shared} own tail words here"),
+                (2, f"front matter first {shared}"),
+                (3, "completely unrelated document text lives here now"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            (r.id_a, r.id_b): r.n_shared
+            for r in dedup.winnow_overlap_pairs(
+                docs, min_shared=2
+            ).collect()
+        }
+        assert set(got) == {(1, 2)}
+        assert got[(1, 2)] >= 2
+
+    def test_max_df_cap_silences_boilerplate_fingerprints(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "common boilerplate phrase repeated everywhere today")
+             for i in range(1, 6)],
+            ["doc_id", "text"],
+        )
+        # every fingerprint appears in all 5 docs; with max_df=2 they
+        # are stop-fingerprints and no pair survives
+        assert (
+            dedup.winnow_overlap_pairs(docs, max_df=2).count() == 0
+        )
