@@ -598,6 +598,49 @@ def pack_sequences(
     )
 
 
+def pack_fill_report(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    budget: int = 2000,
+    strata_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Packing-efficiency report over :func:`pack_sequences` bins — the
+    batch-assembly diagnostic a trainer reads before committing to a
+    budget (underfilled bins are padding = wasted FLOPs; the next-fit
+    overshoot bound shows up as max_pack above budget). One row per
+    stratum: (stratum, n_packs, n_docs, total_weight, fill_mils,
+    min_pack, max_pack) — fill_mils = total·1000 // (n_packs·budget),
+    integer thousandths.
+
+    Scale shape: pack_sequences' per-stratum window (never a global
+    sort), one (stratum, pack) aggregate, then a metadata-scale
+    groupBy to ≤ |strata| rows."""
+    packed = pack_sequences(df, weight_col, budget, strata_col, order_col)
+    per_pack = packed.groupBy(strata_col, "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_docs"),
+        F.sum(weight_col).cast("long").alias("_w"),
+    )
+    g = per_pack.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("_docs").cast("long").alias("n_docs"),
+        F.sum("_w").cast("long").alias("total_weight"),
+        F.min("_w").cast("long").alias("min_pack"),
+        F.max("_w").cast("long").alias("max_pack"),
+    )
+    return g.select(
+        strata_col,
+        "n_packs",
+        "n_docs",
+        "total_weight",
+        F.expr(f"total_weight * 1000 DIV (n_packs * {int(budget)})").alias(
+            "fill_mils"
+        ),
+        "min_pack",
+        "max_pack",
+    )
+
+
 def chunk_text(
     df: DataFrame,
     chunk_chars: int = 200,

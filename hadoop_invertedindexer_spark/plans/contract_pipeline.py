@@ -97,6 +97,14 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report (r10): per-source fill of the 2000-char
+    next-fit bins — underfill = padding waste, max_pack above budget =
+    the next-fit overshoot bound in action; every quantity integer or
+    thousandths."""
+    return sampling.pack_fill_report(_docs(spark, sf_dir), budget=2000)
+
+
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-gate validation report: profile + consistency checks
     (duplicate ids, n_chars vs actual text length) riding one scan."""
@@ -244,6 +252,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "bigram_topk": q_bigram_topk,
     "sequence_pack": q_sequence_pack,
+    "pack_fill_report": q_pack_fill_report,
     "data_quality": q_data_quality,
     "quality_filter": q_quality_filter,
 }
@@ -440,6 +449,21 @@ _SQL_KEEP_NIB = "substring(md5(keep_id::VARCHAR), 1, 1)"
 PIPELINE_ORACLE_SQL["data_card_incremental"] = PIPELINE_ORACLE_SQL[
     "data_card"
 ]
+
+# packing-efficiency rollup (r10): the sequence_pack oracle wrapped as
+# a CTE, folded per source — keep in lockstep with
+# sampling.pack_fill_report at budget=2000
+PIPELINE_ORACLE_SQL["pack_fill_report"] = f"""
+    WITH per_pack AS ({PIPELINE_ORACLE_SQL["sequence_pack"]})
+    SELECT source,
+           count(*)::BIGINT AS n_packs,
+           sum(n_docs)::BIGINT AS n_docs,
+           sum(sum_chars)::BIGINT AS total_weight,
+           (sum(sum_chars) * 1000 // (count(*) * 2000))::BIGINT
+               AS fill_mils,
+           min(sum_chars)::BIGINT AS min_pack,
+           max(sum_chars)::BIGINT AS max_pack
+    FROM per_pack GROUP BY source"""
 
 PIPELINE_ORACLE_SQL["leakage_safe_split"] = f"""{SQL_CLUSTERS_CTE_PREFIX},
     labeled AS (

@@ -775,3 +775,27 @@ def test_streaming_data_card_matches_direct(spark, tmp_path):
         spark, src, schema, card_path, str(tmp_path / "ck2"), STOP
     )
     assert as_map(index_maintenance.read_data_card(spark, card_path)) == direct
+
+
+class TestPackFillReport:
+    def test_hand_computed_fill(self, spark):
+        # budget 10, one stratum: weights 6,6,6 -> next-fit packs
+        # {6}, {6}, {6}? exclusive cumsums 0,6,12 -> pack_ids 0,0,1:
+        # packs {6,6}=12 (overshoot) and {6}=6
+        docs = spark.createDataFrame(
+            [(1, 6, "a"), (2, 6, "a"), (3, 6, "a")],
+            ["doc_id", "n_chars", "source"],
+        )
+        r = sampling.pack_fill_report(docs, budget=10).first()
+        assert (r.n_packs, r.n_docs, r.total_weight) == (2, 3, 18)
+        assert r.fill_mils == 900  # 18*1000 // (2*10)
+        assert (r.min_pack, r.max_pack) == (6, 12)  # next-fit overshoot
+
+    def test_perfect_fill_is_1000(self, spark):
+        docs = spark.createDataFrame(
+            [(i, 5, "b") for i in range(1, 5)],
+            ["doc_id", "n_chars", "source"],
+        )
+        r = sampling.pack_fill_report(docs, budget=10).first()
+        assert (r.n_packs, r.fill_mils) == (2, 1000)
+        assert r.min_pack == r.max_pack == 10
