@@ -362,6 +362,22 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall(truth, cand)
 
 
+def q_ann_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@10 vs exact truth (r10): the second eval dimension
+    next to the LSH entry — nprobe=4 over sampled centroids, so the
+    report shows what probe-limited bucketing actually costs in
+    answers. Fully deterministic both sides; oracle composes the two
+    existing chains verbatim."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    truth = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    cents = similarity.centroids_by_sampling(emb, every=50)
+    cand = similarity.cosine_topk_ivf(emb, queries, cents, k=10, nprobe=4)
+    return similarity.ann_recall(truth, cand)
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes for every corpus vector (m=8 subspaces,
     ksub=16 codewords from the first-16-by-id bootstrap). All arithmetic
@@ -1782,6 +1798,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "similarity_bruteforce": q_similarity_bruteforce,
     "ann_recall_eval": q_ann_recall_eval,
+    "ann_recall_eval_ivf": q_ann_recall_eval_ivf,
     "similarity_ivf": q_similarity_ivf,
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     "similarity_lsh": q_similarity_lsh,
@@ -3868,6 +3885,30 @@ LLM_ORACLE_SQL["decontaminate_sentences"] = f"""
 LLM_ORACLE_SQL["contamination_report_incremental"] = LLM_ORACLE_SQL[
     "contamination_report"
 ]
+
+# IVF recall eval (r10): the two existing chains composed verbatim as
+# subqueries (DuckDB accepts statement-level WITH inside a CTE body) +
+# the same intersection rollup as the LSH entry
+LLM_ORACLE_SQL["ann_recall_eval_ivf"] = f"""
+        WITH cand AS (
+            SELECT qid, vec_id
+            FROM ({LLM_ORACLE_SQL["similarity_ivf"]}) c),
+        truth AS (
+            SELECT qid, vec_id
+            FROM ({LLM_ORACLE_SQL["similarity_bruteforce"]}) b),
+        hits AS (
+            SELECT t.qid, count(*)::BIGINT AS n_hit
+            FROM truth t JOIN cand c
+              ON t.qid = c.qid AND t.vec_id = c.vec_id
+            GROUP BY t.qid),
+        perq AS (
+            SELECT qid, count(*)::BIGINT AS n_truth
+            FROM truth GROUP BY qid)
+        SELECT p.qid, p.n_truth,
+               coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+               (coalesce(h.n_hit, 0) * 1000 // p.n_truth)::BIGINT
+                   AS recall_mils
+        FROM perq p LEFT JOIN hits h USING (qid)"""
 
 # sentence-granular contamination report (r10): the eval side keeps its
 # span POSITIONS (ewin), the train side reduces to a distinct key set,
