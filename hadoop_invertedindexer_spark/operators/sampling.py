@@ -124,6 +124,49 @@ def leakage_safe_split(
     ).select(id_col, "keep_id", "split")
 
 
+def split_leakage_report(
+    split_df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    method: str | None = None,
+) -> DataFrame:
+    """Split-quality EVAL — how many near-duplicate pairs STRADDLE the
+    split boundary (a near-dup of a test doc sitting in train is the
+    leakage that inflates eval scores; this is the number
+    :func:`leakage_safe_split` exists to drive to zero, and the audit a
+    per-doc hash split fails). One row: (method, n_pairs, n_straddle,
+    straddle_mils) — integer thousandths, NULL rate on an empty pair
+    set rather than a fake zero.
+
+    Scale shape: the pair list (already bounded by the dedup op's
+    max_df fanout cap) joins the (id, split) projection twice on the
+    doc id and folds to one row — the corpus text never enters; cost is
+    O(pairs + 2 id-keyed exchanges)."""
+    a = split_df.select(
+        F.col(id_col).alias("id_a"), F.col(split_col).alias("_sa")
+    )
+    b = split_df.select(
+        F.col(id_col).alias("id_b"), F.col(split_col).alias("_sb")
+    )
+    j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    g = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("_sa") != F.col("_sb")).cast("int"))
+        .cast("long")
+        .alias("n_straddle"),
+    )
+    return g.select(
+        F.lit(method if method is not None else "split").alias("method"),
+        "n_pairs",
+        F.coalesce("n_straddle", F.lit(0)).cast("long").alias("n_straddle"),
+        F.expr(
+            "CASE WHEN n_pairs = 0 THEN NULL"
+            " ELSE coalesce(n_straddle, 0) * 1000 DIV n_pairs END"
+        ).alias("straddle_mils"),
+    )
+
+
 def stratified_take(
     df: DataFrame,
     strata_col: str = "source",

@@ -59,6 +59,34 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.leakage_safe_split(docs, pairs)
 
 
+def q_split_leakage_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-quality eval (r10): the straddle audit for BOTH split
+    strategies over the same jaccard near-dup pairs — the per-doc hash
+    split leaks (nonzero straddle whenever dup pairs exist), the
+    cluster-keyed split is zero BY CONSTRUCTION; two rows, every
+    quantity integer or thousandths."""
+    from hadoop_invertedindexer_spark.caching import tracked_persist
+    from hadoop_invertedindexer_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.6, max_df=100
+    ).transform(tracked_persist)  # naive report + safe split + safe report
+    naive = sampling.hash_split(docs).select("doc_id", "split")
+    safe = sampling.leakage_safe_split(docs, pairs).select(
+        "doc_id", "split"
+    )
+    return sampling.split_leakage_report(
+        naive, pairs, method="hash_split"
+    ).unionByName(
+        sampling.split_leakage_report(safe, pairs, method="leakage_safe")
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source deterministic quota: the 5 hash-first docs per source —
     the 'N docs per source' training-mixture primitive."""
@@ -248,6 +276,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunks": q_text_chunks,
     "train_test_split": q_train_test_split,
     "leakage_safe_split": q_leakage_safe_split,
+    "split_leakage_report": q_split_leakage_report,
     "stratified_sample": q_stratified_sample,
     "weighted_sample": q_weighted_sample,
     "bigram_topk": q_bigram_topk,
@@ -474,3 +503,45 @@ PIPELINE_ORACLE_SQL["leakage_safe_split"] = f"""{SQL_CLUSTERS_CTE_PREFIX},
                 WHEN {_SQL_KEEP_NIB} <= 'd' THEN 'val'
                 ELSE 'test' END AS split
     FROM labeled"""
+
+
+# split-quality eval (r10): the jaccard-pair and leakage-safe-split
+# statements composed verbatim as subqueries (statement-level WITH —
+# including the recursive clusters CTE — is legal inside a CTE body),
+# each split audited against the same pair set
+from hadoop_invertedindexer_spark.plans.contract_llm import (  # noqa: E402
+    LLM_ORACLE_SQL as _LLM_SQL,
+)
+
+PIPELINE_ORACLE_SQL["split_leakage_report"] = f"""
+    WITH pairs AS (
+        SELECT id_a, id_b FROM ({_LLM_SQL["ngram_jaccard"]}) j),
+    naive AS (
+        SELECT doc_id,
+               CASE WHEN {_SQL_NIB} <= 'b' THEN 'train'
+                    WHEN {_SQL_NIB} <= 'd' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents),
+    safe AS (
+        SELECT doc_id, split
+        FROM ({PIPELINE_ORACLE_SQL["leakage_safe_split"]}) s),
+    rep AS (
+        SELECT 'hash_split' AS method,
+               count(*)::BIGINT AS n_pairs,
+               coalesce(sum((na.split <> nb.split)::INT), 0)::BIGINT
+                   AS n_straddle
+        FROM pairs p
+        JOIN naive na ON p.id_a = na.doc_id
+        JOIN naive nb ON p.id_b = nb.doc_id
+        UNION ALL
+        SELECT 'leakage_safe',
+               count(*)::BIGINT,
+               coalesce(sum((sa.split <> sb.split)::INT), 0)::BIGINT
+        FROM pairs p
+        JOIN safe sa ON p.id_a = sa.doc_id
+        JOIN safe sb ON p.id_b = sb.doc_id)
+    SELECT method, n_pairs, n_straddle,
+           (CASE WHEN n_pairs = 0 THEN NULL
+                 ELSE n_straddle * 1000 // n_pairs END)::BIGINT
+               AS straddle_mils
+    FROM rep"""

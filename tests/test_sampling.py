@@ -799,3 +799,40 @@ class TestPackFillReport:
         r = sampling.pack_fill_report(docs, budget=10).first()
         assert (r.n_packs, r.fill_mils) == (2, 1000)
         assert r.min_pack == r.max_pack == 10
+
+
+class TestSplitLeakageReport:
+    def test_hand_computed_straddle(self, spark):
+        split = spark.createDataFrame(
+            [(1, "train"), (2, "test"), (3, "train"), (4, "val")],
+            ["doc_id", "split"],
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (3, 4)], ["id_a", "id_b"]
+        )
+        r = sampling.split_leakage_report(split, pairs, method="m").first()
+        # (1,2) train/test straddles, (1,3) same, (3,4) train/val straddles
+        assert (r.method, r.n_pairs, r.n_straddle) == ("m", 3, 2)
+        assert r.straddle_mils == 666
+
+    def test_empty_pairs_rate_is_null(self, spark):
+        split = spark.createDataFrame([(1, "train")], ["doc_id", "split"])
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        r = sampling.split_leakage_report(split, pairs).first()
+        assert (r.n_pairs, r.n_straddle, r.straddle_mils) == (0, 0, None)
+
+    def test_leakage_safe_split_audits_to_zero(self, spark):
+        # a 3-doc near-dup cluster: the cluster-keyed split must show 0
+        docs = spark.createDataFrame(
+            [(i, "near duplicate shared text body here") for i in (1, 2, 3)]
+            + [(9, "completely different other words")],
+            ["doc_id", "text"],
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], ["id_a", "id_b"]
+        )
+        safe = sampling.leakage_safe_split(docs, pairs).select(
+            "doc_id", "split"
+        )
+        r = sampling.split_leakage_report(safe, pairs).first()
+        assert (r.n_pairs, r.n_straddle, r.straddle_mils) == (2, 0, 0)
