@@ -1126,3 +1126,58 @@ def pii_report(
             "pii_doc_rate_mils"
         ),
     )
+
+
+def filter_agreement(
+    verdicts,
+    a_col: str = "a",
+    b_col: str = "b",
+):
+    """Inter-filter AGREEMENT report — the contingency counts, raw
+    agreement, and Cohen's kappa between two boolean keep/drop signals
+    (a rule filter vs a trained classifier, an old vs new quality cut):
+    the check you run before swapping one quality gate for another,
+    because two filters can agree 90% by BASE RATE alone — kappa is the
+    chance-corrected number. One row: (n_docs, n_both, n_a_only,
+    n_b_only, n_neither, agreement_mils, kappa_mils).
+
+    kappa = (p_o − p_e)/(1 − p_e) computed entirely in integer space:
+    kappa_mils = (agree·n − pe_num)·1000 ⌊/⌋ (n² − pe_num) with pe_num
+    = r₁c₁ + r₀c₀ — FLOOR division via the pmod identity, because kappa
+    can be negative and Spark's DIV truncates toward zero while the
+    oracle's ``//`` floors (they differ exactly on negative
+    numerators). NULL when p_e = 1 (both signals constant).
+
+    Scale shape: one corpus aggregate to five counters; everything else
+    is a one-row projection."""
+    a, b = F.col(a_col), F.col(b_col)
+    c = verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((a & b).cast("int")).cast("long").alias("n_both"),
+        F.sum((a & ~b).cast("int")).cast("long").alias("n_a_only"),
+        F.sum((~a & b).cast("int")).cast("long").alias("n_b_only"),
+        F.sum((~a & ~b).cast("int")).cast("long").alias("n_neither"),
+    )
+    staged = c.withColumn(
+        "_pe_num",
+        F.expr(
+            "(n_both + n_a_only) * (n_both + n_b_only)"
+            " + (n_docs - (n_both + n_a_only))"
+            "   * (n_docs - (n_both + n_b_only))"
+        ),
+    ).withColumn("_agree", F.expr("n_both + n_neither"))
+    return staged.select(
+        "n_docs",
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        F.expr("_agree * 1000 DIV n_docs").alias("agreement_mils"),
+        F.expr(
+            "CASE WHEN n_docs * n_docs = _pe_num THEN NULL ELSE"
+            " ((_agree * n_docs - _pe_num) * 1000"
+            "  - pmod((_agree * n_docs - _pe_num) * 1000,"
+            "         n_docs * n_docs - _pe_num))"
+            " DIV (n_docs * n_docs - _pe_num) END"
+        ).alias("kappa_mils"),
+    )

@@ -896,6 +896,25 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-filter agreement (r10): corpus_filter's keep verdict vs a
+    plain quality_score >= 0.6 gate — the contingency table, raw
+    agreement, and chance-corrected Cohen's kappa, all exact-integer
+    thousandths (floor-division kappa so negative values match the
+    oracle's // semantics)."""
+    d = _docs(spark, sf_dir)
+    va = textstats.corpus_filter(d, STOPWORDS).select(
+        "doc_id", F.col("is_kept").alias("a")
+    )
+    vb = d.select(
+        "doc_id",
+        (textstats.quality_score(F.col("text"), STOPWORDS) >= 0.6).alias(
+            "b"
+        ),
+    )
+    return textstats.filter_agreement(va.join(vb, "doc_id"))
+
+
 def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII compliance rollup (r10): PII planted on two
     thirds of the docs (every id with doc_id % 3 != 2), so the report
@@ -1835,6 +1854,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode_incremental": q_bpe_encode_incremental,
     "pii_redact": q_pii_redact,
     "pii_report": q_pii_report,
+    "filter_agreement": q_filter_agreement,
     "repetition_removal": q_repetition_removal,
     "boilerplate_removal": q_boilerplate_removal,
     "bloom_decontaminate": q_bloom_decontaminate,
@@ -4594,6 +4614,38 @@ LLM_ORACLE_SQL["corpus_filter"] = f"""
         WITH {_sql_corpus_filter_ctes("SELECT doc_id, text FROM documents")}
         SELECT doc_id, (drop_reason IS NULL) AS is_kept, drop_reason
         FROM verdict"""
+
+# inter-filter agreement (r10): corpus_filter's verdict vs the plain
+# quality>=0.6 gate; contingency counters + floor-division kappa —
+# keep in lockstep with textstats.filter_agreement
+LLM_ORACLE_SQL["filter_agreement"] = f"""
+        WITH {_sql_corpus_filter_ctes("SELECT doc_id, text FROM documents")},
+        qb AS (
+            SELECT doc_id, ({_SQL_QUALITY} >= 0.6) AS b FROM documents),
+        pairsv AS (
+            SELECT (v.drop_reason IS NULL) AS a, qb.b
+            FROM verdict v JOIN qb USING (doc_id)),
+        c AS (
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum((a AND b)::INT)::BIGINT AS n_both,
+                   sum((a AND NOT b)::INT)::BIGINT AS n_a_only,
+                   sum((NOT a AND b)::INT)::BIGINT AS n_b_only,
+                   sum((NOT a AND NOT b)::INT)::BIGINT AS n_neither
+            FROM pairsv),
+        k AS (
+            SELECT *,
+                   (n_both + n_a_only) * (n_both + n_b_only)
+                   + (n_docs - (n_both + n_a_only))
+                     * (n_docs - (n_both + n_b_only)) AS pe_num,
+                   n_both + n_neither AS agree
+            FROM c)
+        SELECT n_docs, n_both, n_a_only, n_b_only, n_neither,
+               (agree * 1000 // n_docs)::BIGINT AS agreement_mils,
+               (CASE WHEN n_docs * n_docs = pe_num THEN NULL
+                     ELSE (agree * n_docs - pe_num) * 1000
+                          // (n_docs * n_docs - pe_num) END)::BIGINT
+                   AS kappa_mils
+        FROM k"""
 
 # the e2e capstone (r8): the whole filter → dedup → upsample → split →
 # pack chain in ONE query — verdict CTEs over the planted union, exact

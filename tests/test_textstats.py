@@ -763,3 +763,49 @@ class TestPiiReport:
         assert (web.n_docs_with_pii, web.pii_doc_rate_mils) == (1, 500)
         crawl = got["crawl"]
         assert (crawl.n_phones, crawl.pii_doc_rate_mils) == (1, 1000)
+
+
+class TestFilterAgreement:
+    def _agree(self, spark, rows):
+        df = spark.createDataFrame(rows, ["a", "b"])
+        return ts.filter_agreement(df).first()
+
+    def test_perfect_agreement(self, spark):
+        r = self._agree(
+            spark, [(True, True), (False, False), (True, True)]
+        )
+        assert (r.n_both, r.n_neither) == (2, 1)
+        assert (r.agreement_mils, r.kappa_mils) == (1000, 1000)
+
+    def test_chance_level_kappa_zero(self, spark):
+        # independent 50/50 signals: po = pe = 0.5 -> kappa 0
+        rows = [(True, True), (True, False), (False, True), (False, False)]
+        r = self._agree(spark, rows)
+        assert r.agreement_mils == 500
+        assert r.kappa_mils == 0
+
+    def test_systematic_disagreement_negative_floor(self, spark):
+        # perfect anti-correlation at balanced rates: kappa = -1
+        rows = [(True, False), (False, True)] * 3
+        r = self._agree(spark, rows)
+        assert r.agreement_mils == 0
+        assert r.kappa_mils == -1000
+
+    def test_negative_kappa_floors_like_oracle(self, spark):
+        # n=5: both=1, a_only=2, b_only=1, neither=1 -> agree=2,
+        # pe_num = 3*2 + 2*3 = 12, kappa = (10-12)/(25-12) = -2/13
+        # -> mils floor(-153.85) = -154; truncation would say -153,
+        # which is exactly where Spark DIV and DuckDB // diverge
+        rows = [
+            (True, True),
+            (True, False), (True, False),
+            (False, True),
+            (False, False),
+        ]
+        r = self._agree(spark, rows)
+        assert r.kappa_mils == -154
+
+    def test_constant_signals_null(self, spark):
+        r = self._agree(spark, [(True, True), (True, True)])
+        assert r.kappa_mils is None
+        assert r.agreement_mils == 1000
