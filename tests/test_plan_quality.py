@@ -735,3 +735,28 @@ def test_contamination_report_sentences_semi_join_shuffle_hash(spark):
     )
     assert "Exchange SinglePartition" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_containment_shares_jaccard_plan_shape(spark):
+    """r10: containment must inherit the jaccard envelope — the capped
+    shingle self-join with map-side combines, no cartesian product, no
+    Python; the direction split is a projection, not another join."""
+    from hadoop_invertedindexer_spark.operators import dedup
+
+    d = read_table(spark, SF, "documents")
+    plan = _plan(dedup.containment_pairs(d, n=3, threshold=0.8))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnow_windows_partition_by_doc(spark):
+    """r10: every winnowing window partitions by the doc id — no
+    single-partition stage and no range partitioning (a global sort)
+    may appear; selection and decode are pure projections."""
+    from hadoop_invertedindexer_spark.operators import dedup
+
+    d = read_table(spark, SF, "documents")
+    plan = _plan(dedup.winnow_fingerprints(d, k=5, w=4))
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
