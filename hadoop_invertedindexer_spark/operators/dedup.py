@@ -74,6 +74,7 @@ def winnow_fingerprints(
     w: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pos_bits: int = 20,
 ) -> DataFrame:
     """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken
     2003 — the MOSS scheme): hash every word ``k``-gram, slide a
@@ -90,8 +91,12 @@ def winnow_fingerprints(
     a single windowed ``min`` implements BOTH the minimum and the
     rightmost tie-break (larger pos ⇒ smaller packed value), and the
     selected (pos, fp) decode arithmetically from the min — no join
-    back. Documented cap: per-doc gram positions < 2^20 (split longer
-    docs first — ``split_long_docs`` exists for exactly that).
+    back. Cap: per-doc gram positions < 2^``pos_bits`` (default 2^20),
+    ENFORCED — a doc over the cap would make the packed offset
+    negative and silently corrupt the min key, so the plan raises
+    loudly instead (split longer docs first — ``split_long_docs``
+    exists for exactly that). ``pos_bits`` must stay ≤ 23 so
+    h40·2^pos_bits fits signed 64-bit.
 
     Scale shape: one posexplode + ONE doc-keyed exchange; both windows
     (the running min and the gram count) partition by the doc id, so
@@ -100,6 +105,12 @@ def winnow_fingerprints(
     fingerprint their whole text — every doc is represented."""
     from pyspark.sql import Window
 
+    if pos_bits > 23:
+        raise ValueError(
+            f"pos_bits={pos_bits}: h40 * 2^pos_bits must fit signed 64-bit "
+            "(pos_bits <= 23)"
+        )
+    space = 1 << pos_bits
     kg = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(word_ngrams(text_col, k)).alias("pos", "g"),
@@ -108,9 +119,7 @@ def winnow_fingerprints(
     comb = kg.select(
         "id",
         "pos",
-        (h40 * F.lit(1 << 20) + (F.lit((1 << 20) - 1) - F.col("pos"))).alias(
-            "c"
-        ),
+        (h40 * F.lit(space) + (F.lit(space - 1) - F.col("pos"))).alias("c"),
     )
     wcnt = Window.partitionBy("id")
     wmin = (
@@ -122,18 +131,39 @@ def winnow_fingerprints(
         F.count(F.lit(1)).over(wcnt).alias("ng"),
         F.min("c").over(wmin).alias("mc"),
     )
+    # the cap guard rides the decoded min expression (never pruned —
+    # every output row consumes mc): an over-cap doc fails the job
+    # loudly instead of winnowing corrupted keys
+    mc_guarded = F.when(
+        F.col("ng") <= F.lit(space), F.col("mc")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("winnow_fingerprints: doc "),
+                F.col("id").cast("string"),
+                F.lit(" has "),
+                F.col("ng").cast("string"),
+                F.lit(f" gram positions, over the 2^{pos_bits} packing "),
+                F.lit("cap; split it first (split_long_docs)"),
+            )
+        )
+    )
     return (
         staged.where(
             F.col("pos") <= F.greatest(F.col("ng") - w, F.lit(0))
         )
         .select(
+            "id",
+            mc_guarded.alias("mc"),
+        )
+        .select(
             F.col("id").alias(id_col),
-            (F.lit((1 << 20) - 1) - (F.col("mc") % F.lit(1 << 20)))
+            (F.lit(space - 1) - (F.col("mc") % F.lit(space)))
             .cast("long")
             .alias("pos"),
             # integer division, NOT '/': the packed value approaches
             # 2^60 and a double round-trip would lose low bits
-            F.expr("mc DIV 1048576").cast("long").alias("fp"),
+            F.expr(f"mc DIV {space}").cast("long").alias("fp"),
         )
         .distinct()
     )

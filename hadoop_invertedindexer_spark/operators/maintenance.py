@@ -234,8 +234,13 @@ def dataset_diff(
     ``append_*`` paths should see exactly the 'added'+'changed' rows).
 
     Rows match on ``id_col``; content identity is the md5 of the
-    ``cols`` projection (unit-separator joined), so TEXT NEVER SHUFFLES
-    — each side reduces to (id, 16-byte fingerprint) before the join.
+    ``cols`` projection, so TEXT NEVER SHUFFLES — each side reduces to
+    (id, 16-byte fingerprint) before the join. Each column is encoded
+    injectively before joining into the digest input: NULL maps to a
+    token no value can produce and every value is length-prefixed, so
+    NULL vs '' cannot collide and a delimiter character inside one
+    column cannot shift a boundary into the next (a bare
+    ``concat_ws`` SKIPS nulls and would report both as 'unchanged').
     Returns one row per id present in either version:
     (``id_col``, status ∈ {'added', 'removed', 'changed', 'unchanged'}).
 
@@ -243,14 +248,21 @@ def dataset_diff(
     co-partitioned on the id — the same single-exchange shape as
     ``full_outer_reconcile``; no window, no collect. At 100 TB both
     sides prune to two columns at the parquet scan."""
+    def encoded(c: str):
+        s = F.col(c).cast("string")
+        # 'v<len>:<value>' for values, 'n' for NULL: injective per
+        # column, so the joined stream decodes unambiguously
+        return F.coalesce(
+            F.concat(F.lit("v"), F.length(s).cast("string"), F.lit(":"), s),
+            F.lit("n"),
+        )
+
     def fingerprint(df: DataFrame, alias: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias("_id"),
-            F.md5(
-                F.concat_ws(
-                    "\x1f", *[F.col(c).cast("string") for c in cols]
-                )
-            ).alias(alias),
+            F.md5(F.concat_ws("\x1f", *[encoded(c) for c in cols])).alias(
+                alias
+            ),
         )
 
     o = fingerprint(old, "_fp_old")

@@ -338,16 +338,20 @@ def data_card(
     )
     dup_docs = F.sum(F.col("_dup").cast("long"))
     dup_toks = F.sum(F.when(F.col("_dup"), F.col("_nt")).otherwise(F.lit(0)))
-    return base.groupBy("source", "lang", "quality_bucket").agg(
+    g = base.groupBy("source", "lang", "quality_bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("_nt").cast("long").alias("n_tokens"),
         dup_docs.cast("long").alias("n_dup_docs"),
         dup_toks.cast("long").alias("dup_tokens"),
         (F.count(F.lit(1)) - dup_docs).cast("long").alias("net_docs"),
         (F.sum("_nt") - dup_toks).cast("long").alias("net_tokens"),
-        F.floor(dup_docs * F.lit(1000) / F.count(F.lit(1)))
-        .cast("long")
-        .alias("dup_rate_mils"),
+    )
+    # integer DIV, not floor(x*1000/y): at counts beyond ~2^53/1000 the
+    # double product rounds before the floor and can flip the mil — the
+    # sibling *_mils reports all use DIV and the DuckDB oracle uses //
+    return g.withColumn(
+        "dup_rate_mils",
+        F.expr("n_dup_docs * 1000 DIV n_docs").cast("long"),
     )
 
 
@@ -469,7 +473,9 @@ def merge_data_cards(*cards: DataFrame) -> DataFrame:
         (F.col("n_tokens") - F.col("dup_tokens"))
         .cast("long")
         .alias("net_tokens"),
-        F.floor(F.col("n_dup_docs") * F.lit(1000) / F.col("n_docs"))
+        # integer DIV for the same bit-reproducibility reason as
+        # data_card: no double product ahead of the floor
+        F.expr("n_dup_docs * 1000 DIV n_docs")
         .cast("long")
         .alias("dup_rate_mils"),
     )

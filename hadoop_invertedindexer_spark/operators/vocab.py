@@ -704,7 +704,11 @@ def vocab_coverage(
         F.col(group_col),
         F.explode(token_array(text_col)).alias("token"),
     ).where(F.col("token") != "")
-    inv = vocab.select("token").withColumn("_inv", F.lit(True))
+    # distinct BEFORE the broadcast join: a vocab frame with duplicate
+    # token rows would fan out the join and inflate n_tokens, skewing
+    # oov_mils/coverage_mils (ADVICE r10); the vocab is <= max_size so
+    # the distinct is metadata-scale
+    inv = vocab.select("token").distinct().withColumn("_inv", F.lit(True))
     mapped = tok.join(F.broadcast(inv), "token", "left")
     g = mapped.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),

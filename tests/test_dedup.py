@@ -1695,3 +1695,48 @@ class TestWinnowOverlapPairs:
         assert (
             dedup.winnow_overlap_pairs(docs, max_df=2).count() == 0
         )
+
+
+class TestWinnowPositionCap:
+    def test_over_cap_doc_fails_loudly(self, spark):
+        # ADVICE r10: the 2^pos_bits cap was documented but unenforced —
+        # an over-cap doc corrupted the packed min key silently. With
+        # pos_bits=3 (space=8) a 13-token doc has 9 grams > 8 and the
+        # job must raise, naming split_long_docs.
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import SparkRuntimeException
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(13)))],
+            ["doc_id", "text"],
+        )
+        with pytest.raises(
+            (SparkRuntimeException, Py4JJavaError),
+            match="split_long_docs",
+        ):
+            dedup.winnow_fingerprints(docs, k=5, w=4, pos_bits=3).collect()
+
+    def test_at_cap_boundary_matches_default_packing(self, spark):
+        # exactly space grams (max pos = space-1, packed offset 0) is
+        # legal and must select the identical (pos, fp) set as the
+        # default 2^20 packing
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(12)))],  # 8 grams = 2^3
+            ["doc_id", "text"],
+        )
+        tight = sorted(
+            (r.pos, r.fp)
+            for r in dedup.winnow_fingerprints(
+                docs, k=5, w=4, pos_bits=3
+            ).collect()
+        )
+        wide = sorted(
+            (r.pos, r.fp)
+            for r in dedup.winnow_fingerprints(docs, k=5, w=4).collect()
+        )
+        assert tight == wide and len(tight) > 0
+
+    def test_pos_bits_over_64bit_budget_rejected(self, spark):
+        docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="pos_bits"):
+            dedup.winnow_fingerprints(docs, pos_bits=24)

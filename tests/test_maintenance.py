@@ -200,3 +200,25 @@ class TestDatasetDiff:
             for r in dataset_diff(old, new).collect()
         }
         assert text_only == {1: "unchanged", 2: "unchanged"}
+
+    def test_null_empty_and_delimiter_boundaries_distinct(self, spark):
+        # ADVICE r10: concat_ws SKIPS nulls, so NULL->'' flips and
+        # delimiter-bearing values shifting across column boundaries
+        # both used to fingerprint 'unchanged'. The injective per-column
+        # encoding must report all of them as 'changed'.
+        from hadoop_invertedindexer_spark.operators.maintenance import (
+            dataset_diff,
+        )
+
+        schema = "doc_id long, text string, lang string"
+        old = spark.createDataFrame(
+            [(1, None, "en"), (2, "a\x1f", "b"), (3, "same", "x")], schema
+        )
+        new = spark.createDataFrame(
+            [(1, "", "en"), (2, "a", "\x1fb"), (3, "same", "x")], schema
+        )
+        got = {
+            r.doc_id: r.status
+            for r in dataset_diff(old, new, cols=("text", "lang")).collect()
+        }
+        assert got == {1: "changed", 2: "changed", 3: "unchanged"}

@@ -553,3 +553,16 @@ class TestVocabCoverage:
         v = vocab.build_vocab(docs, max_size=10)
         r = vocab.vocab_coverage(docs, v).first()
         assert (r.n_oov, r.coverage_mils) == (0, 1000)
+
+    def test_duplicate_vocab_rows_do_not_fan_out(self, spark):
+        # ADVICE r10: a non-distinct vocab frame fanned out the
+        # broadcast join and inflated n_tokens
+        docs = spark.createDataFrame(
+            [(0, "aa aa bb", "en")], ["doc_id", "text", "lang"]
+        )
+        v = spark.createDataFrame(
+            [("aa", 1, 3), ("aa", 1, 3), ("aa", 2, 3), ("bb", 3, 1)],
+            ["token", "token_id", "n_occurrences"],
+        )
+        r = vocab.vocab_coverage(docs, v).first()
+        assert (r.n_tokens, r.n_oov, r.coverage_mils) == (3, 0, 1000)
