@@ -378,6 +378,41 @@ def q_ann_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall(truth, cand)
 
 
+# recall eval against the PERSISTED index, build memoized per
+# (process, sf_dir) like _IVF_DRIFT_INDEX: the bench median-of-3 then
+# times [build+eval, eval, eval] and the median is the recurring
+# acceptance-gate cost — truth recompute + pruned index read — not the
+# one-off assignment build (VERDICT r10 ask 2)
+_ANN_IVF_INDEX: dict[str, str] = {}
+
+
+def q_ann_recall_eval_ivf_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF recall@10 vs exact truth, candidates served from a PRE-BUILT
+    persisted index (r11): ``query_ivf_index`` returns results identical
+    to ``cosine_topk_ivf`` over the same corpus/centroids (pinned by
+    test), so the oracle is shared verbatim with ``ann_recall_eval_ivf``
+    — what this entry adds is the bench row showing the recurring eval
+    cost once the assignment pass is amortized into the index."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    if sf_dir not in _ANN_IVF_INDEX:
+        path = tempfile.mkdtemp(prefix="annivfidx_") + "/ivf"
+        cents = similarity.centroids_by_sampling(emb, every=50)
+        similarity.build_ivf_index(emb, cents, path)
+        _ANN_IVF_INDEX[sf_dir] = path
+    truth = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    cand = similarity.query_ivf_index(
+        spark, _ANN_IVF_INDEX[sf_dir], queries, k=10, nprobe=4
+    )
+    return similarity.ann_recall(truth, cand)
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes for every corpus vector (m=8 subspaces,
     ksub=16 codewords from the first-16-by-id bootstrap). All arithmetic
@@ -1818,6 +1853,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_bruteforce": q_similarity_bruteforce,
     "ann_recall_eval": q_ann_recall_eval,
     "ann_recall_eval_ivf": q_ann_recall_eval_ivf,
+    "ann_recall_eval_ivf_read": q_ann_recall_eval_ivf_read,
     "similarity_ivf": q_similarity_ivf,
     "similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     "similarity_lsh": q_similarity_lsh,
@@ -3929,6 +3965,13 @@ LLM_ORACLE_SQL["ann_recall_eval_ivf"] = f"""
                (coalesce(h.n_hit, 0) * 1000 // p.n_truth)::BIGINT
                    AS recall_mils
         FROM perq p LEFT JOIN hits h USING (qid)"""
+
+# the persisted-index read path reproduces ann_recall_eval_ivf exactly
+# (query_ivf_index ≡ cosine_topk_ivf over the same corpus/centroids,
+# pinned by test) — shared oracle, same pattern as ivf_drift_read
+LLM_ORACLE_SQL["ann_recall_eval_ivf_read"] = LLM_ORACLE_SQL[
+    "ann_recall_eval_ivf"
+]
 
 # sentence-granular contamination report (r10): the eval side keeps its
 # span POSITIONS (ewin), the train side reduces to a distinct key set,

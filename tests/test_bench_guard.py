@@ -59,9 +59,16 @@ def test_stdout_line_stays_under_driver_tail_window():
 
 def test_queries_file_roundtrips_full_timings(tmp_path):
     timings = {f"q{i}": float(i) for i in range(80)}
+    details = {
+        f"q{i}": {"start": i * 2.0, "samples": [float(i)] * 3}
+        for i in range(80)
+    }
+    details["q3"]["first_pass"] = 9.0
+    details["q3"]["retry"] = {"start": 200.0, "samples": [3.0, 3.0, 3.1]}
     path = str(tmp_path / "bench_queries.json")
     bench.write_queries_file(
-        12.5, "0.1", 3, timings, ["scale_results_r8_ops.json"], path=path
+        12.5, "0.1", 3, timings, ["scale_results_r8_ops.json"], path=path,
+        details=details, run_started="2026-08-15T00:00:00Z",
     )
     with open(path) as fh:
         doc = json.load(fh)
@@ -69,6 +76,54 @@ def test_queries_file_roundtrips_full_timings(tmp_path):
     assert doc["value"] == 12.5
     assert doc["sf"] == 0.1
     assert doc["scale_results_files"] == ["scale_results_r8_ops.json"]
+    # the self-diagnosis data survives the roundtrip: offsets, raw
+    # samples, and both numbers of a retried query
+    assert doc["run_started"] == "2026-08-15T00:00:00Z"
+    assert doc["query_details"]["q7"]["start"] == 14.0
+    assert doc["query_details"]["q7"]["samples"] == [7.0, 7.0, 7.0]
+    assert doc["query_details"]["q3"]["first_pass"] == 9.0
+    assert doc["query_details"]["q3"]["retry"]["samples"] == [3.0, 3.0, 3.1]
+
+
+def test_capture_retry_threshold_is_looser_than_check_gate():
+    # capture mode re-measures only clear contention spikes (>2x) while
+    # --check keeps gating at 1.5x; an r10-style 4.5-26.5x window always
+    # crosses the capture threshold
+    assert bench.CAPTURE_RETRY_FACTOR > bench.REGRESSION_FACTOR
+    base = {"steady": 2.0, "spiked": 2.0}
+    timings = {"steady": 3.6, "spiked": 9.0}  # 1.8x vs 4.5x
+    flagged = bench.check_regressions(
+        timings, base, factor=bench.CAPTURE_RETRY_FACTOR
+    )
+    assert flagged == ["spiked"]
+    # ...while the check gate would flag both
+    assert bench.check_regressions(timings, base) == ["spiked", "steady"]
+
+
+def test_check_output_path_is_not_the_committed_artifact():
+    # a --check run must never dirty bench_queries.json (the driver's
+    # r10 check left it modified in the tree); the check file is
+    # gitignored
+    assert bench.CHECK_PATH != bench.QUERIES_PATH
+    assert os.path.basename(bench.CHECK_PATH) == "bench_check_last.json"
+    root = os.path.dirname(os.path.abspath(bench.__file__))
+    with open(os.path.join(root, ".gitignore")) as fh:
+        assert "bench_check_last.json" in fh.read()
+
+
+def test_committed_queries_file_carries_diagnosis_details():
+    # the artifact must let a reader separate environment from
+    # regression WITHOUT re-running: every query needs its start offset
+    # and raw samples (r10: a contiguous 15-query contention window was
+    # only adjudicable by a judge re-run)
+    with open(bench.QUERIES_PATH) as fh:
+        doc = json.load(fh)
+    assert "query_details" in doc and "run_started" in doc
+    for name in doc["queries"]:
+        det = doc["query_details"][name]
+        assert det["start"] >= 0
+        assert len(det["samples"]) >= 1
+        assert all(s > 0 for s in det["samples"])
 
 
 def test_committed_queries_file_exists_and_covers_headline():
