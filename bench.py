@@ -113,6 +113,7 @@ HEADLINE = [
     "dedup_sentences_incremental",  # persisted sentence-span index path (r10)
     "classifier_train_bigrams",  # fastText wordNgrams=2 perceptron (r10)
     "classifier_auc",         # rank-sum ROC-AUC + accuracy eval report (r10)
+    "classifier_calibration", # reliability bins + Brier over the margin histogram (r11)
     "ann_recall_eval",        # LSH recall@10 vs brute-force truth (r10)
     "ann_recall_eval_ivf_read",  # IVF recall@10 vs pre-built persisted index (r11)
     "dataset_diff",           # fingerprint snapshot diff, full-outer join (r10)

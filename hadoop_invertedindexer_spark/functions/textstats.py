@@ -975,6 +975,110 @@ def classifier_auc(
     )
 
 
+def classifier_calibration(
+    scored,
+    n_bins: int = 10,
+    scale: int = 100,
+    label_col: str = "y",
+    margin_col: str = "margin",
+):
+    """Classifier CALIBRATION report — reliability bins + Brier score
+    (Brier 1950; reliability diagrams per Murphy 1973, the standard
+    post-train check per Niculescu-Mizil & Caruana 2005): does the
+    model's confidence MEAN anything, or does a margin of +90 win only
+    55% of the time? AUC can't see this (it's rank-only), so this is
+    the third leg of the eval family next to :func:`classifier_auc`
+    and ``ann_recall``. One row per occupied reliability bin:
+    (bin, n_docs, n_pos, mean_margin_mils, pos_rate_mils, mean_p_mils,
+    gap_mils, se_sum, brier_micros) — all integers, bit-reproducible.
+
+    The probability map is the clamped LINEAR Platt-style transform
+    ``p_mils = clamp(500·(scale+margin)/scale, 0, 1000)`` (margin
+    +scale → 1.0, −scale → 0.0): margins of an integer-trained
+    perceptron aren't probabilities, and this report is exactly the
+    tool that shows where the linear map is wrong — a saturated
+    overconfident model shows bins with ``mean_p_mils`` near 0/1000
+    against mid-range ``pos_rate_mils`` and a large ``gap_mils``.
+    Brier decomposes per bin: ``se_sum`` is the exact integer sum of
+    squared mils errors Σ(p_mils − 1000·y)², so the corpus Brier is
+    derivable exactly as Σ se_sum // Σ n_docs; ``brier_micros`` is the
+    per-bin mean (micro-units: mils² of the unit square).
+
+    Bins partition the OBSERVED margin range equally: bin =
+    (margin − min)·n_bins // (max − min + 1) ∈ [0, n_bins). All
+    divisions are floor-division-safe across engines: every DIV here
+    has a non-negative numerator except mean_margin_mils, which uses
+    the pmod floor identity (the ``filter_agreement`` lesson — Spark
+    DIV truncates, DuckDB // floors, they diverge on negatives).
+
+    Scale shape: ONE corpus partial aggregate down to the distinct-
+    margin histogram (metadata scale — margins are bounded by the
+    integer weight mass); the min/max broadcast back as a one-row
+    cross join and the bin rollup runs on the tiny histogram. The
+    corpus is scanned once and never sorted — the classifier_auc
+    contract."""
+    m, y = F.col(margin_col), F.col(label_col)
+    g = scored.groupBy(margin_col).agg(
+        F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("pos"),
+        F.count(F.lit(1)).cast("long").alias("tot"),
+    )
+    stats = g.agg(
+        F.min(margin_col).cast("long").alias("_mn"),
+        F.max(margin_col).cast("long").alias("_mx"),
+    )
+    # p_mils per distinct margin: truncating DIV ≡ floor // here —
+    # a negative numerator yields a non-positive quotient under either
+    # convention and both clamp to 0
+    binned = (
+        g.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_bin",
+            F.expr(
+                f"({margin_col} - _mn) * {int(n_bins)}"
+                " DIV (_mx - _mn + 1)"
+            ).cast("int"),
+        )
+        .withColumn(
+            "_p",
+            F.expr(
+                f"least(1000, greatest(0,"
+                f" 500 * ({int(scale)} + {margin_col})"
+                f" DIV {int(scale)}))"
+            ).cast("long"),
+        )
+    )
+    b = binned.groupBy("_bin").agg(
+        F.sum("tot").cast("long").alias("n_docs"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(m.cast("long") * F.col("tot")).cast("long").alias("_msum"),
+        F.sum(F.col("_p") * F.col("tot")).cast("long").alias("_psum"),
+        F.sum(
+            (F.col("tot") - F.col("pos")) * F.col("_p") * F.col("_p")
+            + F.col("pos")
+            * (F.lit(1000) - F.col("_p"))
+            * (F.lit(1000) - F.col("_p"))
+        )
+        .cast("long")
+        .alias("se_sum"),
+    )
+    return b.select(
+        F.col("_bin").alias("bin"),
+        "n_docs",
+        "n_pos",
+        # floor division via the pmod identity: _msum can be negative
+        F.expr(
+            "(_msum * 1000 - pmod(_msum * 1000, n_docs)) DIV n_docs"
+        ).alias("mean_margin_mils"),
+        F.expr("n_pos * 1000 DIV n_docs").alias("pos_rate_mils"),
+        F.expr("_psum DIV n_docs").alias("mean_p_mils"),
+        F.expr(
+            "abs(_psum DIV n_docs - n_pos * 1000 DIV n_docs)"
+        ).alias("gap_mils"),
+        "se_sum",
+        F.expr("se_sum DIV n_docs").alias("brier_micros"),
+    )
+
+
 def score_buckets(
     scored,
     score_col: str = "avg_nll",

@@ -731,6 +731,36 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.classifier_auc(labeled)
 
 
+def q_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration report (r11): reliability bins + per-bin Brier of
+    the same 4-round perceptron's margins against the planted ±1
+    labels — completes the eval family next to classifier_auc. The
+    clamped-linear probability map, the observed-range binning, and
+    every mils/micros division are integer-exact, so the per-bin rows
+    value-hash against the SQL twin built on the same train chain."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" qualitymarker")
+            ).otherwise(F.lit(" junkmarker")),
+        ).alias("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y"),
+    )
+    w = textstats.classifier_train(d, n_iters=4, n_features=1024)
+    preds = textstats.classifier_predict(d, w, n_features=1024)
+    labeled = preds.withColumn(
+        "y",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    return textstats.classifier_calibration(labeled, n_bins=8, scale=200)
+
+
 def q_ngram_nll_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-LM scoring (r8): the eval split (every 50th doc) scored
     under the trigram model trained on the TRAIN split only — the
@@ -1879,6 +1909,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_train": q_classifier_train,
     "classifier_predict": q_classifier_predict,
     "classifier_auc": q_classifier_auc,
+    "classifier_calibration": q_classifier_calibration,
     "classifier_train_continue": q_classifier_train_continue,
     "classifier_train_bigrams": q_classifier_train_bigrams,
     "classifier_predict_bigrams": q_classifier_predict_bigrams,
@@ -4603,6 +4634,60 @@ def _sql_classifier_auc() -> str:
 
 
 LLM_ORACLE_SQL["classifier_auc"] = _sql_classifier_auc()
+
+
+# calibration report (r11): same train chain, margins histogrammed,
+# binned over the observed range, clamped-linear p_mils, per-bin Brier
+# — keep the rollup in lockstep with textstats.classifier_calibration
+# (n_bins=8, scale=200 as pinned by q_classifier_calibration)
+def _sql_classifier_calibration(n_bins: int = 8, scale: int = 200) -> str:
+    return (
+        "WITH "
+        + ",\n        ".join(_sql_classifier_train_parts(4))
+        + f""",
+        marg AS (
+            SELECT f.doc_id, f.y,
+                   sum(f.cnt * coalesce(w.weight, 0))::BIGINT AS margin
+            FROM feats f LEFT JOIN w4 w USING (feature)
+            GROUP BY f.doc_id, f.y),
+        g AS (
+            SELECT margin,
+                   sum((y = 1)::INT)::BIGINT AS pos,
+                   count(*)::BIGINT AS tot
+            FROM marg GROUP BY margin),
+        stats AS (
+            SELECT min(margin)::BIGINT AS mn, max(margin)::BIGINT AS mx
+            FROM g),
+        binned AS (
+            SELECT ((g.margin - s.mn) * {n_bins}
+                    // (s.mx - s.mn + 1))::INT AS bin,
+                   least(1000, greatest(0,
+                       500 * ({scale} + g.margin) // {scale}))::BIGINT
+                       AS p,
+                   g.pos, g.tot, g.margin
+            FROM g, stats s),
+        b AS (
+            SELECT bin,
+                   sum(tot)::BIGINT AS n_docs,
+                   sum(pos)::BIGINT AS n_pos,
+                   sum(margin * tot)::BIGINT AS msum,
+                   sum(p * tot)::BIGINT AS psum,
+                   sum((tot - pos) * p * p
+                       + pos * (1000 - p) * (1000 - p))::BIGINT AS se_sum
+            FROM binned GROUP BY bin)
+        SELECT bin, n_docs, n_pos,
+               (msum * 1000 // n_docs)::BIGINT AS mean_margin_mils,
+               (n_pos * 1000 // n_docs)::BIGINT AS pos_rate_mils,
+               (psum // n_docs)::BIGINT AS mean_p_mils,
+               abs(psum // n_docs
+                   - n_pos * 1000 // n_docs)::BIGINT AS gap_mils,
+               se_sum,
+               (se_sum // n_docs)::BIGINT AS brier_micros
+        FROM b"""
+    )
+
+
+LLM_ORACLE_SQL["classifier_calibration"] = _sql_classifier_calibration()
 
 LLM_ORACLE_SQL["ngram_nll"] = _sql_ngram_nll()
 LLM_ORACLE_SQL["ngram_nll_ref"] = _sql_ngram_nll(

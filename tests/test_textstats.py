@@ -675,6 +675,63 @@ class TestClassifierAuc:
         assert r.auc_mils == 1000
 
 
+class TestClassifierCalibration:
+    def _cal(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, ["doc_id", "margin", "y"])
+        return {
+            r.bin: r for r in ts.classifier_calibration(df, **kw).collect()
+        }
+
+    def test_well_calibrated_model_has_zero_gap(self, spark):
+        # margin -50 -> p=250 planted at 1/4 positive; +50 -> p=750 at
+        # 3/4: the linear map matches the empirical rates exactly
+        rows = [(i, -50, 1 if i == 0 else -1) for i in range(4)] + [
+            (10 + i, 50, 1 if i > 0 else -1) for i in range(4)
+        ]
+        got = self._cal(spark, rows, n_bins=2, scale=100)
+        lo, hi = got[0], got[1]
+        assert (lo.n_docs, lo.n_pos, lo.pos_rate_mils) == (4, 1, 250)
+        assert (lo.mean_p_mils, lo.gap_mils) == (250, 0)
+        assert lo.mean_margin_mils == -50000
+        assert (lo.se_sum, lo.brier_micros) == (750000, 187500)
+        assert (hi.pos_rate_mils, hi.mean_p_mils, hi.gap_mils) == (
+            750, 750, 0,
+        )
+
+    def test_planted_overconfident_model_shows_the_miscalibration(
+        self, spark
+    ):
+        # saturated margins (+-1000 at scale=100) map to p=1000/0 while
+        # the empirical rates are 700/300: the reliability report must
+        # surface gap_mils=300 and brier_micros=300000 in BOTH bins —
+        # the known-miscalibrated planted model (VERDICT r10 ask 5)
+        rows = [(i, 1000, 1 if i < 7 else -1) for i in range(10)] + [
+            (10 + i, -1000, 1 if i < 3 else -1) for i in range(10)
+        ]
+        got = self._cal(spark, rows, n_bins=2, scale=100)
+        hi, lo = got[1], got[0]
+        assert (hi.mean_p_mils, hi.pos_rate_mils, hi.gap_mils) == (
+            1000, 700, 300,
+        )
+        assert (hi.se_sum, hi.brier_micros) == (3_000_000, 300_000)
+        assert (lo.mean_p_mils, lo.pos_rate_mils, lo.gap_mils) == (
+            0, 300, 300,
+        )
+        assert lo.brier_micros == 300_000
+
+    def test_negative_mean_margin_floors_like_the_oracle(self, spark):
+        # msum = -4 over 3 docs: floor(-4000/3) = -1334, not the
+        # truncated -1333 (the filter_agreement DIV-vs-// lesson)
+        rows = [(0, -1, 1), (1, -1, -1), (2, -2, -1)]
+        got = self._cal(spark, rows, n_bins=1, scale=100)
+        assert got[0].mean_margin_mils == -1334
+
+    def test_single_margin_degenerates_to_one_bin(self, spark):
+        got = self._cal(spark, [(0, 7, 1), (1, 7, -1)], n_bins=10)
+        assert set(got) == {0}
+        assert got[0].n_docs == 2
+
+
 class TestScoreBuckets:
     def test_exact_terciles_on_distinct_scores(self, spark):
         df = spark.createDataFrame(
