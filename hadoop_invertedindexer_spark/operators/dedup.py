@@ -28,6 +28,7 @@ Scale design notes (the part that must survive 100 TB):
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -742,7 +743,10 @@ def append_minhash_index(
     MinHash index (the admit step after :func:`minhash_index_pairs` has
     flagged the batch's near-dups). Signatures are per-doc projections,
     so nothing existing is read or rewritten — O(batch) regardless of
-    index size."""
+    index size. A replayed append (crash-retry ingest) lands duplicate
+    signature/banded rows: bytes, not correctness —
+    :func:`minhash_index_pairs` distincts at pair scale, and
+    :func:`compact_minhash_index` reclaims the bytes."""
     spark = new_docs.sparkSession
     p = spark.read.parquet(f"{path}/params").head()
     sig = minhash_signatures(
@@ -808,7 +812,12 @@ def minhash_index_pairs(
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     cand = cross.union(within).dropDuplicates(["id_a", "id_b"])
     sigs_all = idx_sigs.union(batch_sig)
-    return _estimate_pairs(cand, sigs_all, p.num_perm, threshold)
+    # final distinct at PAIR scale (tiny): a replayed append leaves
+    # duplicate signature rows in the index, and each duplicate fans a
+    # candidate pair out into identical (id_a, id_b, est) rows through
+    # the signature joins — distinct restores replay-idempotency for
+    # the cost of one output-sized shuffle, never an index-sized one
+    return _estimate_pairs(cand, sigs_all, p.num_perm, threshold).distinct()
 
 
 # --------------------------------------------------------------- SimHash
@@ -2648,3 +2657,79 @@ def dedup_paragraphs_incremental(
         ),
     )
     return _reassemble_paragraphs(flagged, id_col, text_col)
+
+
+# -------------------------------------------------- index compaction
+#
+# Every append_* above is O(batch) because existing index files are
+# never read or rewritten — re-appended keys land as duplicate rows
+# that cost bytes, not correctness. These compactors are the promised
+# reclaim step: read-DISTINCT-rewrite into a ROTATION directory (the
+# rebuild_ivf_index pattern in operators/similarity.py — Spark cannot
+# safely overwrite parquet it is still reading, so compaction writes
+# fresh and the caller rotates the pointer; ingest can keep appending
+# to the old path until the swap). Params tables are copied verbatim,
+# so every reader assertion (_assert_window_index_n and friends) holds
+# identically on the compacted copy, and the incremental queries are
+# equal before/after by construction (their first step is a distinct
+# over the stored keys — pinned by tests anyway).
+
+
+def _compact_key_tier(
+    spark, path: str, dest_path: str, sub: str, copy_params: bool
+) -> None:
+    if os.path.abspath(path) == os.path.abspath(dest_path):
+        raise ValueError(
+            "index compaction cannot run in place: overwrite would "
+            "delete the source mid-read; write to a rotation dir and swap"
+        )
+    spark.read.parquet(f"{path}/{sub}").distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{dest_path}/{sub}")
+    if copy_params:
+        spark.read.parquet(f"{path}/params").write.mode(
+            "overwrite"
+        ).parquet(f"{dest_path}/params")
+
+
+def compact_exact_index(spark, path: str, dest_path: str) -> None:
+    """Compact a document-hash index (:func:`build_exact_index` tier):
+    distinct 32-byte keys rewritten into ``dest_path``."""
+    _compact_key_tier(spark, path, dest_path, "hashes", copy_params=False)
+
+
+def compact_window_index(spark, path: str, dest_path: str) -> None:
+    """Compact a window-hash index (:func:`build_window_index` tier):
+    distinct 8-byte window hashes + the n-param table rewritten into
+    ``dest_path``, so the width assertion travels with the copy."""
+    _compact_key_tier(spark, path, dest_path, "windows", copy_params=True)
+
+
+def compact_sentence_index(spark, path: str, dest_path: str) -> None:
+    """Compact a sentence-span index (:func:`build_sentence_index`
+    tier): distinct 16-byte span keys + the span-param table."""
+    _compact_key_tier(
+        spark, path, dest_path, "sentences", copy_params=True
+    )
+
+
+def compact_paragraph_index(spark, path: str, dest_path: str) -> None:
+    """Compact a paragraph-hash index (:func:`build_paragraph_index`
+    tier): distinct 16-byte paragraph keys."""
+    _compact_key_tier(
+        spark, path, dest_path, "paragraphs", copy_params=False
+    )
+
+
+def compact_minhash_index(spark, path: str, dest_path: str) -> None:
+    """Compact a MinHash-LSH index (:func:`build_minhash_index` tier):
+    re-appending the same doc duplicates its signature AND banded rows,
+    so both tables distinct-rewrite; the (num_perm, bands, n, portable)
+    params table copies verbatim so batches keep hashing identically
+    against the compacted copy."""
+    _compact_key_tier(
+        spark, path, dest_path, "signatures", copy_params=True
+    )
+    spark.read.parquet(f"{path}/banded").distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{dest_path}/banded")

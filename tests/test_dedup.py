@@ -3,6 +3,8 @@ DuckDB twin (MinHash-LSH, SimHash, embedding-LSH) + property checks."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 import pyspark.sql.functions as F
 
@@ -1740,3 +1742,194 @@ class TestWinnowPositionCap:
         docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="pos_bits"):
             dedup.winnow_fingerprints(docs, pos_bits=24)
+
+
+class TestIndexCompaction:
+    """r11: the reclaim step every append_* docstring promises — read-
+    distinct-rewrite into a rotation dir. Contract per tier: the
+    compacted copy's key SET equals the source's (compact ∘ append ≡
+    append-distinct), bytes shrink, params travel, and the incremental
+    queries answer identically before/after."""
+
+    @staticmethod
+    def _bytes(p):
+        total = 0
+        for root, _, files in os.walk(str(p)):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    @staticmethod
+    def _docs(spark, ids):
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    f"Alpha bravo charlie delta echo golf hotel india w{i}."
+                    f" Bravo second sentence here w{i}."
+                    f" Charlie third sentence closes w{i}.",
+                )
+                for i in ids
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_in_place_compaction_refused(self, spark, tmp_path):
+        path = str(tmp_path / "exidx")
+        dedup.build_exact_index(self._docs(spark, range(5)), path)
+        with pytest.raises(ValueError, match="in place"):
+            dedup.compact_exact_index(spark, path, path)
+
+    def test_exact_tier(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        corpus = self._docs(spark, range(60))
+        batch = self._docs(spark, range(40, 80))
+        dedup.build_exact_index(corpus, src)
+        for _ in range(3):  # heavy duplication: 40-59 re-land each time
+            dedup.append_exact_index(batch, src)
+        dedup.compact_exact_index(spark, src, dst)
+        s = spark.read.parquet(f"{src}/hashes")
+        d = spark.read.parquet(f"{dst}/hashes")
+        assert d.count() == s.distinct().count() < s.count()
+        assert set(r.h for r in d.collect()) == set(
+            r.h for r in s.collect()
+        )
+        assert self._bytes(dst) < self._bytes(src)
+        probe = self._docs(spark, [70, 200]).unionByName(
+            self._docs(spark, [200]).selectExpr("doc_id + 1 as doc_id", "text")
+        )
+        before = sorted(
+            tuple(r)
+            for r in dedup.dedup_exact_incremental(spark, probe, src).collect()
+        )
+        after = sorted(
+            tuple(r)
+            for r in dedup.dedup_exact_incremental(spark, probe, dst).collect()
+        )
+        assert before == after and len(before) > 0
+
+    def test_window_tier_params_travel(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        dedup.build_window_index(self._docs(spark, range(30)), src, n=8)
+        dedup.append_window_index(self._docs(spark, range(20, 50)), src, n=8)
+        dedup.append_window_index(self._docs(spark, range(20, 50)), src, n=8)
+        dedup.compact_window_index(spark, src, dst)
+        s = spark.read.parquet(f"{src}/windows")
+        d = spark.read.parquet(f"{dst}/windows")
+        assert d.count() == s.distinct().count() < s.count()
+        assert self._bytes(dst) < self._bytes(src)
+        probe = self._docs(spark, [40, 300])
+        before = sorted(
+            tuple(r)
+            for r in dedup.decontaminate_substrings_incremental(
+                spark, probe, src, n=8
+            ).collect()
+        )
+        after = sorted(
+            tuple(r)
+            for r in dedup.decontaminate_substrings_incremental(
+                spark, probe, dst, n=8
+            ).collect()
+        )
+        assert before == after
+        # the n-param assertion holds identically on the compacted copy
+        with pytest.raises(ValueError, match="n=8"):
+            dedup.decontaminate_substrings_incremental(
+                spark, probe, dst, n=5
+            )
+
+    def test_sentence_tier_params_travel(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        dedup.build_sentence_index(self._docs(spark, range(30)), src, span=3)
+        dedup.append_sentence_index(
+            self._docs(spark, range(20, 50)), src, span=3
+        )
+        dedup.append_sentence_index(
+            self._docs(spark, range(20, 50)), src, span=3
+        )
+        dedup.compact_sentence_index(spark, src, dst)
+        s = spark.read.parquet(f"{src}/sentences")
+        d = spark.read.parquet(f"{dst}/sentences")
+        assert d.count() == s.distinct().count() < s.count()
+        assert self._bytes(dst) < self._bytes(src)
+        probe = self._docs(spark, [40, 400])
+        before = sorted(
+            tuple(r)
+            for r in dedup.dedup_sentences_incremental(
+                spark, probe, src, span=3
+            ).collect()
+        )
+        after = sorted(
+            tuple(r)
+            for r in dedup.dedup_sentences_incremental(
+                spark, probe, dst, span=3
+            ).collect()
+        )
+        assert before == after
+        with pytest.raises(ValueError, match="span=3"):
+            dedup.dedup_sentences_incremental(spark, probe, dst, span=2)
+
+    def test_paragraph_tier(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        para = self._docs(spark, range(30)).selectExpr(
+            "doc_id", "replace(text, '. ', chr(10) || chr(10)) as text"
+        )
+        batch = self._docs(spark, range(20, 50)).selectExpr(
+            "doc_id", "replace(text, '. ', chr(10) || chr(10)) as text"
+        )
+        dedup.build_paragraph_index(para, src)
+        dedup.append_paragraph_index(batch, src)
+        dedup.append_paragraph_index(batch, src)
+        dedup.compact_paragraph_index(spark, src, dst)
+        s = spark.read.parquet(f"{src}/paragraphs")
+        d = spark.read.parquet(f"{dst}/paragraphs")
+        assert d.count() == s.distinct().count() < s.count()
+        assert self._bytes(dst) < self._bytes(src)
+        probe = self._docs(spark, [40, 500]).selectExpr(
+            "doc_id", "replace(text, '. ', chr(10) || chr(10)) as text"
+        )
+        before = sorted(
+            tuple(r)
+            for r in dedup.dedup_paragraphs_incremental(
+                spark, probe, src
+            ).collect()
+        )
+        after = sorted(
+            tuple(r)
+            for r in dedup.dedup_paragraphs_incremental(
+                spark, probe, dst
+            ).collect()
+        )
+        assert before == after
+
+    def test_minhash_tier(self, spark, tmp_path):
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        corpus = self._docs(spark, range(30))
+        batch = self._docs(spark, range(20, 45))
+        dedup.build_minhash_index(corpus, src, portable=True)
+        dedup.append_minhash_index(batch, src)
+        dedup.append_minhash_index(batch, src)  # replayed ingest
+        dedup.compact_minhash_index(spark, src, dst)
+        for sub in ("signatures", "banded"):
+            s = spark.read.parquet(f"{src}/{sub}")
+            d = spark.read.parquet(f"{dst}/{sub}")
+            assert d.count() == s.distinct().count() < s.count()
+        assert self._bytes(dst) < self._bytes(src)
+        p_src = spark.read.parquet(f"{src}/params").head()
+        p_dst = spark.read.parquet(f"{dst}/params").head()
+        assert tuple(p_src) == tuple(p_dst)
+        probe = self._docs(spark, [25, 600])
+        before = sorted(
+            tuple(r)
+            for r in dedup.minhash_index_pairs(
+                spark, probe, src, threshold=0.3
+            ).collect()
+        )
+        after = sorted(
+            tuple(r)
+            for r in dedup.minhash_index_pairs(
+                spark, probe, dst, threshold=0.3
+            ).collect()
+        )
+        assert before == after and len(before) > 0
