@@ -201,8 +201,11 @@ def winnow_overlap_pairs(
     cap = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= max_df
     )
-    kept = fps.join(cap.select("fp"), "fp")
-    a, b = kept.alias("a"), kept.alias("b")
+    # shuffle_hash pins (r11): the cap frame is a corpus-derived
+    # aggregate and both self-join sides are the winnowed corpus stream
+    # — the same never-broadcast posture as _shingle_intersections
+    kept = fps.join(cap.select("fp").hint("shuffle_hash"), "fp")
+    a, b = kept.alias("a"), kept.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,
@@ -397,12 +400,18 @@ def _shingle_intersections(
     df_cap = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= max_df
     )
-    sh_kept = sh.join(df_cap.select("sh"), "sh")
+    # shuffle_hash pins on BOTH unbounded-side joins (r11, verified by
+    # the 30x pair soak where Catalyst broadcast these instead): df_cap
+    # is a corpus-derived AGGREGATE, exactly where Catalyst's size
+    # under-estimates are broadcast-prone (the r4 OOM lesson), and the
+    # self-join sides are the capped corpus shingle stream itself —
+    # neither may ever be collected to the driver at 100 TB
+    sh_kept = sh.join(df_cap.select("sh").hint("shuffle_hash"), "sh")
     # Measured alternative (sf0.1): collect_list per shingle + nested
     # transform/flatten combination explode has one fewer shuffle but runs
     # 3x SLOWER — higher-order array functions are interpreted, while this
     # self-join + groupBy stays in whole-stage codegen. Keep the join.
-    a, b = sh_kept.alias("a"), sh_kept.alias("b")
+    a, b = sh_kept.alias("a"), sh_kept.alias("b").hint("shuffle_hash")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -427,11 +436,13 @@ def ngram_jaccard_pairs(
     at scale; dropped shingles can only lower recall, never precision.
     """
     inter, sizes = _shingle_intersections(docs, n, max_df, id_col, text_col)
+    # per-doc size frames are unbounded too (one row per document) —
+    # same shuffle_hash posture as the shingle joins
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -468,7 +479,9 @@ def containment_pairs(
     inter, sizes = _shingle_intersections(docs, n, max_df, id_col, text_col)
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    scored = inter.join(sa, "id_a").join(sb, "id_b")
+    scored = inter.join(sa.hint("shuffle_hash"), "id_a").join(
+        sb.hint("shuffle_hash"), "id_b"
+    )
     ab = scored.select(
         F.col("id_a").alias("id_sub"),
         F.col("id_b").alias("id_super"),

@@ -766,6 +766,24 @@ def test_containment_shares_jaccard_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # r11: every unbounded-side join pins shuffle_hash — the 30x pair
+    # soak caught Catalyst broadcasting the df-cap aggregate and the
+    # self-join side instead (the r4 OOM shape at 100 TB)
+    assert plan.count("ShuffledHashJoin") >= 4
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_winnow_pairs_never_broadcasts_corpus_frames(spark):
+    """r11: the winnow pair join's df-cap frame and both self-join
+    sides are corpus-derived — all pinned shuffle_hash, same posture as
+    the shingle family."""
+    from hadoop_invertedindexer_spark.operators import dedup
+
+    d = read_table(spark, SF, "documents")
+    plan = _plan(dedup.winnow_overlap_pairs(d, k=5, w=4))
+    assert plan.count("ShuffledHashJoin") >= 2
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_winnow_windows_partition_by_doc(spark):
