@@ -78,6 +78,7 @@ HEADLINE = [
     "events_session",
     "dedup_exact",
     "dedup_exact_incremental",  # persisted document-hash index path (r10)
+    "index_tier_stats",       # dup-mass report = the compaction trigger (r11)
     "dedup_minhash",
     "dedup_minhash_incremental",  # persisted-index daily-ingest path (r6)
     "ngram_jaccard",
@@ -114,6 +115,7 @@ HEADLINE = [
     "classifier_train_bigrams",  # fastText wordNgrams=2 perceptron (r10)
     "classifier_auc",         # rank-sum ROC-AUC + accuracy eval report (r10)
     "classifier_calibration", # reliability bins + Brier over the margin histogram (r11)
+    "classifier_pr_sweep",    # precision/recall operating-point sweep (r11)
     "ann_recall_eval",        # LSH recall@10 vs brute-force truth (r10)
     "ann_recall_eval_ivf_read",  # IVF recall@10 vs pre-built persisted index (r11)
     "dataset_diff",           # fingerprint snapshot diff, full-outer join (r10)

@@ -1079,6 +1079,70 @@ def classifier_calibration(
     )
 
 
+def classifier_pr_sweep(
+    scored,
+    label_col: str = "y",
+    margin_col: str = "margin",
+):
+    """Precision/recall THRESHOLD SWEEP — the operating-point picker
+    that closes the eval family (:func:`classifier_auc` ranks,
+    :func:`classifier_calibration` checks confidence, this one chooses
+    the cut): for every candidate decision threshold ``t`` (the
+    distinct margin values), report what the rule "keep iff margin >
+    t" would do. fastText users run exactly this sweep before wiring a
+    quality classifier into a corpus filter, because the right cut is
+    a product decision (kept-fraction vs precision) that no single
+    scalar metric makes. One row per distinct margin:
+    (threshold, n_kept, kept_mils, n_pos_kept, precision_mils,
+    recall_mils) — all integers / integer thousandths,
+    bit-reproducible. ``t = min(margin)`` keeps everything above it;
+    cutting at ``t = max(margin)`` keeps nothing (precision NULL, the
+    degenerate row is reported rather than faked).
+
+    Scale shape: the classifier_auc contract — ONE corpus partial
+    aggregate to the distinct-margin histogram, one single-partition
+    window + one one-row broadcast over that metadata-scale frame; the
+    corpus is scanned once and never sorted. Every division has a
+    non-negative numerator, so Spark DIV ≡ DuckDB //."""
+    from pyspark.sql import Window
+
+    y = F.col(label_col)
+    g = scored.groupBy(margin_col).agg(
+        F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("pos"),
+        F.count(F.lit(1)).cast("long").alias("tot"),
+    )
+    above = Window.orderBy(F.desc(margin_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = g.select(
+        F.col(margin_col).cast("long").alias("threshold"),
+        F.coalesce(F.sum("tot").over(above), F.lit(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.coalesce(F.sum("pos").over(above), F.lit(0))
+        .cast("long")
+        .alias("n_pos_kept"),
+    )
+    totals = g.agg(
+        F.sum("tot").cast("long").alias("_n_docs"),
+        F.sum("pos").cast("long").alias("_n_pos"),
+    )
+    return c.crossJoin(F.broadcast(totals)).select(
+        "threshold",
+        "n_kept",
+        F.expr("n_kept * 1000 DIV _n_docs").alias("kept_mils"),
+        "n_pos_kept",
+        F.expr(
+            "CASE WHEN n_kept = 0 THEN NULL"
+            " ELSE n_pos_kept * 1000 DIV n_kept END"
+        ).alias("precision_mils"),
+        F.expr(
+            "CASE WHEN _n_pos = 0 THEN NULL"
+            " ELSE n_pos_kept * 1000 DIV _n_pos END"
+        ).alias("recall_mils"),
+    )
+
+
 def score_buckets(
     scored,
     score_col: str = "avg_nll",

@@ -2746,3 +2746,49 @@ def compact_minhash_index(spark, path: str, dest_path: str) -> None:
     spark.read.parquet(f"{path}/banded").distinct().write.mode(
         "overwrite"
     ).parquet(f"{dest_path}/banded")
+
+
+def index_tier_stats(
+    spark, path: str, tables: tuple[str, ...] = ("hashes",)
+) -> DataFrame:
+    """Health/compaction-trigger report for a persisted index tier —
+    the number every maintenance schedule reads before deciding to run
+    a ``compact_*_index`` rotation: one row per stored table,
+    (tier_table, n_rows, n_distinct, dup_rows, dup_mils). ``dup_rows``
+    is exactly the byte-waste the append-mostly trade accumulates
+    (re-appended keys land as duplicate rows) and exactly what the
+    compactor reclaims — compact when ``dup_mils`` crosses the fleet's
+    threshold, skip the rewrite when it hasn't.
+
+    Table names per tier: exact → ``("hashes",)``; window →
+    ``("windows",)``; sentence → ``("sentences",)``; paragraph →
+    ``("paragraphs",)``; MinHash → ``("signatures", "banded")``.
+
+    Scale shape: per table, one count + one distinct-count — each a
+    full scan of stored fixed-width keys with partial aggregation, no
+    text, no join wider than a one-row broadcast cross join. All
+    divisions have non-negative numerators (DIV ≡ //)."""
+    frames = []
+    for t in tables:
+        df = spark.read.parquet(f"{path}/{t}")
+        n = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        d = df.distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct")
+        )
+        frames.append(
+            n.crossJoin(F.broadcast(d)).select(
+                F.lit(t).alias("tier_table"),
+                "n_rows",
+                "n_distinct",
+                (F.col("n_rows") - F.col("n_distinct"))
+                .cast("long")
+                .alias("dup_rows"),
+                F.expr(
+                    "(n_rows - n_distinct) * 1000 DIV n_rows"
+                ).alias("dup_mils"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -96,6 +96,24 @@ def q_dedup_exact_incremental(
     )
 
 
+def q_index_tier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-tier health report (r11): docs < 250 build the exact
+    index, docs >= 250 append TWICE (a replayed ingest), so the stored
+    table carries a deterministic duplicate mass — n_rows, n_distinct,
+    dup_rows, and dup_mils (the compaction trigger) all value-hash
+    against counting distinct normalized texts in SQL, because the
+    sha2 keys are injective on the norms."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="statsidx_") + "/exidx"
+    dedup.build_exact_index(d.where(F.col("doc_id") < 250), path)
+    batch = d.where(F.col("doc_id") >= 250)
+    dedup.append_exact_index(batch, path)
+    dedup.append_exact_index(batch, path)
+    return dedup.index_tier_stats(spark, path, tables=("hashes",))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.6, max_df=100)
 
@@ -759,6 +777,36 @@ def q_classifier_calibration(
         F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)),
     )
     return textstats.classifier_calibration(labeled, n_bins=8, scale=200)
+
+
+def q_classifier_pr_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Operating-point sweep (r11): the kept-fraction / precision /
+    recall trade at every candidate margin threshold of the same
+    4-round perceptron — the row a corpus_filter integration actually
+    reads before choosing its cut. All counts and mils ride the grouped
+    margin histogram, so the full sweep value-hashes against the SQL
+    twin built on the same train chain."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" qualitymarker")
+            ).otherwise(F.lit(" junkmarker")),
+        ).alias("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y"),
+    )
+    w = textstats.classifier_train(d, n_iters=4, n_features=1024)
+    preds = textstats.classifier_predict(d, w, n_features=1024)
+    labeled = preds.withColumn(
+        "y",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    return textstats.classifier_pr_sweep(labeled)
 
 
 def q_ngram_nll_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1866,6 +1914,7 @@ def q_multimodal_features_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_incremental": q_dedup_exact_incremental,
+    "index_tier_stats": q_index_tier_stats,
     "dedup_containment": q_dedup_containment,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
@@ -1910,6 +1959,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_predict": q_classifier_predict,
     "classifier_auc": q_classifier_auc,
     "classifier_calibration": q_classifier_calibration,
+    "classifier_pr_sweep": q_classifier_pr_sweep,
     "classifier_train_continue": q_classifier_train_continue,
     "classifier_train_bigrams": q_classifier_train_bigrams,
     "classifier_predict_bigrams": q_classifier_predict_bigrams,
@@ -2489,6 +2539,24 @@ LLM_ORACLE_SQL: dict[str, str] = {
         SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         FROM planted GROUP BY {_SQL_NORM}
         HAVING min(doc_id) >= 250""",
+    # index-tier health report (r11): build on doc_id < 250, the
+    # >= 250 batch appended twice — stored-row and distinct counts
+    # restate as distinct-norm counting (sha2 keys injective on norms);
+    # keep in lockstep with q_index_tier_stats' construction
+    "index_tier_stats": f"""
+        WITH n AS (SELECT doc_id, {_SQL_NORM} AS nm FROM documents),
+        cb AS (
+            SELECT count(DISTINCT nm) AS k FROM n WHERE doc_id < 250),
+        bb AS (
+            SELECT count(DISTINCT nm) AS k FROM n WHERE doc_id >= 250),
+        al AS (SELECT count(DISTINCT nm) AS k FROM n)
+        SELECT 'hashes' AS tier_table,
+               (cb.k + 2 * bb.k)::BIGINT AS n_rows,
+               al.k::BIGINT AS n_distinct,
+               (cb.k + 2 * bb.k - al.k)::BIGINT AS dup_rows,
+               ((cb.k + 2 * bb.k - al.k) * 1000
+                // (cb.k + 2 * bb.k))::BIGINT AS dup_mils
+        FROM cb, bb, al""",
     # winnowing (r10): md5-40bit k-gram hashes packed with the inverted
     # position, one windowed min per w-window = rightmost-min selection,
     # arithmetic decode — keep in lockstep with dedup.winnow_fingerprints
@@ -4688,6 +4756,54 @@ def _sql_classifier_calibration(n_bins: int = 8, scale: int = 200) -> str:
 
 
 LLM_ORACLE_SQL["classifier_calibration"] = _sql_classifier_calibration()
+
+
+# PR threshold sweep (r11): same train chain + grouped margin
+# histogram; kept/tp at threshold t = strictly-greater cumulative sums
+# over the DESC-ordered histogram — keep in lockstep with
+# textstats.classifier_pr_sweep
+def _sql_classifier_pr_sweep() -> str:
+    return (
+        "WITH "
+        + ",\n        ".join(_sql_classifier_train_parts(4))
+        + """,
+        marg AS (
+            SELECT f.doc_id, f.y,
+                   sum(f.cnt * coalesce(w.weight, 0))::BIGINT AS margin
+            FROM feats f LEFT JOIN w4 w USING (feature)
+            GROUP BY f.doc_id, f.y),
+        g AS (
+            SELECT margin,
+                   sum((y = 1)::INT)::BIGINT AS pos,
+                   count(*)::BIGINT AS tot
+            FROM marg GROUP BY margin),
+        c AS (
+            SELECT margin::BIGINT AS threshold,
+                   coalesce(sum(tot) OVER (ORDER BY margin DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0)::BIGINT AS n_kept,
+                   coalesce(sum(pos) OVER (ORDER BY margin DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0)::BIGINT
+                       AS n_pos_kept
+            FROM g),
+        t AS (
+            SELECT sum(tot)::BIGINT AS n_docs, sum(pos)::BIGINT AS n_pos
+            FROM g)
+        SELECT c.threshold, c.n_kept,
+               (c.n_kept * 1000 // t.n_docs)::BIGINT AS kept_mils,
+               c.n_pos_kept,
+               (CASE WHEN c.n_kept = 0 THEN NULL
+                     ELSE c.n_pos_kept * 1000 // c.n_kept END)::BIGINT
+                   AS precision_mils,
+               (CASE WHEN t.n_pos = 0 THEN NULL
+                     ELSE c.n_pos_kept * 1000 // t.n_pos END)::BIGINT
+                   AS recall_mils
+        FROM c, t"""
+    )
+
+
+LLM_ORACLE_SQL["classifier_pr_sweep"] = _sql_classifier_pr_sweep()
 
 LLM_ORACLE_SQL["ngram_nll"] = _sql_ngram_nll()
 LLM_ORACLE_SQL["ngram_nll_ref"] = _sql_ngram_nll(

@@ -1933,3 +1933,54 @@ class TestIndexCompaction:
             ).collect()
         )
         assert before == after and len(before) > 0
+
+
+class TestIndexTierStats:
+    def test_counts_and_compaction_trigger(self, spark, tmp_path):
+        path = str(tmp_path / "exidx")
+        corpus = spark.createDataFrame(
+            [(1, "alpha doc"), (2, "beta doc"), (3, "alpha doc")],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [(10, "beta doc"), (11, "fresh text")], ["doc_id", "text"]
+        )
+        dedup.build_exact_index(corpus, path)       # 2 distinct norms
+        dedup.append_exact_index(batch, path)       # +2 rows (1 dup norm)
+        dedup.append_exact_index(batch, path)       # replayed: +2 rows
+        r = dedup.index_tier_stats(spark, path).first()
+        assert r.tier_table == "hashes"
+        assert (r.n_rows, r.n_distinct, r.dup_rows) == (6, 3, 3)
+        assert r.dup_mils == 500
+        # after compaction the trigger metric reads clean
+        dst = str(tmp_path / "dst")
+        dedup.compact_exact_index(spark, path, dst)
+        c = dedup.index_tier_stats(spark, dst).first()
+        assert (c.n_rows, c.n_distinct, c.dup_rows, c.dup_mils) == (
+            3, 3, 0, 0,
+        )
+
+    def test_minhash_two_table_report(self, spark, tmp_path):
+        path = str(tmp_path / "mhidx")
+        docs = spark.createDataFrame(
+            [(i, f"some words here number {i} plus shared tail") for i in range(6)],
+            ["doc_id", "text"],
+        )
+        dedup.build_minhash_index(docs, path, portable=True)
+        got = {
+            r.tier_table: r
+            for r in dedup.index_tier_stats(
+                spark, path, tables=("signatures", "banded")
+            ).collect()
+        }
+        assert set(got) == {"signatures", "banded"}
+        assert got["signatures"].dup_rows == 0
+        dedup.append_minhash_index(docs.limit(2), path)
+        got2 = {
+            r.tier_table: r
+            for r in dedup.index_tier_stats(
+                spark, path, tables=("signatures", "banded")
+            ).collect()
+        }
+        assert got2["signatures"].dup_rows == 2
+        assert got2["banded"].dup_rows > 0

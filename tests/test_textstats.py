@@ -732,6 +732,38 @@ class TestClassifierCalibration:
         assert got[0].n_docs == 2
 
 
+class TestClassifierPrSweep:
+    def test_textbook_pr_curve(self, spark):
+        # margins pos {4, 1}, neg {3, 0} — the classifier_auc textbook
+        # case. Sweep rows (keep iff margin > t):
+        #   t=4: nothing kept (degenerate, precision NULL)
+        #   t=3: {4} kept        -> p=1000, r=500
+        #   t=1: {4,3} kept      -> p=500,  r=500
+        #   t=0: {4,3,1} kept    -> p=666,  r=1000
+        df = spark.createDataFrame(
+            [(0, 4, 1), (1, 1, 1), (2, 3, -1), (3, 0, -1)],
+            ["doc_id", "margin", "y"],
+        )
+        got = {
+            r.threshold: r
+            for r in ts.classifier_pr_sweep(df).collect()
+        }
+        assert set(got) == {0, 1, 3, 4}
+        assert (got[4].n_kept, got[4].precision_mils) == (0, None)
+        assert (got[3].n_kept, got[3].kept_mils) == (1, 250)
+        assert (got[3].precision_mils, got[3].recall_mils) == (1000, 500)
+        assert (got[1].precision_mils, got[1].recall_mils) == (500, 500)
+        assert (got[0].n_kept, got[0].precision_mils,
+                got[0].recall_mils) == (3, 666, 1000)
+
+    def test_no_positives_recall_is_null(self, spark):
+        df = spark.createDataFrame(
+            [(0, 2, -1), (1, 5, -1)], ["doc_id", "margin", "y"]
+        )
+        for r in ts.classifier_pr_sweep(df).collect():
+            assert r.recall_mils is None
+
+
 class TestScoreBuckets:
     def test_exact_terciles_on_distinct_scores(self, spark):
         df = spark.createDataFrame(
