@@ -653,6 +653,23 @@ def test_classifier_calibration_never_sorts_the_corpus(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_classifier_pr_sweep_never_sorts_the_corpus(spark):
+    """r11: the threshold sweep rides the grouped margin histogram —
+    the only ordered window runs over that metadata-scale frame; no
+    range partitioning of the corpus, no Python."""
+    from hadoop_invertedindexer_spark.functions import textstats
+
+    scored = read_table(spark, SF, "documents").select(
+        (F.col("doc_id") % 7 - 3).cast("long").alias("margin"),
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(-1).alias("y"),
+    )
+    plan = _plan(textstats.classifier_pr_sweep(scored))
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Exchange SinglePartition") <= 2  # histogram window + one-row totals
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_dataset_diff_one_fullouter_fingerprints_only(spark):
     """r10: both sides reduce to (id, md5) BEFORE the single full outer
     join — two hash exchanges move 16-byte fingerprints, never text,

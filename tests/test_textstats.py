@@ -763,6 +763,32 @@ class TestClassifierPrSweep:
         for r in ts.classifier_pr_sweep(df).collect():
             assert r.recall_mils is None
 
+    def test_sweep_monotonicity_properties(self, spark):
+        # raising the threshold can only shrink the kept set: n_kept,
+        # n_pos_kept, and recall are non-increasing in t, kept counts
+        # are consistent (pos <= kept), and the bottom threshold keeps
+        # everything above it (n_kept = n_docs - |bottom margin group|)
+        rows = [
+            (i, (i * 7) % 13 - 6, 1 if (i * 3) % 5 < 2 else -1)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "margin", "y"])
+        sweep = sorted(
+            ts.classifier_pr_sweep(df).collect(),
+            key=lambda r: -r.threshold,
+        )
+        for hi, lo in zip(sweep, sweep[1:]):
+            assert hi.n_kept <= lo.n_kept
+            assert hi.n_pos_kept <= lo.n_pos_kept
+            assert (hi.recall_mils or 0) <= (lo.recall_mils or 0)
+        for r in sweep:
+            assert 0 <= r.n_pos_kept <= r.n_kept
+        n_docs = len(rows)
+        bottom = min(m for _, m, _ in rows)
+        n_bottom = sum(1 for _, m, _ in rows if m == bottom)
+        assert sweep[-1].n_kept == n_docs - n_bottom
+        assert sweep[0].n_kept == 0
+
 
 class TestScoreBuckets:
     def test_exact_terciles_on_distinct_scores(self, spark):
