@@ -1097,24 +1097,45 @@ def classifier_pr_sweep(
     recall_mils) — all integers / integer thousandths,
     bit-reproducible. ``t = min(margin)`` keeps everything above it;
     cutting at ``t = max(margin)`` keeps nothing (precision NULL, the
-    degenerate row is reported rather than faked).
+    degenerate row is reported rather than faked). The KEEP-EVERYTHING
+    operating point is reported too (r11 ADVICE): a sentinel row at
+    ``threshold = min(margin) − 1`` with ``n_kept = n_docs`` — the
+    full-corpus baseline a consumer scanning the sweep for a cut needs
+    as its reference point, emitted by the sweep's own window via one
+    synthetic empty margin group below the corpus minimum.
 
     Scale shape: the classifier_auc contract — ONE corpus partial
-    aggregate to the distinct-margin histogram, one single-partition
-    window + one one-row broadcast over that metadata-scale frame; the
-    corpus is scanned once and never sorted. Every division has a
-    non-negative numerator, so Spark DIV ≡ DuckDB //."""
+    aggregate to the distinct-margin histogram, then windows over that
+    metadata-scale frame only; the corpus is scanned once and never
+    sorted. The corpus totals ride the sweep's own window output (the
+    sentinel row's cumulative counts ARE n_docs / n_pos, read back via
+    an unpartitioned max over the already-single-partition frame), so
+    no separate totals aggregate and no extra exchange. Every division
+    has a non-negative numerator, so Spark DIV ≡ DuckDB //."""
     from pyspark.sql import Window
 
     y = F.col(label_col)
-    g = scored.groupBy(margin_col).agg(
+    g = scored.groupBy(
+        F.col(margin_col).cast("long").alias(margin_col)
+    ).agg(
         F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("pos"),
         F.count(F.lit(1)).cast("long").alias("tot"),
     )
+    # keep-everything sentinel (r11 ADVICE): one synthetic EMPTY margin
+    # group one below the corpus minimum, so the sweep's own window
+    # emits the full-corpus baseline row (threshold = min − 1 keeps
+    # everything under the strictly-greater rule) and tot = 0 shifts no
+    # other row; the where() drops it on an empty corpus (NULL min)
+    sentinel = g.agg(
+        (F.min(margin_col) - 1).cast("long").alias(margin_col),
+        F.lit(0).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("tot"),
+    ).where(F.col(margin_col).isNotNull())
+    g2 = g.unionByName(sentinel)
     above = Window.orderBy(F.desc(margin_col)).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    c = g.select(
+    c = g2.select(
         F.col(margin_col).cast("long").alias("threshold"),
         F.coalesce(F.sum("tot").over(above), F.lit(0))
         .cast("long")
@@ -1123,11 +1144,16 @@ def classifier_pr_sweep(
         .cast("long")
         .alias("n_pos_kept"),
     )
-    totals = g.agg(
-        F.sum("tot").cast("long").alias("_n_docs"),
-        F.sum("pos").cast("long").alias("_n_pos"),
+    # corpus totals = the sentinel row's cumulative counts: max over
+    # the metadata-scale sweep frame, which the cumsum window already
+    # left on a single partition — no new exchange, no crossJoin
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return c.crossJoin(F.broadcast(totals)).select(
+    c = c.withColumn("_n_docs", F.max("n_kept").over(w_all)).withColumn(
+        "_n_pos", F.max("n_pos_kept").over(w_all)
+    )
+    return c.select(
         "threshold",
         "n_kept",
         F.expr("n_kept * 1000 DIV _n_docs").alias("kept_mils"),

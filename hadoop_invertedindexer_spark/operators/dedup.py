@@ -2691,7 +2691,14 @@ def dedup_paragraphs_incremental(
 def _compact_key_tier(
     spark, path: str, dest_path: str, sub: str, copy_params: bool
 ) -> None:
-    if os.path.abspath(path) == os.path.abspath(dest_path):
+    # In-place guard is LOCAL-PATH BEST-EFFORT: realpath resolves
+    # symlinks and relative spellings of the same local directory, but
+    # two spellings of the same hdfs:// or s3a:// URI are strings to
+    # os.path — on a remote filesystem the caller owns the invariant
+    # (cluster deployments should resolve both through the Hadoop
+    # FileSystem API before calling). The rotation-dir contract itself
+    # is the real protection: compaction never targets the live path.
+    if os.path.realpath(path) == os.path.realpath(dest_path):
         raise ValueError(
             "index compaction cannot run in place: overwrite would "
             "delete the source mid-read; write to a rotation dir and swap"
@@ -2767,7 +2774,9 @@ def index_tier_stats(
     Scale shape: per table, one count + one distinct-count — each a
     full scan of stored fixed-width keys with partial aggregation, no
     text, no join wider than a one-row broadcast cross join. All
-    divisions have non-negative numerators (DIV ≡ //)."""
+    divisions have non-negative numerators (DIV ≡ //); a freshly
+    truncated tier (n_rows = 0) reports dup_mils = 0, not NULL — the
+    trigger metric must always be comparable against a threshold."""
     frames = []
     for t in tables:
         df = spark.read.parquet(f"{path}/{t}")
@@ -2784,7 +2793,8 @@ def index_tier_stats(
                 .cast("long")
                 .alias("dup_rows"),
                 F.expr(
-                    "(n_rows - n_distinct) * 1000 DIV n_rows"
+                    "CASE WHEN n_rows = 0 THEN CAST(0 AS BIGINT)"
+                    " ELSE (n_rows - n_distinct) * 1000 DIV n_rows END"
                 ).alias("dup_mils"),
             )
         )

@@ -4772,11 +4772,16 @@ def _sql_classifier_pr_sweep() -> str:
                    sum(f.cnt * coalesce(w.weight, 0))::BIGINT AS margin
             FROM feats f LEFT JOIN w4 w USING (feature)
             GROUP BY f.doc_id, f.y),
-        g AS (
+        g0 AS (
             SELECT margin,
                    sum((y = 1)::INT)::BIGINT AS pos,
                    count(*)::BIGINT AS tot
             FROM marg GROUP BY margin),
+        g AS (
+            SELECT margin, pos, tot FROM g0
+            UNION ALL
+            SELECT min(margin) - 1, 0::BIGINT, 0::BIGINT FROM g0
+            HAVING min(margin) IS NOT NULL),
         c AS (
             SELECT margin::BIGINT AS threshold,
                    coalesce(sum(tot) OVER (ORDER BY margin DESC

@@ -65,6 +65,7 @@ def test_queries_file_roundtrips_full_timings(tmp_path):
     }
     details["q3"]["first_pass"] = 9.0
     details["q3"]["retry"] = {"start": 200.0, "samples": [3.0, 3.0, 3.1]}
+    details["q3"]["selection"] = "isolated_retry"
     path = str(tmp_path / "bench_queries.json")
     bench.write_queries_file(
         12.5, "0.1", 3, timings, ["scale_results_r8_ops.json"], path=path,
@@ -83,6 +84,9 @@ def test_queries_file_roundtrips_full_timings(tmp_path):
     assert doc["query_details"]["q7"]["samples"] == [7.0, 7.0, 7.0]
     assert doc["query_details"]["q3"]["first_pass"] == 9.0
     assert doc["query_details"]["q3"]["retry"]["samples"] == [3.0, 3.0, 3.1]
+    # the selection policy travels with the artifact (r11 ADVICE): a
+    # retried query commits the isolated measurement, recorded as such
+    assert doc["query_details"]["q3"]["selection"] == "isolated_retry"
 
 
 def test_capture_retry_threshold_is_looser_than_check_gate():

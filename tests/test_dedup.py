@@ -1960,6 +1960,18 @@ class TestIndexTierStats:
             3, 3, 0, 0,
         )
 
+    def test_empty_tier_reports_zero_not_null(self, spark, tmp_path):
+        # r11 ADVICE: a freshly-truncated tier (n_rows = 0) must report
+        # dup_mils = 0, not NULL — the compaction trigger is compared
+        # against a threshold and NULL would silently never fire (or
+        # worse, crash a strict scheduler)
+        path = str(tmp_path / "emptyidx")
+        empty = spark.createDataFrame([], "doc_id INT, text STRING")
+        dedup.build_exact_index(empty, path)
+        r = dedup.index_tier_stats(spark, path).first()
+        assert (r.n_rows, r.n_distinct, r.dup_rows) == (0, 0, 0)
+        assert r.dup_mils == 0 and r.dup_mils is not None
+
     def test_minhash_two_table_report(self, spark, tmp_path):
         path = str(tmp_path / "mhidx")
         docs = spark.createDataFrame(

@@ -665,7 +665,7 @@ def test_classifier_pr_sweep_never_sorts_the_corpus(spark):
     )
     plan = _plan(textstats.classifier_pr_sweep(scored))
     assert "Exchange rangepartitioning" not in plan
-    assert plan.count("Exchange SinglePartition") <= 2  # histogram window + one-row totals
+    assert plan.count("Exchange SinglePartition") <= 2  # histogram window + sentinel agg
     assert "partial_sum" in plan or "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 

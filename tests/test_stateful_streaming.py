@@ -99,6 +99,14 @@ def test_transform_with_state_matches_legacy_api(spark, tmp_path):
     semantics are those of the (fully tested) legacy twin."""
     pytest.importorskip(
         "google.protobuf",
+        # Probed 2026-08-16 (r12): the container genuinely cannot get
+        # protobuf — `import google.protobuf` ModuleNotFoundError;
+        # `pip download protobuf` fails with DNS NewConnectionError
+        # ("Name or service not known", no network egress); a full-disk
+        # find shows only jedi typeshed STUBS (type hints, no runtime)
+        # and pyspark.sql.protobuf (the JVM-side connector wrapper,
+        # which itself needs the missing python runtime). Nothing to
+        # vendor; skip stands on evidence, not convenience.
         reason="transformWithState state-server protocol needs protobuf",
     )
     src = str(tmp_path / "src")

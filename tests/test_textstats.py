@@ -736,10 +736,11 @@ class TestClassifierPrSweep:
     def test_textbook_pr_curve(self, spark):
         # margins pos {4, 1}, neg {3, 0} — the classifier_auc textbook
         # case. Sweep rows (keep iff margin > t):
-        #   t=4: nothing kept (degenerate, precision NULL)
-        #   t=3: {4} kept        -> p=1000, r=500
-        #   t=1: {4,3} kept      -> p=500,  r=500
-        #   t=0: {4,3,1} kept    -> p=666,  r=1000
+        #   t=4:  nothing kept (degenerate, precision NULL)
+        #   t=3:  {4} kept        -> p=1000, r=500
+        #   t=1:  {4,3} kept      -> p=500,  r=500
+        #   t=0:  {4,3,1} kept    -> p=666,  r=1000
+        #   t=-1: everything kept -> the keep-all sentinel (r11 ADVICE)
         df = spark.createDataFrame(
             [(0, 4, 1), (1, 1, 1), (2, 3, -1), (3, 0, -1)],
             ["doc_id", "margin", "y"],
@@ -748,13 +749,17 @@ class TestClassifierPrSweep:
             r.threshold: r
             for r in ts.classifier_pr_sweep(df).collect()
         }
-        assert set(got) == {0, 1, 3, 4}
+        assert set(got) == {-1, 0, 1, 3, 4}
         assert (got[4].n_kept, got[4].precision_mils) == (0, None)
         assert (got[3].n_kept, got[3].kept_mils) == (1, 250)
         assert (got[3].precision_mils, got[3].recall_mils) == (1000, 500)
         assert (got[1].precision_mils, got[1].recall_mils) == (500, 500)
         assert (got[0].n_kept, got[0].precision_mils,
                 got[0].recall_mils) == (3, 666, 1000)
+        # the full-corpus baseline row: everything kept, corpus
+        # precision, total recall
+        assert (got[-1].n_kept, got[-1].kept_mils) == (4, 1000)
+        assert (got[-1].precision_mils, got[-1].recall_mils) == (500, 1000)
 
     def test_no_positives_recall_is_null(self, spark):
         df = spark.createDataFrame(
@@ -786,7 +791,11 @@ class TestClassifierPrSweep:
         n_docs = len(rows)
         bottom = min(m for _, m, _ in rows)
         n_bottom = sum(1 for _, m, _ in rows if m == bottom)
-        assert sweep[-1].n_kept == n_docs - n_bottom
+        # second-to-last row = lowest REAL margin threshold; the last
+        # row is the keep-everything sentinel at min(margin) - 1
+        assert sweep[-2].n_kept == n_docs - n_bottom
+        assert sweep[-1].threshold == bottom - 1
+        assert (sweep[-1].n_kept, sweep[-1].kept_mils) == (n_docs, 1000)
         assert sweep[0].n_kept == 0
 
 

@@ -90,7 +90,12 @@ def _model_pr_sweep(rows):
     n_docs = len(rows)
     n_pos = sum(1 for _, y in rows if y == 1)
     out = {}
-    for t in {m for m, _ in rows}:
+    # candidate thresholds = distinct margins plus the keep-everything
+    # sentinel one below the minimum (r11 ADVICE)
+    thresholds = {m for m, _ in rows}
+    if rows:
+        thresholds.add(min(m for m, _ in rows) - 1)
+    for t in thresholds:
         kept = [(m, y) for m, y in rows if m > t]
         tp = sum(1 for _, y in kept if y == 1)
         out[t] = (
