@@ -2802,3 +2802,78 @@ def index_tier_stats(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# The five persisted tiers, keyed by the name maintenance schedules
+# use: stored tables (the index_tier_stats argument) + the compactor
+# that rewrites ALL of a tier's tables into a rotation directory.
+_TIERS: dict[str, tuple[tuple[str, ...], "object"]] = {
+    "exact": (("hashes",), compact_exact_index),
+    "window": (("windows",), compact_window_index),
+    "sentence": (("sentences",), compact_sentence_index),
+    "paragraph": (("paragraphs",), compact_paragraph_index),
+    "minhash": (("signatures", "banded"), compact_minhash_index),
+}
+
+
+def maintain_index_tier(
+    spark,
+    path: str,
+    dest_path: str,
+    tier: str = "exact",
+    max_dup_mils: int = 100,
+) -> DataFrame:
+    """Threshold-driven auto-compaction — the loop-closer that wires
+    :func:`index_tier_stats` (the trigger) into ``compact_*_index``
+    (the reclaim): read the tier's duplicate-mass stats, rotate a
+    compacted copy into ``dest_path`` ONLY when any stored table's
+    ``dup_mils`` exceeds ``max_dup_mils``, and report what happened —
+    one row per stored table:
+
+        (tier_table, n_rows, n_distinct, dup_rows, dup_mils,
+         compacted, reclaimed_rows)
+
+    ``compacted`` is tier-wide (a MinHash tier whose ``banded`` table
+    is over threshold rewrites ``signatures`` too — the compactor owns
+    the whole tier, so readers never see a half-rotated copy);
+    ``reclaimed_rows`` is the table's ``dup_rows`` when the rotation
+    ran, else 0. Below threshold NOTHING is written — ``dest_path``
+    stays absent and ingest keeps appending to ``path``; after a
+    triggered rotation the caller swaps its pointer to ``dest_path``
+    (the rebuild_ivf_index rotation contract) and every incremental
+    query answers identically against the compacted copy, because its
+    first step is a distinct over the stored keys.
+
+    Scale shape: the decision reads ONE aggregate row per stored table
+    (a bounded, metadata-scale collect — the probe-then-extend pattern,
+    never corpus data); the rotation itself is the compactor's
+    read-distinct-rewrite of fixed-width keys. Idempotent by
+    construction: maintaining a freshly compacted copy reads
+    dup_mils = 0 everywhere and skips."""
+    if tier not in _TIERS:
+        raise ValueError(
+            f"unknown index tier {tier!r}; one of {sorted(_TIERS)}"
+        )
+    tables, compactor = _TIERS[tier]
+    stats = index_tier_stats(spark, path, tables).collect()
+    compacted = any(r.dup_mils > max_dup_mils for r in stats)
+    if compacted:
+        compactor(spark, path, dest_path)
+    rows = [
+        (
+            r.tier_table,
+            r.n_rows,
+            r.n_distinct,
+            r.dup_rows,
+            r.dup_mils,
+            compacted,
+            r.dup_rows if compacted else 0,
+        )
+        for r in stats
+    ]
+    return spark.createDataFrame(
+        rows,
+        "tier_table STRING, n_rows BIGINT, n_distinct BIGINT,"
+        " dup_rows BIGINT, dup_mils BIGINT, compacted BOOLEAN,"
+        " reclaimed_rows BIGINT",
+    )

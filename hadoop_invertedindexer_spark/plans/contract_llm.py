@@ -114,6 +114,28 @@ def q_index_tier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.index_tier_stats(spark, path, tables=("hashes",))
 
 
+def q_maintain_index_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-driven auto-compaction (r12): the q_index_tier_stats
+    fixture (build < 250, the >= 250 batch appended twice) pushes the
+    exact tier's dup_mils well over the 100-mils threshold, so the
+    maintainer must rotate a compacted copy and report it — the
+    compacted flag and reclaimed_rows are SQL-expressible from the same
+    distinct-norm counting, and the stats row is the tier-stats oracle
+    verbatim."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="maintidx_")
+    path, dest = base + "/exidx", base + "/exidx_compact"
+    dedup.build_exact_index(d.where(F.col("doc_id") < 250), path)
+    batch = d.where(F.col("doc_id") >= 250)
+    dedup.append_exact_index(batch, path)
+    dedup.append_exact_index(batch, path)
+    return dedup.maintain_index_tier(
+        spark, path, dest, tier="exact", max_dup_mils=100
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.6, max_df=100)
 
@@ -1915,6 +1937,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_incremental": q_dedup_exact_incremental,
     "index_tier_stats": q_index_tier_stats,
+    "maintain_index_tier": q_maintain_index_tier,
     "dedup_containment": q_dedup_containment,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
@@ -2557,6 +2580,30 @@ LLM_ORACLE_SQL: dict[str, str] = {
                ((cb.k + 2 * bb.k - al.k) * 1000
                 // (cb.k + 2 * bb.k))::BIGINT AS dup_mils
         FROM cb, bb, al""",
+    # threshold-driven auto-compaction report (r12): the tier-stats
+    # oracle plus the trigger decision itself stated in SQL — the
+    # rotation runs iff dup_mils > 100, reclaiming exactly dup_rows;
+    # keep in lockstep with q_maintain_index_tier's construction
+    "maintain_index_tier": f"""
+        WITH n AS (SELECT doc_id, {_SQL_NORM} AS nm FROM documents),
+        cb AS (
+            SELECT count(DISTINCT nm) AS k FROM n WHERE doc_id < 250),
+        bb AS (
+            SELECT count(DISTINCT nm) AS k FROM n WHERE doc_id >= 250),
+        al AS (SELECT count(DISTINCT nm) AS k FROM n),
+        s AS (
+            SELECT 'hashes' AS tier_table,
+                   (cb.k + 2 * bb.k)::BIGINT AS n_rows,
+                   al.k::BIGINT AS n_distinct,
+                   (cb.k + 2 * bb.k - al.k)::BIGINT AS dup_rows,
+                   ((cb.k + 2 * bb.k - al.k) * 1000
+                    // (cb.k + 2 * bb.k))::BIGINT AS dup_mils
+            FROM cb, bb, al)
+        SELECT tier_table, n_rows, n_distinct, dup_rows, dup_mils,
+               dup_mils > 100 AS compacted,
+               (CASE WHEN dup_mils > 100 THEN dup_rows
+                     ELSE 0 END)::BIGINT AS reclaimed_rows
+        FROM s""",
     # winnowing (r10): md5-40bit k-gram hashes packed with the inverted
     # position, one windowed min per w-window = rightmost-min selection,
     # arithmetic decode — keep in lockstep with dedup.winnow_fingerprints

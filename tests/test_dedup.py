@@ -1972,6 +1972,116 @@ class TestIndexTierStats:
         assert (r.n_rows, r.n_distinct, r.dup_rows) == (0, 0, 0)
         assert r.dup_mils == 0 and r.dup_mils is not None
 
+    def test_maintain_triggers_rotation_over_threshold(
+        self, spark, tmp_path
+    ):
+        import os
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        corpus = spark.createDataFrame(
+            [(i, f"text number {i % 7}") for i in range(20)],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [(100 + i, f"text number {i % 7} fresh") for i in range(10)],
+            ["doc_id", "text"],
+        )
+        dedup.build_exact_index(corpus, src)
+        dedup.append_exact_index(batch, src)
+        dedup.append_exact_index(batch, src)  # replayed ingest
+        probe = spark.createDataFrame(
+            [(500, "text number 3"), (501, "genuinely new text")],
+            ["doc_id", "text"],
+        )
+        before = sorted(
+            tuple(r)
+            for r in dedup.dedup_exact_incremental(
+                spark, probe, src
+            ).collect()
+        )
+        rep = dedup.maintain_index_tier(
+            spark, src, dst, tier="exact", max_dup_mils=100
+        ).first()
+        assert rep.compacted and rep.dup_mils > 100
+        assert rep.reclaimed_rows == rep.dup_rows > 0
+        assert os.path.isdir(f"{dst}/hashes")
+        # incremental queries answer identically against the rotation
+        after = sorted(
+            tuple(r)
+            for r in dedup.dedup_exact_incremental(
+                spark, probe, dst
+            ).collect()
+        )
+        assert before == after
+        # idempotency: maintaining the compacted copy reads clean and
+        # SKIPS (no second rotation directory appears)
+        rep2 = dedup.maintain_index_tier(
+            spark, dst, str(tmp_path / "dst2"), tier="exact",
+            max_dup_mils=100,
+        ).first()
+        assert not rep2.compacted
+        assert (rep2.dup_mils, rep2.reclaimed_rows) == (0, 0)
+        assert not os.path.exists(str(tmp_path / "dst2"))
+
+    def test_maintain_skips_below_threshold(self, spark, tmp_path):
+        import os
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        docs = spark.createDataFrame(
+            [(i, f"unique text {i}") for i in range(12)],
+            ["doc_id", "text"],
+        )
+        dedup.build_exact_index(docs, src)
+        dedup.append_exact_index(
+            spark.createDataFrame([(99, "unique text 3")], ["doc_id", "text"]),
+            src,
+        )  # 1 dup row / 13 = 76 mils, under the 100 threshold
+        rep = dedup.maintain_index_tier(
+            spark, src, dst, tier="exact", max_dup_mils=100
+        ).first()
+        assert not rep.compacted and 0 < rep.dup_mils <= 100
+        assert rep.reclaimed_rows == 0 and rep.dup_rows == 1
+        assert not os.path.exists(dst)
+
+    def test_maintain_minhash_any_table_triggers_whole_tier(
+        self, spark, tmp_path
+    ):
+        import os
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        docs = spark.createDataFrame(
+            [(i, f"some words here number {i} plus shared tail")
+             for i in range(6)],
+            ["doc_id", "text"],
+        )
+        dedup.build_minhash_index(docs, src, portable=True)
+        dedup.append_minhash_index(docs.limit(3), src)  # replayed rows
+        got = {
+            r.tier_table: r
+            for r in dedup.maintain_index_tier(
+                spark, src, dst, tier="minhash", max_dup_mils=100
+            ).collect()
+        }
+        assert set(got) == {"signatures", "banded"}
+        # tier-wide decision: every table row carries the same flag and
+        # BOTH tables were rewritten into the rotation dir
+        assert got["signatures"].compacted and got["banded"].compacted
+        assert os.path.isdir(f"{dst}/signatures")
+        assert os.path.isdir(f"{dst}/banded")
+        assert os.path.isdir(f"{dst}/params")
+        for t in ("signatures", "banded"):
+            assert (
+                spark.read.parquet(f"{dst}/{t}").count()
+                == got[t].n_distinct
+            )
+
+    def test_maintain_unknown_tier_raises(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="unknown index tier"):
+            dedup.maintain_index_tier(
+                spark, str(tmp_path / "x"), str(tmp_path / "y"),
+                tier="bogus",
+            )
+
     def test_minhash_two_table_report(self, spark, tmp_path):
         path = str(tmp_path / "mhidx")
         docs = spark.createDataFrame(
