@@ -178,6 +178,8 @@ def winnow_overlap_pairs(
     max_df: int = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df_tiers: tuple[int, ...] | None = None,
+    max_dropped_mils: int = 50,
 ) -> DataFrame:
     """Winnow-based near-dup pair detection — what MOSS actually does
     with the fingerprints: documents sharing ≥ ``min_shared`` selected
@@ -191,20 +193,34 @@ def winnow_overlap_pairs(
     Scale shape: the self-join runs on the WINNOWED stream (w+1 ≈ 5×
     smaller than the gram stream) with the same ``max_df``
     stop-fingerprint fanout cap as the shingle family; everything keys
-    on 8-byte fingerprints."""
+    on 8-byte fingerprints. ``max_df_tiers`` swaps the fixed cap for
+    the tiered escalation chooser (see :func:`containment_pairs`);
+    :func:`winnow_cap_report` is the observability twin."""
     fps = (
         winnow_fingerprints(docs, k, w, id_col, text_col)
         .select(F.col(id_col).alias("id"), "fp")
         .distinct()
         .transform(tracked_persist)  # df-cap + both join sides
     )
-    cap = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
-        F.col("df") <= max_df
-    )
     # shuffle_hash pins (r11): the cap frame is a corpus-derived
     # aggregate and both self-join sides are the winnowed corpus stream
     # — the same never-broadcast posture as _shingle_intersections
-    kept = fps.join(cap.select("fp").hint("shuffle_hash"), "fp")
+    if max_df_tiers is None:
+        cap = fps.groupBy("fp").agg(
+            F.count(F.lit(1)).alias("df")
+        ).where(F.col("df") <= max_df)
+        kept = fps.join(cap.select("fp").hint("shuffle_hash"), "fp")
+    else:
+        dfc = fps.groupBy("fp").agg(
+            F.count(F.lit(1)).alias("df")
+        ).transform(tracked_persist)  # chooser + filter join
+        chosen = _choose_df_cap(dfc, max_df_tiers, max_dropped_mils)
+        kept = (
+            fps.join(dfc.hint("shuffle_hash"), "fp")
+            .crossJoin(F.broadcast(chosen))
+            .where(F.col("df") <= F.col("cap"))
+            .select("fp", "id")
+        )
     a, b = kept.alias("a"), kept.alias("b").hint("shuffle_hash")
     return (
         a.join(
@@ -369,12 +385,84 @@ def dedup_incremental(
 # --------------------------------------------------------- n-gram Jaccard
 
 
+def _doc_shingles(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Distinct (id, sh) doc-shingle postings, shingles hashed to
+    xxhash64 longs — the raw material of the set-similarity family.
+    Callers persist (every consumer reads it at least twice)."""
+    return (
+        _spread(docs, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(text_col, n)).alias("sh_str"),
+        )
+        .select("id", F.xxhash64("sh_str").alias("sh"))
+        .distinct()
+    )
+
+
+def _choose_df_cap(
+    dfc: DataFrame, tiers: tuple[int, ...], max_dropped_mils: int
+) -> DataFrame:
+    """Tiered-cap escalation chooser (r12): a ONE-ROW (cap) frame — the
+    first (smallest) tier whose dropped-mass share is acceptable, else
+    the last tier. ``dfc`` is the per-key document-frequency frame; a
+    key with df > cap drops all df of its postings, so per tier the
+    dropped-mass mils = sum(df · [df > cap]) · 1000 DIV sum(df), which
+    is MONOTONE non-increasing in cap — the first qualifying tier is
+    min(qualifying cap). Fully declarative (the probe is an aggregate
+    in the same plan, never a driver-side action): the key-scale df
+    frame fans out over the broadcast tier list (a handful of rows),
+    reduces to one row per tier, and coalesces to the chosen cap.
+
+    Escalation is the recall-for-boundedness dial the fixed cap lacks:
+    when the corpus is so repetitive that the base cap silently drops
+    most of the mass (the 30x soak saturation — 26,530 capped keys,
+    0 output pairs), bounded retry tiers buy the recall back at a cost
+    the caller chose in advance; the LAST tier is the hard fanout bound
+    a 100 TB run still needs."""
+    spark = dfc.sparkSession
+    tier_rows = spark.createDataFrame(
+        [(int(c),) for c in tiers], "cap LONG"
+    )
+    per = (
+        dfc.crossJoin(F.broadcast(tier_rows))
+        .groupBy("cap")
+        .agg(
+            F.sum(
+                F.when(F.col("df") > F.col("cap"), F.col("df")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("dropped"),
+            F.sum("df").cast("long").alias("total"),
+        )
+    )
+    return per.agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.expr(
+                        f"dropped * 1000 DIV total <= {int(max_dropped_mils)}"
+                    ),
+                    F.col("cap"),
+                )
+            ),
+            F.max("cap"),
+        ).alias("cap")
+    )
+
+
 def _shingle_intersections(
     docs: DataFrame,
     n: int,
     max_df: int,
     id_col: str,
     text_col: str,
+    max_df_tiers: tuple[int, ...] | None = None,
+    max_dropped_mils: int = 50,
 ):
     """(inter, sizes): pairwise shared-distinct-shingle counts (id_a <
     id_b) and per-doc distinct-shingle sizes — the shared head of the
@@ -385,28 +473,41 @@ def _shingle_intersections(
     locally; at scale the win is shuffle bytes). A 64-bit collision
     would need ~2^32 distinct shingles per corpus to become likely.
     ``max_df`` drops stop-shingles — the fanout bound that keeps the
-    self-join linear-ish at scale."""
-    sh = (
-        _spread(docs, id_col)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(word_ngrams(text_col, n)).alias("sh_str"),
-        )
-        .select("id", F.xxhash64("sh_str").alias("sh"))
-        .distinct()
-        .transform(tracked_persist)  # read by sizes, the df-cap, and both join sides
+    self-join linear-ish at scale. With ``max_df_tiers`` the fixed cap
+    becomes the tiered-escalation chooser (:func:`_choose_df_cap`):
+    the smallest tier keeping the dropped-postings mass within
+    ``max_dropped_mils`` wins (``max_df`` is ignored — make the first
+    tier equal to it for the base behavior)."""
+    sh = _doc_shingles(docs, n, id_col, text_col).transform(
+        tracked_persist  # read by sizes, the df-cap, and both join sides
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    df_cap = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(
-        F.col("df") <= max_df
-    )
     # shuffle_hash pins on BOTH unbounded-side joins (r11, verified by
     # the 30x pair soak where Catalyst broadcast these instead): df_cap
     # is a corpus-derived AGGREGATE, exactly where Catalyst's size
     # under-estimates are broadcast-prone (the r4 OOM lesson), and the
     # self-join sides are the capped corpus shingle stream itself —
     # neither may ever be collected to the driver at 100 TB
-    sh_kept = sh.join(df_cap.select("sh").hint("shuffle_hash"), "sh")
+    if max_df_tiers is None:
+        df_cap = sh.groupBy("sh").agg(
+            F.count(F.lit(1)).alias("df")
+        ).where(F.col("df") <= max_df)
+        sh_kept = sh.join(df_cap.select("sh").hint("shuffle_hash"), "sh")
+    else:
+        # per-key df feeds BOTH the tier chooser and the filter join —
+        # persist so the posting scan doesn't run twice; the chosen cap
+        # is one row and rides a broadcast nested-loop (never a BHJ of
+        # corpus data)
+        dfc = sh.groupBy("sh").agg(
+            F.count(F.lit(1)).alias("df")
+        ).transform(tracked_persist)
+        chosen = _choose_df_cap(dfc, max_df_tiers, max_dropped_mils)
+        sh_kept = (
+            sh.join(dfc.hint("shuffle_hash"), "sh")
+            .crossJoin(F.broadcast(chosen))
+            .where(F.col("df") <= F.col("cap"))
+            .select("sh", "id")
+        )
     # Measured alternative (sf0.1): collect_list per shingle + nested
     # transform/flatten combination explode has one fewer shuffle but runs
     # 3x SLOWER — higher-order array functions are interpreted, while this
@@ -461,6 +562,8 @@ def containment_pairs(
     max_df: int = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df_tiers: tuple[int, ...] | None = None,
+    max_dropped_mils: int = 50,
 ) -> DataFrame:
     """Directional n-gram CONTAINMENT near-dup pairs (Broder 1997's
     second resemblance measure): containment(A→B) = |A∩B| / |A| — the
@@ -475,8 +578,17 @@ def containment_pairs(
     Scale shape: identical to :func:`ngram_jaccard_pairs` — the shared
     ``_shingle_intersections`` head (8-byte shingle keys, ``max_df``
     stop-shingle fanout cap, one codegen self-join) plus two size joins;
-    the direction split is a projection, not another pass."""
-    inter, sizes = _shingle_intersections(docs, n, max_df, id_col, text_col)
+    the direction split is a projection, not another pass. Pass
+    ``max_df_tiers`` (e.g. ``(100, 400, 1600)``) to replace the fixed
+    cap with tiered escalation: the smallest tier keeping the dropped
+    posting mass within ``max_dropped_mils`` wins — the r11 30x soak's
+    silent saturation (every shared shingle capped, 0 output pairs)
+    becomes a bounded, caller-priced recall retry, with the last tier
+    still the hard fanout bound. :func:`shingle_cap_report` is the
+    observability twin that says whether the cap is biting."""
+    inter, sizes = _shingle_intersections(
+        docs, n, max_df, id_col, text_col, max_df_tiers, max_dropped_mils
+    )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     scored = inter.join(sa.hint("shuffle_hash"), "id_a").join(
@@ -493,6 +605,88 @@ def containment_pairs(
         F.round(F.col("inter") / F.col("sz_b"), 6).alias("containment"),
     )
     return ab.unionByName(ba).where(F.col("containment") >= threshold)
+
+
+def _cap_report(keyed: DataFrame, key_col: str, max_df: int) -> DataFrame:
+    """Shared cap-hit rollup: one row over a distinct (id, key) posting
+    frame — (max_df, n_keys, capped_keys, capped_key_mils, n_postings,
+    dropped_postings, dropped_mass_mils). All counts are hash-invariant
+    (xxhash64/md5 keys are injective modulo 64-bit collisions), so the
+    SQL twins count the raw strings and match."""
+    dfc = keyed.groupBy(key_col).agg(F.count(F.lit(1)).alias("df"))
+    capped = F.col("df") > max_df
+    return dfc.agg(
+        F.lit(int(max_df)).cast("long").alias("max_df"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(capped, 1).otherwise(0)).cast("long").alias("capped_keys"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.sum(F.when(capped, F.col("df")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dropped_postings"),
+    ).select(
+        "max_df",
+        "n_keys",
+        "capped_keys",
+        F.expr(
+            "CASE WHEN n_keys = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE capped_keys * 1000 DIV n_keys END"
+        ).alias("capped_key_mils"),
+        "n_postings",
+        "dropped_postings",
+        F.expr(
+            "CASE WHEN n_postings = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE dropped_postings * 1000 DIV n_postings END"
+        ).alias("dropped_mass_mils"),
+    )
+
+
+def shingle_cap_report(
+    docs: DataFrame,
+    n: int = 3,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cap-hit observability for the set-similarity family (r12 — the
+    index_tier_stats pattern applied to the ``max_df`` stop-shingle
+    cap): one row saying exactly how hard the cap would bite a
+    :func:`ngram_jaccard_pairs` / :func:`containment_pairs` run at the
+    same (n, max_df) — (max_df, n_keys, capped_keys, capped_key_mils,
+    n_postings, dropped_postings, dropped_mass_mils). The r11 30x soak
+    showed WHY this must be first-class: on a repetitive corpus the cap
+    silently dropped 26,530 keys and the pair output collapsed to ZERO
+    — a user reading only the pair frame sees "no near-dups", not
+    "the detector went blind". dropped_mass_mils is the number a
+    schedule compares against its recall budget before trusting a pair
+    run (and the same number the tiered-cap escalation bounds).
+
+    Scale shape: the posting frame's per-key df plus one global
+    aggregate — strictly cheaper than the pair join it audits; no
+    self-join, no text shuffle, divisions guarded for empty corpora."""
+    sh = _doc_shingles(docs, n, id_col, text_col)
+    return _cap_report(sh, "sh", max_df)
+
+
+def winnow_cap_report(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cap-hit observability for :func:`winnow_overlap_pairs` — the
+    same one-row report as :func:`shingle_cap_report`, computed over
+    the WINNOWED fingerprint postings (distinct (id, fp) at the same
+    k, w) so the numbers audit exactly the join the pair detector
+    runs. Fingerprints are md5-40-bit derived, so the report is fully
+    oracle-checkable, selection step included."""
+    fps = (
+        winnow_fingerprints(docs, k, w, id_col, text_col)
+        .select(F.col(id_col).alias("id"), "fp")
+        .distinct()
+    )
+    return _cap_report(fps, "fp", max_df)
 
 
 def contamination(

@@ -185,6 +185,86 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(src, n=3, threshold=0.8, max_df=100)
 
 
+# r12 cap-saturation family: 125 docs (doc_id < 500, every 4th) become
+# one 12-token passage, so its shingles/fingerprints carry df = 125 —
+# over the max_df=100 cap at sf >= 0.01 regardless of corpus size (a
+# FIXED-COUNT plant: the bench at sf0.1 pays the same bounded join).
+# The cap reports must count exactly this bite; the escalated variants
+# must recover the clique the plain cap silently drops.
+_CAP_PASSAGE = (
+    "Capsat alpha bravo charlie delta echo foxtrot"
+    " golf hotel india juliet kilo"
+)
+
+
+def _cap_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") < 500) & (F.col("doc_id") % 4 == 0),
+            F.lit(_CAP_PASSAGE),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_shingle_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-hit observability (r12): how hard the max_df=100 stop-
+    shingle cap bites the planted corpus — capped keys, dropped
+    postings, and the dropped-mass mils a schedule compares against
+    its recall budget. The 10 passage shingles at df=125 are the bite."""
+    return dedup.shingle_cap_report(
+        _cap_planted(spark, sf_dir), n=3, max_df=100
+    )
+
+
+def q_winnow_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-side cap-hit observability (r12): the same report over
+    the MOSS-selected fingerprint postings (k=5, w=4), auditing exactly
+    the join winnow_pairs runs — selection step fully oracled."""
+    return dedup.winnow_cap_report(
+        _cap_planted(spark, sf_dir), k=5, w=4, max_df=100
+    )
+
+
+def q_dedup_containment_escalated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tiered-cap escalation (r12): at the base cap the planted df=125
+    clique is silently dropped (the r11 30x saturation in miniature);
+    with tiers (100, 400) and a 1-mil dropped-mass budget the chooser
+    must escalate to 400 and report every clique pair at containment
+    1.0 — the chooser itself (per-tier dropped mass, first qualifying
+    tier) is stated in SQL."""
+    return dedup.containment_pairs(
+        _cap_planted(spark, sf_dir),
+        n=3,
+        threshold=0.8,
+        max_df=100,
+        max_df_tiers=(100, 400),
+        max_dropped_mils=1,
+    )
+
+
+def q_winnow_pairs_escalated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnow-side tiered-cap escalation (r12): the planted clique's 2
+    shared fingerprints carry df=125 — capped at 100, recovered at the
+    400 tier; min_shared=2 keeps only full passage matches."""
+    return dedup.winnow_overlap_pairs(
+        _cap_planted(spark, sf_dir),
+        k=5,
+        w=4,
+        min_shared=2,
+        max_df=100,
+        max_df_tiers=(100, 400),
+        max_dropped_mils=1,
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: xxhash64 has no DuckDB twin; see tests/test_dedup.py."""
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
@@ -1939,6 +2019,10 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_tier_stats": q_index_tier_stats,
     "maintain_index_tier": q_maintain_index_tier,
     "dedup_containment": q_dedup_containment,
+    "shingle_cap_report": q_shingle_cap_report,
+    "winnow_cap_report": q_winnow_cap_report,
+    "dedup_containment_escalated": q_dedup_containment_escalated,
+    "winnow_pairs_escalated": q_winnow_pairs_escalated,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
     "ngram_jaccard": q_ngram_jaccard,
@@ -2046,7 +2130,32 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # shared SQL fragments -----------------------------------------------------
 
 # shared winnowing CTE chain (r10): toks -> positional k-gram md5-40bit
-# hashes -> packed keys -> per-doc windowed min (k=5, w=4)
+# hashes -> packed keys -> per-doc windowed min (k=5, w=4); ``src``
+# parameterizes the source CTE for planted variants (r12)
+def _sql_winnow_ctes(src: str = "documents") -> str:
+    return f"""toks AS (
+            SELECT doc_id, string_split({_SQL_NORM}, ' ') AS tk
+            FROM {src}),
+        grams AS (
+            SELECT doc_id, i - 1 AS pos,
+                   ('0x' || substr(md5(
+                        array_to_string(tk[i:least(i + 4, len(tk))], ' ')),
+                        1, 10))::BIGINT AS h
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(tk) - 4, 1))) AS t(i)),
+        comb AS (
+            SELECT doc_id, pos,
+                   h * 1048576 + (1048575 - pos) AS c,
+                   count(*) OVER (PARTITION BY doc_id) AS ng
+            FROM grams),
+        wmin AS (
+            SELECT doc_id, pos, ng,
+                   min(c) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                         AND 3 FOLLOWING) AS mc
+            FROM comb)"""
+
+
 _SQL_WINNOW_CTES = f"""toks AS (
             SELECT doc_id, string_split({_SQL_NORM}, ' ') AS tk
             FROM documents),
@@ -2069,7 +2178,8 @@ _SQL_WINNOW_CTES = f"""toks AS (
                                          AND 3 FOLLOWING) AS mc
             FROM comb)"""
 
-_SQL_SHINGLES = f"""
+def _sql_shingles(src: str = "documents") -> str:
+    return f"""
 shingles AS (
     SELECT DISTINCT doc_id AS id, sh FROM (
         SELECT doc_id, unnest(
@@ -2077,10 +2187,13 @@ shingles AS (
                 generate_series(1, greatest(len(toks) - 2, 1)),
                 i -> array_to_string(toks[i:least(i + 2, len(toks))], ' ')
             )) AS sh
-        FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks FROM documents) t
+        FROM (SELECT doc_id, string_split({_SQL_NORM}, ' ') AS toks FROM {src}) t
     ) u
 )
 """
+
+
+_SQL_SHINGLES = _sql_shingles()
 
 _SQL_MARKER = "len(string_split(' ' || lower(text) || ' ', ' {w} ')) - 1"
 
@@ -3981,6 +4094,139 @@ LLM_ORACLE_SQL["dedup_sentences_incremental"] = _sql_dedup_sentences(
 # the read-path probe reproduces ivf_drift exactly (metrics are a pure
 # function of the stored assignments, same build params) — shared oracle
 LLM_ORACLE_SQL["ivf_drift_read"] = LLM_ORACLE_SQL["ivf_drift"]
+
+# ---------------------------------------------------------------- r12
+# cap-saturation observability + tiered escalation: shared planted CTE
+# (125 fixed docs become one 12-token passage, df = 125 > the 100 cap)
+
+_SQL_CAPPLANT = """capplant AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id < 500 AND doc_id % 4 = 0
+                        THEN 'Capsat alpha bravo charlie delta echo'
+                             || ' foxtrot golf hotel india juliet kilo'
+                        ELSE text END AS text
+            FROM documents)"""
+
+# one-row cap-hit rollup over a (id/doc_id, key) posting CTE — keep in
+# lockstep with dedup._cap_report
+def _sql_cap_rollup(postings: str, key: str, max_df: int) -> str:
+    return f"""
+        dfc AS (SELECT {key}, count(*) AS df FROM {postings}
+                GROUP BY {key}),
+        s AS (SELECT count(*)::BIGINT AS n_keys,
+                     sum((df > {max_df})::INT)::BIGINT AS capped_keys,
+                     sum(df)::BIGINT AS n_postings,
+                     sum(CASE WHEN df > {max_df} THEN df
+                              ELSE 0 END)::BIGINT AS dropped_postings
+              FROM dfc)
+        SELECT {max_df}::BIGINT AS max_df, n_keys, capped_keys,
+               (CASE WHEN n_keys = 0 THEN 0
+                     ELSE capped_keys * 1000 // n_keys END)::BIGINT
+                   AS capped_key_mils,
+               n_postings, dropped_postings,
+               (CASE WHEN n_postings = 0 THEN 0
+                     ELSE dropped_postings * 1000 // n_postings
+                END)::BIGINT AS dropped_mass_mils
+        FROM s"""
+
+
+LLM_ORACLE_SQL["shingle_cap_report"] = (
+    "WITH "
+    + _SQL_CAPPLANT
+    + ","
+    + _sql_shingles("capplant").strip().rstrip()
+    + ","
+    + _sql_cap_rollup("shingles", "sh", 100)
+)
+
+LLM_ORACLE_SQL["winnow_cap_report"] = (
+    "WITH "
+    + _SQL_CAPPLANT
+    + ",\n        "
+    + _sql_winnow_ctes("capplant")
+    + """,
+        sel AS (
+            SELECT DISTINCT doc_id AS id,
+                   (mc // 1048576)::BIGINT AS fp
+            FROM wmin WHERE pos <= greatest(ng - 4, 0)),"""
+    + _sql_cap_rollup("sel", "fp", 100).lstrip("\n").lstrip()
+)
+
+# the tier chooser stated in SQL — keep in lockstep with
+# dedup._choose_df_cap (tiers (100, 400), dropped-mass budget 1 mil)
+_SQL_TIER_CHOICE = """
+        tiers(cap) AS (VALUES (100::BIGINT), (400::BIGINT)),
+        per AS (SELECT cap,
+                       sum(CASE WHEN df > cap THEN df ELSE 0 END)
+                           AS dropped,
+                       sum(df) AS total
+                FROM dfc, tiers GROUP BY cap),
+        ch AS (SELECT coalesce(
+                   min(CASE WHEN dropped * 1000 // total <= 1
+                            THEN cap END),
+                   max(cap)) AS cap
+               FROM per)"""
+
+LLM_ORACLE_SQL["dedup_containment_escalated"] = (
+    "WITH "
+    + _SQL_CAPPLANT
+    + ","
+    + _sql_shingles("capplant").strip()
+    + """,
+        dfc AS (SELECT sh, count(*) AS df FROM shingles GROUP BY sh),"""
+    + _SQL_TIER_CHOICE
+    + """,
+        sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+        kept AS (
+            SELECT s.id, s.sh FROM shingles s
+            JOIN dfc d ON s.sh = d.sh
+            CROSS JOIN ch WHERE d.df <= ch.cap),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+            FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id
+            GROUP BY a.id, b.id),
+        scored AS (
+            SELECT id_a, id_b, i, sa.sz AS sz_a, sb.sz AS sz_b
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b),
+        dirs AS (
+            SELECT id_a AS id_sub, id_b AS id_super,
+                   round(i / sz_a::DOUBLE, 6) AS containment
+            FROM scored
+            UNION ALL
+            SELECT id_b, id_a, round(i / sz_b::DOUBLE, 6)
+            FROM scored)
+        SELECT id_sub, id_super, containment
+        FROM dirs WHERE containment >= 0.8"""
+)
+
+LLM_ORACLE_SQL["winnow_pairs_escalated"] = (
+    "WITH "
+    + _SQL_CAPPLANT
+    + ",\n        "
+    + _sql_winnow_ctes("capplant")
+    + """,
+        sel AS (
+            SELECT DISTINCT doc_id AS id,
+                   (mc // 1048576)::BIGINT AS fp
+            FROM wmin WHERE pos <= greatest(ng - 4, 0)),
+        dfc AS (SELECT fp, count(*) AS df FROM sel GROUP BY fp),"""
+    + _SQL_TIER_CHOICE
+    + """,
+        kept AS (
+            SELECT s.id, s.fp FROM sel s
+            JOIN dfc d ON s.fp = d.fp
+            CROSS JOIN ch WHERE d.df <= ch.cap)
+        SELECT id_a, id_b, n_shared FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   count(*)::BIGINT AS n_shared
+            FROM kept a JOIN kept b
+              ON a.fp = b.fp AND a.id < b.id
+            GROUP BY a.id, b.id) t
+        WHERE n_shared >= 2"""
+)
+
 
 # sentence-span decontamination (r10): the dedup_sentences chain minus
 # keeper protection — train spans semi-matched against the eval split's

@@ -1663,6 +1663,101 @@ class TestContainmentPairs:
         )
 
 
+class TestCapReportsAndEscalation:
+    def _saturating_docs(self, spark):
+        # 30 docs share a 6-token passage (shingle df = 30 >> cap 10);
+        # 20 clean docs are untouched — the r11 30x-soak saturation
+        # shape in miniature: at max_df=10 every shared shingle caps
+        # and the pair detectors go silently blind
+        rows = [(i, "shared alpha bravo charlie delta echo") for i in range(30)]
+        rows += [
+            (100 + i, f"unique text number {i} plus extra filler words")
+            for i in range(20)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_shingle_cap_report_counts_the_bite(self, spark):
+        docs = self._saturating_docs(spark)
+        r = dedup.shingle_cap_report(docs, n=3, max_df=10).first()
+        assert r.max_df == 10
+        # the 4 passage shingles (6 tokens, n=3) are each in 30 docs;
+        # the filler docs also share 3 invariant trigrams across all 20
+        assert r.capped_keys == 7
+        assert r.dropped_postings == 4 * 30 + 3 * 20
+        assert r.n_keys > r.capped_keys
+        assert 0 < r.dropped_mass_mils < 1000
+        assert r.capped_key_mils == r.capped_keys * 1000 // r.n_keys
+        # the blind detector the report warns about
+        assert dedup.containment_pairs(docs, max_df=10).count() == 0
+
+    def test_winnow_cap_report_counts_the_bite(self, spark):
+        docs = self._saturating_docs(spark)
+        r = dedup.winnow_cap_report(docs, k=5, w=4, max_df=10).first()
+        assert r.capped_keys >= 1 and r.dropped_postings >= 30
+        assert 0 < r.dropped_mass_mils < 1000
+
+    def test_clean_corpus_reports_zero(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"every document number {i} is fully distinct")
+             for i in range(8)],
+            ["doc_id", "text"],
+        )
+        r = dedup.shingle_cap_report(docs, n=3, max_df=10).first()
+        assert (r.capped_keys, r.dropped_postings, r.dropped_mass_mils) \
+            == (0, 0, 0)
+
+    def test_escalation_recovers_the_saturated_clique(self, spark):
+        docs = self._saturating_docs(spark)
+        esc = dedup.containment_pairs(
+            docs, max_df=10, max_df_tiers=(10, 50), max_dropped_mils=10
+        )
+        # 30 identical docs -> C(30,2) pairs in BOTH directions
+        assert esc.count() == 30 * 29
+        wesc = dedup.winnow_overlap_pairs(
+            docs, min_shared=1, max_df=10,
+            max_df_tiers=(10, 50), max_dropped_mils=10,
+        )
+        assert wesc.count() == 30 * 29 // 2
+
+    def test_escalation_is_a_superset_of_plain(self, spark):
+        # when tier 0 == the fixed cap already satisfies the dropped-
+        # mass budget, escalation chooses tier 0 and the output is
+        # IDENTICAL to the plain run (no spurious extra pairs)
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha bravo charlie delta echo"),
+                (2, "alpha bravo charlie delta echo foxtrot golf hotel"
+                    " india juliet kilo lima mike november oscar papa"),
+                (3, "totally unrelated words live here quietly"),
+            ],
+            ["doc_id", "text"],
+        )
+        plain = sorted(
+            tuple(r)
+            for r in dedup.containment_pairs(docs, max_df=100).collect()
+        )
+        esc = sorted(
+            tuple(r)
+            for r in dedup.containment_pairs(
+                docs, max_df=100, max_df_tiers=(100, 400),
+                max_dropped_mils=1000,
+            ).collect()
+        )
+        assert plain == esc and len(plain) > 0
+
+    def test_last_tier_is_still_a_hard_bound(self, spark):
+        # dropped mass never reaches the budget -> the LAST tier is
+        # chosen, and keys over it stay capped (bounded escalation,
+        # not an unbounded retry loop)
+        docs = self._saturating_docs(spark)
+        esc = dedup.containment_pairs(
+            docs, max_df=10, max_df_tiers=(10, 20), max_dropped_mils=0
+        )
+        # passage shingles have df=30 > 20: still dropped at the last
+        # tier; the clean docs share nothing -> no pairs at all
+        assert esc.count() == 0
+
+
 class TestWinnowOverlapPairs:
     def test_verbatim_overlap_detected_clean_pair_not(self, spark):
         shared = (

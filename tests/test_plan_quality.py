@@ -803,6 +803,47 @@ def test_winnow_pairs_never_broadcasts_corpus_frames(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_escalated_containment_keeps_the_shj_posture(spark):
+    """r12: tiered-cap escalation must not reopen the r11 broadcast
+    hole — the per-key df frame and both self-join sides stay pinned
+    shuffle_hash; the ONLY broadcast is the chosen one-row cap riding
+    a nested-loop join (never a BroadcastHashJoin of corpus data), and
+    the tier fanout is a broadcast of the literal tier list."""
+    from hadoop_invertedindexer_spark.operators import dedup
+
+    d = read_table(spark, SF, "documents")
+    plan = _plan(
+        dedup.containment_pairs(
+            d, n=3, threshold=0.8, max_df=100,
+            max_df_tiers=(100, 400), max_dropped_mils=1,
+        )
+    )
+    assert plan.count("ShuffledHashJoin") >= 4
+    assert "BroadcastHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the one-row chosen-cap broadcast is the allowed nested loop
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cap_report_is_cheaper_than_the_join_it_audits(spark):
+    """r12: the cap-hit report is a per-key aggregate + one global
+    rollup — NO self-join, no Python, nothing broadcast; it must stay
+    strictly cheaper than the pair join it audits."""
+    from hadoop_invertedindexer_spark.operators import dedup
+
+    d = read_table(spark, SF, "documents")
+    for rep in (
+        dedup.shingle_cap_report(d, n=3, max_df=100),
+        dedup.winnow_cap_report(d, k=5, w=4, max_df=100),
+    ):
+        plan = _plan(rep)
+        assert "ShuffledHashJoin" not in plan  # no join at all
+        assert "BroadcastHashJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
 def test_winnow_windows_partition_by_doc(spark):
     """r10: every winnowing window partitions by the doc id — no
     single-partition stage and no range partitioning (a global sort)
