@@ -1169,6 +1169,76 @@ def classifier_pr_sweep(
     )
 
 
+def corpus_filter_classifier(
+    docs,
+    weights,
+    min_precision_mils: int = 800,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "y",
+    n_features: int = 1024,
+    word_ngrams: int = 1,
+    bias: int = 0,
+):
+    """Threshold-picked classifier gate (r12) — the consumer that
+    closes the eval family's loop: :func:`classifier_pr_sweep` reports
+    every operating point, this operator PICKS one and gates the
+    corpus with it. The chosen cut is the SMALLEST margin threshold
+    whose sweep precision meets ``min_precision_mils`` with a nonempty
+    keep set — i.e. maximum recall subject to the precision floor
+    (n_kept is monotone non-increasing in the threshold, so the
+    smallest qualifying threshold keeps the most); if NO operating
+    point meets the floor, the gate keeps nothing (threshold =
+    max(margin), reported honestly rather than silently loosened).
+    Thanks to the sweep's keep-everything sentinel row, a corpus whose
+    base rate already meets the floor gates nothing out.
+
+    ``docs`` must carry ``label_col`` (the eval-labeled calibration
+    frame fastText users sweep on). Returns one verdict per document —
+    (``id_col``, margin, threshold, is_kept, drop_reason) — with
+    ``drop_reason = 'classifier_low_margin'`` for gated docs and NULL
+    for keepers, composing with :func:`corpus_filter`'s attribution
+    contract (coalesce the rule reason with the classifier reason for
+    a combined pipeline verdict).
+
+    Scale shape: one :func:`classifier_predict` pass (broadcast weight
+    join + per-doc aggregate), one id-keyed label join-back, and the
+    sweep's metadata-scale histogram; the threshold derivation is an
+    aggregate over the SWEEP frame (histogram-side — corpus data is
+    never collected) riding back as a one-row broadcast. All integers,
+    bit-reproducible."""
+    preds = classifier_predict(
+        docs, weights, n_features, bias, id_col, text_col, word_ngrams
+    )
+    labeled = preds.join(docs.select(id_col, label_col), id_col)
+    sweep = classifier_pr_sweep(
+        labeled, label_col=label_col, margin_col="margin"
+    )
+    chosen = sweep.agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    (F.col("precision_mils") >= min_precision_mils)
+                    & (F.col("n_kept") > 0),
+                    F.col("threshold"),
+                )
+            ),
+            F.max("threshold"),
+        ).alias("threshold")
+    )
+    gated = preds.crossJoin(F.broadcast(chosen))
+    keep = F.col("margin") > F.col("threshold")
+    return gated.select(
+        id_col,
+        "margin",
+        "threshold",
+        keep.alias("is_kept"),
+        F.when(keep, F.lit(None).cast("string"))
+        .otherwise(F.lit("classifier_low_margin"))
+        .alias("drop_reason"),
+    )
+
+
 def score_buckets(
     scored,
     score_col: str = "avg_nll",

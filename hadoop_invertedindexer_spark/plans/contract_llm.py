@@ -911,6 +911,33 @@ def q_classifier_pr_sweep(
     return textstats.classifier_pr_sweep(labeled)
 
 
+def q_corpus_filter_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Threshold-picked classifier gate (r12): the same 4-round
+    perceptron; the operator derives its cut from the PR sweep
+    (smallest threshold at >= 900-mils precision, histogram-side) and
+    gates every document with corpus_filter-style reason attribution —
+    the sweep chain, the chooser, and the keep rule are all stated in
+    SQL, shared verbatim with the classifier_pr_sweep oracle."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" qualitymarker")
+            ).otherwise(F.lit(" junkmarker")),
+        ).alias("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y"),
+    )
+    w = textstats.classifier_train(d, n_iters=4, n_features=1024)
+    return textstats.corpus_filter_classifier(
+        d, w, min_precision_mils=900, n_features=1024
+    )
+
+
 def q_ngram_nll_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-LM scoring (r8): the eval split (every 50th doc) scored
     under the trigram model trained on the TRAIN split only — the
@@ -2067,6 +2094,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_auc": q_classifier_auc,
     "classifier_calibration": q_classifier_calibration,
     "classifier_pr_sweep": q_classifier_pr_sweep,
+    "corpus_filter_classifier": q_corpus_filter_classifier,
     "classifier_train_continue": q_classifier_train_continue,
     "classifier_train_bigrams": q_classifier_train_bigrams,
     "classifier_predict_bigrams": q_classifier_predict_bigrams,
@@ -5054,28 +5082,27 @@ LLM_ORACLE_SQL["classifier_calibration"] = _sql_classifier_calibration()
 # PR threshold sweep (r11): same train chain + grouped margin
 # histogram; kept/tp at threshold t = strictly-greater cumulative sums
 # over the DESC-ordered histogram — keep in lockstep with
-# textstats.classifier_pr_sweep
-def _sql_classifier_pr_sweep() -> str:
-    return (
-        "WITH "
-        + ",\n        ".join(_sql_classifier_train_parts(4))
-        + """,
-        marg AS (
+# textstats.classifier_pr_sweep — the sweep chain is shared VERBATIM
+# with corpus_filter_classifier (r12), which picks a cut from the same
+# sw CTE and gates the margins with it
+def _sql_pr_sweep_parts() -> list[str]:
+    return _sql_classifier_train_parts(4) + [
+        """marg AS (
             SELECT f.doc_id, f.y,
                    sum(f.cnt * coalesce(w.weight, 0))::BIGINT AS margin
             FROM feats f LEFT JOIN w4 w USING (feature)
-            GROUP BY f.doc_id, f.y),
-        g0 AS (
+            GROUP BY f.doc_id, f.y)""",
+        """g0 AS (
             SELECT margin,
                    sum((y = 1)::INT)::BIGINT AS pos,
                    count(*)::BIGINT AS tot
-            FROM marg GROUP BY margin),
-        g AS (
+            FROM marg GROUP BY margin)""",
+        """g AS (
             SELECT margin, pos, tot FROM g0
             UNION ALL
             SELECT min(margin) - 1, 0::BIGINT, 0::BIGINT FROM g0
-            HAVING min(margin) IS NOT NULL),
-        c AS (
+            HAVING min(margin) IS NOT NULL)""",
+        """c AS (
             SELECT margin::BIGINT AS threshold,
                    coalesce(sum(tot) OVER (ORDER BY margin DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING
@@ -5084,10 +5111,11 @@ def _sql_classifier_pr_sweep() -> str:
                        ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND 1 PRECEDING), 0)::BIGINT
                        AS n_pos_kept
-            FROM g),
-        t AS (
+            FROM g)""",
+        """t AS (
             SELECT sum(tot)::BIGINT AS n_docs, sum(pos)::BIGINT AS n_pos
-            FROM g)
+            FROM g)""",
+        """sw AS (
         SELECT c.threshold, c.n_kept,
                (c.n_kept * 1000 // t.n_docs)::BIGINT AS kept_mils,
                c.n_pos_kept,
@@ -5097,11 +5125,51 @@ def _sql_classifier_pr_sweep() -> str:
                (CASE WHEN t.n_pos = 0 THEN NULL
                      ELSE c.n_pos_kept * 1000 // t.n_pos END)::BIGINT
                    AS recall_mils
-        FROM c, t"""
+        FROM c, t)""",
+    ]
+
+
+def _sql_classifier_pr_sweep() -> str:
+    return (
+        "WITH "
+        + ",\n        ".join(_sql_pr_sweep_parts())
+        + """
+        SELECT threshold, n_kept, kept_mils, n_pos_kept,
+               precision_mils, recall_mils
+        FROM sw"""
     )
 
 
 LLM_ORACLE_SQL["classifier_pr_sweep"] = _sql_classifier_pr_sweep()
+
+
+# textstats.corpus_filter_classifier (r12): the SAME sweep chain, a
+# histogram-side chooser (smallest threshold meeting the precision
+# floor with a nonempty keep, else keep-nothing max), and the margin
+# gate with corpus_filter-style reason attribution
+def _sql_corpus_filter_classifier(min_precision_mils: int) -> str:
+    return (
+        "WITH "
+        + ",\n        ".join(_sql_pr_sweep_parts())
+        + f""",
+        ch AS (
+            SELECT coalesce(
+                min(CASE WHEN precision_mils >= {min_precision_mils}
+                              AND n_kept > 0
+                         THEN threshold END),
+                max(threshold)) AS threshold
+            FROM sw)
+        SELECT m.doc_id, m.margin, ch.threshold,
+               m.margin > ch.threshold AS is_kept,
+               CASE WHEN m.margin > ch.threshold THEN NULL
+                    ELSE 'classifier_low_margin' END AS drop_reason
+        FROM marg m, ch"""
+    )
+
+
+LLM_ORACLE_SQL["corpus_filter_classifier"] = _sql_corpus_filter_classifier(
+    900
+)
 
 LLM_ORACLE_SQL["ngram_nll"] = _sql_ngram_nll()
 LLM_ORACLE_SQL["ngram_nll_ref"] = _sql_ngram_nll(

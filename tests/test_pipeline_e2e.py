@@ -243,6 +243,64 @@ def test_bigram_classifier_distills_at_least_as_well(spark):
     assert accs[2] >= accs[1] >= baseline + 0.05, (accs, baseline)
 
 
+def test_classifier_gate_extends_distillation(spark):
+    """r12 (VERDICT r11 ask 4) e2e: corpus_filter verdicts distill into
+    a classifier, the PR sweep picks the cut, and corpus_filter_classifier
+    gates the corpus with it — the full quality loop. Three seams:
+    (1) the kept set's precision against the distillation labels honors
+    the requested floor (the whole point of deriving the cut from the
+    sweep); (2) the gate keeps SOMETHING (the floor is attainable on
+    this corpus — pinned, so a training regression that collapses the
+    margin distribution fails loudly); (3) the classifier verdict
+    composes with corpus_filter's reason attribution into one combined
+    per-document verdict frame."""
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    verdicts = textstats.corpus_filter(docs, STOPWORDS, min_tokens=20)
+    labeled = docs.join(
+        verdicts.select("doc_id", "is_kept"), "doc_id"
+    ).select(
+        "doc_id",
+        "text",
+        F.when(F.col("is_kept"), F.lit(1)).otherwise(F.lit(-1)).alias("y"),
+    )
+    w = textstats.classifier_train(labeled, n_iters=20, n_features=512)
+    floor = 800
+    gate = textstats.corpus_filter_classifier(
+        labeled, w, min_precision_mils=floor, n_features=512
+    )
+    rows = gate.join(labeled.select("doc_id", "y"), "doc_id").collect()
+    kept = [r for r in rows if r.is_kept]
+    assert len(kept) > 0
+    kept_pos = sum(1 for r in kept if r.y == 1)
+    assert kept_pos * 1000 // len(kept) >= floor
+    # seam 3: combined attribution — rule reasons first, classifier
+    # reason for rule-kept docs that fail the margin
+    combined = (
+        verdicts.withColumnRenamed("is_kept", "rule_kept")
+        .withColumnRenamed("drop_reason", "rule_reason")
+        .join(
+            gate.select(
+                "doc_id",
+                F.col("is_kept").alias("clf_kept"),
+                F.col("drop_reason").alias("clf_reason"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            (F.col("rule_kept") & F.col("clf_kept")).alias("is_kept"),
+            F.coalesce("rule_reason", "clf_reason").alias("drop_reason"),
+        )
+        .collect()
+    )
+    assert len(combined) == docs.count()
+    for r in combined:
+        assert (r.drop_reason is None) == r.is_kept
+    reasons = {r.drop_reason for r in combined if r.drop_reason}
+    assert "classifier_low_margin" in reasons
+    assert any(x != "classifier_low_margin" for x in reasons)
+
+
 def test_data_card_feeds_mixture_plan_and_upsample(spark, sf_dir):
     """r10 (VERDICT r9 ask 9) e2e: data-card report → mixture plan →
     upsample, with token conservation asserted at both seams. Link #1:

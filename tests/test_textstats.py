@@ -799,6 +799,75 @@ class TestClassifierPrSweep:
         assert sweep[0].n_kept == 0
 
 
+class TestCorpusFilterClassifier:
+    def _labeled(self, spark):
+        rows = [
+            (
+                i,
+                (
+                    "good quality writing marker"
+                    if i % 2 == 0
+                    else "bad junky noise marker"
+                )
+                + f" shared filler {i % 5}",
+                1 if i % 2 == 0 else -1,
+            )
+            for i in range(40)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "y"])
+
+    def test_gate_matches_the_sweep_choice(self, spark):
+        # the operator must pick EXACTLY the smallest sweep threshold
+        # meeting the precision floor with a nonempty keep, and gate
+        # every doc by margin > t with attributable reasons
+        d = self._labeled(spark)
+        w = ts.classifier_train(d, n_iters=2, n_features=256)
+        preds = ts.classifier_predict(d, w, n_features=256)
+        labeled = preds.join(d.select("doc_id", "y"), "doc_id")
+        sweep = ts.classifier_pr_sweep(labeled).collect()
+        floor = 800
+        elig = [
+            r.threshold
+            for r in sweep
+            if r.precision_mils is not None
+            and r.precision_mils >= floor
+            and r.n_kept > 0
+        ]
+        t = min(elig) if elig else max(r.threshold for r in sweep)
+        got = ts.corpus_filter_classifier(
+            d, w, min_precision_mils=floor, n_features=256
+        ).collect()
+        assert len(got) == 40
+        for r in got:
+            assert r.threshold == t
+            assert r.is_kept == (r.margin > t)
+            assert (r.drop_reason is None) == r.is_kept
+            if not r.is_kept:
+                assert r.drop_reason == "classifier_low_margin"
+
+    def test_zero_floor_keeps_everything(self, spark):
+        # precision floor 0 is met by the sweep's keep-everything
+        # sentinel row -> the gate keeps the full corpus
+        d = self._labeled(spark)
+        w = ts.classifier_train(d, n_iters=2, n_features=256)
+        got = ts.corpus_filter_classifier(
+            d, w, min_precision_mils=0, n_features=256
+        ).collect()
+        assert all(r.is_kept for r in got)
+
+    def test_impossible_floor_keeps_nothing(self, spark):
+        # no operating point reaches 1001 mils: the gate falls back to
+        # threshold = max(margin) and keeps nothing - honest, never
+        # silently loosened
+        d = self._labeled(spark)
+        w = ts.classifier_train(d, n_iters=2, n_features=256)
+        got = ts.corpus_filter_classifier(
+            d, w, min_precision_mils=1001, n_features=256
+        ).collect()
+        assert all(not r.is_kept for r in got)
+        assert all(r.drop_reason == "classifier_low_margin" for r in got)
+
+
 class TestScoreBuckets:
     def test_exact_terciles_on_distinct_scores(self, spark):
         df = spark.createDataFrame(
