@@ -83,10 +83,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_exact_incremental",  # persisted document-hash index path (r10)
     "index_tier_stats",       # dup-mass report = the compaction trigger (r11)
+    "maintain_index_tier",    # triggered compact rotation, build+2 appends (r12)
     "dedup_minhash",
     "dedup_minhash_incremental",  # persisted-index daily-ingest path (r6)
     "ngram_jaccard",
     "dedup_containment",      # directional subset detector (r10)
+    "shingle_cap_report",     # max_df cap-hit observability report (r12)
+    "dedup_containment_escalated",  # tiered-cap escalation, planted df=125 clique (r12)
     "similarity_bruteforce",
     "similarity_lsh",         # multi-table hyperplane ANN (projection-only)
     "semantic_dedup",         # SemDeDup: cluster-scoped cosine pruning (r6)
@@ -120,6 +123,7 @@ HEADLINE = [
     "classifier_auc",         # rank-sum ROC-AUC + accuracy eval report (r10)
     "classifier_calibration", # reliability bins + Brier over the margin histogram (r11)
     "classifier_pr_sweep",    # precision/recall operating-point sweep (r11)
+    "corpus_filter_classifier",  # threshold-picked classifier corpus gate (r12)
     "ann_recall_eval",        # LSH recall@10 vs brute-force truth (r10)
     "ann_recall_eval_ivf_read",  # IVF recall@10 vs pre-built persisted index (r11)
     "dataset_diff",           # fingerprint snapshot diff, full-outer join (r10)
