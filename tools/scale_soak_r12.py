@@ -62,9 +62,13 @@ write) comes from the Spark UI REST API — "peak shuffle" is the number
 that predicts whether a 1000-executor run fits its shuffle disks.
 
 Usage:
-  python tools/scale_soak_r12.py index-100x [src] [out_json]
-  python tools/scale_soak_r12.py pairs-100x [src] [out_json]
+  python tools/scale_soak_r12.py index-100x  [src] [out_json]
+  python tools/scale_soak_r12.py pairs-100x  [src] [out_json]
+  python tools/scale_soak_r12.py substr-100x [src] [out_json]
 Writes/merges scale_results_r12_100x.json (commit to repo root).
+``substr-100x`` repeats the index-100x lifecycle protocol for the
+window + sentence tiers, completing 100x evidence for every persisted
+tier that has a compactor (paragraph shares the sentence code path).
 """
 
 from __future__ import annotations
@@ -348,6 +352,122 @@ def index_tier_rows(spark, path: str, tables: tuple) -> list:
     return [r.asDict() for r in dedup.index_tier_stats(spark, path, tables).collect()]
 
 
+def substr_100x_soak(spark, src: str, out_json: str) -> None:
+    """The window + sentence tiers' lifecycle at 1/30/100x — with
+    exact + minhash (index-100x) this completes 100x evidence for the
+    persisted-tier pattern across all granularities that have a
+    compactor. Same protocol: build from the factor corpus, run a
+    FIXED 1x batch (query first, then admit + 2 replayed appends),
+    stats, threshold-triggered maintain, fresh-probe equality."""
+    meter = ShuffleMeter(spark)
+    batch1 = _docs(spark, src)
+
+    def timed(fres: dict, key: str, fn):
+        m = meter.mark()
+        t0 = time.perf_counter()
+        out = fn()
+        fres[key] = round(time.perf_counter() - t0, 3)
+        sh = meter.since(m)
+        if sh:
+            fres[f"{key}_shuffle"] = sh
+        _hygiene(spark)
+        return out
+
+    wtmp = tempfile.mkdtemp(prefix="r12wwarm_")
+    dedup.build_window_index(batch1, f"{wtmp}/widx", n=8)
+    dedup.decontaminate_substrings_incremental(
+        spark, batch1, f"{wtmp}/widx", n=8
+    ).write.format("noop").mode("overwrite").save()
+    dedup.build_sentence_index(batch1, f"{wtmp}/sidx")
+    dedup.dedup_sentences_incremental(
+        spark, batch1, f"{wtmp}/sidx"
+    ).write.format("noop").mode("overwrite").save()
+    _hygiene(spark)
+
+    result: dict = {"src": src, "factors": {}}
+    for factor in (1, 30, 100):
+        corpus = _docs(spark, _scale_dir(src, factor))
+        tmp = tempfile.mkdtemp(prefix=f"r12sub_{factor}_")
+        fres: dict = {"corpus_docs": corpus.count()}
+
+        wpath = f"{tmp}/widx"
+        timed(fres, "window_build",
+              lambda: dedup.build_window_index(corpus, wpath, n=8))
+        n_dec = timed(
+            fres, "window_incremental_query",
+            lambda: dedup.decontaminate_substrings_incremental(
+                spark, batch1, wpath, n=8
+            ).count(),
+        )
+        fres["window_incremental_rows"] = n_dec
+        timed(fres, "window_append_batch",
+              lambda: dedup.append_window_index(batch1, wpath, n=8))
+        for _ in range(2):  # replayed appends: dup mass for the compactor
+            dedup.append_window_index(batch1, wpath, n=8)
+        stats = timed(fres, "window_tier_stats",
+                      lambda: index_tier_rows(spark, wpath, ("windows",)))
+        fres["window_dup_mils"] = stats[0]["dup_mils"]
+        wrot = f"{tmp}/widx_rot"
+        maint = timed(
+            fres, "window_maintain_compact",
+            lambda: [
+                r.asDict()
+                for r in dedup.maintain_index_tier(
+                    spark, wpath, wrot, "window", max_dup_mils=10
+                ).collect()
+            ],
+        )
+        fres["window_compacted"] = maint[0]["compacted"]
+        fres["window_reclaimed_rows"] = sum(r["reclaimed_rows"] for r in maint)
+        fres["window_incremental_equal_after_rotate"] = (
+            dedup.decontaminate_substrings_incremental(
+                spark, batch1, wrot, n=8
+            ).count()
+            == dedup.decontaminate_substrings_incremental(
+                spark, batch1, wpath, n=8
+            ).count()
+        )
+        _hygiene(spark)
+
+        spath = f"{tmp}/sidx"
+        timed(fres, "sentence_build",
+              lambda: dedup.build_sentence_index(corpus, spath))
+        n_sen = timed(
+            fres, "sentence_incremental_query",
+            lambda: dedup.dedup_sentences_incremental(
+                spark, batch1, spath
+            ).count(),
+        )
+        fres["sentence_incremental_rows"] = n_sen
+        timed(fres, "sentence_append_batch",
+              lambda: dedup.append_sentence_index(batch1, spath))
+        for _ in range(2):
+            dedup.append_sentence_index(batch1, spath)
+        stats = timed(fres, "sentence_tier_stats",
+                      lambda: index_tier_rows(spark, spath, ("sentences",)))
+        fres["sentence_dup_mils"] = stats[0]["dup_mils"]
+        srot = f"{tmp}/sidx_rot"
+        maint = timed(
+            fres, "sentence_maintain_compact",
+            lambda: [
+                r.asDict()
+                for r in dedup.maintain_index_tier(
+                    spark, spath, srot, "sentence", max_dup_mils=10
+                ).collect()
+            ],
+        )
+        fres["sentence_compacted"] = maint[0]["compacted"]
+        fres["sentence_reclaimed_rows"] = sum(r["reclaimed_rows"] for r in maint)
+        fres["sentence_incremental_equal_after_rotate"] = (
+            dedup.dedup_sentences_incremental(spark, batch1, srot).count()
+            == dedup.dedup_sentences_incremental(spark, batch1, spath).count()
+        )
+        _hygiene(spark)
+        print(f"substr @{factor}x: {json.dumps(fres)}", flush=True)
+        result["factors"][str(factor)] = fres
+        _merge_out(out_json, "substr-100x", result)
+
+
 def _winnow(docs):
     return dedup.winnow_overlap_pairs(docs, k=5, w=4, min_shared=2, max_df=MAX_DF)
 
@@ -449,6 +569,8 @@ def main() -> None:
         index_100x_soak(spark, src, out_json)
     elif mode == "pairs-100x":
         pairs_100x_soak(spark, src, out_json)
+    elif mode == "substr-100x":
+        substr_100x_soak(spark, src, out_json)
     else:
         raise SystemExit(f"unknown mode {mode}")
     spark.stop()
