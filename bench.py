@@ -84,11 +84,13 @@ HEADLINE = [
     "dedup_exact_incremental",  # persisted document-hash index path (r10)
     "index_tier_stats",       # dup-mass report = the compaction trigger (r11)
     "maintain_index_tier",    # triggered compact rotation, build+2 appends (r12)
+    "maintain_ivf_index",     # drift-triggered IVF rebuild rotation (r12)
     "dedup_minhash",
     "dedup_minhash_incremental",  # persisted-index daily-ingest path (r6)
     "ngram_jaccard",
     "dedup_containment",      # directional subset detector (r10)
     "shingle_cap_report",     # max_df cap-hit observability report (r12)
+    "minhash_band_report",    # LSH banding fanout/candidate pricing report (r12)
     "dedup_containment_escalated",  # tiered-cap escalation, planted df=125 clique (r12)
     "similarity_bruteforce",
     "similarity_lsh",         # multi-table hyperplane ANN (projection-only)

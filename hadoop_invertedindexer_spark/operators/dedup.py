@@ -822,6 +822,107 @@ def _banded_signatures(
     ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
 
+def minhash_band_report(
+    docs: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Banding observability for the MinHash-LSH family (r12) — the
+    :func:`shingle_cap_report` pattern applied to the third dedup join
+    family: one row saying exactly what the band join would cost a
+    :func:`minhash_lsh_pairs` run at the same (num_perm, bands, n)
+    before anyone pays for it —
+
+        (n_docs, num_perm, bands, n_band_keys, colliding_keys,
+         max_bucket, band_collisions, candidate_pairs,
+         candidates_per_doc_mils)
+
+    ``band_collisions`` = Σ C(bucket, 2) is the raw band fanout;
+    ``candidate_pairs`` is what survives the pair-scale distinct — the
+    exact input size of the estimate join, and the number whose
+    growth-under-duplication is the scale soaks' "LSH candidates track
+    TRUE near-dup density, never corpus²" claim (SCALE.md) made
+    readable per-run. ``candidates_per_doc_mils`` is the density
+    signal a schedule compares against its budget: replica-heavy
+    corpora push it toward bands·C(density,2)-shaped blowup, and a
+    caller seeing it spike re-tunes bands/rows (fewer, wider bands cut
+    collision fanout quadratically) BEFORE running the estimate join.
+
+    Cost: the signature pass + the band self-join + pair-scale
+    distinct — everything :func:`minhash_lsh_pairs` pays EXCEPT the
+    signature re-attach and per-pair estimates (on dup-heavy corpora
+    the majority term). Self-join sides pin shuffle_hash (corpus-scale
+    frames, the family posture); the one-row aggregates meet in
+    broadcast cross joins. Divisions are guarded for empty corpora.
+    ``portable=True`` selects the md5-60-bit hashes so the whole report
+    is oracle-checkable."""
+    sig = minhash_signatures(
+        docs, num_perm, n, id_col, text_col, portable=portable
+    )
+    banded = _banded_signatures(
+        sig, bands, num_perm // bands, portable
+    ).transform(tracked_persist)  # read by buckets + both join sides
+    bstats = (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_band_keys"),
+            # coalesce: SUM/MAX over an EMPTY bucket frame are NULL —
+            # an empty corpus must report zeros, not NULLs (the
+            # index_tier_stats comparability rule)
+            F.coalesce(
+                F.sum(F.when(F.col("bn") > 1, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("colliding_keys"),
+            F.coalesce(F.max("bn"), F.lit(0))
+            .cast("long")
+            .alias("max_bucket"),
+            F.coalesce(F.sum(F.expr("bn * (bn - 1) DIV 2")), F.lit(0))
+            .cast("long")
+            .alias("band_collisions"),
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("candidate_pairs"))
+    )
+    ndocs = banded.agg(
+        F.countDistinct("id").cast("long").alias("n_docs")
+    )
+    return (
+        ndocs.crossJoin(F.broadcast(bstats))
+        .crossJoin(F.broadcast(cand))
+        .select(
+            "n_docs",
+            F.lit(int(num_perm)).cast("long").alias("num_perm"),
+            F.lit(int(bands)).cast("long").alias("bands"),
+            "n_band_keys",
+            "colliding_keys",
+            "max_bucket",
+            "band_collisions",
+            "candidate_pairs",
+            F.expr(
+                "CASE WHEN n_docs = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE candidate_pairs * 1000 DIV n_docs END"
+            ).alias("candidates_per_doc_mils"),
+        )
+    )
+
+
 def _estimate_pairs(
     cand: DataFrame, sigs: DataFrame, num_perm: int, threshold: float
 ) -> DataFrame:

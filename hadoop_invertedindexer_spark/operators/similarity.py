@@ -898,6 +898,91 @@ def rebuild_ivf_index(
     build_ivf_index(corpus, cents, dest_path, id_col, vec_col)
 
 
+def maintain_ivf_index(
+    spark,
+    path: str,
+    dest_path: str,
+    max_avg_qerr_mils: int = 300,
+    max_imbalance_mils: int = 4000,
+    k: int | None = None,
+    sample_mult: int = 4,
+    refine_iters: int = 2,
+    portable: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drift-triggered auto-rebuild — the ANN twin of
+    ``dedup.maintain_index_tier`` (r12), closing the IVF maintenance
+    loop the same way: :func:`ivf_index_drift` is the trigger,
+    :func:`rebuild_ivf_index` the remediation, and this wrapper wires
+    them behind fleet thresholds. Reads the index's one-row drift
+    report, rotates a freshly-recentered rebuild into ``dest_path``
+    ONLY when the quantization error or bucket imbalance crosses its
+    threshold (both in mils — ``avg_qerr`` > ``max_avg_qerr_mils``/1000
+    OR ``imbalance`` > ``max_imbalance_mils``/1000), and reports what
+    happened: the drift row as measured (PRE-rebuild — the evidence the
+    decision was made on) plus a ``rebuilt`` flag.
+
+        (n_vectors, n_centroids, n_empty_buckets, max_bucket,
+         imbalance, avg_qerr, max_qerr, rebuilt)
+
+    Below threshold NOTHING is written — ``dest_path`` stays absent and
+    ingest keeps appending to ``path``; after a triggered rotation the
+    caller swaps its pointer to ``dest_path`` (the same rotation
+    contract as the compaction tiers), where queries run against
+    centroids that have finally seen the appended distribution.
+    ``k`` defaults to the index's current centroid count, so a rebuild
+    preserves the index's capacity unless the caller re-sizes it.
+
+    Scale shape: the decision reads ONE aggregate row (metadata-scale
+    collect — the probe-then-extend pattern); the rebuild itself is the
+    bounded-K recenter + one assignment pass over the stored
+    assignments (never the raw corpus). In-place guard as in
+    ``_compact_key_tier``: local-path best-effort via realpath — remote
+    URIs resolve through the filesystem API before calling."""
+    import os
+
+    if os.path.realpath(path) == os.path.realpath(dest_path):
+        raise ValueError(
+            "IVF rebuild cannot run in place: overwrite would delete "
+            "the source mid-read; write to a rotation dir and swap"
+        )
+    stats = ivf_index_drift(spark, path, vec_col).head()
+    rebuilt = (
+        stats.avg_qerr * 1000 > max_avg_qerr_mils
+        or stats.imbalance * 1000 > max_imbalance_mils
+    )
+    if rebuilt:
+        rebuild_ivf_index(
+            spark,
+            path,
+            dest_path,
+            k=int(k if k is not None else stats.n_centroids),
+            sample_mult=sample_mult,
+            refine_iters=refine_iters,
+            portable=portable,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    return spark.createDataFrame(
+        [
+            (
+                stats.n_vectors,
+                stats.n_centroids,
+                stats.n_empty_buckets,
+                stats.max_bucket,
+                stats.imbalance,
+                stats.avg_qerr,
+                stats.max_qerr,
+                rebuilt,
+            )
+        ],
+        "n_vectors BIGINT, n_centroids BIGINT, n_empty_buckets BIGINT,"
+        " max_bucket BIGINT, imbalance DOUBLE, avg_qerr DOUBLE,"
+        " max_qerr DOUBLE, rebuilt BOOLEAN",
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.4,

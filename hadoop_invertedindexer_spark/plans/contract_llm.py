@@ -281,6 +281,17 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_band_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding observability (r12): the cap-report pattern applied to
+    the LSH band join — bucket occupancy, raw band fanout (Σ C(n,2)),
+    and the distinct candidate-pair count that prices the estimate join
+    before it runs. Portable hashes, so every number — including the
+    pair-scale distinct — recomputes exactly in SQL."""
+    return dedup.minhash_band_report(
+        _docs(spark, sf_dir), num_perm=64, bands=16, n=3, portable=True
+    )
+
+
 def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash near-dup dedup against a persisted signature
     index (the daily-ingest path): corpus = doc_id % 10 != 0 is indexed
@@ -377,6 +388,34 @@ def q_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     similarity.build_ivf_index(emb, cents, path)
     return similarity.ivf_index_drift(spark, path)
+
+
+def q_maintain_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-triggered IVF auto-rebuild (r12) — the ANN twin of
+    q_maintain_index_tier: the index is built DRIFTED by construction
+    (centroids derive only from the vec_id % 4 == 0 quarter; the other
+    three quarters are appended against those frozen centroids), so
+    avg_qerr sits far above the 300-mils threshold at sf0.01 and sf0.1
+    alike (measured 584 / 670 mils) and the maintainer must rebuild
+    into the rotation dir and say so. The returned row is the
+    PRE-rebuild drift report + the rebuilt flag; the oracle recomputes
+    the subset-built centroids, the full-corpus assignment argmax, the
+    drift aggregate, and the same threshold rule."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="mivf_")
+    path, dest = base + "/ivf", base + "/ivf_rebuilt"
+    seed = emb.where(F.col("vec_id") % 4 == 0)
+    cents = similarity.bounded_centroids_refined(
+        seed, k=64, sample_mult=4, refine_iters=2, portable=True
+    )
+    similarity.build_ivf_index(seed, cents, path)
+    similarity.append_ivf_index(emb.where(F.col("vec_id") % 4 != 0), path)
+    return similarity.maintain_ivf_index(
+        spark, path, dest, max_avg_qerr_mils=300, max_imbalance_mils=4000,
+        portable=True,
+    )
 
 
 # the read-path probe memoizes its built index per (process, sf_dir):
@@ -2055,6 +2094,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_portable": q_dedup_minhash_portable,
+    "minhash_band_report": q_minhash_band_report,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -2062,6 +2102,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_bounded": q_semantic_dedup_bounded,
     "ivf_drift": q_ivf_drift,
     "ivf_drift_read": q_ivf_drift_read,
+    "maintain_ivf_index": q_maintain_ivf_index,
     "decontaminate": q_decontaminate,
     "similarity_bruteforce": q_similarity_bruteforce,
     "ann_recall_eval": q_ann_recall_eval,
@@ -2440,17 +2481,20 @@ def _sql_bounded_cents_ctes(
     sample: int = 256,
     n_iters: int = 2,
     dim: int = 64,
+    src: str = "embeddings",
 ) -> tuple[str, str]:
     """The bounded-K centroid construction in SQL (lockstep with
     similarity.bounded_centroids_refined, portable=True): md5-ordered
     sample, first-k seeds, unrolled integer-exact Lloyd iterations
     (floor(x·2^20) sums, empty centroids keep their previous vector).
     Returns (ctes, final_cents_name) — shared by the
-    semantic_dedup_bounded and ivf_drift oracles."""
+    semantic_dedup_bounded, ivf_drift, and maintain_ivf_index oracles
+    (the last passes ``src`` to build centroids from a SUBSET, the
+    drifted-index construction)."""
     mk = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
     ctes = [
         f"""samp AS (
-            SELECT vec_id, embedding FROM embeddings
+            SELECT vec_id, embedding FROM {src}
             ORDER BY {mk}, vec_id LIMIT {sample})""",
         f"""cents0 AS (
             SELECT vec_id AS cid,
@@ -2522,13 +2566,13 @@ def _sql_semantic_dedup_bounded(
         FROM assigned a LEFT JOIN dropped d ON a.id = d.id"""
 
 
-def _sql_minhash_portable(cand_filter: str = "") -> str:
-    """The portable (md5-60bit) MinHash-LSH pipeline in SQL: signatures,
-    16 raw-string band keys, distinct candidate pairs, positional-equality
-    estimate. ``cand_filter`` is appended to the candidate join condition
-    — the incremental twin restricts to pairs touching the batch ids."""
-    return f"""
-        WITH {_SQL_SHINGLES},
+def _sql_minhash_banded_ctes() -> str:
+    """shingles → portable md5-60bit signatures → 16 raw-string band
+    keys — the shared head of the minhash pair oracles and the
+    minhash_band_report oracle (keep in lockstep with
+    dedup.minhash_signatures / dedup._banded_signatures,
+    portable=True)."""
+    return f"""{_SQL_SHINGLES},
         sigs AS (
             SELECT id, [{", ".join(
                 f"min(('0x' || substr(md5('{i}|' || sh), 1, 15))::BIGINT)"
@@ -2540,7 +2584,16 @@ def _sql_minhash_portable(cand_filter: str = "") -> str:
                    unnest([{", ".join(
                        f"array_to_string(sig[{4 * b + 1}:{4 * b + 4}], ',')"
                        for b in range(16))}]) AS bh
-            FROM sigs),
+            FROM sigs)"""
+
+
+def _sql_minhash_portable(cand_filter: str = "") -> str:
+    """The portable (md5-60bit) MinHash-LSH pipeline in SQL: the shared
+    banded CTEs, distinct candidate pairs, positional-equality
+    estimate. ``cand_filter`` is appended to the candidate join condition
+    — the incremental twin restricts to pairs touching the batch ids."""
+    return f"""
+        WITH {_sql_minhash_banded_ctes()},
         cand AS (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                             a.sig AS sa, b.sig AS sb
@@ -3600,6 +3653,36 @@ LLM_ORACLE_SQL: dict[str, str] = {
     # (proven portable by the weighted_sample oracle), raw concatenated
     # band keys, positional-equality estimate
     "dedup_minhash_portable": _sql_minhash_portable(),
+    # LSH banding observability (r12): bucket stats + raw band fanout +
+    # the pair-scale distinct — keep in lockstep with
+    # dedup.minhash_band_report (portable=True)
+    "minhash_band_report": f"""
+        WITH {_sql_minhash_banded_ctes()},
+        buckets AS (
+            SELECT band, bh, count(*) AS bn
+            FROM banded GROUP BY band, bh),
+        bstats AS (
+            SELECT count(*)::BIGINT AS n_band_keys,
+                   coalesce(sum((bn > 1)::INT), 0)::BIGINT
+                       AS colliding_keys,
+                   coalesce(max(bn), 0)::BIGINT AS max_bucket,
+                   coalesce(sum(bn * (bn - 1) // 2), 0)::BIGINT
+                       AS band_collisions
+            FROM buckets),
+        cand AS (
+            SELECT count(*)::BIGINT AS candidate_pairs FROM (
+                SELECT DISTINCT a.id, b.id
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bh = b.bh AND a.id < b.id) t),
+        nd AS (SELECT count(DISTINCT id)::BIGINT AS n_docs FROM banded)
+        SELECT nd.n_docs, 64::BIGINT AS num_perm, 16::BIGINT AS bands,
+               bstats.n_band_keys, bstats.colliding_keys,
+               bstats.max_bucket, bstats.band_collisions,
+               cand.candidate_pairs,
+               (CASE WHEN nd.n_docs = 0 THEN 0
+                     ELSE cand.candidate_pairs * 1000 // nd.n_docs
+                END)::BIGINT AS candidates_per_doc_mils
+        FROM nd, bstats, cand""",
     # incremental twin: identical pipeline restricted to pairs touching
     # the batch (doc_id % 10 = 0) — valid because signatures are per-doc
     # projections, so index-vs-batch candidates = full candidates with
@@ -3731,6 +3814,49 @@ LLM_ORACLE_SQL: dict[str, str] = {
                round(agg.mq, 6) AS max_qerr
         FROM agg, bk, cc"""
     )(_sql_bounded_cents_ctes(k=64, sample=256, n_iters=2, dim=64)),
+    # drift-triggered IVF auto-rebuild (r12): the drifted-index fixture
+    # (centroids from the vec_id % 4 == 0 quarter, everything assigned
+    # against them) + the ivf_drift aggregate + the threshold rule —
+    # keep thresholds in lockstep with q_maintain_ivf_index
+    "maintain_ivf_index": (
+        lambda _c: f"""
+        WITH {_c[0]},
+        assigned AS (
+            SELECT id, cid, sim FROM (
+                SELECT e.vec_id AS id, c.cid,
+                       {_sql_cosine('e.embedding', 'c.cvec')} AS sim,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')}
+                                        DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN {_c[1]} c) t
+            WHERE rn = 1),
+        agg AS (
+            SELECT count(*) AS n_vectors,
+                   avg(1.0 - sim) AS aq, max(1.0 - sim) AS mq
+            FROM assigned),
+        bk AS (
+            SELECT max(n) AS max_bucket, count(*) AS n_used
+            FROM (SELECT cid, count(*) AS n FROM assigned GROUP BY cid) t),
+        cc AS (SELECT count(*) AS n_centroids FROM {_c[1]})
+        SELECT agg.n_vectors::BIGINT AS n_vectors,
+               cc.n_centroids::BIGINT AS n_centroids,
+               (cc.n_centroids - bk.n_used)::BIGINT AS n_empty_buckets,
+               bk.max_bucket::BIGINT AS max_bucket,
+               round(bk.max_bucket * cc.n_centroids / agg.n_vectors, 6)
+                   AS imbalance,
+               round(agg.aq, 6) AS avg_qerr,
+               round(agg.mq, 6) AS max_qerr,
+               (round(agg.aq, 6) * 1000 > 300
+                OR round(bk.max_bucket * cc.n_centroids / agg.n_vectors, 6)
+                       * 1000 > 4000) AS rebuilt
+        FROM agg, bk, cc"""
+    )(_sql_bounded_cents_ctes(
+        k=64, sample=256, n_iters=2, dim=64,
+        src="(SELECT vec_id, embedding FROM embeddings"
+            " WHERE vec_id % 4 = 0)",
+    )),
     "semantic_dedup_bounded": _sql_semantic_dedup_bounded(
         k=64, sample=256, n_iters=2, threshold=0.4
     ),

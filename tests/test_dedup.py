@@ -64,6 +64,40 @@ def test_minhash_estimate_tracks_true_jaccard(spark, docs):
     assert abs(j - e) < 0.25, f"minhash estimate {e} far from true jaccard {j}"
 
 
+def test_minhash_band_report_prices_the_candidate_join(spark, docs):
+    """r12 banding observability: candidate_pairs must equal exactly
+    what the pair search generates (= pairs at threshold 0.0 — every
+    candidate passes est >= 0), and the bucket stats must reflect the
+    planted exact-dup clique (docs 1 and 3 share all 16 band keys)."""
+    r = dedup.minhash_band_report(docs).collect()[0]
+    n_cand = dedup.minhash_lsh_pairs(docs, threshold=0.0).count()
+    assert r.candidate_pairs == n_cand
+    assert r.n_docs == 5 and r.num_perm == 64 and r.bands == 16
+    assert r.max_bucket >= 2  # the exact-dup clique
+    assert r.colliding_keys >= 16  # all 16 bands of docs 1/3 collide
+    assert r.band_collisions >= r.candidate_pairs  # fanout >= distinct
+    assert r.candidates_per_doc_mils == r.candidate_pairs * 1000 // 5
+
+
+def test_minhash_band_report_portable_matches_fast_shape(spark, docs):
+    """The portable (md5) report prices the portable pair search the
+    same way the fast report prices the xxhash64 one."""
+    r = dedup.minhash_band_report(docs, portable=True).collect()[0]
+    n_cand = dedup.minhash_lsh_pairs(
+        docs, threshold=0.0, portable=True
+    ).count()
+    assert r.candidate_pairs == n_cand
+
+
+def test_minhash_band_report_empty_corpus_zero_not_null(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r = dedup.minhash_band_report(empty).collect()[0]
+    assert (
+        r.n_docs, r.n_band_keys, r.colliding_keys, r.max_bucket,
+        r.band_collisions, r.candidate_pairs, r.candidates_per_doc_mils,
+    ) == (0, 0, 0, 0, 0, 0, 0)
+
+
 def test_simhash_near_dup(spark, docs):
     fps = {r.id: r.fp for r in dedup.simhash_fingerprints(docs).collect()}
     assert fps[1] == fps[3]  # identical text, identical fingerprint

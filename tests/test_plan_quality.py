@@ -844,6 +844,22 @@ def test_cap_report_is_cheaper_than_the_join_it_audits(spark):
         assert "ArrowEvalPython" not in plan
 
 
+def test_minhash_band_report_pins_and_no_python(spark):
+    """r12: the band report's candidate count shares the pair search's
+    self-join — the corpus-scale sides must stay shuffle_hash-pinned
+    (a banded frame is a post-explode corpus aggregate, exactly where
+    Catalyst's size under-estimates are broadcast-prone), the one-row
+    stat frames may only meet in broadcast nested loops, and no Python
+    may appear."""
+    from hadoop_invertedindexer_spark.operators import dedup
+
+    d = read_table(spark, SF, "documents")
+    plan = _plan(dedup.minhash_band_report(d))
+    assert plan.count("ShuffledHashJoin") >= 1  # the candidate self-join
+    assert "BroadcastHashJoin" not in plan  # no corpus-derived broadcast
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_winnow_windows_partition_by_doc(spark):
     """r10: every winnowing window partitions by the doc id — no
     single-partition stage and no range partitioning (a global sort)

@@ -716,6 +716,80 @@ class TestIvfDriftRebuild:
         assert 0.0 <= r.avg_qerr <= r.max_qerr <= 2.0
         assert r.imbalance >= 1.0 - 1e-9
 
+    def _drifted_index(self, spark, tmp_path):
+        """Build from 4 tight clusters, append a shifted batch the
+        frozen centroids never saw — the degraded state the maintainer
+        must detect (same construction as the rebuild test above)."""
+        a = self._emb_frame(spark, self._clustered(4, 25))
+        path = str(tmp_path / "ivf")
+        similarity.build_ivf_index(
+            a,
+            similarity.bounded_centroids_refined(
+                a, k=4, sample_mult=4, refine_iters=2
+            ),
+            path,
+        )
+        b = self._emb_frame(
+            spark,
+            [
+                (100000 + i, [0.5] * 4 + [2.0 + 0.01 * i] * 4)
+                for i in range(100)
+            ],
+        )
+        similarity.append_ivf_index(b, path)
+        return path
+
+    def test_maintain_triggers_rebuild_and_reports(self, spark, tmp_path):
+        import os
+
+        path = self._drifted_index(spark, tmp_path)
+        drifted = similarity.ivf_index_drift(spark, path).collect()[0]
+        dest = str(tmp_path / "ivf_rot")
+        thresh = int(drifted.avg_qerr * 1000) - 1  # provably exceeded
+        r = similarity.maintain_ivf_index(
+            spark, path, dest, max_avg_qerr_mils=thresh,
+            max_imbalance_mils=10**9, k=8, refine_iters=2,
+        ).collect()[0]
+        # the report is the PRE-rebuild drift row + the flag
+        assert r.rebuilt is True
+        assert (r.n_vectors, r.avg_qerr) == (
+            drifted.n_vectors, drifted.avg_qerr
+        )
+        assert os.path.isdir(f"{dest}/assignments")
+        rebuilt = similarity.ivf_index_drift(spark, dest).collect()[0]
+        assert rebuilt.n_centroids == 8  # caller re-sized
+        assert rebuilt.avg_qerr < drifted.avg_qerr  # recentering helped
+
+    def test_maintain_skips_below_threshold(self, spark, tmp_path):
+        import os
+
+        path = self._drifted_index(spark, tmp_path)
+        dest = str(tmp_path / "ivf_rot")
+        r = similarity.maintain_ivf_index(
+            spark, path, dest, max_avg_qerr_mils=10**9,
+            max_imbalance_mils=10**9,
+        ).collect()[0]
+        assert r.rebuilt is False
+        assert not os.path.exists(dest)  # NOTHING written below threshold
+
+    def test_maintain_k_defaults_to_current_centroid_count(
+        self, spark, tmp_path
+    ):
+        path = self._drifted_index(spark, tmp_path)
+        dest = str(tmp_path / "ivf_rot")
+        similarity.maintain_ivf_index(
+            spark, path, dest, max_avg_qerr_mils=0, refine_iters=1,
+        ).collect()
+        rebuilt = similarity.ivf_index_drift(spark, dest).collect()[0]
+        assert rebuilt.n_centroids == 4  # capacity preserved
+
+    def test_maintain_refuses_in_place(self, spark, tmp_path):
+        import pytest
+
+        path = self._drifted_index(spark, tmp_path)
+        with pytest.raises(ValueError, match="in place"):
+            similarity.maintain_ivf_index(spark, path, path)
+
 
 class TestAnnRecall:
     def _frames(self, spark, truth_rows, cand_rows):

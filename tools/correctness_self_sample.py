@@ -71,7 +71,8 @@ SUGGESTED_50 = [
 R12_EXTRAS = [
     "maintain_index_tier", "shingle_cap_report", "winnow_cap_report",
     "dedup_containment_escalated", "winnow_pairs_escalated",
-    "corpus_filter_classifier",
+    "corpus_filter_classifier", "maintain_ivf_index",
+    "minhash_band_report",
 ]
 
 
