@@ -65,10 +65,16 @@ Usage:
   python tools/scale_soak_r12.py index-100x  [src] [out_json]
   python tools/scale_soak_r12.py pairs-100x  [src] [out_json]
   python tools/scale_soak_r12.py substr-100x [src] [out_json]
+  python tools/scale_soak_r12.py ann-100x    [src] [out_json]
+  python tools/scale_soak_r12.py graph-100x  [src] [out_json]
 Writes/merges scale_results_r12_100x.json (commit to repo root).
 ``substr-100x`` repeats the index-100x lifecycle protocol for the
-window + sentence tiers, completing 100x evidence for every persisted
-tier that has a compactor (paragraph shares the sentence code path).
+window + sentence tiers (paragraph shares the sentence code path);
+``ann-100x`` does the same for the IVF tier incl. maintain_ivf_index;
+``graph-100x`` takes the iterative family (kcore / triangles / star
+CC) to a 119.6 M-edge shifted-replica graph with raise-mode residual
+probes — together, 100x evidence for every persisted tier and every
+iterative schedule in the engine.
 """
 
 from __future__ import annotations
@@ -468,6 +474,180 @@ def substr_100x_soak(spark, src: str, out_json: str) -> None:
         _merge_out(out_json, "substr-100x", result)
 
 
+def ann_100x_soak(spark, src: str, out_json: str) -> None:
+    """The IVF tier's lifecycle at 1/10/30/100x — the index-100x
+    protocol applied to the ANN family, completing 100x evidence for
+    EVERY persisted tier (exact/minhash/window/sentence + this):
+    build / query-first fixed batch ops / drift read /
+    drift-triggered maintain (r12's maintain_ivf_index). The honest
+    growth terms: build is one bounded-K assignment pass (~linear in
+    N at fixed k); append is O(batch); the k-NN query scans
+    nprobe·(N/k)-row buckets, so it grows ~linearly in N/k (recorded,
+    not hidden); drift read is one pruned scan; maintain's rebuild
+    re-runs the bounded-K recenter + assignment over stored vectors."""
+    from hadoop_invertedindexer_spark.operators import similarity
+
+    meter = ShuffleMeter(spark)
+
+    def edir(factor: int) -> str:
+        if factor == 1:
+            return src
+        d = f"/tmp/sfr12e_{factor}"
+        if not os.path.isdir(d):
+            make_scale_dir(src, d, factor, facts=("embeddings",),
+                           copy_dims=False)
+        return d
+
+    def emb(d: str):
+        return spark.read.parquet(f"{d}/embeddings.parquet")
+
+    batch = emb(src).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
+    queries = emb(src).where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    def timed(fres: dict, key: str, fn):
+        m = meter.mark()
+        t0 = time.perf_counter()
+        out = fn()
+        fres[key] = round(time.perf_counter() - t0, 3)
+        sh = meter.since(m)
+        if sh:
+            fres[f"{key}_shuffle"] = sh
+        _hygiene(spark)
+        return out
+
+    # untimed warmup of the plans
+    wtmp = tempfile.mkdtemp(prefix="r12annwarm_")
+    cents = similarity.bounded_centroids_refined(
+        emb(src), k=64, sample_mult=4, refine_iters=2
+    )
+    similarity.build_ivf_index(emb(src), cents, f"{wtmp}/ivf")
+    similarity.query_ivf_index(
+        spark, f"{wtmp}/ivf", queries, k=10, nprobe=4
+    ).write.format("noop").mode("overwrite").save()
+    similarity.ivf_index_drift(spark, f"{wtmp}/ivf").collect()
+    _hygiene(spark)
+
+    result: dict = {"src": src, "k": 64, "factors": {}}
+    for factor in INDEX_FACTORS:
+        corpus = emb(edir(factor))
+        tmp = tempfile.mkdtemp(prefix=f"r12ann_{factor}_")
+        path, dest = f"{tmp}/ivf", f"{tmp}/ivf_rot"
+        fres: dict = {"corpus_vectors": corpus.count()}
+        timed(
+            fres, "ivf_build",
+            lambda: similarity.build_ivf_index(
+                corpus,
+                similarity.bounded_centroids_refined(
+                    corpus, k=64, sample_mult=4, refine_iters=2
+                ),
+                path,
+            ),
+        )
+        n_hits = timed(
+            fres, "ivf_query_batch",
+            lambda: similarity.query_ivf_index(
+                spark, path, queries, k=10, nprobe=4
+            ).count(),
+        )
+        fres["ivf_query_rows"] = n_hits
+        timed(
+            fres, "ivf_append_batch",
+            lambda: similarity.append_ivf_index(batch, path),
+        )
+        drift = timed(
+            fres, "ivf_drift_read",
+            lambda: similarity.ivf_index_drift(spark, path).head().asDict(),
+        )
+        fres["ivf_avg_qerr"] = drift["avg_qerr"]
+        fres["ivf_imbalance"] = drift["imbalance"]
+        maint = timed(
+            fres, "ivf_maintain_rebuild",
+            lambda: similarity.maintain_ivf_index(
+                spark, path, dest, max_avg_qerr_mils=100,
+            ).head().asDict(),
+        )
+        fres["ivf_rebuilt"] = maint["rebuilt"]
+        if maint["rebuilt"]:
+            fres["ivf_qerr_after_rebuild"] = (
+                similarity.ivf_index_drift(spark, dest).head().asDict()[
+                    "avg_qerr"
+                ]
+            )
+            _hygiene(spark)
+        print(f"ann @{factor}x: {json.dumps(fres)}", flush=True)
+        result["factors"][str(factor)] = fres
+        _merge_out(out_json, "ann-100x", result)
+
+
+def graph_100x_soak(spark, src: str, out_json: str) -> None:
+    """The iterative-graph family's 100x point (kcore stopped at 30x in
+    scale_results_r7_graph.json, triangle + star CC at 30x in
+    _r8_graph.json): 100 disjoint shifted copies of the sf0.1
+    co-purchase graph — topology truly x100, ~119.6M undirected edges.
+    Residual probes run in RAISE mode, so a clean return PROVES the
+    fixed schedules (kcore iters=8, star CC rounds=3+extend) still
+    cover the peel depth / fixpoint at 100x; disjoint copies also make
+    the expected outputs exact multiples of the 1x values (structural
+    self-checks, recorded)."""
+    from hadoop_invertedindexer_spark.operators.clusters import (
+        connected_components_star,
+    )
+    from hadoop_invertedindexer_spark.operators.graph import (
+        kcore_nodes,
+        triangle_count,
+    )
+    from tools.scale_soak_r7 import replicated_edges
+
+    meter = ShuffleMeter(spark)
+    result: dict = {"src": src, "factors": {}}
+    for factor in (100,):
+        e = replicated_edges(spark, src, factor)
+        fres: dict = {"edges": e.count()}
+
+        m = meter.mark()
+        t0 = time.perf_counter()
+        fres["kcore_k80_nodes"] = kcore_nodes(
+            e, k=80, iters=8, on_residual="raise"
+        ).count()
+        fres["kcore_seconds"] = round(time.perf_counter() - t0, 2)
+        fres["kcore_residual_probe"] = "clean"  # raise mode returned
+        sh = meter.since(m)
+        if sh:
+            fres["kcore_shuffle"] = sh
+        _hygiene(spark)
+
+        m = meter.mark()
+        t0 = time.perf_counter()
+        row = triangle_count(e, "a", "b").collect()[0]
+        fres["triangle_seconds"] = round(time.perf_counter() - t0, 2)
+        fres["n_triangles"] = row.n_triangles
+        sh = meter.since(m)
+        if sh:
+            fres["triangle_shuffle"] = sh
+        _hygiene(spark)
+
+        m = meter.mark()
+        t0 = time.perf_counter()
+        lbl = connected_components_star(
+            e, src="a", dst="b", on_residual="raise"
+        )
+        fres["cc_star_components"] = lbl.select("comp").distinct().count()
+        fres["cc_star_seconds"] = round(time.perf_counter() - t0, 2)
+        fres["cc_star_residual_probe"] = "clean"
+        sh = meter.since(m)
+        if sh:
+            fres["cc_star_shuffle"] = sh
+        _hygiene(spark)
+
+        print(f"graph @{factor}x: {json.dumps(fres)}", flush=True)
+        result["factors"][str(factor)] = fres
+        _merge_out(out_json, "graph-100x", result)
+
+
 def _winnow(docs):
     return dedup.winnow_overlap_pairs(docs, k=5, w=4, min_shared=2, max_df=MAX_DF)
 
@@ -571,6 +751,10 @@ def main() -> None:
         pairs_100x_soak(spark, src, out_json)
     elif mode == "substr-100x":
         substr_100x_soak(spark, src, out_json)
+    elif mode == "graph-100x":
+        graph_100x_soak(spark, src, out_json)
+    elif mode == "ann-100x":
+        ann_100x_soak(spark, src, out_json)
     else:
         raise SystemExit(f"unknown mode {mode}")
     spark.stop()
