@@ -85,6 +85,8 @@ HEADLINE = [
     "index_tier_stats",       # dup-mass report = the compaction trigger (r11)
     "maintain_index_tier",    # triggered compact rotation, build+2 appends (r12)
     "maintain_ivf_index",     # drift-triggered IVF rebuild rotation (r12)
+    "maintain_bpe_model",     # fertility-triggered BPE rank continuation (r12)
+    "maintain_dsir_model",    # staleness-triggered DSIR model rotation (r12)
     "dedup_minhash",
     "dedup_minhash_incremental",  # persisted-index daily-ingest path (r6)
     "ngram_jaccard",

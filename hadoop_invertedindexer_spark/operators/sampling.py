@@ -1051,6 +1051,81 @@ def dsir_select_incremental(
     return _dsir_score(feats, lrm, k, seed, gumbel, id_col)
 
 
+def maintain_dsir_model(
+    spark,
+    path: str,
+    dest_path: str,
+    batch: DataFrame,
+    target: DataFrame,
+    raw: DataFrame | None = None,
+    max_kl_batch_mils: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Staleness-triggered model rebuild (r12) — the selection family's
+    member of the maintenance-loop pattern (``maintain_index_tier``,
+    ``maintain_ivf_index``, ``maintain_bpe_model``):
+    :func:`dsir_model_divergence` is the trigger,
+    :func:`build_dsir_model` the remediation. Reads the stored model's
+    one-row health report with today's ``batch`` attached; when the
+    smoothed KL(batch‖raw) crosses ``max_kl_batch_mils``/1000 — the
+    stored raw distribution no longer describes what is being scored —
+    rebuilds the model into ``dest_path`` from ``raw`` (default: the
+    batch itself, i.e. re-estimate the raw side from today's stream)
+    against the caller's ``target``, at the STORED n_buckets (a rebuild
+    that silently re-sized the hash space would orphan every cached
+    feature). One row: the divergence report as measured (the evidence)
+    + a ``rebuilt`` flag —
+
+        (n_buckets, n_target_buckets, n_raw_buckets, kl_target_raw,
+         max_abs_lr, kl_batch_raw, rebuilt)
+
+    Below threshold NOTHING is written (``dest_path`` stays absent);
+    after a triggered rotation the caller swaps its pointer, the same
+    contract as every other tier. In-place guard: local-path
+    best-effort via realpath.
+
+    Scale shape: the decision reads one metadata-scale row (model is
+    ``n_buckets`` rows; the only corpus-sized work is the batch's gram
+    pass the divergence probe already pays); the rebuild is
+    :func:`build_dsir_model`'s one pass over each estimation corpus."""
+    import os
+
+    if os.path.realpath(path) == os.path.realpath(dest_path):
+        raise ValueError(
+            "DSIR model rebuild cannot run in place: overwrite would "
+            "delete the source mid-read; write to a rotation dir and swap"
+        )
+    stats = dsir_model_divergence(spark, path, batch, id_col, text_col).head()
+    rebuilt = stats.kl_batch_raw * 1000 > max_kl_batch_mils
+    if rebuilt:
+        p = spark.read.parquet(f"{path}/params").head()
+        build_dsir_model(
+            raw if raw is not None else batch,
+            target,
+            dest_path,
+            n_buckets=int(p.n_buckets),
+            id_col=id_col,
+            text_col=text_col,
+        )
+    return spark.createDataFrame(
+        [
+            (
+                stats.n_buckets,
+                stats.n_target_buckets,
+                stats.n_raw_buckets,
+                stats.kl_target_raw,
+                stats.max_abs_lr,
+                stats.kl_batch_raw,
+                rebuilt,
+            )
+        ],
+        "n_buckets INT, n_target_buckets BIGINT, n_raw_buckets BIGINT,"
+        " kl_target_raw DOUBLE, max_abs_lr DOUBLE, kl_batch_raw DOUBLE,"
+        " rebuilt BOOLEAN",
+    )
+
+
 def dsir_model_divergence(
     spark,
     path: str,

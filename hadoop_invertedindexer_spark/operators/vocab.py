@@ -517,6 +517,92 @@ def extend_bpe_model(
     new.write.mode("append").parquet(f"{path}/merges")
 
 
+def maintain_bpe_model(
+    docs: DataFrame,
+    path: str,
+    max_fertility_mils: int = 2500,
+    extra_merges: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Fertility-triggered model growth (r12) — the tokenizer's member
+    of the engine's maintenance-loop pattern (``maintain_index_tier``
+    for the dedup tiers, ``maintain_ivf_index`` for ANN):
+    :func:`bpe_fertility` is the trigger, :func:`extend_bpe_model` the
+    remediation. Probes the given docs' corpus-wide fertility against
+    the STORED merges; when pieces-per-word exceeds
+    ``max_fertility_mils``/1000 (the model fragments what it is being
+    asked to encode — undertrained, or the corpus drifted), learns
+    ``extra_merges`` more from the probe docs via rank continuation.
+    One row:
+
+        (n_docs, n_words, n_chars, n_pieces, fertility_mils,
+         pieces_per_kchar, extended, merges_before, merges_after)
+
+    Unlike the compaction/rebuild loops this one extends IN PLACE — no
+    rotation dir — because append-only rank continuation is reader-safe
+    by construction (existing merges are frozen; every already-encoded
+    shard keeps its pieces — the :func:`extend_bpe_model` contract).
+    An empty probe (fertility NULL) never triggers: no evidence, no
+    training run.
+
+    Scale shape: the probe is one encode projection + a one-row rollup
+    (bounded collect); the extension is :func:`bpe_train_continue`'s
+    dictionary-space training — corpus shuffles once, per-merge cost
+    O(|vocab|)."""
+    import collections
+
+    spark = docs.sparkSession
+    merges = spark.read.parquet(f"{path}/merges")
+    probe = bpe_fertility(
+        docs.withColumn("_all", F.lit("all")),
+        merges,
+        group_col="_all",
+        id_col=id_col,
+        text_col=text_col,
+    ).head()
+    if probe is None:  # empty probe frame: zero evidence, zero-row rollup
+        probe = collections.namedtuple(
+            "P", "n_docs n_words n_chars n_pieces fertility_mils"
+            " pieces_per_kchar"
+        )(0, 0, 0, 0, None, None)
+    n_before = merges.count()
+    extended = (
+        probe.fertility_mils is not None
+        and probe.fertility_mils > max_fertility_mils
+    )
+    if extended:
+        extend_bpe_model(
+            docs,
+            path,
+            num_merges=extra_merges,
+            text_col=text_col,
+            checkpoint_every=checkpoint_every,
+        )
+    n_after = (
+        spark.read.parquet(f"{path}/merges").count() if extended else n_before
+    )
+    return spark.createDataFrame(
+        [
+            (
+                probe.n_docs,
+                probe.n_words,
+                probe.n_chars,
+                probe.n_pieces,
+                probe.fertility_mils,
+                probe.pieces_per_kchar,
+                extended,
+                n_before,
+                n_after,
+            )
+        ],
+        "n_docs BIGINT, n_words BIGINT, n_chars BIGINT, n_pieces BIGINT,"
+        " fertility_mils BIGINT, pieces_per_kchar BIGINT,"
+        " extended BOOLEAN, merges_before BIGINT, merges_after BIGINT",
+    )
+
+
 def bpe_encode_incremental(
     spark,
     batch: DataFrame,

@@ -1889,6 +1889,51 @@ def q_dsir_model_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.dsir_model_divergence(spark, path)
 
 
+def q_maintain_dsir_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staleness-triggered DSIR rebuild (r12): the divergence fixture's
+    model (raw = non-en, target = en, 512 buckets) probed with a batch
+    that IS the target distribution — the drifted-raw-pool story: the
+    stream being scored now looks like target, so KL(batch‖raw) equals
+    the (positive) KL(target‖raw) and crosses the 1-mil threshold at
+    sf0.01 (17 mils) and sf0.1 (1.7 mils) alike; the maintainer must
+    rebuild into the rotation dir at the stored n_buckets and say so.
+    The oracle reuses the divergence CTEs — batch ≡ target makes
+    kl_batch_raw the same expression — plus the threshold rule."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="mdsir_")
+    path, dest = base + "/dsir", base + "/dsir_rot"
+    target = d.where(F.col("lang") == "en")
+    sampling.build_dsir_model(
+        raw=d.where(F.col("lang") != "en"), target=target, path=path,
+        n_buckets=512,
+    )
+    return sampling.maintain_dsir_model(
+        spark, path, dest, batch=target, target=target,
+        max_kl_batch_mils=1,
+    )
+
+
+def q_maintain_bpe_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility-triggered BPE growth (r12): a 10-merge stored model
+    probed with its own training corpus reads ~3,600 mils (10 merges
+    barely compress — the undertrained state) against the 2,500-mils
+    threshold, so the maintainer must learn 5 more merges by rank
+    continuation. merges_after is SQL-expressible because continuation
+    on the SAME corpus equals merges 11–15 of the from-scratch chain
+    (the q_bpe_continue contract), so the oracle unrolls 15 steps,
+    probes fertility against the first 10, and counts both prefixes."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="mbpe_") + "/bpem"
+    vocab.build_bpe_model(d, path, num_merges=10)
+    return vocab.maintain_bpe_model(
+        d, path, max_fertility_mils=2500, extra_merges=5
+    )
+
+
 def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML→text crawl preprocessing (r8): every doc is wrapped in a
     PLANTED page — style block + comment in the head, an h1 title, a
@@ -2181,6 +2226,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "dsir_select_incremental": q_dsir_select_incremental,
     "dsir_model_divergence": q_dsir_model_divergence,
+    "maintain_dsir_model": q_maintain_dsir_model,
+    "maintain_bpe_model": q_maintain_bpe_model,
     "html_to_text": q_html_to_text,
     "split_sentences": q_split_sentences,
     "split_long_docs": q_split_long_docs,
@@ -4842,6 +4889,75 @@ def _sql_bpe_fertility() -> str:
 
 
 LLM_ORACLE_SQL["bpe_fertility"] = _sql_bpe_fertility()
+
+
+def _sql_maintain_bpe(
+    stored: int = 10, extra: int = 5, thresh_mils: int = 2500
+) -> str:
+    """Fertility-triggered BPE growth in SQL (r12): unroll
+    ``stored + extra`` training steps (continuation on the same corpus
+    equals the from-scratch chain — the bpe_continue contract), probe
+    fertility against the first ``stored`` merges only, count both
+    prefixes, and apply the threshold rule."""
+    words = f"list_filter(string_split({_SQL_NORM}, ' '), w -> w <> '')"
+    expr = (
+        "array_to_string(list_transform("
+        f"{words}, "
+        "w -> array_to_string(string_split(w, ''), ' ')), ' | ')"
+    )
+    expr = _SQL_SYM_WRAP.format(x=expr)
+    for i in range(1, stored + 1):  # probe encodes against the STORED model
+        expr = (
+            f"replace({expr}, {_sql_merge_pattern(f'p{i}')},"
+            f" {_sql_merge_replacement(f'p{i}')})"
+        )
+    expr = _SQL_SYM_UNWRAP.format(x=expr)
+    n_before = " + ".join(
+        f"(SELECT count(*) FROM p{i})" for i in range(1, stored + 1)
+    )
+    n_ext = " + ".join(
+        f"(SELECT count(*) FROM p{i})"
+        for i in range(stored + 1, stored + extra + 1)
+    )
+    return f"""
+        WITH {_sql_bpe_ctes(stored + extra)},
+        enc AS (
+            SELECT len({words})::BIGINT AS nw,
+                   length(array_to_string({words}, ''))::BIGINT AS nc,
+                   {expr} AS ws
+            FROM documents),
+        pieces AS (
+            SELECT nw, nc,
+                   len(list_filter(string_split(ws, ' '),
+                                   p -> p <> '|'))::BIGINT AS np
+            FROM enc),
+        roll AS (
+            SELECT count(*)::BIGINT AS n_docs,
+                   sum(nw)::BIGINT AS n_words,
+                   sum(nc)::BIGINT AS n_chars,
+                   sum(np)::BIGINT AS n_pieces,
+                   (CASE WHEN sum(nw) = 0 THEN NULL
+                         ELSE sum(np) * 1000 // sum(nw) END)::BIGINT
+                       AS fertility_mils,
+                   (CASE WHEN sum(nc) = 0 THEN NULL
+                         ELSE sum(np) * 1000 // sum(nc) END)::BIGINT
+                       AS pieces_per_kchar
+            FROM pieces),
+        mb AS (SELECT ({n_before})::BIGINT AS merges_before,
+                      ({n_ext})::BIGINT AS merges_ext)
+        SELECT roll.*,
+               coalesce(roll.fertility_mils > {thresh_mils}, FALSE)
+                   AS extended,
+               mb.merges_before,
+               (mb.merges_before
+                + CASE WHEN coalesce(roll.fertility_mils > {thresh_mils},
+                                     FALSE)
+                       THEN mb.merges_ext ELSE 0 END)::BIGINT
+                   AS merges_after
+        FROM roll, mb"""
+
+
+LLM_ORACLE_SQL["maintain_bpe_model"] = _sql_maintain_bpe()
 # stored-model encode (r10) reproduces the direct chain exactly — the
 # persisted merges/ table IS bpe_train's output — so the oracle is
 # shared verbatim
@@ -5619,6 +5735,34 @@ LLM_ORACLE_SQL["dsir_select_incremental"] = LLM_ORACLE_SQL["dsir_select"]
 # DSIR model health: bucket coverage, the smoothed KL(target||raw) the
 # importance weights are worth, and the max |log-ratio| — recomputed by
 # the oracle from the same model CTEs the selection oracle uses
+# staleness-triggered rebuild (r12): the divergence report with the
+# batch ≡ target probe (so kl_batch_raw is the kl_target_raw
+# expression) + the 1-mil threshold rule — keep in lockstep with
+# q_maintain_dsir_model
+LLM_ORACLE_SQL["maintain_dsir_model"] = f"""
+        WITH {_SQL_DSIR_CTES}
+        SELECT 512::INT AS n_buckets,
+               sum(CASE WHEN ct > 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_target_buckets,
+               sum(CASE WHEN cr > 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_raw_buckets,
+               round(sum(((ct + 1.0) / (tt + 512.0))
+                         * (ln((ct + 1.0) / (tt + 512.0))
+                            - ln((cr + 1.0) / (tr + 512.0)))), 6)
+                   AS kl_target_raw,
+               round(max(abs(ln((ct + 1.0) / (tt + 512.0))
+                             - ln((cr + 1.0) / (tr + 512.0)))), 6)
+                   AS max_abs_lr,
+               round(sum(((ct + 1.0) / (tt + 512.0))
+                         * (ln((ct + 1.0) / (tt + 512.0))
+                            - ln((cr + 1.0) / (tr + 512.0)))), 6)
+                   AS kl_batch_raw,
+               (round(sum(((ct + 1.0) / (tt + 512.0))
+                          * (ln((ct + 1.0) / (tt + 512.0))
+                             - ln((cr + 1.0) / (tr + 512.0)))), 6)
+                    * 1000 > 1) AS rebuilt
+        FROM model CROSS JOIN tots"""
+
 LLM_ORACLE_SQL["dsir_model_divergence"] = f"""
         WITH {_SQL_DSIR_CTES}
         SELECT 512::INT AS n_buckets,

@@ -619,6 +619,99 @@ class TestDsirModelDivergence:
         assert kl_after < kl_drift
 
 
+class TestMaintainDsirModel:
+    """r12: the staleness-triggered rebuild wrapper — divergence probe
+    as trigger, build_dsir_model into a rotation dir as remediation."""
+
+    def _model(self, spark, tmp_path):
+        target = spark.createDataFrame(
+            [(1, "solar panels convert sunlight")], ["doc_id", "text"]
+        )
+        raw = spark.createDataFrame(
+            [(10 + i, "medieval castles and stone walls") for i in range(3)],
+            ["doc_id", "text"],
+        )
+        path = str(tmp_path / "m")
+        sampling.build_dsir_model(raw, target, path, n_buckets=64)
+        return path, target, raw
+
+    def test_drifted_batch_triggers_rotation(self, spark, tmp_path):
+        import os
+
+        path, target, _raw = self._model(spark, tmp_path)
+        drifted = spark.createDataFrame(
+            [(60, "quantum chips etch qubits onto wafers")],
+            ["doc_id", "text"],
+        )
+        dest = str(tmp_path / "m_rot")
+        r = sampling.maintain_dsir_model(
+            spark, path, dest, batch=drifted, target=target,
+            max_kl_batch_mils=1,
+        ).head()
+        assert r.rebuilt is True and r.kl_batch_raw * 1000 > 1
+        assert os.path.isdir(f"{dest}/model")
+        # rebuild kept the stored hash space and re-estimated raw from
+        # the batch: the drifted stream is now in-distribution
+        p = spark.read.parquet(f"{dest}/params").head()
+        assert p.n_buckets == 64
+        kl_after = sampling.dsir_model_divergence(
+            spark, dest, batch=drifted
+        ).head().kl_batch_raw
+        assert kl_after < r.kl_batch_raw
+
+    def test_in_distribution_batch_skips(self, spark, tmp_path):
+        import os
+
+        path, target, raw = self._model(spark, tmp_path)
+        dest = str(tmp_path / "m_rot")
+        like_raw = raw.limit(1)
+        # the tiny 64-bucket fixture carries ~53 mils of smoothing
+        # noise even for an exactly-in-distribution batch; the test
+        # threshold sits above it (real deployments size n_buckets so
+        # the noise floor is far below any actionable threshold)
+        r = sampling.maintain_dsir_model(
+            spark, path, dest, batch=like_raw, target=target,
+            max_kl_batch_mils=100,
+        ).head()
+        assert r.rebuilt is False
+        assert not os.path.exists(dest)  # NOTHING written below threshold
+
+    def test_explicit_raw_pool_used_for_rebuild(self, spark, tmp_path):
+        path, target, raw = self._model(spark, tmp_path)
+        drifted = spark.createDataFrame(
+            [(60, "quantum chips etch qubits onto wafers")],
+            ["doc_id", "text"],
+        )
+        dest = str(tmp_path / "m_rot")
+        sampling.maintain_dsir_model(
+            spark, path, dest, batch=drifted, target=target,
+            raw=raw.unionByName(drifted), max_kl_batch_mils=1,
+        ).collect()
+        # dest must equal a direct build over the explicit pool
+        direct = str(tmp_path / "m_direct")
+        sampling.build_dsir_model(
+            raw.unionByName(drifted), target, direct, n_buckets=64
+        )
+        got = {
+            (r.feature, r.ct, r.cr)
+            for r in spark.read.parquet(f"{dest}/model").collect()
+        }
+        want = {
+            (r.feature, r.ct, r.cr)
+            for r in spark.read.parquet(f"{direct}/model").collect()
+        }
+        assert got == want
+
+    def test_refuses_in_place(self, spark, tmp_path):
+        import pytest
+
+        path, target, _raw = self._model(spark, tmp_path)
+        with pytest.raises(ValueError, match="in place"):
+            sampling.maintain_dsir_model(
+                spark, path, path, batch=target, target=target
+            )
+
+
 class TestDataCardIncremental:
     """O(batch) card maintenance (r10): merged old+incremental must
     equal the direct full-corpus card, including cross-boundary dups,

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from hadoop_invertedindexer_spark.operators import vocab
 from hadoop_invertedindexer_spark.sources.tables import read_table
 
@@ -425,6 +427,56 @@ class TestBpeStoredModel:
             )
         )
         assert inc == direct
+
+    def test_maintain_triggers_extension_and_reports(self, spark, tmp_path):
+        """r12: fertility over threshold → extend in place; the report
+        carries the PRE-extension probe plus both merge counts, the
+        stored model equals the longer from-scratch chain, and a
+        re-probe measures lower fertility."""
+        docs = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        path = str(tmp_path / "bpem")
+        vocab.build_bpe_model(docs, path, num_merges=4)
+        before = vocab.bpe_fertility(
+            docs.withColumn("g", F.lit("all")),
+            spark.read.parquet(f"{path}/merges"),
+            group_col="g",
+        ).head().fertility_mils
+        r = vocab.maintain_bpe_model(
+            docs, path, max_fertility_mils=int(before) - 1, extra_merges=4
+        ).head()
+        assert r.extended is True and r.fertility_mils == before
+        assert (r.merges_before, r.merges_after) == (4, 8)
+        stored = sorted(
+            tuple(x) for x in spark.read.parquet(f"{path}/merges").collect()
+        )
+        assert stored == sorted(
+            tuple(x) for x in vocab.bpe_train(docs, num_merges=8).collect()
+        )
+        after = vocab.bpe_fertility(
+            docs.withColumn("g", F.lit("all")),
+            spark.read.parquet(f"{path}/merges"),
+            group_col="g",
+        ).head().fertility_mils
+        assert after < before  # more merges, fewer pieces per word
+
+    def test_maintain_skips_below_threshold_and_on_empty_probe(
+        self, spark, tmp_path
+    ):
+        docs = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        path = str(tmp_path / "bpem")
+        vocab.build_bpe_model(docs, path, num_merges=4)
+        r = vocab.maintain_bpe_model(
+            docs, path, max_fertility_mils=10**6
+        ).head()
+        assert r.extended is False
+        assert (r.merges_before, r.merges_after) == (4, 4)
+        # empty probe: NULL fertility is never evidence to train on
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        r = vocab.maintain_bpe_model(
+            empty, path, max_fertility_mils=0
+        ).head()
+        assert r.extended is False and r.fertility_mils is None
+        assert spark.read.parquet(f"{path}/merges").count() == 4
 
     def test_batch_encode_never_reads_train_corpus(self, spark, tmp_path):
         """The O(batch) claim in plan terms: the incremental encode's

@@ -72,7 +72,7 @@ R12_EXTRAS = [
     "maintain_index_tier", "shingle_cap_report", "winnow_cap_report",
     "dedup_containment_escalated", "winnow_pairs_escalated",
     "corpus_filter_classifier", "maintain_ivf_index",
-    "minhash_band_report",
+    "minhash_band_report", "maintain_bpe_model", "maintain_dsir_model",
 ]
 
 
