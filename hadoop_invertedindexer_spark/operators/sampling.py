@@ -1097,7 +1097,13 @@ def maintain_dsir_model(
             "delete the source mid-read; write to a rotation dir and swap"
         )
     stats = dsir_model_divergence(spark, path, batch, id_col, text_col).head()
-    rebuilt = stats.kl_batch_raw * 1000 > max_kl_batch_mils
+    # NULL staleness (empty batch / degenerate model) is no evidence of
+    # drift — report rebuilt=False instead of TypeError (ADVICE r12),
+    # matching maintain_ivf_index and maintain_bpe_model's empty probes.
+    rebuilt = (
+        stats.kl_batch_raw is not None
+        and stats.kl_batch_raw * 1000 > max_kl_batch_mils
+    )
     if rebuilt:
         p = spark.read.parquet(f"{path}/params").head()
         build_dsir_model(

@@ -948,9 +948,17 @@ def maintain_ivf_index(
             "the source mid-read; write to a rotation dir and swap"
         )
     stats = ivf_index_drift(spark, path, vec_col).head()
+    # Empty index → drift metrics come back NULL (no assignments to
+    # average over). No evidence is not evidence of drift: report
+    # rebuilt=False rather than TypeError on None arithmetic — the same
+    # policy as maintain_bpe_model's empty-probe branch (ADVICE r12).
     rebuilt = (
-        stats.avg_qerr * 1000 > max_avg_qerr_mils
-        or stats.imbalance * 1000 > max_imbalance_mils
+        stats.avg_qerr is not None
+        and stats.imbalance is not None
+        and (
+            stats.avg_qerr * 1000 > max_avg_qerr_mils
+            or stats.imbalance * 1000 > max_imbalance_mils
+        )
     )
     if rebuilt:
         rebuild_ivf_index(

@@ -711,6 +711,24 @@ class TestMaintainDsirModel:
                 spark, path, path, batch=target, target=target
             )
 
+    def test_empty_model_reports_no_rebuild(self, spark, tmp_path):
+        """ADVICE r12: an empty stored model table makes every
+        divergence aggregate NULL; the maintainer must treat NULL
+        staleness as 'no evidence, no rebuild' (rebuilt=False), not
+        TypeError on None arithmetic."""
+        import os
+
+        path, target, _raw = self._model(spark, tmp_path)
+        empty = spark.read.parquet(f"{path}/model").limit(0)
+        empty.write.mode("overwrite").parquet(f"{path}/model")
+        dest = str(tmp_path / "m_rot")
+        r = sampling.maintain_dsir_model(
+            spark, path, dest, batch=target, target=target,
+            max_kl_batch_mils=0,
+        ).head()
+        assert r.rebuilt is False and r.kl_batch_raw is None
+        assert not os.path.exists(dest)  # nothing rotated
+
 
 class TestDataCardIncremental:
     """O(batch) card maintenance (r10): merged old+incremental must

@@ -790,6 +790,26 @@ class TestIvfDriftRebuild:
         with pytest.raises(ValueError, match="in place"):
             similarity.maintain_ivf_index(spark, path, path)
 
+    def test_maintain_empty_index_reports_no_rebuild(self, spark, tmp_path):
+        """ADVICE r12: an empty assignments table makes the drift
+        metrics NULL (nothing to average). No evidence is not evidence
+        of drift — the maintainer must report rebuilt=False instead of
+        TypeError-ing on None arithmetic."""
+        import os
+
+        path = self._drifted_index(spark, tmp_path)
+        # truncate assignments in place, preserving the schema
+        # (cid rides along as a normal column on the limit(0) frame)
+        empty = spark.read.parquet(f"{path}/assignments").limit(0)
+        empty.write.mode("overwrite").parquet(f"{path}/assignments")
+        dest = str(tmp_path / "ivf_rot")
+        r = similarity.maintain_ivf_index(
+            spark, path, dest, max_avg_qerr_mils=0, max_imbalance_mils=0,
+        ).collect()[0]
+        assert r.rebuilt is False
+        assert r.n_vectors == 0 and r.avg_qerr is None
+        assert not os.path.exists(dest)  # nothing rotated
+
 
 class TestAnnRecall:
     def _frames(self, spark, truth_rows, cand_rows):

@@ -141,6 +141,15 @@ def _shift_ids(docs, by: int):
     )
 
 
+def _same_rows(a, b) -> bool:
+    """Multiset equality (ADVICE r12): count()-equality cannot detect
+    different rows with matching counts, so rotation-equivalence checks
+    compare the full row multisets — exceptAll empty in BOTH directions
+    (exceptAll is bag semantics, so duplicate-multiplicity differences
+    are caught too)."""
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
 def _join_counts(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
@@ -284,9 +293,9 @@ def index_100x_soak(spark, src: str, out_json: str) -> None:
         probe = _shift_ids(
             batch1.withColumn("text", F.concat(F.lit("cx "), "text")), 30_000_000
         )
-        fres["exact_incremental_equal_after_rotate"] = (
-            dedup.dedup_exact_incremental(spark, probe, rot).count()
-            == dedup.dedup_exact_incremental(spark, probe, expath).count()
+        fres["exact_incremental_equal_after_rotate"] = _same_rows(
+            dedup.dedup_exact_incremental(spark, probe, rot),
+            dedup.dedup_exact_incremental(spark, probe, expath),
         )
         _hygiene(spark)
 
@@ -330,9 +339,9 @@ def index_100x_soak(spark, src: str, out_json: str) -> None:
         # fresh-id probe: identical pairs against the appended original
         # and the compacted rotation
         mh_probe = _shift_ids(batch1, 40_000_000)
-        fres["minhash_incremental_equal_after_rotate"] = (
-            dedup.minhash_index_pairs(spark, mh_probe, mrot, threshold=0.5).count()
-            == dedup.minhash_index_pairs(spark, mh_probe, mhpath, threshold=0.5).count()
+        fres["minhash_incremental_equal_after_rotate"] = _same_rows(
+            dedup.minhash_index_pairs(spark, mh_probe, mrot, threshold=0.5),
+            dedup.minhash_index_pairs(spark, mh_probe, mhpath, threshold=0.5),
         )
         _hygiene(spark)
 
@@ -425,13 +434,13 @@ def substr_100x_soak(spark, src: str, out_json: str) -> None:
         )
         fres["window_compacted"] = maint[0]["compacted"]
         fres["window_reclaimed_rows"] = sum(r["reclaimed_rows"] for r in maint)
-        fres["window_incremental_equal_after_rotate"] = (
+        fres["window_incremental_equal_after_rotate"] = _same_rows(
             dedup.decontaminate_substrings_incremental(
                 spark, batch1, wrot, n=8
-            ).count()
-            == dedup.decontaminate_substrings_incremental(
+            ),
+            dedup.decontaminate_substrings_incremental(
                 spark, batch1, wpath, n=8
-            ).count()
+            ),
         )
         _hygiene(spark)
 
@@ -464,9 +473,9 @@ def substr_100x_soak(spark, src: str, out_json: str) -> None:
         )
         fres["sentence_compacted"] = maint[0]["compacted"]
         fres["sentence_reclaimed_rows"] = sum(r["reclaimed_rows"] for r in maint)
-        fres["sentence_incremental_equal_after_rotate"] = (
-            dedup.dedup_sentences_incremental(spark, batch1, srot).count()
-            == dedup.dedup_sentences_incremental(spark, batch1, spath).count()
+        fres["sentence_incremental_equal_after_rotate"] = _same_rows(
+            dedup.dedup_sentences_incremental(spark, batch1, srot),
+            dedup.dedup_sentences_incremental(spark, batch1, spath),
         )
         _hygiene(spark)
         print(f"substr @{factor}x: {json.dumps(fres)}", flush=True)
