@@ -234,6 +234,167 @@ def winnow_overlap_pairs(
     )
 
 
+def _symmetric_pairs(pairs: DataFrame) -> DataFrame:
+    """Both directed views of a canonical (id_a < id_b) pair frame in
+    ONE pass — explode a 2-element struct array instead of a
+    self-union, so the (expensive) pair aggregation upstream is not
+    computed twice. Returns (id, nbr, n_shared)."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id"), F.col("id_b").alias("nbr")
+                ),
+                F.struct(
+                    F.col("id_b").alias("id"), F.col("id_a").alias("nbr")
+                ),
+            )
+        ).alias("e"),
+        "n_shared",
+    ).select("e.id", "e.nbr", "n_shared")
+
+
+def winnow_pairs_bounded(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+    per_doc_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_tiers: tuple[int, ...] | None = None,
+    max_dropped_mils: int = 50,
+) -> DataFrame:
+    """:func:`winnow_overlap_pairs` with a DECLARATIVE output bound
+    (VERDICT r12 ask 2): each document keeps only its ``per_doc_k``
+    STRONGEST neighbors (n_shared desc, then nbr asc — a total order,
+    so the survivor set is deterministic across partitionings and
+    engines), and a pair survives when EITHER endpoint ranks it — so
+    every document's top-k neighborhood is fully present even when a
+    hub neighbor is saturated from its own side.
+
+    Why: at 100x the full pair stream is irreducible TRUE output
+    (22.3 M pairs, r12 soak) — the wall-clock IS the output volume.
+    Downstream schedules (clustering, canonical selection) only need
+    each doc's strongest edges; this caps what is emitted/persisted at
+    ≤ ``per_doc_k`` per doc while :func:`winnow_bounded_report` prices
+    exactly what the cap truncated (no silent caps).
+
+    Scale shape: everything up to the pair aggregation is
+    :func:`winnow_overlap_pairs` unchanged; the bound adds ONE
+    doc-keyed exchange over the doubled pair stream. The rank filter
+    is ``row_number() <= k`` over a fixed window, which Spark's
+    WindowGroupLimit rewrite turns into partial per-partition limits
+    BEFORE the exchange — hub docs never materialize their full
+    neighbor list on one task."""
+    from pyspark.sql import Window
+
+    pairs = winnow_overlap_pairs(
+        docs, k, w, min_shared, max_df, id_col, text_col,
+        max_df_tiers, max_dropped_mils,
+    )
+    sym = _symmetric_pairs(pairs)
+    rank_w = Window.partitionBy("id").orderBy(
+        F.col("n_shared").desc(), F.col("nbr").asc()
+    )
+    kept = sym.withColumn("_rn", F.row_number().over(rank_w)).where(
+        F.col("_rn") <= per_doc_k
+    )
+    return kept.select(
+        F.least("id", "nbr").alias("id_a"),
+        F.greatest("id", "nbr").alias("id_b"),
+        "n_shared",
+    ).distinct()
+
+
+def winnow_bounded_report(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+    per_doc_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_tiers: tuple[int, ...] | None = None,
+    max_dropped_mils: int = 50,
+) -> DataFrame:
+    """Truncation pricing for :func:`winnow_pairs_bounded` — the cap-
+    report pattern applied to the per-doc neighbor bound: ONE row
+    saying exactly what the ``per_doc_k`` cap cost at these settings —
+
+        (per_doc_k, n_pairs_full, n_pairs_kept, truncated_pairs,
+         truncated_mils, n_docs_paired, docs_truncated, max_degree)
+
+    ``truncated_mils`` is the share of true pairs the bound dropped —
+    the number a schedule compares against its recall budget before
+    trusting the bounded stream; ``docs_truncated`` / ``max_degree``
+    localize WHERE the truncation lives (a few hub cliques vs broad
+    mass). All counts are integers — bit-reproducible.
+
+    Scale shape: the pair aggregation runs once (persisted — three
+    readers), then two metadata-scale aggregates and the bounded
+    keep's count; no collect, no new corpus pass."""
+    from pyspark.sql import Window
+
+    pairs = winnow_overlap_pairs(
+        docs, k, w, min_shared, max_df, id_col, text_col,
+        max_df_tiers, max_dropped_mils,
+    ).transform(tracked_persist)  # full count + degrees + bounded keep
+    sym = _symmetric_pairs(pairs)
+    full_cnt = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs_full")
+    )
+    deg_stats = (
+        sym.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_paired"),
+            F.coalesce(
+                F.sum(F.when(F.col("deg") > per_doc_k, 1).otherwise(0)),
+                F.lit(0),  # empty pair stream: 0, never NULL
+            ).cast("long").alias("docs_truncated"),
+            F.coalesce(F.max("deg"), F.lit(0)).cast("long").alias(
+                "max_degree"
+            ),
+        )
+    )
+    rank_w = Window.partitionBy("id").orderBy(
+        F.col("n_shared").desc(), F.col("nbr").asc()
+    )
+    kept_cnt = (
+        sym.withColumn("_rn", F.row_number().over(rank_w))
+        .where(F.col("_rn") <= per_doc_k)
+        .select(
+            F.least("id", "nbr").alias("id_a"),
+            F.greatest("id", "nbr").alias("id_b"),
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs_kept"))
+    )
+    return (
+        full_cnt.crossJoin(F.broadcast(kept_cnt))
+        .crossJoin(F.broadcast(deg_stats))
+        .select(
+            F.lit(int(per_doc_k)).cast("long").alias("per_doc_k"),
+            "n_pairs_full",
+            "n_pairs_kept",
+            (F.col("n_pairs_full") - F.col("n_pairs_kept")).alias(
+                "truncated_pairs"
+            ),
+            F.expr(
+                "CASE WHEN n_pairs_full = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE (n_pairs_full - n_pairs_kept) * 1000"
+                " DIV n_pairs_full END"
+            ).alias("truncated_mils"),
+            "n_docs_paired",
+            "docs_truncated",
+            "max_degree",
+        )
+    )
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -687,6 +848,137 @@ def winnow_cap_report(
         .distinct()
     )
     return _cap_report(fps, "fp", max_df)
+
+
+def shingle_cap_recall_estimate(
+    docs: DataFrame,
+    n: int = 3,
+    max_df: int = 100,
+    sample_inv: int = 8,
+    expand_max_df: int = 2000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Estimated-PAIRS cost of the ``max_df`` stop-shingle cap (VERDICT
+    r12 ask 4): :func:`shingle_cap_report` prices the cap in dropped
+    posting MASS; this one prices it in the unit a recall budget is
+    written in — pairs. ONE row:
+
+        (max_df, sample_inv, expand_max_df, capped_keys, sampled_keys,
+         expanded_keys, mega_keys, sampled_pairs_distinct,
+         mega_pair_slots, est_capped_pairs, capped_pair_slots_exact)
+
+    Estimator: capped keys are sampled DETERMINISTICALLY at rate
+    1/``sample_inv`` on the md5-40bit prefix of the raw shingle string
+    (``h40 % sample_inv == 0`` — reproducible in ANSI SQL, stable
+    across runs/engines). Sampled keys with df ≤ ``expand_max_df`` are
+    EXPANDED — their postings self-joined and the DISTINCT co-occurring
+    pairs counted (the cross-key dedup a closed form cannot see);
+    sampled keys above it (mega keys: df² expansion rows would be the
+    very blow-up the cap exists to prevent) contribute their exact
+    per-key pair count df·(df−1)/2 unexpanded.
+    ``est_capped_pairs = sample_inv · (sampled_pairs_distinct +
+    mega_pair_slots)`` — all integer arithmetic, bit-reproducible.
+
+    Honesty notes, in the docstring because a schedule will read this
+    number: (1) it estimates pairs co-occurring under CAPPED keys — an
+    UPPER bound on truly missed pairs, since a pair that also shares an
+    un-capped shingle still surfaces (conservative in the safe
+    direction for a recall budget); (2) cross-key dedup happens within
+    the sample only, and mega keys skip it entirely — both again bias
+    upward; (3) ``capped_pair_slots_exact`` = Σ df·(df−1)/2 over ALL
+    capped keys is the exact closed-form ceiling, no sampling at all.
+
+    Scale shape: one shingle pass, one df aggregate, and a self-join
+    bounded by ``sample_inv`` × ``expand_max_df``² per expanded key —
+    the caller prices the audit in advance, unlike the un-capped pair
+    join it audits."""
+    sh = (
+        _spread(docs, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(text_col, n)).alias("sh_str"),
+        )
+        .distinct()
+        .transform(tracked_persist)  # df aggregate + sampled expansion
+    )
+    h40 = F.conv(F.substring(F.md5("sh_str"), 1, 10), 16, 10).cast("long")
+    dfc = (
+        sh.groupBy("sh_str")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select("sh_str", "df", h40.alias("h40"))
+        .where(F.col("df") > max_df)
+        .transform(tracked_persist)  # exact stats + two sample branches
+    )
+    slots = F.expr("df * (df - 1) DIV 2")
+    sampled = F.col("h40") % sample_inv == 0
+    # every sum coalesces: an un-capped corpus makes dfc EMPTY and a
+    # bare sum would report NULL where the schedule expects 0
+    exact_stats = dfc.agg(
+        F.count(F.lit(1)).cast("long").alias("capped_keys"),
+        F.coalesce(F.sum(slots), F.lit(0)).cast("long").alias(
+            "capped_pair_slots_exact"
+        ),
+        F.coalesce(
+            F.sum(F.when(sampled, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("sampled_keys"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    sampled & (F.col("df") <= expand_max_df), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("expanded_keys"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    sampled & (F.col("df") > expand_max_df), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("mega_keys"),
+        F.coalesce(
+            F.sum(
+                F.when(sampled & (F.col("df") > expand_max_df), slots)
+            ),
+            F.lit(0),
+        ).cast("long").alias("mega_pair_slots"),
+    )
+    # shuffle_hash pins: the expandable-key frame is a corpus-derived
+    # aggregate (the Catalyst broadcast-underestimate trap) and both
+    # self-join sides are corpus postings — never broadcast
+    expandable = dfc.where(sampled & (F.col("df") <= expand_max_df)).select(
+        "sh_str"
+    )
+    kp = sh.join(expandable.hint("shuffle_hash"), "sh_str")
+    a, b = kp.alias("a"), kp.alias("b").hint("shuffle_hash")
+    sampled_pairs = (
+        a.join(
+            b,
+            (F.col("a.sh_str") == F.col("b.sh_str"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("sampled_pairs_distinct"))
+    )
+    return exact_stats.crossJoin(F.broadcast(sampled_pairs)).select(
+        F.lit(int(max_df)).cast("long").alias("max_df"),
+        F.lit(int(sample_inv)).cast("long").alias("sample_inv"),
+        F.lit(int(expand_max_df)).cast("long").alias("expand_max_df"),
+        "capped_keys",
+        "sampled_keys",
+        "expanded_keys",
+        "mega_keys",
+        "sampled_pairs_distinct",
+        "mega_pair_slots",
+        (
+            F.lit(int(sample_inv))
+            * (F.col("sampled_pairs_distinct") + F.col("mega_pair_slots"))
+        ).cast("long").alias("est_capped_pairs"),
+        "capped_pair_slots_exact",
+    )
 
 
 def contamination(

@@ -265,6 +265,65 @@ def q_winnow_pairs_escalated(
     )
 
 
+def q_winnow_pairs_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declaratively bounded winnow pairs (r13 — VERDICT r12 ask 2):
+    the escalated run recovers the planted df=125 clique (7,750 true
+    pairs), and the per-doc top-5 bound emits each member's 5
+    strongest neighbors instead of the full quadratic stream — union
+    semantics, total-order tie-break, so the survivor set value-hashes
+    against the SQL twin."""
+    return dedup.winnow_pairs_bounded(
+        _cap_planted(spark, sf_dir),
+        k=5,
+        w=4,
+        min_shared=2,
+        max_df=100,
+        per_doc_k=5,
+        max_df_tiers=(100, 400),
+        max_dropped_mils=1,
+    )
+
+
+def q_winnow_bounded_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Truncation pricing for the bounded winnow stream (r13): one row
+    — full pairs vs kept pairs, truncated mils, and where the
+    truncation lives (docs over the bound, max degree). The planted
+    clique makes every number non-trivial."""
+    return dedup.winnow_bounded_report(
+        _cap_planted(spark, sf_dir),
+        k=5,
+        w=4,
+        min_shared=2,
+        max_df=100,
+        per_doc_k=5,
+        max_df_tiers=(100, 400),
+        max_dropped_mils=1,
+    )
+
+
+def q_shingle_cap_recall_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Estimated-missed-PAIRS cost of the stop-shingle cap (r13 —
+    VERDICT r12 ask 4): md5-sampled capped keys expanded to their
+    distinct co-occurring pairs and scaled back up, mega keys priced
+    by closed form — deterministic integers end to end. At these
+    settings exactly one planted shingle ('hotel india juliet',
+    h40 % 8 == 0) is sampled, df=125 → 7,750 expanded pairs →
+    est = 62,000 vs the exact 77,500 slot ceiling."""
+    return dedup.shingle_cap_recall_estimate(
+        _cap_planted(spark, sf_dir),
+        n=3,
+        max_df=100,
+        sample_inv=8,
+        expand_max_df=2000,
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: xxhash64 has no DuckDB twin; see tests/test_dedup.py."""
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
@@ -2134,6 +2193,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_cap_report": q_winnow_cap_report,
     "dedup_containment_escalated": q_dedup_containment_escalated,
     "winnow_pairs_escalated": q_winnow_pairs_escalated,
+    "winnow_pairs_bounded": q_winnow_pairs_bounded,
+    "winnow_bounded_report": q_winnow_bounded_report,
+    "shingle_cap_recall_estimate": q_shingle_cap_recall_estimate,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
     "ngram_jaccard": q_ngram_jaccard,
@@ -4426,6 +4488,135 @@ LLM_ORACLE_SQL["winnow_pairs_escalated"] = (
               ON a.fp = b.fp AND a.id < b.id
             GROUP BY a.id, b.id) t
         WHERE n_shared >= 2"""
+)
+
+# ---------------------------------------------------------------- r13
+# bounded winnow output + truncation pricing — shared escalated-pair
+# CTE chain (the winnow_pairs_escalated oracle up to the pair frame)
+
+_SQL_WINNOW_ESC_PAIRS = (
+    _SQL_CAPPLANT
+    + ",\n        "
+    + _sql_winnow_ctes("capplant")
+    + """,
+        sel AS (
+            SELECT DISTINCT doc_id AS id,
+                   (mc // 1048576)::BIGINT AS fp
+            FROM wmin WHERE pos <= greatest(ng - 4, 0)),
+        dfc AS (SELECT fp, count(*) AS df FROM sel GROUP BY fp),"""
+    + _SQL_TIER_CHOICE
+    + """,
+        kept AS (
+            SELECT s.id, s.fp FROM sel s
+            JOIN dfc d ON s.fp = d.fp
+            CROSS JOIN ch WHERE d.df <= ch.cap),
+        pairs AS (
+            SELECT id_a, id_b, n_shared FROM (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       count(*)::BIGINT AS n_shared
+                FROM kept a JOIN kept b
+                  ON a.fp = b.fp AND a.id < b.id
+                GROUP BY a.id, b.id) t
+            WHERE n_shared >= 2),
+        sym AS (
+            SELECT id_a AS id, id_b AS nbr, n_shared FROM pairs
+            UNION ALL
+            SELECT id_b, id_a, n_shared FROM pairs)"""
+)
+
+# per-doc top-5 strongest neighbors, union semantics — keep in lockstep
+# with dedup.winnow_pairs_bounded
+LLM_ORACLE_SQL["winnow_pairs_bounded"] = (
+    "WITH "
+    + _SQL_WINNOW_ESC_PAIRS
+    + """,
+        ranked AS (
+            SELECT id, nbr, n_shared,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY n_shared DESC, nbr ASC)
+                       AS rn
+            FROM sym)
+        SELECT DISTINCT least(id, nbr) AS id_a,
+               greatest(id, nbr) AS id_b, n_shared
+        FROM ranked WHERE rn <= 5"""
+)
+
+# keep in lockstep with dedup.winnow_bounded_report
+LLM_ORACLE_SQL["winnow_bounded_report"] = (
+    "WITH "
+    + _SQL_WINNOW_ESC_PAIRS
+    + """,
+        fullc AS (SELECT count(*)::BIGINT AS n_pairs_full FROM pairs),
+        degs AS (SELECT id, count(*) AS deg FROM sym GROUP BY id),
+        dstats AS (
+            SELECT count(*)::BIGINT AS n_docs_paired,
+                   coalesce(sum((deg > 5)::INT), 0)::BIGINT
+                       AS docs_truncated,
+                   coalesce(max(deg), 0)::BIGINT AS max_degree
+            FROM degs),
+        ranked AS (
+            SELECT id, nbr,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY n_shared DESC, nbr ASC)
+                       AS rn
+            FROM sym),
+        keptc AS (
+            SELECT count(*)::BIGINT AS n_pairs_kept FROM (
+                SELECT DISTINCT least(id, nbr), greatest(id, nbr)
+                FROM ranked WHERE rn <= 5) t)
+        SELECT 5::BIGINT AS per_doc_k, n_pairs_full, n_pairs_kept,
+               (n_pairs_full - n_pairs_kept)::BIGINT AS truncated_pairs,
+               (CASE WHEN n_pairs_full = 0 THEN 0
+                     ELSE (n_pairs_full - n_pairs_kept) * 1000
+                          // n_pairs_full END)::BIGINT AS truncated_mils,
+               n_docs_paired, docs_truncated, max_degree
+        FROM fullc, dstats, keptc"""
+)
+
+# estimated-missed-pairs audit of the stop-shingle cap — keep in
+# lockstep with dedup.shingle_cap_recall_estimate (max_df=100,
+# sample_inv=8, expand_max_df=2000)
+LLM_ORACLE_SQL["shingle_cap_recall_estimate"] = (
+    "WITH "
+    + _SQL_CAPPLANT
+    + ","
+    + _sql_shingles("capplant").strip()
+    + """,
+        dfc AS (
+            SELECT sh, count(*) AS df,
+                   ('0x' || substr(md5(sh), 1, 10))::BIGINT AS h40
+            FROM shingles GROUP BY sh HAVING count(*) > 100),
+        stats AS (
+            SELECT count(*)::BIGINT AS capped_keys,
+                   coalesce(sum(df * (df - 1) // 2), 0)::BIGINT
+                       AS capped_pair_slots_exact,
+                   coalesce(sum((h40 % 8 = 0)::INT), 0)::BIGINT
+                       AS sampled_keys,
+                   coalesce(sum((h40 % 8 = 0 AND df <= 2000)::INT),
+                            0)::BIGINT AS expanded_keys,
+                   coalesce(sum((h40 % 8 = 0 AND df > 2000)::INT),
+                            0)::BIGINT AS mega_keys,
+                   coalesce(sum(CASE WHEN h40 % 8 = 0 AND df > 2000
+                                     THEN df * (df - 1) // 2 END),
+                            0)::BIGINT AS mega_pair_slots
+            FROM dfc),
+        expandable AS (
+            SELECT sh FROM dfc WHERE h40 % 8 = 0 AND df <= 2000),
+        kp AS (SELECT s.id, s.sh FROM shingles s
+               JOIN expandable e USING (sh)),
+        sp AS (
+            SELECT count(*)::BIGINT AS sampled_pairs_distinct FROM (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM kp a JOIN kp b
+                  ON a.sh = b.sh AND a.id < b.id) t)
+        SELECT 100::BIGINT AS max_df, 8::BIGINT AS sample_inv,
+               2000::BIGINT AS expand_max_df, capped_keys, sampled_keys,
+               expanded_keys, mega_keys, sampled_pairs_distinct,
+               mega_pair_slots,
+               (8 * (sampled_pairs_distinct + mega_pair_slots))::BIGINT
+                   AS est_capped_pairs,
+               capped_pair_slots_exact
+        FROM stats, sp"""
 )
 
 

@@ -96,6 +96,75 @@ def init_window_index(
     )
 
 
+def maintain_window_tier(
+    spark: SparkSession,
+    index_path: str,
+    max_dup_mils: int = 100,
+) -> DataFrame:
+    """The streaming window tier's maintenance loop (r13, VERDICT r12
+    ask 6) — ``operators/dedup.py:maintain_index_tier``'s two-phase
+    shape (one metadata-scale trigger read → bulk rewrite + rotation)
+    adapted to the tiered ``windows/batch=<id>`` layout, with the SAME
+    report row:
+
+        (tier_table, n_rows, n_distinct, dup_rows, dup_mils,
+         compacted, reclaimed_rows)
+
+    Two deliberate differences from the flat-path maintainer, both
+    forced by the layout: (1) the trigger counts the KEY column only —
+    the ``batch`` partition column is layout, not key, and a
+    whole-row distinct would hide exactly the cross-tier duplicate
+    hashes this loop exists to reclaim; (2) the rotation folds the
+    distinct keys into one ``batch=compacted`` tier and swaps it into
+    place with the crash-safe staging order of
+    ``compact_term_index_tier`` (durable staging write → delete →
+    rename, via :func:`swap_tier_dir`) — the stream maintainer OWNS
+    the root, so the pointer swap the flat contract leaves to the
+    caller happens here, between tier writes. Probes read the swapped
+    layout unchanged (they select ``sh`` and ignore ``batch``);
+    subsequent stream batches keep appending ``batch=<id>`` tiers
+    beside the compacted one. External readers share the
+    compact_term_index_tier caveat: parquet has no snapshot isolation,
+    so don't race a probe against the swap itself."""
+    from pyspark.sql import functions as F
+
+    from hadoop_invertedindexer_spark.streaming.index_maintenance import (
+        swap_tier_dir,
+    )
+
+    tier = f"{index_path}/windows"
+    keys = spark.read.parquet(tier).select("sh")
+    s = keys.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(F.col("sh")).cast("long").alias("n_distinct"),
+    ).head()
+    dup_rows = int(s.n_rows - s.n_distinct)
+    dup_mils = dup_rows * 1000 // s.n_rows if s.n_rows else 0
+    compacted = dup_mils > max_dup_mils
+    if compacted:
+        staging = f"{tier}.compacting"
+        keys.distinct().write.mode("overwrite").parquet(
+            f"{staging}/batch=compacted"
+        )
+        swap_tier_dir(spark, staging, tier)
+    return spark.createDataFrame(
+        [
+            (
+                "windows",
+                s.n_rows,
+                s.n_distinct,
+                dup_rows,
+                dup_mils,
+                compacted,
+                dup_rows if compacted else 0,
+            )
+        ],
+        "tier_table STRING, n_rows BIGINT, n_distinct BIGINT,"
+        " dup_rows BIGINT, dup_mils BIGINT, compacted BOOLEAN,"
+        " reclaimed_rows BIGINT",
+    )
+
+
 def maintain_window_index(
     spark: SparkSession,
     source_dir: str,
@@ -105,6 +174,7 @@ def maintain_window_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_files_per_trigger: int = 1,
+    max_dup_mils: int | None = None,
 ) -> None:
     """Continuous form of ``append_window_index`` (r8): drain new
     REFERENCE-corpus files (the eval/benchmark side) with availableNow
@@ -115,7 +185,17 @@ def maintain_window_index(
     join never looks at, and duplicate hashes across tiers are harmless
     to a semi probe. Same single-maintainer rule as the MinHash tiers:
     one root is maintained by EITHER the flat batch build/append OR
-    this stream, never both."""
+    this stream, never both.
+
+    ``max_dup_mils`` (r13) closes the maintenance loop INSIDE the
+    ingest path: after each tier write, :func:`maintain_window_tier`
+    reads the one-row duplicate-mass trigger and — only over threshold
+    — folds the distinct keys into a compacted tier and swaps it in
+    before the next micro-batch lands. foreachBatch serializes the
+    swap against subsequent appends, so ingest answers identically
+    across an in-flight rotation (pinned by test). ``None`` (default)
+    keeps the pre-r13 behavior: append-only, compaction left to an
+    external schedule."""
     from hadoop_invertedindexer_spark.operators.dedup import _window_hashes
     from hadoop_invertedindexer_spark.streaming.events import run_tier_maintenance
 
@@ -127,6 +207,8 @@ def maintain_window_index(
         ).distinct().write.mode("overwrite").parquet(
             f"{index_path}/windows/batch={batch_id}"
         )
+        if max_dup_mils is not None:
+            maintain_window_tier(spark, index_path, max_dup_mils)
 
     run_tier_maintenance(
         spark, source_dir, source_schema, checkpoint_dir,

@@ -107,6 +107,15 @@ def compact_term_index_tier(
     read_term_index_tier(spark, tier_path, doc_col).write.mode(
         "overwrite"
     ).parquet(f"{staging}/batch=compacted")
+    swap_tier_dir(spark, staging, tier_path)
+
+
+def swap_tier_dir(spark: SparkSession, staging: str, tier_path: str) -> None:
+    """Crash-safe tier swap via the Hadoop FileSystem API (so the
+    semantics hold for hdfs://s3a:// URIs, not just local paths):
+    delete the live tier, rename the durably-written staging dir into
+    its place, refresh the catalog. Shared by every streaming-side
+    compactor (term-index fold, window-hash fold)."""
     jvm = spark.sparkContext._jvm
     root = jvm.org.apache.hadoop.fs.Path(tier_path)
     fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
@@ -116,12 +125,12 @@ def compact_term_index_tier(
     # the staging path so an operator can finish the swap by hand.
     if not fs.delete(root, True) and fs.exists(root):
         raise IOError(
-            f"compact_term_index_tier: delete({tier_path}) returned false; "
+            f"swap_tier_dir: delete({tier_path}) returned false; "
             f"folded tier preserved at {staging}"
         )
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), root):
         raise IOError(
-            f"compact_term_index_tier: rename({staging} -> {tier_path}) "
+            f"swap_tier_dir: rename({staging} -> {tier_path}) "
             f"returned false; folded tier preserved at {staging}"
         )
     spark.catalog.refreshByPath(tier_path)

@@ -1072,6 +1072,101 @@ def test_streaming_window_index_matches_batch_build(spark, tmp_path):
     assert result(stream_path) == result(batch_path)
 
 
+def test_streaming_window_index_rotation_in_flight(spark, tmp_path):
+    """r13 (VERDICT r12 ask 6): the maintenance loop wired INTO the
+    ingest foreachBatch — overlapping day files accumulate cross-tier
+    duplicate hashes, the dup_mils trigger fires MID-DRAIN, the
+    compacted fold swaps in, later batches keep appending beside it,
+    and the decontamination probe answers identically to a one-shot
+    batch build throughout."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hadoop_invertedindexer_spark.streaming import dedup_ingest
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    days = [
+        spark.createDataFrame([(100, f"prefix {shared} suffix")], schema),
+        # day 2 re-publishes day 1's doc (the crash-retry/dup case)
+        # plus a fresh one — cross-tier dup mass the trigger must see
+        spark.createDataFrame(
+            [
+                (100, f"prefix {shared} suffix"),
+                (101, "red orange yellow green blue indigo violet ultra"),
+            ],
+            schema,
+        ),
+        spark.createDataFrame(
+            [(102, "one two three four five six seven eight nine")], schema
+        ),
+    ]
+    stage, src = str(tmp_path / "stage"), str(tmp_path / "src")
+    for i, d in enumerate(days):
+        d.coalesce(1).write.mode("overwrite").parquet(f"{stage}/d{i}")
+    os.makedirs(src, exist_ok=True)
+    for i, f in enumerate(sorted(glob.glob(f"{stage}/d*/part-*.parquet"))):
+        shutil.copyfile(f, f"{src}/day{i}.parquet")
+
+    stream_path = str(tmp_path / "w_stream")
+    dedup_ingest.init_window_index(spark, stream_path, n=8)
+    # max_dup_mils=100: day 2's replayed hashes push dup share far
+    # over 10%, so the rotation fires inside the drain, BETWEEN the
+    # day-2 and day-3 tier writes
+    dedup_ingest.maintain_window_index(
+        spark, src, schema, stream_path, str(tmp_path / "ck1"),
+        max_dup_mils=100,
+    )
+    # the fold happened: a compacted tier exists and no key is stored
+    # twice (day 3 landed after the swap, beside the compacted tier)
+    tiers = {
+        os.path.basename(p)
+        for p in glob.glob(f"{stream_path}/windows/batch=*")
+    }
+    assert "batch=compacted" in tiers
+    keys = spark.read.parquet(f"{stream_path}/windows").select("sh")
+    assert keys.count() == keys.distinct().count()
+
+    batch_path = str(tmp_path / "w_batch")
+    dedup.build_window_index(
+        days[0].union(days[1]).union(days[2]).distinct(), batch_path, n=8
+    )
+    train = spark.createDataFrame(
+        [
+            (1, f"own words {shared} tail"),
+            (2, "red orange yellow green blue indigo violet ultra plus"),
+            (3, "a clean document with none of the reference content"),
+        ],
+        schema,
+    )
+
+    def result(path):
+        return sorted(
+            tuple(r)
+            for r in dedup.decontaminate_substrings_incremental(
+                spark, train, path, n=8
+            ).collect()
+        )
+
+    assert result(stream_path) == result(batch_path)
+    # a second drain over the same files is a no-op (checkpointed) and
+    # the explicit maintainer on an already-compacted root reads
+    # dup_mils = 0 and skips — idempotent, nothing rewritten
+    r = dedup_ingest.maintain_window_tier(
+        spark, stream_path, max_dup_mils=100
+    ).first()
+    assert r.compacted is False and r.dup_mils == 0
+    assert result(stream_path) == result(batch_path)
+
+
 class TestSentenceIndex:
     """Persisted sentence-span index trio (r10): incremental == direct
     over (corpus ∪ batch), index side always wins, append extends,
@@ -1871,6 +1966,204 @@ class TestWinnowPositionCap:
         docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="pos_bits"):
             dedup.winnow_fingerprints(docs, pos_bits=24)
+
+
+class TestWinnowPairsBounded:
+    """r13 (VERDICT r12 ask 2): the declarative per-doc top-k bound on
+    the winnow pair stream, plus its truncation-pricing report."""
+
+    CLIQUE_TEXT = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india"
+        " juliet kilo lima"
+    )
+
+    def _clique(self, spark, m: int = 6):
+        return spark.createDataFrame(
+            [(i, self.CLIQUE_TEXT) for i in range(1, m + 1)],
+            ["doc_id", "text"],
+        )
+
+    def test_union_keep_on_a_clique(self, spark):
+        # 6 identical docs -> 15 true pairs, all with equal n_shared.
+        # per_doc_k=2 keeps each doc's 2 smallest-id neighbors; a pair
+        # survives when EITHER side ranks it, so the survivor set is
+        # exactly {(a,b): b<=3 or a<=2} — 9 pairs, fully deterministic.
+        docs = self._clique(spark)
+        full = dedup.winnow_overlap_pairs(docs, min_shared=2)
+        assert full.count() == 15
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.winnow_pairs_bounded(
+                docs, min_shared=2, per_doc_k=2
+            ).collect()
+        }
+        want = {
+            (a, b)
+            for a in range(1, 7)
+            for b in range(a + 1, 7)
+            if b <= 3 or a <= 2
+        }
+        assert got == want and len(got) == 9
+
+    def test_bounded_is_subset_with_identical_scores(self, spark):
+        docs = self._clique(spark, 5)
+        full = {
+            (r.id_a, r.id_b): r.n_shared
+            for r in dedup.winnow_overlap_pairs(
+                docs, min_shared=2
+            ).collect()
+        }
+        for r in dedup.winnow_pairs_bounded(
+            docs, min_shared=2, per_doc_k=1
+        ).collect():
+            assert full[(r.id_a, r.id_b)] == r.n_shared
+
+    def test_large_k_is_identity(self, spark):
+        docs = self._clique(spark, 4)
+        full = {
+            (r.id_a, r.id_b, r.n_shared)
+            for r in dedup.winnow_overlap_pairs(
+                docs, min_shared=2
+            ).collect()
+        }
+        got = {
+            (r.id_a, r.id_b, r.n_shared)
+            for r in dedup.winnow_pairs_bounded(
+                docs, min_shared=2, per_doc_k=100
+            ).collect()
+        }
+        assert got == full and len(full) == 6
+
+    def test_report_prices_the_truncation(self, spark):
+        docs = self._clique(spark)
+        r = dedup.winnow_bounded_report(
+            docs, min_shared=2, per_doc_k=2
+        ).first()
+        assert r.per_doc_k == 2
+        assert r.n_pairs_full == 15 and r.n_pairs_kept == 9
+        assert r.truncated_pairs == 6
+        assert r.truncated_mils == 6 * 1000 // 15  # = 400
+        assert r.n_docs_paired == 6
+        assert r.docs_truncated == 6  # every member's degree 5 > 2
+        assert r.max_degree == 5
+
+    def test_report_zero_pairs_all_zero_not_null(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "completely unrelated document text lives here now"),
+                (2, "another entirely different body of words sits here"),
+            ],
+            ["doc_id", "text"],
+        )
+        r = dedup.winnow_bounded_report(docs, per_doc_k=3).first()
+        assert (
+            r.n_pairs_full,
+            r.n_pairs_kept,
+            r.truncated_pairs,
+            r.truncated_mils,
+            r.n_docs_paired,
+            r.docs_truncated,
+            r.max_degree,
+        ) == (0, 0, 0, 0, 0, 0, 0)
+
+    def test_bound_pushed_before_the_exchange(self, spark):
+        # the rank<=k filter must compile to WindowGroupLimit partial
+        # limits so hub docs never materialize their full neighbor
+        # list on one task — the property that makes the bound safe at
+        # 100x, not just smaller output
+        plan = (
+            dedup.winnow_pairs_bounded(self._clique(spark), per_doc_k=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan
+
+
+class TestShingleCapRecallEstimate:
+    """r13 (VERDICT r12 ask 4): the cap report priced in PAIRS —
+    deterministic md5 sampling, bounded expansion, closed-form mega
+    keys."""
+
+    def _shared_passage_docs(self, spark, m: int = 5, passage="xq yq zq"):
+        # m docs share one 3-token passage; distinct filler keeps the
+        # corpus from collapsing to exact dups
+        return spark.createDataFrame(
+            [
+                (i, f"{passage} filler{i} alone{i} tail{i}")
+                for i in range(1, m + 1)
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_single_capped_key_fully_expanded(self, spark):
+        docs = self._shared_passage_docs(spark)
+        r = dedup.shingle_cap_recall_estimate(
+            docs, n=3, max_df=3, sample_inv=1, expand_max_df=2000
+        ).first()
+        assert r.capped_keys == 1 and r.sampled_keys == 1
+        assert r.expanded_keys == 1 and r.mega_keys == 0
+        assert r.sampled_pairs_distinct == 10  # C(5,2)
+        assert r.mega_pair_slots == 0
+        assert r.est_capped_pairs == 10
+        assert r.capped_pair_slots_exact == 10
+
+    def test_mega_key_priced_by_closed_form(self, spark):
+        docs = self._shared_passage_docs(spark)
+        r = dedup.shingle_cap_recall_estimate(
+            docs, n=3, max_df=3, sample_inv=1, expand_max_df=4
+        ).first()
+        # df=5 > expand_max_df=4: never expanded, priced as df(df-1)/2
+        assert r.expanded_keys == 0 and r.mega_keys == 1
+        assert r.sampled_pairs_distinct == 0
+        assert r.mega_pair_slots == 10 and r.est_capped_pairs == 10
+
+    def test_cross_key_dedup_within_sample(self, spark):
+        # a shared 4-token passage yields TWO overlapping capped
+        # shingles over the SAME 5 docs: slots double-count (20) but
+        # the expanded estimate deduplicates to the 10 true pairs
+        docs = self._shared_passage_docs(spark, passage="xq yq zq wq")
+        r = dedup.shingle_cap_recall_estimate(
+            docs, n=3, max_df=3, sample_inv=1, expand_max_df=2000
+        ).first()
+        assert r.capped_keys == 2
+        assert r.capped_pair_slots_exact == 20
+        assert r.sampled_pairs_distinct == 10
+        assert r.est_capped_pairs == 10
+
+    def test_uncapped_corpus_all_zero_not_null(self, spark):
+        docs = self._shared_passage_docs(spark)
+        r = dedup.shingle_cap_recall_estimate(
+            docs, n=3, max_df=100, sample_inv=1
+        ).first()
+        assert (
+            r.capped_keys,
+            r.sampled_keys,
+            r.expanded_keys,
+            r.mega_keys,
+            r.sampled_pairs_distinct,
+            r.mega_pair_slots,
+            r.est_capped_pairs,
+            r.capped_pair_slots_exact,
+        ) == (0, 0, 0, 0, 0, 0, 0, 0)
+
+    def test_sampling_is_md5_deterministic(self, spark):
+        # at sample_inv=8 the sampled subset is a pure function of the
+        # shingle strings: 'hotel india juliet' is the one planted key
+        # with h40 % 8 == 0 (the contract entry's documented anchor)
+        import hashlib
+
+        h40 = int(
+            hashlib.md5(b"hotel india juliet").hexdigest()[:10], 16
+        )
+        assert h40 % 8 == 0
+        docs = self._shared_passage_docs(
+            spark, passage="hotel india juliet"
+        )
+        r = dedup.shingle_cap_recall_estimate(
+            docs, n=3, max_df=3, sample_inv=8, expand_max_df=2000
+        ).first()
+        assert r.sampled_keys == 1 and r.est_capped_pairs == 8 * 10
 
 
 class TestIndexCompaction:

@@ -860,6 +860,57 @@ def test_minhash_band_report_pins_and_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_winnow_pairs_bounded_plan_posture(spark):
+    """r13: the per-doc top-k bound must keep the pair join's SHJ
+    posture (the bound sits downstream of winnow_overlap_pairs) and
+    compile its rank filter to WindowGroupLimit — partial
+    per-partition limits before the rank exchange, the property that
+    stops a hub doc's full neighbor list landing on one task. No
+    corpus broadcast, no Python."""
+    from hadoop_invertedindexer_spark.operators import dedup
+
+    d = read_table(spark, SF, "documents")
+    plan = _plan(dedup.winnow_pairs_bounded(d, k=5, w=4, per_doc_k=10))
+    assert plan.count("ShuffledHashJoin") >= 2
+    assert "BroadcastHashJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnow_bounded_report_one_row_broadcasts_only(spark):
+    """r13: the truncation report reads the persisted pair frame three
+    ways and reduces each to one row — the only broadcasts are those
+    one-row stat frames meeting in nested loops, never a
+    BroadcastHashJoin of corpus data."""
+    from hadoop_invertedindexer_spark.operators import dedup
+
+    d = read_table(spark, SF, "documents")
+    plan = _plan(dedup.winnow_bounded_report(d, k=5, w=4, per_doc_k=10))
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cap_recall_estimate_shj_and_bounded_expansion(spark):
+    """r13: the estimated-missed-pairs audit self-joins ONLY the
+    md5-sampled expandable keys' postings — the expandable-key frame
+    is a corpus-derived aggregate and both join sides are corpus
+    postings, so everything stays shuffle_hash; the one-row stat
+    frames ride broadcast nested loops; no Python."""
+    from hadoop_invertedindexer_spark.operators import dedup
+
+    d = read_table(spark, SF, "documents")
+    plan = _plan(
+        dedup.shingle_cap_recall_estimate(
+            d, n=3, max_df=100, sample_inv=8, expand_max_df=2000
+        )
+    )
+    assert plan.count("ShuffledHashJoin") >= 2
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_winnow_windows_partition_by_doc(spark):
     """r10: every winnowing window partitions by the doc id — no
     single-partition stage and no range partitioning (a global sort)

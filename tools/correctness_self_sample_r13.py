@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Finish the driver-protocol correctness self-rotation (r13, VERDICT
+r12 ask #1).
+
+r12's self-sample covered 60 IDs; with the driver's own 56-ID history
+the cumulative driver-protocol union stood at 110 of the contract. This
+tool closes the remainder: it computes the NEVER-SAMPLED set dynamically
+(every ``queries()`` ID minus the union of all ``CORRECTNESS_r*.json``
+driver artifacts and ``CORRECTNESS_SELF_r12.json``) and runs the EXACT
+comparison the driver runs (Spark vs DuckDB at sf0.01 — row count,
+sorted column names, canonicalized value multiset) over all of it,
+writing ``CORRECTNESS_SELF_r13.json`` in the driver's per-query schema.
+
+Entries without an oracle (the 5 rows-only sketch/codec internals) get
+the driver's weaker rows-only check: the query must run and return a
+concrete row count; the match fields stay null, exactly as the driver
+records them.
+
+After this run the cumulative union is the ENTIRE contract — every
+query has been verified at least once under the driver's own protocol,
+not only by the (identical-logic) suite harness.
+
+Usage: ``python tools/correctness_self_sample_r13.py`` (repo root on
+PYTHONPATH; ~15-25 min).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT = os.path.join(REPO, "CORRECTNESS_SELF_r13.json")
+
+
+def already_sampled() -> set[str]:
+    seen: set[str] = set()
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            seen |= set(json.load(fh).keys())
+    prior = os.path.join(REPO, "CORRECTNESS_SELF_r12.json")
+    if os.path.exists(prior):
+        with open(prior) as fh:
+            seen |= set(json.load(fh).keys())
+    return seen
+
+
+def main() -> int:
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    from hadoop_invertedindexer_spark.caching import release_persisted
+    from hadoop_invertedindexer_spark.session import get_spark
+    from tests.oracle_harness import canon_rows, duck_connection
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(shuffle_partitions=32)
+    con = duck_connection(sf_dir)
+    qs, oracles = entry.queries(), entry.oracle_sql()
+
+    sample = sorted(set(qs) - already_sampled())
+    print(
+        f"{len(qs)} contract queries; {len(sample)} never sampled under "
+        f"the driver protocol — running all of them",
+        flush=True,
+    )
+
+    out: dict[str, dict] = {}
+    t_run = time.time()
+    for i, name in enumerate(sample, 1):
+        rec: dict = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+            release_persisted()
+            spark.catalog.clearCache()
+            rec["spark_rows"] = len(sdf)
+            if name in oracles:
+                odf = con.execute(oracles[name]).df()
+                rec["oracle_rows"] = len(odf)
+                rec["schema_match"] = (
+                    sorted(sdf.columns) == sorted(odf.columns)
+                )
+                rec["rows_match"] = len(sdf) == len(odf)
+                rec["hash_match"] = (
+                    rec["schema_match"] and canon_rows(sdf) == canon_rows(odf)
+                )
+        except Exception as ex:  # recorded, not raised: the driver's posture
+            rec["err"] = f"{type(ex).__name__}: {ex}"[:300]
+        out[name] = rec
+        if name in oracles:
+            ok = (
+                rec["err"] is None and rec["hash_match"]
+                and rec["rows_match"]
+            )
+        else:
+            ok = rec["err"] is None and rec["spark_rows"] is not None
+        print(
+            f"[{i:03d}/{len(sample)}] {name}: "
+            f"{'PASS' if ok else 'FAIL'}"
+            f"{' (rows-only)' if name not in oracles else ''}"
+            f" ({time.time() - t0:.1f}s)",
+            flush=True,
+        )
+
+    with open(OUT, "w") as fh:
+        json.dump(out, fh, indent=1)
+
+    def passed(name: str, r: dict) -> bool:
+        if name in oracles:
+            return bool(
+                r["err"] is None and r["hash_match"] and r["rows_match"]
+                and r["schema_match"]
+            )
+        return r["err"] is None and r["spark_rows"] is not None
+
+    n_pass = sum(1 for n, r in out.items() if passed(n, r))
+    print(
+        f"wrote {OUT}: {n_pass}/{len(out)} pass "
+        f"({time.time() - t_run:.0f}s total); cumulative driver-protocol "
+        f"union = {len(already_sampled() | set(out))}/{len(qs)}"
+    )
+    spark.stop()
+    return 0 if n_pass == len(out) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,290 @@
+"""Round-13 scale soak — the three 100x evidence gaps VERDICT r12 left:
+
+``ann-100x-shifted`` (ask 5) — re-run the IVF maintenance ladder with a
+DRIFTED append instead of iid replicas: the appended mass is a TIGHT
+off-distribution cloud (0.1·v + 2.0 per dim — near-constant direction,
+which zero-mean base centroids cannot represent), factor-sized like the
+corpus. The r12 ladder's `rebuilt=true` was trivial (iid noise keeps
+qerr at its floor by construction — SCALE.md:611-617); here the claim
+is the real one: the trigger does NOT fire on the healthy pre-append
+index at the same threshold, DOES fire after the drifted append, and
+the rebuild demonstrably LOWERS avg_qerr (post_rebuild < pre_rebuild,
+recorded at every factor incl. 30x and 100x). The threshold is derived
+from the measured healthy floor (floor mils + 100) — exactly how a
+fleet would set it from history, recorded in the artifact.
+
+``winnow-bounded-100x`` (ask 2) — the declarative per-doc top-k bound
+on the winnow pair stream at 1/30/100x: the r12 soak measured the full
+stream's 22.3M true pairs / 344.7s wall as irreducible OUTPUT volume;
+this row records what the bound buys (emitted pairs ≤ per_doc_k·docs)
+and what it costs (winnow_bounded_report's truncated_mils — no silent
+caps), plus executed-plan join counts at the top factor (the bound must
+not introduce a broadcast of corpus data) and the WindowGroupLimit
+rewrite (partial per-partition limits BEFORE the rank exchange — hub
+docs never materialize their full neighbor list on one task).
+
+``cap-estimate-100x`` (ask 4) — shingle_cap_recall_estimate at
+1/30/100x: the r12 cap report said 980 mils of posting mass dropped at
+100x but not how many PAIRS that costs; this row records the
+deterministic md5-sampled estimate (sample_inv=100 at scale, per-key
+expansion bounded by expand_max_df=2000, mega keys priced closed-form)
+— the estimated-missed-pairs number a schedule compares against its
+recall budget, priced in advance.
+
+Usage:
+  python tools/scale_soak_r13.py ann-100x-shifted    [src] [out_json]
+  python tools/scale_soak_r13.py winnow-bounded-100x [src] [out_json]
+  python tools/scale_soak_r13.py cap-estimate-100x   [src] [out_json]
+Writes/merges scale_results_r13_100x.json (commit to repo root).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hadoop_invertedindexer_spark.operators import dedup  # noqa: E402
+from hadoop_invertedindexer_spark.session import get_spark  # noqa: E402
+from tools.make_scale_dir import make_scale_dir  # noqa: E402
+from tools.scale_soak_r12 import (  # noqa: E402
+    ShuffleMeter,
+    _docs,
+    _hygiene,
+    _join_counts,
+    _merge_out,
+    _scale_dir,
+)
+
+INDEX_FACTORS = (1, 10, 30, 100)
+PAIR_FACTORS = (1, 30, 100)
+PER_DOC_K = 10
+MAX_DF = 100
+
+
+def _timed(meter, fres: dict, key: str, fn, spark):
+    m = meter.mark()
+    t0 = time.perf_counter()
+    out = fn()
+    fres[key] = round(time.perf_counter() - t0, 3)
+    sh = meter.since(m)
+    if sh:
+        fres[f"{key}_shuffle"] = sh
+    _hygiene(spark)
+    return out
+
+
+# ------------------------------------------------------- ann-100x-shifted
+
+
+def ann_100x_shifted(spark, src: str, out_json: str) -> None:
+    from hadoop_invertedindexer_spark.operators import similarity
+
+    meter = ShuffleMeter(spark)
+
+    def edir(factor: int) -> str:
+        if factor == 1:
+            return src
+        d = f"/tmp/sfr13e_{factor}"
+        if not os.path.isdir(d):
+            make_scale_dir(src, d, factor, facts=("embeddings",),
+                           copy_dims=False)
+        return d
+
+    def emb(d: str):
+        return spark.read.parquet(f"{d}/embeddings.parquet")
+
+    def drifted(corpus):
+        # a TIGHT cloud in the all-ones direction: zero-mean base
+        # centroids are nearly orthogonal to it (qerr -> ~1) while one
+        # rebuilt centroid inside it represents it almost exactly
+        # (within-cloud cosine ~ 1) — drift a rebuild can actually fix
+        return corpus.select(
+            (F.col("vec_id") + F.lit(100_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(0.1) + F.lit(2.0)
+            ).cast("array<float>").alias("embedding"),
+        )
+
+    # untimed plan warmup
+    wtmp = tempfile.mkdtemp(prefix="r13annwarm_")
+    w = emb(src)
+    similarity.build_ivf_index(
+        w,
+        similarity.bounded_centroids_refined(
+            w, k=64, sample_mult=4, refine_iters=2
+        ),
+        f"{wtmp}/ivf",
+    )
+    similarity.ivf_index_drift(spark, f"{wtmp}/ivf").collect()
+    _hygiene(spark)
+
+    result: dict = {"src": src, "k": 64, "factors": {}}
+    for factor in INDEX_FACTORS:
+        corpus = emb(edir(factor))
+        tmp = tempfile.mkdtemp(prefix=f"r13ann_{factor}_")
+        path, dest = f"{tmp}/ivf", f"{tmp}/ivf_rot"
+        fres: dict = {"corpus_vectors": corpus.count()}
+        _timed(
+            meter, fres, "ivf_build",
+            lambda: similarity.build_ivf_index(
+                corpus,
+                similarity.bounded_centroids_refined(
+                    corpus, k=64, sample_mult=4, refine_iters=2
+                ),
+                path,
+            ),
+            spark,
+        )
+        healthy = similarity.ivf_index_drift(spark, path).head()
+        fres["qerr_healthy"] = healthy.avg_qerr
+        # fleet-style threshold: the measured healthy floor + 100 mils
+        thresh = int(healthy.avg_qerr * 1000) + 100
+        fres["max_avg_qerr_mils"] = thresh
+        # branch 1: the healthy index must NOT trigger at this threshold
+        pre = similarity.maintain_ivf_index(
+            spark, path, dest, max_avg_qerr_mils=thresh,
+            max_imbalance_mils=10**9,
+        ).head()
+        fres["healthy_rebuilt"] = pre.rebuilt
+        assert pre.rebuilt is False, "healthy index must not trigger"
+        # the drifted append: factor-sized (ingest grows with corpus)
+        _timed(
+            meter, fres, "ivf_append_drifted",
+            lambda: similarity.append_ivf_index(drifted(corpus), path),
+            spark,
+        )
+        # branch 2: the drifted index triggers; rebuild must LOWER qerr
+        maint = _timed(
+            meter, fres, "ivf_maintain_rebuild",
+            lambda: similarity.maintain_ivf_index(
+                spark, path, dest, max_avg_qerr_mils=thresh,
+                max_imbalance_mils=10**9,
+            ).head().asDict(),
+            spark,
+        )
+        fres["qerr_pre_rebuild"] = maint["avg_qerr"]
+        fres["drifted_rebuilt"] = maint["rebuilt"]
+        assert maint["rebuilt"] is True, "drifted index must trigger"
+        post = similarity.ivf_index_drift(spark, dest).head()
+        fres["qerr_post_rebuild"] = post.avg_qerr
+        fres["qerr_recovered"] = post.avg_qerr < maint["avg_qerr"]
+        assert fres["qerr_recovered"], "rebuild must lower avg_qerr"
+        print(f"ann-shifted @{factor}x: "
+              f"{__import__('json').dumps(fres)}", flush=True)
+        result["factors"][str(factor)] = fres
+        _merge_out(out_json, "ann-100x-shifted", result)
+
+
+# ---------------------------------------------------- winnow-bounded-100x
+
+
+def winnow_bounded_100x(spark, src: str, out_json: str) -> None:
+    meter = ShuffleMeter(spark)
+    base = _docs(spark, src)  # untimed plan warmup
+    dedup.winnow_pairs_bounded(
+        base, k=5, w=4, min_shared=2, max_df=MAX_DF, per_doc_k=PER_DOC_K
+    ).write.format("noop").mode("overwrite").save()
+    _hygiene(spark)
+
+    result: dict = {
+        "src": src, "max_df": MAX_DF, "per_doc_k": PER_DOC_K, "factors": {},
+    }
+    for factor in PAIR_FACTORS:
+        docs = _docs(spark, _scale_dir(src, factor))
+        fres: dict = {"docs": docs.count()}
+        bounded = lambda: dedup.winnow_pairs_bounded(  # noqa: E731
+            docs, k=5, w=4, min_shared=2, max_df=MAX_DF,
+            per_doc_k=PER_DOC_K,
+        )
+        n = _timed(
+            meter, fres, "winnow_pairs_bounded",
+            lambda: bounded().count(), spark,
+        )
+        fres["bounded_pairs"] = n
+        rep = _timed(
+            meter, fres, "winnow_bounded_report",
+            lambda: dedup.winnow_bounded_report(
+                docs, k=5, w=4, min_shared=2, max_df=MAX_DF,
+                per_doc_k=PER_DOC_K,
+            ).head().asDict(),
+            spark,
+        )
+        fres["report"] = rep
+        if factor == PAIR_FACTORS[-1]:
+            plan_df = bounded()
+            fres["plan_joins_100x"] = _join_counts(plan_df)
+            plan = (
+                plan_df._jdf.queryExecution().executedPlan().toString()
+            )
+            fres["window_group_limit_in_plan"] = "WindowGroupLimit" in plan
+        print(f"winnow-bounded @{factor}x: "
+              f"{__import__('json').dumps(fres)}", flush=True)
+        result["factors"][str(factor)] = fres
+        _merge_out(out_json, "winnow-bounded-100x", result)
+
+
+# ------------------------------------------------------- cap-estimate-100x
+
+
+def cap_estimate_100x(spark, src: str, out_json: str) -> None:
+    meter = ShuffleMeter(spark)
+    base = _docs(spark, src)  # untimed plan warmup
+    dedup.shingle_cap_recall_estimate(
+        base, n=3, max_df=MAX_DF, sample_inv=100, expand_max_df=2000
+    ).collect()
+    _hygiene(spark)
+
+    result: dict = {
+        "src": src, "max_df": MAX_DF, "sample_inv": 100,
+        "expand_max_df": 2000, "factors": {},
+    }
+    for factor in PAIR_FACTORS:
+        docs = _docs(spark, _scale_dir(src, factor))
+        fres: dict = {"docs": docs.count()}
+        est = _timed(
+            meter, fres, "shingle_cap_recall_estimate",
+            lambda: dedup.shingle_cap_recall_estimate(
+                docs, n=3, max_df=MAX_DF, sample_inv=100,
+                expand_max_df=2000,
+            ).head().asDict(),
+            spark,
+        )
+        fres["estimate"] = est
+        print(f"cap-estimate @{factor}x: "
+              f"{__import__('json').dumps(fres)}", flush=True)
+        result["factors"][str(factor)] = fres
+        _merge_out(out_json, "cap-estimate-100x", result)
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "ann-100x-shifted"
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_json = (
+        sys.argv[3]
+        if len(sys.argv) > 3
+        else "/root/repo/scale_results_r13_100x.json"
+    )
+    spark = get_spark(
+        app_name=f"hii-scale-soak-r13-{mode}",
+        extra_conf={"spark.driver.memory": "48g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    if mode == "ann-100x-shifted":
+        ann_100x_shifted(spark, src, out_json)
+    elif mode == "winnow-bounded-100x":
+        winnow_bounded_100x(spark, src, out_json)
+    elif mode == "cap-estimate-100x":
+        cap_estimate_100x(spark, src, out_json)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    main()
