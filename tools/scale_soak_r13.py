@@ -8,10 +8,14 @@ corpus. The r12 ladder's `rebuilt=true` was trivial (iid noise keeps
 qerr at its floor by construction — SCALE.md:611-617); here the claim
 is the real one: the trigger does NOT fire on the healthy pre-append
 index at the same threshold, DOES fire after the drifted append, and
-the rebuild demonstrably LOWERS avg_qerr (post_rebuild < pre_rebuild,
-recorded at every factor incl. 30x and 100x). The threshold is derived
-from the measured healthy floor (floor mils + 100) — exactly how a
-fleet would set it from history, recorded in the artifact.
+the rebuild demonstrably LOWERS both drift metrics (avg_qerr AND
+imbalance, post < pre, recorded at every factor incl. 30x and 100x).
+Measured signature at 1x: the tight cloud collapses into ONE frozen
+bucket — imbalance 1.5 -> 32.5 — while avg_qerr rises only moderately
+(0.67 -> 0.71; the cloud sits ~0.26 cos from its least-bad base
+centroid, not orthogonal), so the fleet threshold is set on IMBALANCE
+(measured healthy value + 1000 mils — derived from history, recorded
+in the artifact) and qerr recovery is the quality claim.
 
 ``winnow-bounded-100x`` (ask 2) — the declarative per-doc top-k bound
 on the winnow pair stream at 1/30/100x: the r12 soak measured the full
@@ -143,13 +147,20 @@ def ann_100x_shifted(spark, src: str, out_json: str) -> None:
         )
         healthy = similarity.ivf_index_drift(spark, path).head()
         fres["qerr_healthy"] = healthy.avg_qerr
-        # fleet-style threshold: the measured healthy floor + 100 mils
-        thresh = int(healthy.avg_qerr * 1000) + 100
-        fres["max_avg_qerr_mils"] = thresh
+        fres["imbalance_healthy"] = healthy.imbalance
+        # The measured drift signature of a tight off-distribution
+        # cloud under cosine IVF is BUCKET COLLAPSE — the whole cloud
+        # lands in one frozen bucket (imbalance 1.5 -> 32.5 at 1x)
+        # while avg_qerr rises only moderately (the cloud is ~0.26 cos
+        # from its least-bad base centroid, not orthogonal). So the
+        # fleet threshold is set on imbalance: measured healthy value
+        # + 1000 mils; qerr is recorded as the RECOVERY metric.
+        thresh = int(healthy.imbalance * 1000) + 1000
+        fres["max_imbalance_mils"] = thresh
         # branch 1: the healthy index must NOT trigger at this threshold
         pre = similarity.maintain_ivf_index(
-            spark, path, dest, max_avg_qerr_mils=thresh,
-            max_imbalance_mils=10**9,
+            spark, path, dest, max_avg_qerr_mils=10**9,
+            max_imbalance_mils=thresh,
         ).head()
         fres["healthy_rebuilt"] = pre.rebuilt
         assert pre.rebuilt is False, "healthy index must not trigger"
@@ -159,22 +170,28 @@ def ann_100x_shifted(spark, src: str, out_json: str) -> None:
             lambda: similarity.append_ivf_index(drifted(corpus), path),
             spark,
         )
-        # branch 2: the drifted index triggers; rebuild must LOWER qerr
+        # branch 2: the drifted index triggers; the rebuild must LOWER
+        # both metrics — qerr (centroids now inside the cloud) and
+        # imbalance (the cloud splits across many rebuilt buckets)
         maint = _timed(
             meter, fres, "ivf_maintain_rebuild",
             lambda: similarity.maintain_ivf_index(
-                spark, path, dest, max_avg_qerr_mils=thresh,
-                max_imbalance_mils=10**9,
+                spark, path, dest, max_avg_qerr_mils=10**9,
+                max_imbalance_mils=thresh,
             ).head().asDict(),
             spark,
         )
         fres["qerr_pre_rebuild"] = maint["avg_qerr"]
+        fres["imbalance_pre_rebuild"] = maint["imbalance"]
         fres["drifted_rebuilt"] = maint["rebuilt"]
         assert maint["rebuilt"] is True, "drifted index must trigger"
         post = similarity.ivf_index_drift(spark, dest).head()
         fres["qerr_post_rebuild"] = post.avg_qerr
+        fres["imbalance_post_rebuild"] = post.imbalance
         fres["qerr_recovered"] = post.avg_qerr < maint["avg_qerr"]
+        fres["imbalance_recovered"] = post.imbalance < maint["imbalance"]
         assert fres["qerr_recovered"], "rebuild must lower avg_qerr"
+        assert fres["imbalance_recovered"], "rebuild must lower imbalance"
         print(f"ann-shifted @{factor}x: "
               f"{__import__('json').dumps(fres)}", flush=True)
         result["factors"][str(factor)] = fres
