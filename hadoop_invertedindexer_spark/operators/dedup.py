@@ -254,6 +254,44 @@ def _symmetric_pairs(pairs: DataFrame) -> DataFrame:
     ).select("e.id", "e.nbr", "n_shared")
 
 
+def pairs_topk_bounded(
+    pairs: DataFrame,
+    per_doc_k: int = 10,
+    score_col: str = "n_shared",
+) -> DataFrame:
+    """The per-doc top-k neighbor bound as a standalone policy over ANY
+    canonical scored pair frame (id_a < id_b, one score column) — the
+    whole set-similarity family emits this shape
+    (:func:`winnow_overlap_pairs` → n_shared,
+    :func:`ngram_jaccard_pairs` → jaccard, MinHash verify → est_jaccard),
+    so the bound that makes the winnow stream schedulable at 100x
+    (r13 soak: 22.3 M → 4.25 M pairs) applies to each of them
+    unchanged. Each doc keeps its ``per_doc_k`` strongest neighbors
+    (``score_col`` desc, nbr asc — a total order); a pair survives when
+    EITHER endpoint ranks it, so every doc's top-k neighborhood is
+    fully present even when a hub neighbor is saturated from its own
+    side. Deterministic across partitionings and engines.
+
+    Scale shape: one doc-keyed exchange over the doubled pair stream;
+    the ``row_number() <= k`` filter compiles to WindowGroupLimit —
+    partial per-partition limits BEFORE the exchange, so hub docs never
+    materialize their full neighbor list on one task."""
+    from pyspark.sql import Window
+
+    sym = _symmetric_pairs(pairs.withColumnRenamed(score_col, "n_shared"))
+    rank_w = Window.partitionBy("id").orderBy(
+        F.col("n_shared").desc(), F.col("nbr").asc()
+    )
+    kept = sym.withColumn("_rn", F.row_number().over(rank_w)).where(
+        F.col("_rn") <= per_doc_k
+    )
+    return kept.select(
+        F.least("id", "nbr").alias("id_a"),
+        F.greatest("id", "nbr").alias("id_b"),
+        F.col("n_shared").alias(score_col),
+    ).distinct()
+
+
 def winnow_pairs_bounded(
     docs: DataFrame,
     k: int = 5,
@@ -288,24 +326,14 @@ def winnow_pairs_bounded(
     WindowGroupLimit rewrite turns into partial per-partition limits
     BEFORE the exchange — hub docs never materialize their full
     neighbor list on one task."""
-    from pyspark.sql import Window
-
-    pairs = winnow_overlap_pairs(
-        docs, k, w, min_shared, max_df, id_col, text_col,
-        max_df_tiers, max_dropped_mils,
-    )
-    sym = _symmetric_pairs(pairs)
-    rank_w = Window.partitionBy("id").orderBy(
-        F.col("n_shared").desc(), F.col("nbr").asc()
-    )
-    kept = sym.withColumn("_rn", F.row_number().over(rank_w)).where(
-        F.col("_rn") <= per_doc_k
-    )
-    return kept.select(
-        F.least("id", "nbr").alias("id_a"),
-        F.greatest("id", "nbr").alias("id_b"),
+    return pairs_topk_bounded(
+        winnow_overlap_pairs(
+            docs, k, w, min_shared, max_df, id_col, text_col,
+            max_df_tiers, max_dropped_mils,
+        ),
+        per_doc_k,
         "n_shared",
-    ).distinct()
+    )
 
 
 def winnow_bounded_report(

@@ -159,13 +159,11 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directional containment near-dup pairs (r10): every 41st doc
-    becomes a fixed 6-token passage and its %41==1 neighbor the same
-    passage extended to 13 tokens — the subset docs score containment
-    1.0 INTO the supersets (and among themselves) while the reverse
-    direction sits at 4/11 and is correctly excluded, which is exactly
-    the asymmetry Jaccard cannot represent."""
+def _subset_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The %41 subset/superset plant shared by the containment and
+    bounded-jaccard entries: every 41st doc becomes a fixed 6-token
+    passage, its %41==1 neighbor the same passage extended to 13
+    tokens — two ~13-member jaccard-1.0 cliques at sf0.01."""
     d = _docs(spark, sf_dir)
     planted = (
         F.when(
@@ -181,8 +179,35 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("text"))
     )
-    src = d.select("doc_id", planted.alias("text"))
-    return dedup.containment_pairs(src, n=3, threshold=0.8, max_df=100)
+    return d.select("doc_id", planted.alias("text"))
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dup pairs (r10): the subset docs
+    score containment 1.0 INTO the supersets (and among themselves)
+    while the reverse direction sits at 4/11 and is correctly
+    excluded, which is exactly the asymmetry Jaccard cannot
+    represent."""
+    return dedup.containment_pairs(
+        _subset_planted(spark, sf_dir), n=3, threshold=0.8, max_df=100
+    )
+
+
+def q_jaccard_pairs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc top-k bound applied to the JACCARD family (r13):
+    pairs_topk_bounded is the policy factored out of
+    winnow_pairs_bounded — any canonical scored pair frame bounds the
+    same way. The %41 plant's two ~13-member jaccard-1.0 cliques
+    exercise real truncation at per_doc_k=3 (each member's degree is
+    ~12), with the union-keep rule and (score desc, nbr asc)
+    tie-break fully stated in the SQL twin."""
+    return dedup.pairs_topk_bounded(
+        dedup.ngram_jaccard_pairs(
+            _subset_planted(spark, sf_dir), n=3, threshold=0.6, max_df=100
+        ),
+        per_doc_k=3,
+        score_col="jaccard",
+    )
 
 
 # r12 cap-saturation family: 125 docs (doc_id < 500, every 4th) become
@@ -2195,6 +2220,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_pairs_escalated": q_winnow_pairs_escalated,
     "winnow_pairs_bounded": q_winnow_pairs_bounded,
     "winnow_bounded_report": q_winnow_bounded_report,
+    "jaccard_pairs_bounded": q_jaccard_pairs_bounded,
     "shingle_cap_recall_estimate": q_shingle_cap_recall_estimate,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
@@ -4572,6 +4598,53 @@ LLM_ORACLE_SQL["winnow_bounded_report"] = (
                n_docs_paired, docs_truncated, max_degree
         FROM fullc, dstats, keptc"""
 )
+
+# the factored per-doc top-k bound applied to the jaccard family —
+# keep in lockstep with dedup.pairs_topk_bounded over
+# dedup.ngram_jaccard_pairs (%41 plant, n=3, threshold 0.6,
+# per_doc_k=3)
+LLM_ORACLE_SQL["jaccard_pairs_bounded"] = f"""
+        WITH src AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 41 = 0
+                        THEN 'Contain alpha bravo charlie delta echo'
+                        WHEN doc_id % 41 = 1
+                        THEN 'Contain alpha bravo charlie delta echo'
+                             || ' foxtrot golf hotel india juliet kilo'
+                             || ' lima'
+                        ELSE text END AS text
+            FROM documents),
+        {_sql_shingles("src").strip()},
+        sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+        kept AS (
+            SELECT s.id, s.sh FROM shingles s
+            JOIN (SELECT sh FROM shingles GROUP BY sh
+                  HAVING count(*) <= 100) c
+              ON s.sh = c.sh),
+        inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+            FROM kept a JOIN kept b ON a.sh = b.sh AND a.id < b.id
+            GROUP BY a.id, b.id),
+        pairs AS (
+            SELECT id_a, id_b,
+                   round(i / (sa.sz + sb.sz - i)::DOUBLE, 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE i / (sa.sz + sb.sz - i)::DOUBLE >= 0.6),
+        sym AS (
+            SELECT id_a AS id, id_b AS nbr, jaccard FROM pairs
+            UNION ALL
+            SELECT id_b, id_a, jaccard FROM pairs),
+        ranked AS (
+            SELECT id, nbr, jaccard,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY jaccard DESC, nbr ASC)
+                       AS rn
+            FROM sym)
+        SELECT DISTINCT least(id, nbr) AS id_a,
+               greatest(id, nbr) AS id_b, jaccard
+        FROM ranked WHERE rn <= 3"""
 
 # estimated-missed-pairs audit of the stop-shingle cap — keep in
 # lockstep with dedup.shingle_cap_recall_estimate (max_df=100,

@@ -96,16 +96,19 @@ def init_window_index(
     )
 
 
-def maintain_window_tier(
+def maintain_stream_tier(
     spark: SparkSession,
     index_path: str,
+    sub: str,
+    key_col: str,
     max_dup_mils: int = 100,
 ) -> DataFrame:
-    """The streaming window tier's maintenance loop (r13, VERDICT r12
-    ask 6) — ``operators/dedup.py:maintain_index_tier``'s two-phase
-    shape (one metadata-scale trigger read → bulk rewrite + rotation)
-    adapted to the tiered ``windows/batch=<id>`` layout, with the SAME
-    report row:
+    """The streaming tiers' maintenance loop (r13, VERDICT r12 ask 6)
+    — ``operators/dedup.py:maintain_index_tier``'s two-phase shape
+    (one metadata-scale trigger read → bulk rewrite + rotation)
+    adapted to the tiered ``<sub>/batch=<id>`` layout every
+    single-key-table stream maintainer writes (windows/sh,
+    sentences/h, paragraphs/h, hashes/h), with the SAME report row:
 
         (tier_table, n_rows, n_distinct, dup_rows, dup_mils,
          compacted, reclaimed_rows)
@@ -114,29 +117,29 @@ def maintain_window_tier(
     forced by the layout: (1) the trigger counts the KEY column only —
     the ``batch`` partition column is layout, not key, and a
     whole-row distinct would hide exactly the cross-tier duplicate
-    hashes this loop exists to reclaim; (2) the rotation folds the
+    keys this loop exists to reclaim; (2) the rotation folds the
     distinct keys into one ``batch=compacted`` tier and swaps it into
     place with the crash-safe staging order of
     ``compact_term_index_tier`` (durable staging write → delete →
     rename, via :func:`swap_tier_dir`) — the stream maintainer OWNS
     the root, so the pointer swap the flat contract leaves to the
     caller happens here, between tier writes. Probes read the swapped
-    layout unchanged (they select ``sh`` and ignore ``batch``);
-    subsequent stream batches keep appending ``batch=<id>`` tiers
-    beside the compacted one. External readers share the
-    compact_term_index_tier caveat: parquet has no snapshot isolation,
-    so don't race a probe against the swap itself."""
+    layout unchanged (they select the key column and ignore
+    ``batch``); subsequent stream batches keep appending
+    ``batch=<id>`` tiers beside the compacted one. External readers
+    share the compact_term_index_tier caveat: parquet has no snapshot
+    isolation, so don't race a probe against the swap itself."""
     from pyspark.sql import functions as F
 
     from hadoop_invertedindexer_spark.streaming.index_maintenance import (
         swap_tier_dir,
     )
 
-    tier = f"{index_path}/windows"
-    keys = spark.read.parquet(tier).select("sh")
+    tier = f"{index_path}/{sub}"
+    keys = spark.read.parquet(tier).select(key_col)
     s = keys.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.count_distinct(F.col("sh")).cast("long").alias("n_distinct"),
+        F.count_distinct(F.col(key_col)).cast("long").alias("n_distinct"),
     ).head()
     dup_rows = int(s.n_rows - s.n_distinct)
     dup_mils = dup_rows * 1000 // s.n_rows if s.n_rows else 0
@@ -150,7 +153,7 @@ def maintain_window_tier(
     return spark.createDataFrame(
         [
             (
-                "windows",
+                sub,
                 s.n_rows,
                 s.n_distinct,
                 dup_rows,
@@ -162,6 +165,18 @@ def maintain_window_tier(
         "tier_table STRING, n_rows BIGINT, n_distinct BIGINT,"
         " dup_rows BIGINT, dup_mils BIGINT, compacted BOOLEAN,"
         " reclaimed_rows BIGINT",
+    )
+
+
+def maintain_window_tier(
+    spark: SparkSession,
+    index_path: str,
+    max_dup_mils: int = 100,
+) -> DataFrame:
+    """:func:`maintain_stream_tier` over the window-hash tier — the
+    r13 exemplar wiring (see maintain_window_index's ``max_dup_mils``)."""
+    return maintain_stream_tier(
+        spark, index_path, "windows", "sh", max_dup_mils
     )
 
 
@@ -239,6 +254,7 @@ def maintain_sentence_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_files_per_trigger: int = 1,
+    max_dup_mils: int | None = None,
 ) -> None:
     """Continuous form of ``append_sentence_index`` (r10): drain newly
     PUBLISHED document files with availableNow and write each
@@ -249,7 +265,9 @@ def maintain_sentence_index(
     at, and duplicate keys across tiers are harmless to semi/anti
     probes. Same single-maintainer rule as the other index tiers: one
     root is maintained by EITHER the flat batch build/append OR this
-    stream, never both."""
+    stream, never both. ``max_dup_mils`` (r13) wires
+    :func:`maintain_stream_tier`'s trigger→fold→swap loop into the
+    drain, same contract as ``maintain_window_index``."""
     from pyspark.sql import functions as F
 
     from hadoop_invertedindexer_spark.operators.dedup import (
@@ -269,6 +287,10 @@ def maintain_sentence_index(
         ).select(F.md5("sp").alias("h")).distinct().write.mode(
             "overwrite"
         ).parquet(f"{index_path}/sentences/batch={batch_id}")
+        if max_dup_mils is not None:
+            maintain_stream_tier(
+                spark, index_path, "sentences", "h", max_dup_mils
+            )
 
     run_tier_maintenance(
         spark, source_dir, source_schema, checkpoint_dir,
@@ -285,6 +307,7 @@ def maintain_paragraph_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_files_per_trigger: int = 1,
+    max_dup_mils: int | None = None,
 ) -> None:
     """Continuous form of ``append_paragraph_index`` (r8): drain newly
     PUBLISHED document files with availableNow and write each
@@ -295,7 +318,9 @@ def maintain_paragraph_index(
     looks at, and duplicate hashes across tiers are harmless to an anti
     probe. Same single-maintainer rule as the MinHash and window-hash
     tiers: one root is maintained by EITHER the flat batch build/append
-    OR this stream, never both."""
+    OR this stream, never both. ``max_dup_mils`` (r13) wires
+    :func:`maintain_stream_tier`'s trigger→fold→swap loop into the
+    drain, same contract as ``maintain_window_index``."""
     from pyspark.sql import functions as F
 
     from hadoop_invertedindexer_spark.operators.dedup import _paragraph_keyed
@@ -307,6 +332,10 @@ def maintain_paragraph_index(
         ).select(F.col("_h").alias("h")).distinct().write.mode(
             "overwrite"
         ).parquet(f"{index_path}/paragraphs/batch={batch_id}")
+        if max_dup_mils is not None:
+            maintain_stream_tier(
+                spark, index_path, "paragraphs", "h", max_dup_mils
+            )
 
     run_tier_maintenance(
         spark, source_dir, source_schema, checkpoint_dir,
@@ -322,6 +351,7 @@ def maintain_exact_index(
     checkpoint_dir: str,
     text_col: str = "text",
     max_files_per_trigger: int = 1,
+    max_dup_mils: int | None = None,
 ) -> None:
     """Continuous form of ``append_exact_index`` (r10): drain newly
     PUBLISHED document files with availableNow and write each
@@ -331,7 +361,10 @@ def maintain_exact_index(
     ``batch`` column the anti join never looks at, and duplicate hashes
     across tiers are harmless to an anti probe. Same single-maintainer
     rule as every other index tier: one root is maintained by EITHER
-    the flat batch build/append OR this stream, never both."""
+    the flat batch build/append OR this stream, never both.
+    ``max_dup_mils`` (r13) wires :func:`maintain_stream_tier`'s
+    trigger→fold→swap loop into the drain, same contract as
+    ``maintain_window_index``."""
     from pyspark.sql import functions as F
 
     from hadoop_invertedindexer_spark.operators.dedup import normalized_text
@@ -343,6 +376,10 @@ def maintain_exact_index(
         ).distinct().write.mode("overwrite").parquet(
             f"{index_path}/hashes/batch={batch_id}"
         )
+        if max_dup_mils is not None:
+            maintain_stream_tier(
+                spark, index_path, "hashes", "h", max_dup_mils
+            )
 
     run_tier_maintenance(
         spark, source_dir, source_schema, checkpoint_dir,

@@ -1167,6 +1167,75 @@ def test_streaming_window_index_rotation_in_flight(spark, tmp_path):
     assert result(stream_path) == result(batch_path)
 
 
+def test_streaming_exact_tier_rotation_generic(spark, tmp_path):
+    """r13: maintain_stream_tier is the GENERIC loop — the same
+    trigger→fold→swap over the exact tier's hashes/h, wired through
+    maintain_exact_index's max_dup_mils; the incremental probe answers
+    identically to a flat batch build after the in-flight rotation."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hadoop_invertedindexer_spark.streaming import dedup_ingest
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    days = [
+        spark.createDataFrame([(100, "published doc one")], schema),
+        # replayed publication: pure cross-tier dup hash mass
+        spark.createDataFrame(
+            [(100, "published doc one"), (101, "published doc two")],
+            schema,
+        ),
+        spark.createDataFrame([(102, "published doc three")], schema),
+    ]
+    stage, src = str(tmp_path / "stage"), str(tmp_path / "src")
+    for i, d in enumerate(days):
+        d.coalesce(1).write.mode("overwrite").parquet(f"{stage}/d{i}")
+    os.makedirs(src, exist_ok=True)
+    for i, f in enumerate(sorted(glob.glob(f"{stage}/d*/part-*.parquet"))):
+        shutil.copyfile(f, f"{src}/day{i}.parquet")
+
+    stream_path = str(tmp_path / "x_stream")
+    dedup_ingest.maintain_exact_index(
+        spark, src, schema, stream_path, str(tmp_path / "ck"),
+        max_dup_mils=100,
+    )
+    assert os.path.isdir(f"{stream_path}/hashes/batch=compacted")
+    keys = spark.read.parquet(f"{stream_path}/hashes").select("h")
+    assert keys.count() == keys.distinct().count()
+
+    batch_path = str(tmp_path / "x_batch")
+    dedup.build_exact_index(
+        days[0].union(days[1]).union(days[2]).distinct(), batch_path
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, "published doc one"),      # already published: drops
+            (2, "a genuinely fresh doc"),  # fresh: keeps
+            (3, "a genuinely fresh doc"),  # batch dup of 2
+        ],
+        schema,
+    )
+
+    def result(path):
+        return sorted(
+            tuple(r)
+            for r in dedup.dedup_exact_incremental(
+                spark, probe, path
+            ).collect()
+        )
+
+    assert result(stream_path) == result(batch_path)
+    assert result(stream_path) == [(2, 2)]  # keep_id=2, n_dups=2
+
+
 class TestSentenceIndex:
     """Persisted sentence-span index trio (r10): incremental == direct
     over (corpus ∪ batch), index side always wins, append extends,
@@ -2078,6 +2147,72 @@ class TestWinnowPairsBounded:
             .toString()
         )
         assert "WindowGroupLimit" in plan
+
+
+class TestPairsTopkBounded:
+    """r13: the bound as a standalone policy over any canonical scored
+    pair frame — the shape every set-similarity op emits."""
+
+    def _pairs(self, spark, rows, score="jaccard"):
+        return spark.createDataFrame(rows, ["id_a", "id_b", score])
+
+    def test_union_keep_and_score_ordering(self, spark):
+        # doc 1's neighbors by score: 4 (0.9), 3 (0.8), 2 (0.7).
+        # per_doc_k=1 keeps (1,4) from 1's side; (1,3) and (1,2)
+        # survive via 3's and 2's sides (1 is their only neighbor)
+        pairs = self._pairs(
+            spark, [(1, 2, 0.7), (1, 3, 0.8), (1, 4, 0.9)]
+        )
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.pairs_topk_bounded(
+                pairs, per_doc_k=1, score_col="jaccard"
+            ).collect()
+        }
+        assert got == {(1, 2, 0.7), (1, 3, 0.8), (1, 4, 0.9)}
+
+    def test_truncates_only_pairs_unranked_by_both_sides(self, spark):
+        # a 4-clique at equal score: per_doc_k=1 keeps each member's
+        # smallest-id neighbor -> union = {(1,2),(1,3),(1,4)}; (2,3),
+        # (2,4),(3,4) are unranked by BOTH endpoints and drop
+        clique = [
+            (a, b, 1.0) for a in range(1, 5) for b in range(a + 1, 5)
+        ]
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.pairs_topk_bounded(
+                self._pairs(spark, clique), per_doc_k=1,
+                score_col="jaccard",
+            ).collect()
+        }
+        assert got == {(1, 2), (1, 3), (1, 4)}
+
+    def test_winnow_bounded_is_the_same_policy(self, spark):
+        # winnow_pairs_bounded must equal pairs_topk_bounded applied to
+        # winnow_overlap_pairs — the factored policy is not a fork
+        docs = spark.createDataFrame(
+            [
+                (i, "alpha bravo charlie delta echo foxtrot golf"
+                    " hotel india")
+                for i in range(1, 6)
+            ],
+            ["doc_id", "text"],
+        )
+        direct = {
+            tuple(r)
+            for r in dedup.winnow_pairs_bounded(
+                docs, min_shared=2, per_doc_k=2
+            ).collect()
+        }
+        composed = {
+            tuple(r)
+            for r in dedup.pairs_topk_bounded(
+                dedup.winnow_overlap_pairs(docs, min_shared=2),
+                per_doc_k=2,
+                score_col="n_shared",
+            ).collect()
+        }
+        assert direct == composed and len(direct) > 0
 
 
 class TestShingleCapRecallEstimate:
