@@ -28,7 +28,6 @@ Scale design notes (the part that must survive 100 TB):
 from __future__ import annotations
 
 import hashlib
-import os
 
 import numpy as np
 import pandas as pd
@@ -3306,18 +3305,15 @@ def dedup_paragraphs_incremental(
 def _compact_key_tier(
     spark, path: str, dest_path: str, sub: str, copy_params: bool
 ) -> None:
-    # In-place guard is LOCAL-PATH BEST-EFFORT: realpath resolves
-    # symlinks and relative spellings of the same local directory, but
-    # two spellings of the same hdfs:// or s3a:// URI are strings to
-    # os.path — on a remote filesystem the caller owns the invariant
-    # (cluster deployments should resolve both through the Hadoop
-    # FileSystem API before calling). The rotation-dir contract itself
-    # is the real protection: compaction never targets the live path.
-    if os.path.realpath(path) == os.path.realpath(dest_path):
-        raise ValueError(
-            "index compaction cannot run in place: overwrite would "
-            "delete the source mid-read; write to a rotation dir and swap"
-        )
+    # In-place guard (r13, closes the r12 watch item): local symlinked
+    # spellings resolve via realpath AND remote URIs resolve through
+    # the Hadoop FileSystem API (makeQualified), so hdfs://-vs-default
+    # spellings of one directory are caught too — see fsutil.py for
+    # what stays best-effort. The rotation-dir contract itself is the
+    # real protection: compaction never targets the live path.
+    from hadoop_invertedindexer_spark.fsutil import guard_rotation
+
+    guard_rotation(spark, path, dest_path, "index compaction")
     spark.read.parquet(f"{path}/{sub}").distinct().write.mode(
         "overwrite"
     ).parquet(f"{dest_path}/{sub}")

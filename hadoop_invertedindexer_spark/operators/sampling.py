@@ -1082,20 +1082,17 @@ def maintain_dsir_model(
 
     Below threshold NOTHING is written (``dest_path`` stays absent);
     after a triggered rotation the caller swaps its pointer, the same
-    contract as every other tier. In-place guard: local-path
-    best-effort via realpath.
+    contract as every other tier. In-place guard: realpath for local
+    symlinks plus Hadoop FileSystem qualification for remote URIs
+    (``fsutil.guard_rotation``, r13).
 
     Scale shape: the decision reads one metadata-scale row (model is
     ``n_buckets`` rows; the only corpus-sized work is the batch's gram
     pass the divergence probe already pays); the rebuild is
     :func:`build_dsir_model`'s one pass over each estimation corpus."""
-    import os
+    from hadoop_invertedindexer_spark.fsutil import guard_rotation
 
-    if os.path.realpath(path) == os.path.realpath(dest_path):
-        raise ValueError(
-            "DSIR model rebuild cannot run in place: overwrite would "
-            "delete the source mid-read; write to a rotation dir and swap"
-        )
+    guard_rotation(spark, path, dest_path, "DSIR model rebuild")
     stats = dsir_model_divergence(spark, path, batch, id_col, text_col).head()
     # NULL staleness (empty batch / degenerate model) is no evidence of
     # drift — report rebuilt=False instead of TypeError (ADVICE r12),

@@ -888,7 +888,11 @@ def rebuild_ivf_index(
     the caller rotates the symlink/pointer — the standard offline index
     rotation. Reads only the persisted assignments (id + vector); the
     original corpus is never touched, and ingest can keep appending to
-    the old index until the swap."""
+    the old index until the swap. In-place guard (r13): direct callers
+    get the same protection as the maintainer wrapper."""
+    from hadoop_invertedindexer_spark.fsutil import guard_rotation
+
+    guard_rotation(spark, path, dest_path, "IVF rebuild")
     corpus = spark.read.parquet(f"{path}/assignments").select(
         id_col, vec_col
     )
@@ -938,15 +942,12 @@ def maintain_ivf_index(
     collect — the probe-then-extend pattern); the rebuild itself is the
     bounded-K recenter + one assignment pass over the stored
     assignments (never the raw corpus). In-place guard as in
-    ``_compact_key_tier``: local-path best-effort via realpath — remote
-    URIs resolve through the filesystem API before calling."""
-    import os
+    ``_compact_key_tier``: realpath for local symlinks PLUS Hadoop
+    FileSystem qualification for remote URIs (``fsutil.guard_rotation``,
+    r13)."""
+    from hadoop_invertedindexer_spark.fsutil import guard_rotation
 
-    if os.path.realpath(path) == os.path.realpath(dest_path):
-        raise ValueError(
-            "IVF rebuild cannot run in place: overwrite would delete "
-            "the source mid-read; write to a rotation dir and swap"
-        )
+    guard_rotation(spark, path, dest_path, "IVF rebuild")
     stats = ivf_index_drift(spark, path, vec_col).head()
     # Empty index → drift metrics come back NULL (no assignments to
     # average over). No evidence is not evidence of drift: report

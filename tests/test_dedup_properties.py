@@ -476,3 +476,67 @@ def test_winnow_guarantee_shared_run_shares_a_fingerprint(
     for r in dedup.winnow_fingerprints(docs, k=5, w=4).collect():
         fps[r.doc_id].add(r.fp)
     assert fps[0] & fps[1]
+
+
+def _model_topk_bounded(pairs: list[tuple[int, int, int]], k: int):
+    """Independent reimplementation of pairs_topk_bounded's union-keep:
+    per endpoint, rank neighbors by (score desc, nbr asc); a pair
+    survives when either endpoint ranks it in its top-k."""
+    nbrs: dict[int, list[tuple[int, int]]] = {}
+    for a, b, s in pairs:
+        nbrs.setdefault(a, []).append((s, b))
+        nbrs.setdefault(b, []).append((s, a))
+    kept: set[tuple[int, int]] = set()
+    for i, lst in nbrs.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for s, nbr in lst[:k]:
+            kept.add((min(i, nbr), max(i, nbr)))
+    return {(a, b, s) for a, b, s in pairs if (a, b) in kept}
+
+
+# canonical unique (a, b, score) pair frames with real hubs: ids from a
+# tiny range so random draws collide into shared endpoints
+_pair = st.tuples(
+    st.integers(min_value=0, max_value=7),
+    st.integers(min_value=0, max_value=7),
+    st.integers(min_value=1, max_value=5),
+).filter(lambda t: t[0] != t[1]).map(
+    lambda t: (min(t[0], t[1]), max(t[0], t[1]), t[2])
+)
+
+
+@HSETTINGS
+@given(
+    raw=st.lists(_pair, min_size=0, max_size=24),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_pairs_topk_bounded_matches_python_model(spark, raw, k):
+    """r13: the factored bound vs the pure-Python model, plus its two
+    structural guarantees — bounded ⊆ full, and every endpoint retains
+    at least min(k, degree) of its edges (union-keep means a doc's own
+    top-k can never be evicted by a saturated neighbor)."""
+    seen: set[tuple[int, int]] = set()
+    pairs = []
+    for a, b, s in raw:  # unique unordered pairs
+        if (a, b) not in seen:
+            seen.add((a, b))
+            pairs.append((a, b, s))
+    df = spark.createDataFrame(
+        pairs, "id_a long, id_b long, n_shared long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.n_shared)
+        for r in dedup.pairs_topk_bounded(df, per_doc_k=k).collect()
+    }
+    assert got == _model_topk_bounded(pairs, k)
+    assert {(a, b) for a, b, _ in got} <= seen  # bounded subset of full
+    deg: dict[int, int] = {}
+    ret: dict[int, int] = {}
+    for a, b, _ in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for a, b, _ in got:
+        ret[a] = ret.get(a, 0) + 1
+        ret[b] = ret.get(b, 0) + 1
+    for i, d in deg.items():
+        assert ret.get(i, 0) >= min(k, d)
