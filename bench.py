@@ -102,10 +102,12 @@ HEADLINE = [
     "doc_fingerprint",
     "winnow_fingerprints",    # MOSS rightmost-min windowed selection (r10)
     "winnow_pairs",           # MOSS pair detection over the winnowed sketch (r11)
+    "winnow_pairs_incremental",  # persisted winnow-index daily-ingest path (r13)
     "winnow_pairs_bounded",   # per-doc top-k neighbor bound on the pair stream (r13)
     "winnow_bounded_report",  # truncation pricing of the bounded stream (r13)
     "jaccard_pairs_bounded",  # the factored bound over the jaccard family (r13)
     "shingle_cap_recall_estimate",  # cap cost priced in PAIRS, md5-sampled (r13)
+    "winnow_cap_recall_estimate",   # the same audit over the MOSS fingerprints (r13)
     "repetition_signals",     # Gopher repetition filters: line + n-gram dup fractions (r7)
     "corpus_filter",          # CCNet-style keep/drop verdict with reason attribution (r7)
     "tf_idf",

@@ -253,6 +253,130 @@ def _symmetric_pairs(pairs: DataFrame) -> DataFrame:
     ).select("e.id", "e.nbr", "n_shared")
 
 
+# ------------------------------------------------- persisted winnow index
+
+
+def build_winnow_index(
+    docs: DataFrame,
+    path: str,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the winnowed fingerprint POSTINGS of a published corpus
+    — the winnow family's member of the persisted-index trio pattern
+    (r13; exact/MinHash/window/sentence/paragraph each have one, the
+    winnow detector was the last family without an incremental path):
+    build scans the corpus once and stores the distinct (id, fp)
+    selected set plus a pinned (k, w) params table, so appends and
+    queries derive their selection from the INDEX contract and can
+    never drift from it (the window-index n-param lesson)."""
+    spark = docs.sparkSession
+    winnow_fingerprints(docs, k, w, id_col, text_col).select(
+        F.col(id_col).alias("id"), "fp"
+    ).distinct().write.mode("overwrite").parquet(f"{path}/fps")
+    spark.createDataFrame([(k, w)], "k int, w int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/params")
+
+
+def append_winnow_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a published batch's winnowed postings: O(batch) —
+    existing index files are never read or rewritten; (k, w) come from
+    the stored params. Re-appended postings land as duplicate rows
+    (bytes, not correctness: the query path distincts the stored set),
+    reclaimed by ``maintain_index_tier(tier="winnow")`` — the same
+    append-mostly trade as every other tier."""
+    spark = batch.sparkSession
+    p = spark.read.parquet(f"{path}/params").head()
+    winnow_fingerprints(
+        batch, int(p.k), int(p.w), id_col, text_col
+    ).select(F.col(id_col).alias("id"), "fp").distinct().write.mode(
+        "append"
+    ).parquet(f"{path}/fps")
+
+
+def winnow_index_pairs(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    min_shared: int = 2,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnow near-dup pairs TOUCHING a new batch, against a persisted
+    winnow index — the incremental twin of :func:`winnow_overlap_pairs`
+    (the MinHash-index contract applied to the MOSS detector): batch
+    fingerprints are computed fresh at the STORED (k, w); the result
+    equals the full rebuild's pairs over corpus ∪ batch restricted to
+    pairs with ≥ 1 batch member (proven by test and by the SQL oracle —
+    the stop-fingerprint df is computed over the UNION, exactly as the
+    direct path would see it). Ids must be unique across index and
+    batch (same contract as ``dedup_incremental``). Output:
+    (id_a, id_b, n_shared), a < b.
+
+    Scale shape: per-batch cost is O(batch) selection + LINEAR
+    index-side scans — one distinct over the stored postings (replay-
+    idempotency: duplicate appended rows collapse before they can
+    inflate df or n_shared), one fp-keyed df aggregate, one cap join
+    (both pinned ``shuffle_hash``: the cap frame is a corpus-derived
+    aggregate, the Catalyst broadcast-underestimate trap). The
+    QUADRATIC self-join of the direct path is gone: the pair join
+    streams the capped index postings against the BROADCAST batch side
+    (deliberate, like ``minhash_index_pairs`` — the batch must stay
+    ≪ executor memory), and the batch-internal join is batch-sized."""
+    p = spark.read.parquet(f"{path}/params").head()
+    # explicit projection: streaming-maintained tiers may surface a
+    # batch partition column — the contract is the columns
+    idx = (
+        spark.read.parquet(f"{path}/fps").select("id", "fp").distinct()
+    )
+    batch = (
+        winnow_fingerprints(
+            new_docs, int(p.k), int(p.w), id_col, text_col
+        )
+        .select(F.col(id_col).alias("id"), "fp")
+        .distinct()
+        .transform(tracked_persist)  # df union + cap join + both pair joins
+    )
+    allp = idx.unionByName(batch)
+    cap = (
+        allp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fp")
+        .transform(tracked_persist)  # filters both posting streams
+    )
+    kept_idx = idx.join(cap.hint("shuffle_hash"), "fp")
+    kept_batch = batch.join(cap.hint("shuffle_hash"), "fp")
+    a, b = kept_idx.alias("a"), F.broadcast(kept_batch).alias("b")
+    cross = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+        F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+    )
+    wa, wb = kept_batch.alias("a"), kept_batch.alias("b")
+    within = wa.join(
+        wb,
+        (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    return (
+        cross.unionByName(within)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def pairs_topk_bounded(
     pairs: DataFrame,
     per_doc_k: int = 10,
@@ -930,10 +1054,56 @@ def shingle_cap_recall_estimate(
         .transform(tracked_persist)  # df aggregate + sampled expansion
     )
     h40 = F.conv(F.substring(F.md5("sh_str"), 1, 10), 16, 10).cast("long")
+    return _cap_recall_core(
+        sh, "sh_str", h40, max_df, sample_inv, expand_max_df
+    )
+
+
+def winnow_cap_recall_estimate(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 100,
+    sample_inv: int = 8,
+    expand_max_df: int = 2000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The estimated-missed-pairs audit for the WINNOW side (r13, the
+    :func:`shingle_cap_recall_estimate` core over the MOSS-selected
+    fingerprint postings at (k, w)) — auditing exactly the join
+    :func:`winnow_overlap_pairs` / :func:`winnow_index_pairs` run.
+    The sampling bucket is the fingerprint ITSELF (already the
+    md5-40bit prefix of the selected k-gram — deterministic and
+    oracle-reproducible, selection step included). Same one-row
+    schema, same estimator honesty notes as the shingle twin."""
+    fps = (
+        winnow_fingerprints(docs, k, w, id_col, text_col)
+        .select(F.col(id_col).alias("id"), "fp")
+        .distinct()
+        .transform(tracked_persist)  # df aggregate + sampled expansion
+    )
+    return _cap_recall_core(
+        fps, "fp", F.col("fp"), max_df, sample_inv, expand_max_df
+    )
+
+
+def _cap_recall_core(
+    keyed: DataFrame,
+    key_col: str,
+    bucket,
+    max_df: int,
+    sample_inv: int,
+    expand_max_df: int,
+) -> DataFrame:
+    """Shared estimated-missed-pairs rollup over a DISTINCT (id, key)
+    posting frame (caller persists — the df aggregate and the sampled
+    expansion both read it). ``bucket`` is the deterministic md5-derived
+    long whose ``% sample_inv`` decides membership in the sample."""
     dfc = (
-        sh.groupBy("sh_str")
+        keyed.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("df"))
-        .select("sh_str", "df", h40.alias("h40"))
+        .select(key_col, "df", bucket.alias("h40"))
         .where(F.col("df") > max_df)
         .transform(tracked_persist)  # exact stats + two sample branches
     )
@@ -976,14 +1146,14 @@ def shingle_cap_recall_estimate(
     # aggregate (the Catalyst broadcast-underestimate trap) and both
     # self-join sides are corpus postings — never broadcast
     expandable = dfc.where(sampled & (F.col("df") <= expand_max_df)).select(
-        "sh_str"
+        key_col
     )
-    kp = sh.join(expandable.hint("shuffle_hash"), "sh_str")
+    kp = keyed.join(expandable.hint("shuffle_hash"), key_col)
     a, b = kp.alias("a"), kp.alias("b").hint("shuffle_hash")
     sampled_pairs = (
         a.join(
             b,
-            (F.col("a.sh_str") == F.col("b.sh_str"))
+            (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -3352,6 +3522,13 @@ def compact_paragraph_index(spark, path: str, dest_path: str) -> None:
     )
 
 
+def compact_winnow_index(spark, path: str, dest_path: str) -> None:
+    """Compact a winnow fingerprint index (:func:`build_winnow_index`
+    tier): distinct (id, fp) postings + the (k, w) params table, so the
+    selection contract travels with the copy."""
+    _compact_key_tier(spark, path, dest_path, "fps", copy_params=True)
+
+
 def compact_minhash_index(spark, path: str, dest_path: str) -> None:
     """Compact a MinHash-LSH index (:func:`build_minhash_index` tier):
     re-appending the same doc duplicates its signature AND banded rows,
@@ -3380,7 +3557,8 @@ def index_tier_stats(
 
     Table names per tier: exact → ``("hashes",)``; window →
     ``("windows",)``; sentence → ``("sentences",)``; paragraph →
-    ``("paragraphs",)``; MinHash → ``("signatures", "banded")``.
+    ``("paragraphs",)``; MinHash → ``("signatures", "banded")``;
+    winnow → ``("fps",)``.
 
     Scale shape: per table, one count + one distinct-count — each a
     full scan of stored fixed-width keys with partial aggregation, no
@@ -3415,7 +3593,7 @@ def index_tier_stats(
     return out
 
 
-# The five persisted tiers, keyed by the name maintenance schedules
+# The persisted tiers, keyed by the name maintenance schedules
 # use: stored tables (the index_tier_stats argument) + the compactor
 # that rewrites ALL of a tier's tables into a rotation directory.
 _TIERS: dict[str, tuple[tuple[str, ...], "object"]] = {
@@ -3424,6 +3602,7 @@ _TIERS: dict[str, tuple[tuple[str, ...], "object"]] = {
     "sentence": (("sentences",), compact_sentence_index),
     "paragraph": (("paragraphs",), compact_paragraph_index),
     "minhash": (("signatures", "banded"), compact_minhash_index),
+    "winnow": (("fps",), compact_winnow_index),
 }
 
 

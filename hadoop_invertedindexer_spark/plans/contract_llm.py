@@ -290,6 +290,45 @@ def q_winnow_pairs_escalated(
     )
 
 
+def q_winnow_pairs_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Persisted winnow-index near-dup pairs (r13 — the last dedup
+    family without an incremental path): docs < 250 play the published
+    corpus (winnowed postings built into a temp index at the stored
+    (k, w)), docs >= 250 the ingest batch. Equal by construction to
+    the direct winnow_overlap_pairs over corpus ∪ batch restricted to
+    batch-touching pairs — which is exactly what the oracle states
+    (full chain + the >= 250 filter). A planted verbatim passage
+    guarantees cross-boundary pairs exist at sf0.01."""
+    import tempfile
+
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 83 == 0,
+            F.lit(
+                "Winc alpha bravo charlie delta echo foxtrot golf"
+                " hotel india"
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    path = tempfile.mkdtemp(prefix="wfidx_") + "/wfidx"
+    dedup.build_winnow_index(
+        planted.where(F.col("doc_id") < 250), path, k=5, w=4
+    )
+    return dedup.winnow_index_pairs(
+        spark,
+        planted.where(F.col("doc_id") >= 250),
+        path,
+        min_shared=2,
+        max_df=100,
+    )
+
+
 def q_winnow_pairs_bounded(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -327,6 +366,24 @@ def q_winnow_bounded_report(
         per_doc_k=5,
         max_df_tiers=(100, 400),
         max_dropped_mils=1,
+    )
+
+
+def q_winnow_cap_recall_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnow-side estimated-missed-pairs (r13): the shared estimator
+    core over the MOSS-selected fingerprint postings — the sampling
+    bucket is the fingerprint itself (md5-40bit by construction), so
+    the whole audit incl. the selection step value-hashes against the
+    SQL twin."""
+    return dedup.winnow_cap_recall_estimate(
+        _cap_planted(spark, sf_dir),
+        k=5,
+        w=4,
+        max_df=100,
+        sample_inv=8,
+        expand_max_df=2000,
     )
 
 
@@ -2220,8 +2277,10 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_pairs_escalated": q_winnow_pairs_escalated,
     "winnow_pairs_bounded": q_winnow_pairs_bounded,
     "winnow_bounded_report": q_winnow_bounded_report,
+    "winnow_pairs_incremental": q_winnow_pairs_incremental,
     "jaccard_pairs_bounded": q_jaccard_pairs_bounded,
     "shingle_cap_recall_estimate": q_shingle_cap_recall_estimate,
+    "winnow_cap_recall_estimate": q_winnow_cap_recall_estimate,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_pairs": q_winnow_pairs,
     "ngram_jaccard": q_ngram_jaccard,
@@ -4597,6 +4656,89 @@ LLM_ORACLE_SQL["winnow_bounded_report"] = (
                           // n_pairs_full END)::BIGINT AS truncated_mils,
                n_docs_paired, docs_truncated, max_degree
         FROM fullc, dstats, keptc"""
+)
+
+# winnow-side estimated-missed-pairs: the shared estimator core over
+# the MOSS-selected fingerprint postings — the sampling bucket is the
+# fp itself; keep in lockstep with dedup.winnow_cap_recall_estimate
+# (k=5, w=4, max_df=100, sample_inv=8, expand_max_df=2000)
+LLM_ORACLE_SQL["winnow_cap_recall_estimate"] = (
+    "WITH "
+    + _SQL_CAPPLANT
+    + ",\n        "
+    + _sql_winnow_ctes("capplant")
+    + """,
+        sel AS (
+            SELECT DISTINCT doc_id AS id,
+                   (mc // 1048576)::BIGINT AS fp
+            FROM wmin WHERE pos <= greatest(ng - 4, 0)),
+        dfc AS (
+            SELECT fp, count(*) AS df, fp AS h40
+            FROM sel GROUP BY fp HAVING count(*) > 100),
+        stats AS (
+            SELECT count(*)::BIGINT AS capped_keys,
+                   coalesce(sum(df * (df - 1) // 2), 0)::BIGINT
+                       AS capped_pair_slots_exact,
+                   coalesce(sum((h40 % 8 = 0)::INT), 0)::BIGINT
+                       AS sampled_keys,
+                   coalesce(sum((h40 % 8 = 0 AND df <= 2000)::INT),
+                            0)::BIGINT AS expanded_keys,
+                   coalesce(sum((h40 % 8 = 0 AND df > 2000)::INT),
+                            0)::BIGINT AS mega_keys,
+                   coalesce(sum(CASE WHEN h40 % 8 = 0 AND df > 2000
+                                     THEN df * (df - 1) // 2 END),
+                            0)::BIGINT AS mega_pair_slots
+            FROM dfc),
+        expandable AS (
+            SELECT fp FROM dfc WHERE h40 % 8 = 0 AND df <= 2000),
+        kp AS (SELECT s.id, s.fp FROM sel s
+               JOIN expandable e USING (fp)),
+        sp AS (
+            SELECT count(*)::BIGINT AS sampled_pairs_distinct FROM (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM kp a JOIN kp b
+                  ON a.fp = b.fp AND a.id < b.id) t)
+        SELECT 100::BIGINT AS max_df, 8::BIGINT AS sample_inv,
+               2000::BIGINT AS expand_max_df, capped_keys, sampled_keys,
+               expanded_keys, mega_keys, sampled_pairs_distinct,
+               mega_pair_slots,
+               (8 * (sampled_pairs_distinct + mega_pair_slots))::BIGINT
+                   AS est_capped_pairs,
+               capped_pair_slots_exact
+        FROM stats, sp"""
+)
+
+# persisted winnow-index incremental pairs: the FULL direct chain over
+# the planted corpus (df over the union — exactly what the incremental
+# path computes), restricted to batch-touching pairs — keep in lockstep
+# with dedup.winnow_index_pairs (index = doc_id < 250, batch >= 250)
+LLM_ORACLE_SQL["winnow_pairs_incremental"] = (
+    """WITH wincsrc AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 83 = 0
+                        THEN 'Winc alpha bravo charlie delta echo'
+                             || ' foxtrot golf hotel india'
+                        ELSE text END AS text
+            FROM documents),
+        """
+    + _sql_winnow_ctes("wincsrc")
+    + """,
+        sel AS (
+            SELECT DISTINCT doc_id AS id,
+                   (mc // 1048576)::BIGINT AS fp
+            FROM wmin WHERE pos <= greatest(ng - 4, 0)),
+        kept AS (
+            SELECT s.id, s.fp FROM sel s
+            JOIN (SELECT fp FROM sel GROUP BY fp
+                  HAVING count(*) <= 100) c
+              ON s.fp = c.fp)
+        SELECT id_a, id_b, n_shared FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   count(*)::BIGINT AS n_shared
+            FROM kept a JOIN kept b
+              ON a.fp = b.fp AND a.id < b.id
+            GROUP BY a.id, b.id) t
+        WHERE n_shared >= 2 AND (id_a >= 250 OR id_b >= 250)"""
 )
 
 # the factored per-doc top-k bound applied to the jaccard family —

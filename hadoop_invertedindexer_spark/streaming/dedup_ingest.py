@@ -100,15 +100,16 @@ def maintain_stream_tier(
     spark: SparkSession,
     index_path: str,
     sub: str,
-    key_col: str,
+    key_col: str | list[str],
     max_dup_mils: int = 100,
 ) -> DataFrame:
     """The streaming tiers' maintenance loop (r13, VERDICT r12 ask 6)
     — ``operators/dedup.py:maintain_index_tier``'s two-phase shape
     (one metadata-scale trigger read → bulk rewrite + rotation)
     adapted to the tiered ``<sub>/batch=<id>`` layout every
-    single-key-table stream maintainer writes (windows/sh,
-    sentences/h, paragraphs/h, hashes/h), with the SAME report row:
+    key-table stream maintainer writes (windows/sh, sentences/h,
+    paragraphs/h, hashes/h, fps/(id, fp) — multi-column keys count
+    and fold as whole rows), with the SAME report row:
 
         (tier_table, n_rows, n_distinct, dup_rows, dup_mils,
          compacted, reclaimed_rows)
@@ -135,11 +136,14 @@ def maintain_stream_tier(
         swap_tier_dir,
     )
 
+    cols = [key_col] if isinstance(key_col, str) else list(key_col)
     tier = f"{index_path}/{sub}"
-    keys = spark.read.parquet(tier).select(key_col)
+    keys = spark.read.parquet(tier).select(*cols)
     s = keys.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.count_distinct(F.col(key_col)).cast("long").alias("n_distinct"),
+        F.count_distinct(*[F.col(c) for c in cols])
+        .cast("long")
+        .alias("n_distinct"),
     ).head()
     dup_rows = int(s.n_rows - s.n_distinct)
     dup_mils = dup_rows * 1000 // s.n_rows if s.n_rows else 0
@@ -379,6 +383,67 @@ def maintain_exact_index(
         if max_dup_mils is not None:
             maintain_stream_tier(
                 spark, index_path, "hashes", "h", max_dup_mils
+            )
+
+    run_tier_maintenance(
+        spark, source_dir, source_schema, checkpoint_dir,
+        _append_tier, max_files_per_trigger,
+    )
+
+
+def init_winnow_index(
+    spark: SparkSession,
+    path: str,
+    k: int = 5,
+    w: int = 4,
+) -> None:
+    """Pinned (k, w) params table of a (possibly still empty) winnow
+    fingerprint index (r13): the streaming maintainer derives every
+    batch's selection from it, so stored postings can never drift from
+    the index contract — the same drift guard the batch build writes."""
+    spark.createDataFrame([(k, w)], "k int, w int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/params")
+
+
+def maintain_winnow_index(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+    max_dup_mils: int | None = None,
+) -> None:
+    """Continuous form of ``append_winnow_index`` (r13): drain newly
+    PUBLISHED document files with availableNow and write each
+    micro-batch's distinct winnowed (id, fp) postings — selected at
+    the index's STORED (k, w) — as an idempotent ``batch=<id>`` tier
+    under ``fps/``. ``winnow_index_pairs`` reads the tiered layout
+    unchanged (explicit column projection). Same single-maintainer
+    rule as every other tier; ``max_dup_mils`` wires
+    :func:`maintain_stream_tier`'s trigger→fold→swap loop into the
+    drain over the two-column (id, fp) key."""
+    from pyspark.sql import functions as F
+
+    from hadoop_invertedindexer_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    from hadoop_invertedindexer_spark.streaming.events import run_tier_maintenance
+
+    p = spark.read.parquet(f"{index_path}/params").head()
+
+    def _append_tier(batch_df: DataFrame, batch_id: int) -> None:
+        winnow_fingerprints(
+            batch_df, int(p.k), int(p.w), id_col, text_col
+        ).select(F.col(id_col).alias("id"), "fp").distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/fps/batch={batch_id}")
+        if max_dup_mils is not None:
+            maintain_stream_tier(
+                spark, index_path, "fps", ["id", "fp"], max_dup_mils
             )
 
     run_tier_maintenance(

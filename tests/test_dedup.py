@@ -2149,6 +2149,218 @@ class TestWinnowPairsBounded:
         assert "WindowGroupLimit" in plan
 
 
+class TestWinnowIndexIncremental:
+    """r13: the persisted winnow-fingerprint index — the last dedup
+    family without an incremental path. Contract: winnow_index_pairs
+    == direct winnow_overlap_pairs over corpus ∪ batch restricted to
+    batch-touching pairs."""
+
+    SHARED = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india"
+        " juliet kilo lima"
+    )
+
+    def _split(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, f"{self.SHARED} corpus tail words"),
+                (2, "a completely unrelated published document body"),
+                (3, f"front matter {self.SHARED}"),
+            ],
+            ["doc_id", "text"],
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, f"{self.SHARED} fresh ingest tail"),
+                (11, "another clean unrelated ingest document text"),
+            ],
+            ["doc_id", "text"],
+        )
+        return corpus, batch
+
+    def _direct_restricted(self, spark, corpus, batch, **kw):
+        full = dedup.winnow_overlap_pairs(corpus.union(batch), **kw)
+        return {
+            (r.id_a, r.id_b, r.n_shared)
+            for r in full.collect()
+            if r.id_a >= 10 or r.id_b >= 10
+        }
+
+    def test_incremental_equals_direct(self, spark, tmp_path):
+        corpus, batch = self._split(spark)
+        path = str(tmp_path / "wfidx")
+        dedup.build_winnow_index(corpus, path, k=5, w=4)
+        got = {
+            (r.id_a, r.id_b, r.n_shared)
+            for r in dedup.winnow_index_pairs(
+                spark, batch, path, min_shared=2
+            ).collect()
+        }
+        want = self._direct_restricted(
+            spark, corpus, batch, k=5, w=4, min_shared=2
+        )
+        assert got == want
+        # cross-boundary pairs exist (1,10), (3,10); corpus-only (1,3)
+        # is correctly absent; batch doc 10 pairs with both
+        assert (1, 10) in {(a, b) for a, b, _ in got}
+        assert (1, 3) not in {(a, b) for a, b, _ in got}
+
+    def test_query_uses_stored_params(self, spark, tmp_path):
+        # build at non-default (k=4, w=3): the query derives selection
+        # from the params table, so it must equal the direct chain at
+        # THOSE params, not the defaults
+        corpus, batch = self._split(spark)
+        path = str(tmp_path / "wfidx")
+        dedup.build_winnow_index(corpus, path, k=4, w=3)
+        got = {
+            (r.id_a, r.id_b, r.n_shared)
+            for r in dedup.winnow_index_pairs(
+                spark, batch, path, min_shared=2
+            ).collect()
+        }
+        assert got == self._direct_restricted(
+            spark, corpus, batch, k=4, w=3, min_shared=2
+        )
+
+    def test_append_extends_and_replay_is_idempotent(
+        self, spark, tmp_path
+    ):
+        corpus, batch = self._split(spark)
+        path = str(tmp_path / "wfidx")
+        dedup.build_winnow_index(corpus, path)
+        dedup.append_winnow_index(batch, path)
+        probe = spark.createDataFrame(
+            [(20, f"{self.SHARED} second day ingest")],
+            ["doc_id", "text"],
+        )
+        want = {
+            (r.id_a, r.id_b, r.n_shared)
+            for r in dedup.winnow_overlap_pairs(
+                corpus.union(batch).union(probe), min_shared=2
+            ).collect()
+            if r.id_a == 20 or r.id_b == 20
+        }
+        got1 = {
+            (r.id_a, r.id_b, r.n_shared)
+            for r in dedup.winnow_index_pairs(
+                spark, probe, path, min_shared=2
+            ).collect()
+        }
+        assert got1 == want and any(b == 10 or a == 10 for a, b, _ in got1)
+        # crash-retry: the SAME append replayed — duplicate stored rows
+        # must not inflate df or n_shared (the query distincts the set)
+        dedup.append_winnow_index(batch, path)
+        got2 = {
+            (r.id_a, r.id_b, r.n_shared)
+            for r in dedup.winnow_index_pairs(
+                spark, probe, path, min_shared=2
+            ).collect()
+        }
+        assert got2 == got1
+
+    def test_maintain_winnow_tier_rotation(self, spark, tmp_path):
+        import os
+
+        corpus, batch = self._split(spark)
+        path = str(tmp_path / "wfidx")
+        dedup.build_winnow_index(corpus, path)
+        for _ in range(3):  # replayed appends: the reclaimable mass
+            dedup.append_winnow_index(batch, path)
+        rot = str(tmp_path / "wfidx_rot")
+        maint = dedup.maintain_index_tier(
+            spark, path, rot, "winnow", max_dup_mils=10
+        ).collect()
+        assert maint[0].tier_table == "fps" and maint[0].compacted
+        assert maint[0].reclaimed_rows > 0
+        assert os.path.isdir(f"{rot}/fps")
+        # params travel with the copy; the probe answers identically
+        p = spark.read.parquet(f"{rot}/params").head()
+        assert (p.k, p.w) == (5, 4)
+        probe = spark.createDataFrame(
+            [(20, f"{self.SHARED} probe text here")], ["doc_id", "text"]
+        )
+        before = sorted(
+            tuple(r)
+            for r in dedup.winnow_index_pairs(spark, probe, path).collect()
+        )
+        after = sorted(
+            tuple(r)
+            for r in dedup.winnow_index_pairs(spark, probe, rot).collect()
+        )
+        assert before == after and len(after) > 0
+
+
+def test_streaming_winnow_index_matches_batch_and_rotates(spark, tmp_path):
+    """r13: the stream-maintained winnow index — tiers written at the
+    STORED (k, w), two-column (id, fp) key folded by the in-drain
+    maintenance loop — must answer winnow_index_pairs identically to a
+    one-shot batch build over the same published corpus."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from hadoop_invertedindexer_spark.streaming import dedup_ingest
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    shared = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india"
+        " juliet kilo"
+    )
+    days = [
+        spark.createDataFrame([(100, f"{shared} first day tail")], schema),
+        # replayed publication: cross-tier dup (id, fp) mass
+        spark.createDataFrame(
+            [
+                (100, f"{shared} first day tail"),
+                (101, "an unrelated second day document body here"),
+            ],
+            schema,
+        ),
+    ]
+    stage, src = str(tmp_path / "stage"), str(tmp_path / "src")
+    for i, d in enumerate(days):
+        d.coalesce(1).write.mode("overwrite").parquet(f"{stage}/d{i}")
+    os.makedirs(src, exist_ok=True)
+    for i, f in enumerate(sorted(glob.glob(f"{stage}/d*/part-*.parquet"))):
+        shutil.copyfile(f, f"{src}/day{i}.parquet")
+
+    stream_path = str(tmp_path / "wf_stream")
+    dedup_ingest.init_winnow_index(spark, stream_path, k=5, w=4)
+    dedup_ingest.maintain_winnow_index(
+        spark, src, schema, stream_path, str(tmp_path / "ck"),
+        max_dup_mils=100,
+    )
+    assert os.path.isdir(f"{stream_path}/fps/batch=compacted")
+    rows = spark.read.parquet(f"{stream_path}/fps").select("id", "fp")
+    assert rows.count() == rows.distinct().count()
+
+    batch_path = str(tmp_path / "wf_batch")
+    dedup.build_winnow_index(
+        days[0].union(days[1]).distinct(), batch_path, k=5, w=4
+    )
+    probe = spark.createDataFrame(
+        [(200, f"{shared} probe ingest text")], schema
+    )
+
+    def result(path):
+        return sorted(
+            tuple(r)
+            for r in dedup.winnow_index_pairs(
+                spark, probe, path, min_shared=2
+            ).collect()
+        )
+
+    assert result(stream_path) == result(batch_path)
+    assert len(result(stream_path)) > 0  # the shared passage pairs
+
+
 class TestPairsTopkBounded:
     """r13: the bound as a standalone policy over any canonical scored
     pair frame — the shape every set-similarity op emits."""
@@ -2281,6 +2493,32 @@ class TestShingleCapRecallEstimate:
             r.est_capped_pairs,
             r.capped_pair_slots_exact,
         ) == (0, 0, 0, 0, 0, 0, 0, 0)
+
+    def test_winnow_twin_shares_the_core(self, spark):
+        # the winnow-side estimator: 5 docs share one full passage, so
+        # EVERY selected fingerprint of that passage is capped at df=5;
+        # sample_inv=1 expands all of them and the distinct pairs
+        # deduplicate to the C(5,2)=10 true pairs regardless of how
+        # many fingerprints the clique shares
+        docs = spark.createDataFrame(
+            [
+                (
+                    i,
+                    "alpha bravo charlie delta echo foxtrot golf hotel"
+                    f" india tail{i}",
+                )
+                for i in range(1, 6)
+            ],
+            ["doc_id", "text"],
+        )
+        r = dedup.winnow_cap_recall_estimate(
+            docs, k=5, w=4, max_df=3, sample_inv=1, expand_max_df=2000
+        ).first()
+        assert r.capped_keys >= 1
+        assert r.sampled_keys == r.capped_keys  # sample_inv=1
+        assert r.sampled_pairs_distinct == 10
+        assert r.est_capped_pairs == 10
+        assert r.capped_pair_slots_exact == 10 * r.capped_keys
 
     def test_sampling_is_md5_deterministic(self, spark):
         # at sample_inv=8 the sampled subset is a pure function of the

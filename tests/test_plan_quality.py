@@ -860,6 +860,30 @@ def test_minhash_band_report_pins_and_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_winnow_index_pairs_batch_broadcast_only(spark, tmp_path):
+    """r13: the incremental winnow query's only broadcasts are the
+    BATCH side of the pair join (deliberate — the minhash_index_pairs
+    posture) ; the stop-fp cap joins stay shuffle_hash (cap frame =
+    corpus-derived aggregate), the stored postings never broadcast,
+    and the direct path's quadratic corpus self-join is gone."""
+    from hadoop_invertedindexer_spark.operators import dedup
+
+    d = read_table(spark, SF, "documents")
+    path = str(tmp_path / "wfidx")
+    dedup.build_winnow_index(d.where("doc_id < 250"), path)
+    plan = _plan(
+        dedup.winnow_index_pairs(
+            spark, d.where("doc_id >= 250"), path
+        )
+    )
+    assert plan.count("ShuffledHashJoin") >= 2  # the two cap joins
+    # batch-side broadcasts only: one per pair-join consumer of the
+    # tiny batch frame, never the stored index postings
+    assert 1 <= plan.count("BroadcastHashJoin") <= 3
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_winnow_pairs_bounded_plan_posture(spark):
     """r13: the per-doc top-k bound must keep the pair join's SHJ
     posture (the bound sits downstream of winnow_overlap_pairs) and

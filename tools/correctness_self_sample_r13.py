@@ -43,10 +43,11 @@ def already_sampled() -> set[str]:
     for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         with open(f) as fh:
             seen |= set(json.load(fh).keys())
-    prior = os.path.join(REPO, "CORRECTNESS_SELF_r12.json")
-    if os.path.exists(prior):
-        with open(prior) as fh:
-            seen |= set(json.load(fh).keys())
+    for prior in ("CORRECTNESS_SELF_r12.json", "CORRECTNESS_SELF_r13.json"):
+        p = os.path.join(REPO, prior)
+        if os.path.exists(p):
+            with open(p) as fh:
+                seen |= set(json.load(fh).keys())
     return seen
 
 
@@ -112,6 +113,13 @@ def main() -> int:
             flush=True,
         )
 
+    # MERGE into any prior r13 artifact: re-runs after late-round query
+    # additions top up the remainder instead of overwriting the bulk
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            merged = json.load(fh)
+        merged.update(out)
+        out = merged
     with open(OUT, "w") as fh:
         json.dump(out, fh, indent=1)
 
