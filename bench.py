@@ -116,6 +116,8 @@ HEADLINE = [
     "weighted_sample",        # hash-deterministic weighted Bernoulli
     "quantize_embeddings",    # int8 scalar quantization (bandwidth lever)
     "similarity_pq",          # PQ codebooks + exact-integer ADC over 8-byte codes
+    "similarity_ivfpq",       # IVF probe x PQ ADC composite (r13)
+    "similarity_ivfpq_read",  # same, served from the pre-built persisted index
     "ivf_drift_read",         # drift probe READ path vs pre-built index (r10)
     "cohort_retention",       # per-user-week collapse + retention matrix
     "hourly_anomalies",       # gap-filled grid + integer-exact z-scores

@@ -182,6 +182,35 @@ def cosine_topk_ivf(
     )
 
 
+def _probe_buckets(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Each query's ``nprobe`` nearest centroid buckets (cosine desc,
+    ties to the lowest cid — the family's standard tie-break). Output:
+    (qid, qvec, cid), nprobe rows per query. Centroids are the bounded
+    broadcast every IVF-shaped path shares; the expression tree is the
+    one `_ivf_topk_from_assigned` always compiled, factored so the
+    IVF-PQ path probes identically (same rounded-free ordering, same
+    plan)."""
+    qw = Window.partitionBy(qid_col).orderBy(F.desc("qsim"), F.asc("cid"))
+    return (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            qid_col,
+            qvec_col,
+            "cid",
+            cosine_expr(F.col(qvec_col), F.col("cvec")).alias("qsim"),
+        )
+        .withColumn("rn", F.row_number().over(qw))
+        .where(F.col("rn") <= nprobe)
+        .select(qid_col, qvec_col, "cid")
+    )
+
+
 def _ivf_topk_from_assigned(
     assigned: DataFrame,
     queries: DataFrame,
@@ -196,20 +225,9 @@ def _ivf_topk_from_assigned(
 ) -> DataFrame:
     """Probe-and-score over an already-assigned corpus — shared by the
     in-memory path and the persisted-index path."""
-    qw = Window.partitionBy(qid_col).orderBy(F.desc("qsim"), F.asc("cid"))
-    probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select(
-            qid_col,
-            qvec_col,
-            "cid",
-            cosine_expr(F.col(qvec_col), F.col("cvec")).alias("qsim"),
-        )
-        .withColumn("rn", F.row_number().over(qw))
-        .where(F.col("rn") <= nprobe)
-        .select(qid_col, qvec_col, "cid")
-        .withColumn("_qnorm", _norm(F.col(qvec_col)))
-    )
+    probes = _probe_buckets(
+        queries, centroids, nprobe, qid_col, qvec_col
+    ).withColumn("_qnorm", _norm(F.col(qvec_col)))
     scored = probes.join(assigned, "cid")
     if exclude_self:
         scored = scored.where(F.col(qid_col) != F.col(id_col))
@@ -1287,6 +1305,34 @@ def pq_encode(
     )
 
 
+def _pq_qtable(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Each query's exact integer squared-L2 to every PQ codeword —
+    the ADC lookup table, (qid, s, c, qdist), |Q|·m·ksub rows. Query-
+    derived and bounded by the query set, so consumers broadcast it;
+    factored out of :func:`pq_adc_topk` so the IVF-PQ path builds the
+    identical table (same integer grid, same expression tree)."""
+    dsub = dim // m
+    qsubs = queries.select(
+        qid_col,
+        F.posexplode(
+            _pq_subvectors(_pq_quantized_coords(F.col(qvec_col)), m, dsub)
+        ).alias("s", "qsub"),
+    )
+    return qsubs.join(F.broadcast(codebooks), "s").select(
+        qid_col,
+        "s",
+        "c",
+        _pq_sqdist(F.col("qsub"), F.col("cq")).alias("qdist"),
+    )
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     codebooks: DataFrame,
@@ -1312,19 +1358,7 @@ def pq_adc_topk(
     baseline, exact-integer end-to-end so the oracle hash-matches.
     Output: (qid, vec_id, adist, rank), ascending distance, ties by id."""
     dim = vector_dim(queries, qvec_col, dim)
-    dsub = dim // m
-    qsubs = queries.select(
-        qid_col,
-        F.posexplode(
-            _pq_subvectors(_pq_quantized_coords(F.col(qvec_col)), m, dsub)
-        ).alias("s", "qsub"),
-    )
-    qtable = qsubs.join(F.broadcast(codebooks), "s").select(
-        qid_col,
-        "s",
-        "c",
-        _pq_sqdist(F.col("qsub"), F.col("cq")).alias("qdist"),
-    )
+    qtable = _pq_qtable(queries, codebooks, m, dim, qid_col, qvec_col)
     pcs = encoded.select(
         id_col, F.posexplode("codes").alias("s", "c")
     )
@@ -1339,6 +1373,197 @@ def pq_adc_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
+    )
+
+
+def ivfpq_encode(
+    assigned: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """PQ codes of an ALREADY-ASSIGNED corpus in one pass: (id, cid,
+    codes). The cid rides the per-(id, s) argmin groupBy as an extra key
+    (functionally dependent on id, so the group structure is unchanged)
+    instead of joining :func:`ivf_assign` output against a separate
+    :func:`pq_encode` pass — one corpus scan, one exchange, no
+    corpus-to-corpus join. Same integer grid and tie-break as
+    :func:`pq_encode`, so codes are bit-identical to the flat encoder's
+    (pinned by test)."""
+    dim = vector_dim(assigned, vec_col, dim)
+    dsub = dim // m
+    subs = assigned.select(
+        id_col,
+        "cid",
+        F.posexplode(
+            _pq_subvectors(_pq_quantized_coords(F.col(vec_col)), m, dsub)
+        ).alias("s", "sub"),
+    )
+    best = (
+        subs.join(F.broadcast(codebooks), "s")
+        .select(
+            id_col,
+            "cid",
+            "s",
+            F.struct(
+                _pq_sqdist(F.col("sub"), F.col("cq")).alias("d"), F.col("c")
+            ).alias("dc"),
+        )
+        .groupBy(id_col, "cid", "s")
+        .agg(F.min("dc").alias("best"))
+    )
+    return best.groupBy(id_col, "cid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("s", F.col("best.c").alias("c")))
+            ),
+            lambda x: x["c"],
+        ).alias("codes")
+    )
+
+
+def ivfpq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = 8,
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ top-k — the composition :func:`pq_adc_topk`'s docstring
+    names as the cluster-scale deployment (FAISS's IVFPQ with
+    ``by_residual=false``): each query probes its ``nprobe`` nearest
+    coarse-centroid buckets (identical probe selection to the IVF
+    family, :func:`_probe_buckets`) and ranks ONLY the probed buckets'
+    vectors by PQ asymmetric distance — m integer table lookups per
+    candidate over the m-byte codes, never the raw floats. The two ANN
+    levers compose multiplicatively at 100 TB: IVF cuts candidates to
+    ~nprobe/C of the corpus, PQ cuts per-candidate scan bytes ~32x
+    below float32. Exact-integer ADC end-to-end (same grid as
+    :func:`pq_adc_topk`), so the whole composite value-hashes against
+    an ANSI-SQL oracle. Output: (qid, vec_id, adist, rank), ascending
+    distance, ties by id.
+
+    Plan shape: the corpus side touches only ``codes`` (id, cid,
+    codes); the probe frame (|Q|·nprobe rows) and the ADC table
+    (|Q|·m·ksub rows) are query-derived and broadcast — bounded by the
+    query set by contract, never by the corpus. One exchange total:
+    the (qid, id) distance aggregation (partial map-side)."""
+    dim = vector_dim(queries, qvec_col, dim)
+    probes = _probe_buckets(
+        queries, centroids, nprobe, qid_col, qvec_col
+    ).select(qid_col, "cid")
+    qtable = _pq_qtable(queries, codebooks, m, dim, qid_col, qvec_col)
+    pcs = codes.select(id_col, "cid", F.posexplode("codes").alias("s", "c"))
+    scored = (
+        pcs.join(F.broadcast(probes), "cid")
+        .join(F.broadcast(qtable), [qid_col, "s", "c"])
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("qdist").alias("adist"))
+    )
+    if exclude_self:
+        scored = scored.where(F.col(qid_col) != F.col(id_col))
+    w = Window.partitionBy(qid_col).orderBy(F.asc("adist"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Materialize an IVF-PQ index: codes written *partitioned by cid*
+    (the on-disk inverted file — probed-bucket reads prune at the
+    directory level exactly like :func:`build_ivf_index`) plus the
+    centroid table, the codebook table, and a pinned (m, dim) params
+    row, so appends and queries derive every selection from the INDEX
+    contract and can never drift from it (the winnow-params lesson).
+    Storage is the point: m bytes + one int per vector instead of
+    dim·4 — the 100 TB corpus's ANN tier fits in ~1/32 the bytes the
+    raw-vector IVF tier scans."""
+    spark = corpus.sparkSession
+    dim = vector_dim(corpus, vec_col, dim)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, dim)
+    ivfpq_encode(assigned, codebooks, m, id_col, vec_col, dim).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(f"{path}/codes")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame([(m, dim)], "m int, dim int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/params")
+
+
+def append_ivfpq_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new batch to a persisted IVF-PQ index: assign + encode
+    at the index's OWN stored centroids/codebooks/params (broadcast,
+    one pass over the batch) and append into the cid-partitioned
+    layout. O(batch) — existing codes are never read or rewritten.
+    Frozen centroids AND frozen codebooks share the IVF drift posture:
+    a shifting embedding distribution degrades bucket balance and
+    raises quantization error until an offline rebuild; occupancy
+    imbalance is readable from the stored cid column alone
+    (metadata-scale), but qerr needs raw vectors, which the codes tier
+    deliberately does not keep — rebuilds re-encode from the raw
+    corpus (the standard IVFPQ posture)."""
+    spark = batch.sparkSession
+    p = spark.read.parquet(f"{path}/params").head()
+    centroids = spark.read.parquet(f"{path}/centroids")
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    assigned = ivf_assign(batch, centroids, id_col, vec_col, int(p.dim))
+    ivfpq_encode(
+        assigned, codebooks, int(p.m), id_col, vec_col, int(p.dim)
+    ).write.mode("append").partitionBy("cid").parquet(f"{path}/codes")
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Query a persisted IVF-PQ index without re-assigning or
+    re-encoding the corpus: results are identical to
+    :func:`ivfpq_adc_topk` over the same corpus/centroids/codebooks
+    (pinned by test). The probed-bucket join hits the cid partition
+    column, so the scan reads only the probed bucket directories'
+    m-byte codes off disk — IVF's pruning times PQ's compression, the
+    full 100 TB read-path story in one query."""
+    p = spark.read.parquet(f"{path}/params").head()
+    codes = spark.read.parquet(f"{path}/codes").select(
+        id_col, "cid", "codes"
+    )
+    centroids = spark.read.parquet(f"{path}/centroids")
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    return ivfpq_adc_topk(
+        codes, codebooks, centroids, queries, k, nprobe, int(p.m),
+        id_col, qid_col, qvec_col, int(p.dim), exclude_self,
     )
 
 

@@ -745,6 +745,76 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(enc, cb, queries, k=10, m=8, dim=64)
 
 
+def _ivfpq_parts(spark: SparkSession, sf_dir: str):
+    """The IVF-PQ contract fixture: the IVF oracles' sampled centroids
+    (cid = vec_id, every 50th) + the PQ oracles' first-16-by-id
+    codebooks — both already restated in SQL, so the composite oracles
+    are their CTEs joined."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = similarity.centroids_by_sampling(emb, every=50)
+    cb = similarity.pq_codebooks(emb, m=8, ksub=16, dim=64)
+    return emb, queries, cents, cb
+
+
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 for every 100th vector (r13): probe the 4 nearest
+    coarse buckets, ADC-rank only the probed buckets' m-byte codes —
+    the two ANN levers composed (candidates ~nprobe/C of the corpus ×
+    scan bytes ~32x below float32). Exact-integer ADC over the exact
+    same probe selection as similarity_ivf, so the composite
+    value-hashes against the SQL restatement of the two chains
+    joined."""
+    emb, queries, cents, cb = _ivfpq_parts(spark, sf_dir)
+    assigned = similarity.ivf_assign(emb, cents, dim=64)
+    codes = similarity.ivfpq_encode(assigned, cb, m=8, dim=64)
+    return similarity.ivfpq_adc_topk(
+        codes, cb, cents, queries, k=10, nprobe=4, m=8, dim=64
+    )
+
+
+_ANN_IVFPQ_INDEX: dict[str, str] = {}
+
+
+def q_similarity_ivfpq_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 served from a PRE-BUILT persisted index:
+    ``query_ivfpq_index`` returns results identical to
+    :func:`q_similarity_ivfpq`'s in-memory composite (pinned by test —
+    stored codes partition-prune on cid, params/codebooks come from the
+    index contract), so the oracle is shared verbatim; what this entry
+    adds is the recurring read-path cost once assign+encode are
+    amortized into the index."""
+    import tempfile
+
+    emb, queries, cents, cb = _ivfpq_parts(spark, sf_dir)
+    if sf_dir not in _ANN_IVFPQ_INDEX:
+        path = tempfile.mkdtemp(prefix="annivfpq_") + "/ivfpq"
+        similarity.build_ivfpq_index(emb, cents, cb, path, m=8, dim=64)
+        _ANN_IVFPQ_INDEX[sf_dir] = path
+    return similarity.query_ivfpq_index(
+        spark, _ANN_IVFPQ_INDEX[sf_dir], queries, k=10, nprobe=4
+    )
+
+
+def q_ann_recall_eval_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF-PQ composite vs exact cosine truth — the
+    eval that closes the compression loop: IVF-PQ stacks bucket-miss
+    recall loss (shared with similarity_ivf) on quantization ranking
+    loss (shared with similarity_pq), and a schedule reading this row
+    decides whether the 32x scan saving is worth the recall it costs
+    at its nprobe/m point."""
+    emb, queries, cents, cb = _ivfpq_parts(spark, sf_dir)
+    truth = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    assigned = similarity.ivf_assign(emb, cents, dim=64)
+    codes = similarity.ivfpq_encode(assigned, cb, m=8, dim=64)
+    cand = similarity.ivfpq_adc_topk(
+        codes, cb, cents, queries, k=10, nprobe=4, m=8, dim=64
+    )
+    return similarity.ann_recall(truth, cand)
+
+
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN majority-vote labeling of every 100th vector from its exact
     cosine top-10 (the brute-force backend — any ANN backend plugs in).
@@ -2306,6 +2376,9 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_codes": q_pq_codes,
     "knn_classify": q_knn_classify,
     "similarity_pq": q_similarity_pq,
+    "similarity_ivfpq": q_similarity_ivfpq,
+    "similarity_ivfpq_read": q_similarity_ivfpq_read,
+    "ann_recall_eval_ivfpq": q_ann_recall_eval_ivfpq,
     "quantize_embeddings": q_quantize_embeddings,
     "lang_id": q_lang_id,
     "lang_confusion": q_lang_confusion,
@@ -3682,6 +3755,50 @@ LLM_ORACLE_SQL: dict[str, str] = {
                                       ORDER BY adist, vec_id)::BIGINT AS rank
             FROM adist) t
         WHERE rank <= 10""",
+    # IVF-PQ composite (r13): the similarity_ivf assignment/probe CTEs
+    # joined with the _sql_pq_ctes encoding — candidates restricted to
+    # each query's 4 probed buckets, ranked by the exact-integer ADC sum
+    "similarity_ivfpq": f"""
+        WITH {_sql_pq_ctes()},
+        cents AS (
+            SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id % 50 = 0),
+        assigned AS (
+            SELECT id, cid FROM (
+                SELECT e.vec_id AS id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents c) t
+            WHERE rn = 1),
+        probes AS (
+            SELECT qid, cid FROM (
+                SELECT e.vec_id AS qid, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents c
+                WHERE e.vec_id % 100 = 0) t
+            WHERE rn <= 4),
+        qtab AS (
+            SELECT vec_id AS qid, s, c, d AS qdist
+            FROM dists WHERE vec_id % 100 = 0),
+        adist AS (
+            SELECT q.qid, e.vec_id, sum(q.qdist)::BIGINT AS adist
+            FROM enc e
+            JOIN assigned a ON a.id = e.vec_id
+            JOIN probes p ON p.cid = a.cid
+            JOIN qtab q ON q.qid = p.qid AND q.s = e.s AND q.c = e.c
+            WHERE q.qid <> e.vec_id
+            GROUP BY q.qid, e.vec_id)
+        SELECT qid, vec_id, adist, rank FROM (
+            SELECT qid, vec_id, adist,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adist, vec_id)::BIGINT AS rank
+            FROM adist) t
+        WHERE rank <= 10""",
     "quantize_embeddings": """
         WITH staged AS (
             SELECT vec_id, embedding,
@@ -4971,6 +5088,34 @@ LLM_ORACLE_SQL["ann_recall_eval_ivf"] = f"""
 LLM_ORACLE_SQL["ann_recall_eval_ivf_read"] = LLM_ORACLE_SQL[
     "ann_recall_eval_ivf"
 ]
+
+# the persisted IVF-PQ read path reproduces the in-memory composite
+# exactly (query_ivfpq_index ≡ ivfpq_adc_topk at the stored
+# centroids/codebooks/params, pinned by test) — shared oracle
+LLM_ORACLE_SQL["similarity_ivfpq_read"] = LLM_ORACLE_SQL["similarity_ivfpq"]
+
+# IVF-PQ recall eval (r13): the composite + brute chains as subqueries
+# with the same intersection rollup as the IVF/LSH recall entries
+LLM_ORACLE_SQL["ann_recall_eval_ivfpq"] = f"""
+        WITH cand AS (
+            SELECT qid, vec_id
+            FROM ({LLM_ORACLE_SQL["similarity_ivfpq"]}) c),
+        truth AS (
+            SELECT qid, vec_id
+            FROM ({LLM_ORACLE_SQL["similarity_bruteforce"]}) b),
+        hits AS (
+            SELECT t.qid, count(*)::BIGINT AS n_hit
+            FROM truth t JOIN cand c
+              ON t.qid = c.qid AND t.vec_id = c.vec_id
+            GROUP BY t.qid),
+        perq AS (
+            SELECT qid, count(*)::BIGINT AS n_truth
+            FROM truth GROUP BY qid)
+        SELECT p.qid, p.n_truth,
+               coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+               (coalesce(h.n_hit, 0) * 1000 // p.n_truth)::BIGINT
+                   AS recall_mils
+        FROM perq p LEFT JOIN hits h USING (qid)"""
 
 # sentence-granular contamination report (r10): the eval side keeps its
 # span POSITIONS (ewin), the train side reduces to a distinct key set,

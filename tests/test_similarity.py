@@ -857,3 +857,149 @@ class TestAnnRecall:
         n_q = queries.count()
         assert rep.count() == n_q          # one row per truth query
         assert got > 500                    # planted clusters collide
+
+
+class TestIvfPq:
+    """IVF-PQ composite (r13): the two ANN levers composed — probe
+    selection shared with the IVF family, ADC ranking shared with the
+    PQ family; the oracle pins values, these pin the structure."""
+
+    def _parts(self, spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cents = similarity.centroids_by_sampling(emb, every=50)
+        cb = similarity.pq_codebooks(emb, m=8, ksub=16, dim=64)
+        return emb, queries, cents, cb
+
+    def test_ivfpq_encode_matches_flat_pq_encoder(self, spark, sf_dir):
+        """The one-pass (id, cid, codes) encoder is bit-identical to
+        pq_encode on codes and to ivf_assign on cids — the composite
+        adds no third semantics."""
+        emb, _, cents, cb = self._parts(spark, sf_dir)
+        assigned = similarity.ivf_assign(emb, cents, dim=64)
+        got = {
+            r.vec_id: (r.cid, tuple(r.codes))
+            for r in similarity.ivfpq_encode(
+                assigned, cb, m=8, dim=64
+            ).collect()
+        }
+        codes = {
+            r.vec_id: tuple(r.codes)
+            for r in similarity.pq_encode(emb, cb, m=8, dim=64).collect()
+        }
+        cids = {r.vec_id: r.cid for r in assigned.collect()}
+        assert got == {v: (cids[v], codes[v]) for v in codes}
+
+    def test_ivfpq_candidates_within_probed_buckets(self, spark, sf_dir):
+        """Every reported neighbor's assigned bucket is one of its
+        query's nprobe probed buckets — the IVF restriction actually
+        restricts."""
+        emb, queries, cents, cb = self._parts(spark, sf_dir)
+        assigned = similarity.ivf_assign(emb, cents, dim=64)
+        codes = similarity.ivfpq_encode(assigned, cb, m=8, dim=64)
+        out = similarity.ivfpq_adc_topk(
+            codes, cb, cents, queries, k=10, nprobe=2, m=8, dim=64
+        )
+        probed: dict[int, set[int]] = {}
+        for r in similarity._probe_buckets(
+            queries, cents, nprobe=2
+        ).collect():
+            probed.setdefault(r.qid, set()).add(r.cid)
+        cid_of = {r.vec_id: r.cid for r in assigned.collect()}
+        rows = out.collect()
+        assert rows
+        for r in rows:
+            assert cid_of[r.vec_id] in probed[r.qid], (r.qid, r.vec_id)
+
+    def test_ivfpq_adist_equals_full_pq_on_shared_pairs(self, spark, sf_dir):
+        """On every (qid, vec) pair both paths rank, the IVF-PQ adist
+        equals the full-scan pq_adc_topk adist — probing changes the
+        candidate set, never the distance arithmetic."""
+        emb, queries, cents, cb = self._parts(spark, sf_dir)
+        assigned = similarity.ivf_assign(emb, cents, dim=64)
+        codes = similarity.ivfpq_encode(assigned, cb, m=8, dim=64)
+        ivfpq = {
+            (r.qid, r.vec_id): r.adist
+            for r in similarity.ivfpq_adc_topk(
+                codes, cb, cents, queries, k=10, nprobe=4, m=8, dim=64
+            ).collect()
+        }
+        enc = similarity.pq_encode(emb, cb, m=8, dim=64)
+        full = {
+            (r.qid, r.vec_id): r.adist
+            for r in similarity.pq_adc_topk(
+                enc, cb, queries, k=1000, m=8, dim=64
+            ).collect()
+        }
+        shared = set(ivfpq) & set(full)
+        assert shared
+        assert all(ivfpq[p] == full[p] for p in shared)
+
+    def test_persisted_ivfpq_matches_inmemory_and_prunes(
+        self, spark, sf_dir, tmp_path
+    ):
+        """query_ivfpq_index ≡ ivfpq_adc_topk at the stored contract,
+        and the probed-bucket join dynamically prunes the codes scan
+        (only ~nprobe·|Q| bucket dirs are read off disk)."""
+        emb, queries, cents, cb = self._parts(spark, sf_dir)
+        path = str(tmp_path / "ivfpq")
+        similarity.build_ivfpq_index(emb, cents, cb, path, m=8, dim=64)
+        assigned = similarity.ivf_assign(emb, cents, dim=64)
+        codes = similarity.ivfpq_encode(assigned, cb, m=8, dim=64)
+        direct = similarity.ivfpq_adc_topk(
+            codes, cb, cents, queries, k=5, nprobe=3, m=8, dim=64
+        )
+        disk = similarity.query_ivfpq_index(
+            spark, path, queries, k=5, nprobe=3
+        )
+        canon = lambda df: sorted(  # noqa: E731
+            map(tuple, df.toPandas().sort_index(axis=1).values.tolist())
+        )
+        assert canon(disk) == canon(direct)
+        plan = disk._jdf.queryExecution().executedPlan().toString()
+        scan = next(
+            ln for ln in plan.splitlines()
+            if "FileScan" in ln and "codes" in ln and "cid" in ln
+        )
+        assert "dynamicpruning" in scan.lower()
+
+    def test_ivfpq_index_append_matches_rebuild(self, spark, sf_dir, tmp_path):
+        """Ingest posture: append at the STORED centroids/codebooks
+        equals a full rebuild with the same contract — assignment and
+        encoding are per-row against frozen tables, so append-vs-rebuild
+        is exact."""
+        emb, queries, cents, cb = self._parts(spark, sf_dir)
+        old = emb.where(F.col("vec_id") % 10 != 0)
+        batch = emb.where(F.col("vec_id") % 10 == 0)
+        inc = str(tmp_path / "ivfpq_inc")
+        similarity.build_ivfpq_index(old, cents, cb, inc, m=8, dim=64)
+        similarity.append_ivfpq_index(batch, inc)
+        full = str(tmp_path / "ivfpq_full")
+        similarity.build_ivfpq_index(emb, cents, cb, full, m=8, dim=64)
+        canon = lambda df: sorted(  # noqa: E731
+            map(tuple, df.toPandas().sort_index(axis=1).values.tolist())
+        )
+        assert canon(
+            similarity.query_ivfpq_index(spark, inc, queries, k=5, nprobe=3)
+        ) == canon(
+            similarity.query_ivfpq_index(spark, full, queries, k=5, nprobe=3)
+        )
+
+    def test_ivfpq_recall_vs_bruteforce(self, spark, sf_dir):
+        """The composite's recall stacks bucket-miss loss on
+        quantization loss: a loose positive floor is the honest bound on
+        the near-orthogonal synthetic corpus (the planted-dup PQ test
+        pins the sharp behavior; ann_recall_eval_ivfpq records the
+        measured point)."""
+        emb, queries, cents, cb = self._parts(spark, sf_dir)
+        truth = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+        assigned = similarity.ivf_assign(emb, cents, dim=64)
+        codes = similarity.ivfpq_encode(assigned, cb, m=8, dim=64)
+        cand = similarity.ivfpq_adc_topk(
+            codes, cb, cents, queries, k=10, nprobe=4, m=8, dim=64
+        )
+        rep = similarity.ann_recall(truth, cand)
+        assert rep.count() == queries.count()
+        assert rep.agg(F.avg("recall_mils")).first()[0] > 0
