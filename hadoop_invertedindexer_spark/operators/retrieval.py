@@ -389,6 +389,63 @@ def phrase_search(
 # ------------------------------------------- posting-list compression
 
 
+def hybrid_search_rrf(
+    lexical: DataFrame,
+    vector: DataFrame,
+    k: int = 10,
+    k0: int = 60,
+    doc_col: str = "doc",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a vector ranking
+    (Cormack, Clarke & Buettcher, SIGIR 2009 — the fusion Elasticsearch
+    / Vespa / OpenSearch ship as "hybrid search"): each input list
+    contributes ``1/(k0 + rank)`` per document it ranks, fused score is
+    the sum, and the standard ``k0 = 60`` damps the head so a document
+    ranked moderately by BOTH signals beats one ranked first by only
+    one. Inputs are any RANKED lists sharing a doc id space — here
+    ``bm25_search`` (doc, score, rank) and a one-query
+    ``cosine_topk_bruteforce`` / ``query_ivf*_index`` slice (vec_id,
+    ..., rank); the embeddings table's vec_id IS the documents table's
+    doc_id, so the join key is identity.
+
+    The contribution is computed as ``1e9 DIV (k0 + rank)`` — exact
+    integer parts-per-billion, so the fused ordering is bit-reproducible
+    across engines and partitionings (the repo's standard
+    no-fp-in-rank-keys rule; at rank ≤ 1000 the integer floor loses
+    <1 ppb and cannot reorder, since distinct ranks differ by ≥ 230
+    ppb at k0=60 within any realistic k). Output: (doc, rrf_ppb,
+    n_lists, rank) — top-``k`` by fused score desc, doc asc;
+    ``n_lists`` says whether both signals or one ranked the doc.
+
+    Scale shape: both inputs are top-k lists — METADATA-scale (k rows
+    each), never the corpus — so the fusion is a k+k-row groupBy; the
+    heavy lifting stays in the backends, which prune exactly as they
+    do standalone (bucket-pruned BM25 postings, DPP-pruned IVF
+    buckets). Fusing per-query batches rides the same plan with qid
+    added to the group/window keys."""
+    lex = lexical.select(
+        F.col(doc_col).cast("long").alias("doc"), F.col("rank").alias("r")
+    )
+    vec = vector.select(
+        F.col(vec_id_col).cast("long").alias("doc"), F.col("rank").alias("r")
+    )
+    fused = (
+        lex.unionByName(vec)
+        .select("doc", F.expr(f"1000000000 DIV ({k0} + r)").alias("ppb"))
+        .groupBy("doc")
+        .agg(
+            F.sum("ppb").cast("long").alias("rrf_ppb"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_ppb"), F.asc("doc"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def compress_postings(
     counts: DataFrame,
     word_col: str = "word",

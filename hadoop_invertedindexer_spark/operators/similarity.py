@@ -1567,6 +1567,137 @@ def query_ivfpq_index(
     )
 
 
+def ivfpq_index_drift(spark, path: str) -> DataFrame:
+    """Occupancy drift report for a persisted IVF-PQ index — the
+    detection half of the tier's maintenance loop. The codes tier
+    deliberately stores NO raw vectors (that is its 32x point), so
+    quantization error is not measurable from the index alone; bucket
+    occupancy IS, off the stored cid column — metadata-scale, one
+    pruned scan of (cid) + two tiny aggregates. That is the right
+    signal anyway: the r13 shifted-drift soak measured real drift as
+    BUCKET COLLAPSE (imbalance 1.5 → 32.5) while avg_qerr moved only
+    0.67 → 0.71, so the IVF maintainer's fleet threshold was already
+    set on imbalance. One row:
+
+        (n_vectors, n_centroids, n_empty_buckets, max_bucket,
+         imbalance)
+
+    with ``imbalance`` = max_bucket · n_centroids / n_vectors,
+    round(6) — same definition as :func:`ivf_index_drift`, NULL on an
+    empty index (no evidence, handled by the maintainer)."""
+    codes = spark.read.parquet(f"{path}/codes").select("cid")
+    cents = spark.read.parquet(f"{path}/centroids").select("cid")
+    vec_stats = codes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    bucket_stats = (
+        codes.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.max("_n").cast("long").alias("max_bucket"),
+            F.count(F.lit(1)).cast("long").alias("_n_used"),
+        )
+    )
+    cent_count = cents.agg(F.count(F.lit(1)).cast("long").alias("n_centroids"))
+    return (
+        vec_stats.crossJoin(F.broadcast(bucket_stats))
+        .crossJoin(F.broadcast(cent_count))
+        .select(
+            "n_vectors",
+            "n_centroids",
+            (F.col("n_centroids") - F.col("_n_used")).alias(
+                "n_empty_buckets"
+            ),
+            "max_bucket",
+            F.round(
+                F.col("max_bucket") * F.col("n_centroids") / F.col("n_vectors"),
+                6,
+            ).alias("imbalance"),
+        )
+    )
+
+
+def maintain_ivfpq_index(
+    spark,
+    path: str,
+    dest_path: str,
+    corpus: DataFrame,
+    max_imbalance_mils: int = 4000,
+    k: int | None = None,
+    sample_mult: int = 4,
+    refine_iters: int = 2,
+    portable: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drift-triggered IVF-PQ rebuild — the compressed tier's member of
+    the family-wide maintenance-loop shape (PLANS.md r12: one
+    metadata-scale trigger read → bulk rewrite + rotation swap).
+    :func:`ivfpq_index_drift` is the trigger (occupancy only — the
+    codes tier keeps no raw floats); the remediation re-derives BOTH
+    stored models from the caller's ``corpus`` — fresh bounded-K
+    centroids AND fresh codebooks — and rebuilds into ``dest_path``
+    (the standard IVFPQ posture: a lossy tier is rebuilt from the
+    source of truth, never from itself — the one structural difference
+    from ``maintain_ivf_index``, whose raw-vector assignments let it
+    recenter in place of the corpus). ``m``/``dim`` come from the
+    stored params, ``ksub`` from the stored codebook table, ``k``
+    defaults to the current centroid count — a rebuild preserves the
+    tier's contract unless the caller re-sizes it. Returned row is the
+    PRE-rebuild occupancy report + the rebuilt flag:
+
+        (n_vectors, n_centroids, n_empty_buckets, max_bucket,
+         imbalance, rebuilt)
+
+    Below threshold nothing is written (``dest_path`` stays absent);
+    empty index → NULL imbalance → no evidence, no rebuild (the
+    maintain_bpe_model empty-probe policy). In-place rotation guarded
+    through ``fsutil.guard_rotation``."""
+    from hadoop_invertedindexer_spark.fsutil import guard_rotation
+
+    guard_rotation(spark, path, dest_path, "IVF-PQ rebuild")
+    stats = ivfpq_index_drift(spark, path).head()
+    rebuilt = (
+        stats.imbalance is not None
+        and stats.imbalance * 1000 > max_imbalance_mils
+    )
+    if rebuilt:
+        p = spark.read.parquet(f"{path}/params").head()
+        ksub = int(
+            spark.read.parquet(f"{path}/codebooks")
+            .agg(F.max("c"))
+            .head()[0]
+        ) + 1
+        cents = bounded_centroids_refined(
+            corpus,
+            int(k if k is not None else stats.n_centroids),
+            sample_mult,
+            refine_iters,
+            portable,
+            id_col,
+            vec_col,
+        )
+        cb = pq_codebooks(corpus, int(p.m), ksub, id_col, vec_col, int(p.dim))
+        build_ivfpq_index(
+            corpus, cents, cb, dest_path, int(p.m), id_col, vec_col,
+            int(p.dim),
+        )
+    return spark.createDataFrame(
+        [
+            (
+                stats.n_vectors,
+                stats.n_centroids,
+                stats.n_empty_buckets,
+                stats.max_bucket,
+                stats.imbalance,
+                rebuilt,
+            )
+        ],
+        "n_vectors BIGINT, n_centroids BIGINT, n_empty_buckets BIGINT,"
+        " max_bucket BIGINT, imbalance DOUBLE, rebuilt BOOLEAN",
+    )
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

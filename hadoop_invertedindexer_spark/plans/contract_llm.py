@@ -815,6 +815,59 @@ def q_ann_recall_eval_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall(truth, cand)
 
 
+def q_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy drift report off a persisted IVF-PQ index (r13): the
+    codes tier keeps no raw floats, so the health probe is
+    occupancy-only — one pruned scan of the stored cid column. The
+    oracle recomputes the bounded-centroid assignment argmax and the
+    same occupancy aggregate."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivfpqidx_") + "/ivfpq"
+    cents = similarity.bounded_centroids_refined(
+        emb, k=64, sample_mult=4, refine_iters=2, portable=True
+    )
+    cb = similarity.pq_codebooks(emb, m=8, ksub=16, dim=64)
+    similarity.build_ivfpq_index(emb, cents, cb, path, m=8, dim=64)
+    return similarity.ivfpq_index_drift(spark, path)
+
+
+def q_maintain_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy-triggered IVF-PQ rebuild (r13) — the compressed tier's
+    maintenance loop, drifted BY CONSTRUCTION: a 300-copy slab of
+    document 1's embedding is appended (replica ingest — every copy
+    lands in one bucket), so imbalance = max_bucket·64/n sits far above
+    the 4000-mils threshold at every sf (24.0 at sf0.01, ~8.6 at
+    sf0.1) and the maintainer must rebuild into the rotation dir — from
+    the caller's raw corpus, since the lossy codes tier cannot recenter
+    itself. Returned row is the PRE-rebuild occupancy report + the
+    rebuilt flag; the oracle recomputes the slab, the assignment
+    argmax, and the same threshold rule."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="mivfpq_")
+    path, dest = base + "/ivfpq", base + "/ivfpq_rebuilt"
+    cents = similarity.bounded_centroids_refined(
+        emb, k=64, sample_mult=4, refine_iters=2, portable=True
+    )
+    cb = similarity.pq_codebooks(emb, m=8, ksub=16, dim=64)
+    similarity.build_ivfpq_index(emb, cents, cb, path, m=8, dim=64)
+    one = emb.where(F.col("vec_id") == 1).select("embedding")
+    slab = (
+        spark.range(300)
+        .select((F.col("id") + F.lit(10_000_000)).alias("vec_id"))
+        .crossJoin(F.broadcast(one))
+    )
+    similarity.append_ivfpq_index(slab, path)
+    return similarity.maintain_ivfpq_index(
+        spark, path, dest,
+        emb.select("vec_id", "embedding").unionByName(slab),
+        max_imbalance_mils=4000, portable=True,
+    )
+
+
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN majority-vote labeling of every 100th vector from its exact
     cosine top-10 (the brute-force backend — any ANN backend plugs in).
@@ -2379,6 +2432,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivfpq": q_similarity_ivfpq,
     "similarity_ivfpq_read": q_similarity_ivfpq_read,
     "ann_recall_eval_ivfpq": q_ann_recall_eval_ivfpq,
+    "ivfpq_drift": q_ivfpq_drift,
+    "maintain_ivfpq_index": q_maintain_ivfpq_index,
     "quantize_embeddings": q_quantize_embeddings,
     "lang_id": q_lang_id,
     "lang_confusion": q_lang_confusion,
@@ -4168,6 +4223,75 @@ LLM_ORACLE_SQL: dict[str, str] = {
         src="(SELECT vec_id, embedding FROM embeddings"
             " WHERE vec_id % 4 = 0)",
     )),
+    # IVF-PQ occupancy drift (r13): the shared bounded-centroid CTEs +
+    # the assignment argmax + the occupancy-only aggregate — the codes
+    # tier stores no raw floats, so there is no qerr column to restate
+    "ivfpq_drift": (
+        lambda _c: f"""
+        WITH {_c[0]},
+        assigned AS (
+            SELECT id, cid FROM (
+                SELECT e.vec_id AS id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')}
+                                        DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN {_c[1]} c) t
+            WHERE rn = 1),
+        agg AS (SELECT count(*) AS n_vectors FROM assigned),
+        bk AS (
+            SELECT max(n) AS max_bucket, count(*) AS n_used
+            FROM (SELECT cid, count(*) AS n FROM assigned GROUP BY cid) t),
+        cc AS (SELECT count(*) AS n_centroids FROM {_c[1]})
+        SELECT agg.n_vectors::BIGINT AS n_vectors,
+               cc.n_centroids::BIGINT AS n_centroids,
+               (cc.n_centroids - bk.n_used)::BIGINT AS n_empty_buckets,
+               bk.max_bucket::BIGINT AS max_bucket,
+               round(bk.max_bucket * cc.n_centroids / agg.n_vectors, 6)
+                   AS imbalance
+        FROM agg, bk, cc"""
+    )(_sql_bounded_cents_ctes(k=64, sample=256, n_iters=2, dim=64)),
+    # occupancy-triggered IVF-PQ rebuild (r13): the 300-copy slab of
+    # document 1's embedding appended to the healthy index + the same
+    # occupancy aggregate + the imbalance threshold rule — keep the
+    # slab construction and threshold in lockstep with
+    # q_maintain_ivfpq_index
+    "maintain_ivfpq_index": (
+        lambda _c: f"""
+        WITH {_c[0]},
+        slab AS (
+            SELECT (10000000 + i)::BIGINT AS vec_id, e.embedding
+            FROM (SELECT embedding FROM embeddings WHERE vec_id = 1) e,
+                 unnest(range(300)) AS t(i)),
+        uni AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL SELECT vec_id, embedding FROM slab),
+        assigned AS (
+            SELECT id, cid FROM (
+                SELECT e.vec_id AS id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')}
+                                        DESC,
+                                    c.cid) AS rn
+                FROM uni e CROSS JOIN {_c[1]} c) t
+            WHERE rn = 1),
+        agg AS (SELECT count(*) AS n_vectors FROM assigned),
+        bk AS (
+            SELECT max(n) AS max_bucket, count(*) AS n_used
+            FROM (SELECT cid, count(*) AS n FROM assigned GROUP BY cid) t),
+        cc AS (SELECT count(*) AS n_centroids FROM {_c[1]})
+        SELECT agg.n_vectors::BIGINT AS n_vectors,
+               cc.n_centroids::BIGINT AS n_centroids,
+               (cc.n_centroids - bk.n_used)::BIGINT AS n_empty_buckets,
+               bk.max_bucket::BIGINT AS max_bucket,
+               round(bk.max_bucket * cc.n_centroids / agg.n_vectors, 6)
+                   AS imbalance,
+               (round(bk.max_bucket * cc.n_centroids / agg.n_vectors, 6)
+                    * 1000 > 4000) AS rebuilt
+        FROM agg, bk, cc"""
+    )(_sql_bounded_cents_ctes(k=64, sample=256, n_iters=2, dim=64)),
     "semantic_dedup_bounded": _sql_semantic_dedup_bounded(
         k=64, sample=256, n_iters=2, threshold=0.4
     ),

@@ -11,6 +11,11 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_invertedindexer_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+)
 
 from hadoop_invertedindexer_spark.operators.retrieval import (
     bm25_scores,
@@ -101,9 +106,29 @@ def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r13): hybrid lexical+vector retrieval via reciprocal-rank
+    fusion — the BM25 top-10 for the bag-of-words query fused with the
+    exact cosine top-10 around document 0's embedding (query-by-example;
+    the embeddings table's vec_id IS doc_id). Fused contribution is
+    exact integer ppb, so the whole composite value-hashes."""
+    from hadoop_invertedindexer_spark.operators.retrieval import (
+        hybrid_search_rrf,
+    )
+
+    lex = bm25_search(_doc_counts(spark, sf_dir), QUERY_TERMS, k=TOP_K)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("qid"), F.col("embedding").alias("qvec")
+    )
+    vec = cosine_topk_bruteforce(emb, qv, k=TOP_K, exclude_self=False)
+    return hybrid_search_rrf(lex, vec, k=TOP_K)
+
+
 RETRIEVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_score": q_bm25_score,
     "bm25_search": q_bm25_search,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
     "boolean_search": q_boolean_search,
     "positional_index": q_positional_index,
     "phrase_search": q_phrase_search,
@@ -115,6 +140,10 @@ RETRIEVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _SQL_TERMS = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+from hadoop_invertedindexer_spark.plans.contract_llm import (  # noqa: E402
+    _sql_cosine,
+)
 _SQL_EXCLUDE = ", ".join(f"'{t}'" for t in EXCLUDE_TERMS)
 
 # BM25 building blocks over doc_counts(word, doc, cnt).  avgdl is one
@@ -176,6 +205,45 @@ RETRIEVAL_ORACLE_SQL: dict[str, str] = {
                    row_number() OVER (ORDER BY score_dec DESC, doc)::BIGINT
                        AS rank
             FROM perdoc) t
+        WHERE rank <= {TOP_K}""",
+    # hybrid RRF (r13): the bm25_search chain + a one-query exact-cosine
+    # ranking (document 0's embedding, query-by-example, self included),
+    # fused as exact integer ppb — 1e9 // (60 + rank) — and re-ranked.
+    # The lexical doc key is VARCHAR in the counts CTEs (string rank
+    # tie-break matches Spark's, both string) and casts to BIGINT only
+    # at fusion, exactly like the Spark side.
+    "hybrid_search_rrf": f"""
+        WITH {_SQL_DOC_COUNTS}, {_SQL_BM25_STATS}, {_SQL_BM25_SCORES},
+        perdoc AS (
+            SELECT doc, sum(bm25::DECIMAL(18,6)) AS score_dec
+            FROM scores WHERE word IN ({_SQL_TERMS}) GROUP BY doc),
+        lex AS (
+            SELECT doc::BIGINT AS doc, rank FROM (
+                SELECT doc,
+                       row_number() OVER (ORDER BY score_dec DESC, doc)::BIGINT
+                           AS rank
+                FROM perdoc) t
+            WHERE rank <= {TOP_K}),
+        qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        vecr AS (
+            SELECT doc, rank FROM (
+                SELECT c.vec_id AS doc,
+                       row_number() OVER (
+                           ORDER BY round({_sql_cosine('c.embedding',
+                                                       'qv.qvec')}, 6) DESC,
+                                    c.vec_id)::BIGINT AS rank
+                FROM embeddings c, qv) t
+            WHERE rank <= {TOP_K}),
+        fused AS (
+            SELECT doc, sum(1000000000 // (60 + rank))::BIGINT AS rrf_ppb,
+                   count(*)::BIGINT AS n_lists
+            FROM (SELECT * FROM lex UNION ALL SELECT * FROM vecr) u
+            GROUP BY doc)
+        SELECT doc, rrf_ppb, n_lists, rank FROM (
+            SELECT doc, rrf_ppb, n_lists,
+                   row_number() OVER (ORDER BY rrf_ppb DESC, doc)::BIGINT
+                       AS rank
+            FROM fused) t
         WHERE rank <= {TOP_K}""",
     "boolean_search": f"""
         WITH {_SQL_DOC_COUNTS}

@@ -253,3 +253,49 @@ def test_postings_compression_real_corpus_roundtrip(spark, sf_dir):
     raw = sorted((r.word, r.doc, r["count"]) for r in counts.collect())
     got = sorted((r.word, r.doc, r["count"]) for r in back.collect())
     assert got == raw and len(raw) > 100
+
+
+class TestHybridSearchRrf:
+    """Reciprocal-rank fusion (r13): hand-computed fixture + structural
+    guarantees; the oracle pins the full BM25+cosine composite."""
+
+    def _fused(self, spark, lex_rows, vec_rows, k=10, k0=60):
+        from hadoop_invertedindexer_spark.operators.retrieval import (
+            hybrid_search_rrf,
+        )
+
+        lex = spark.createDataFrame(lex_rows, "doc long, rank long")
+        vec = spark.createDataFrame(vec_rows, "vec_id long, rank long")
+        return hybrid_search_rrf(lex, vec, k=k, k0=k0).collect()
+
+    def test_hand_computed_fusion(self, spark):
+        """lex [A=1, B=2], vec [B=1, C=2] at k0=60: B gets
+        1e9//61 + 1e9//62 = 32_522_474 ppb and must outrank A
+        (1e9//61 = 16_393_442) and C (1e9//62 = 16_129_032)."""
+        rows = self._fused(spark, [(1, 1), (2, 2)], [(2, 1), (3, 2)])
+        got = [(r.doc, r.rrf_ppb, r.n_lists, r.rank) for r in rows]
+        assert got == [
+            (2, 16_393_442 + 16_129_032, 2, 1),
+            (1, 16_393_442, 1, 2),
+            (3, 16_129_032, 1, 3),
+        ]
+
+    def test_tie_breaks_to_lowest_doc(self, spark):
+        """Two docs each ranked 1 by exactly one list fuse to the same
+        ppb — rank order must fall back to doc asc, deterministically."""
+        rows = self._fused(spark, [(7, 1)], [(3, 1)])
+        assert [(r.doc, r.rank) for r in rows] == [(3, 1), (7, 2)]
+
+    def test_fused_is_union_and_k_truncates(self, spark):
+        lex = [(i, i) for i in range(1, 8)]
+        vec = [(i + 100, i) for i in range(1, 8)]
+        rows = self._fused(spark, lex, vec, k=5)
+        assert len(rows) == 5
+        universe = {d for d, _ in lex} | {v for v, _ in vec}
+        assert all(r.doc in universe for r in rows)
+
+    def test_both_signals_beat_single_at_same_depth(self, spark):
+        """A doc ranked r by BOTH lists always outranks a doc ranked r
+        by one list — the property that makes RRF a consensus vote."""
+        rows = self._fused(spark, [(1, 3), (2, 3)], [(1, 3)])
+        assert [(r.doc, r.n_lists) for r in rows][:1] == [(1, 2)]

@@ -1003,3 +1003,98 @@ class TestIvfPq:
         rep = similarity.ann_recall(truth, cand)
         assert rep.count() == queries.count()
         assert rep.agg(F.avg("recall_mils")).first()[0] > 0
+
+
+class TestMaintainIvfPq:
+    """The compressed tier's maintenance loop (r13): occupancy-only
+    trigger (the codes tier keeps no raw floats), rebuild from the
+    caller's corpus; same two-phase shape as every other maintainer."""
+
+    def _emb_frame(self, spark, rows):
+        return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+            "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+        )
+
+    def _clustered(self, n_clusters=4, per=25, dim=8):
+        rows = []
+        for c in range(n_clusters):
+            for j in range(per):
+                v = [
+                    (1.0 if i == c else 0.0) + 0.01 * ((c * per + j) % 5)
+                    for i in range(dim)
+                ]
+                rows.append((c * per + j, v))
+        return rows
+
+    def _built(self, spark, tmp_path, emb):
+        path = str(tmp_path / "ivfpq")
+        cents = similarity.bounded_centroids_refined(emb, k=4, sample_mult=4)
+        cb = similarity.pq_codebooks(emb, m=4, ksub=8, dim=8)
+        similarity.build_ivfpq_index(emb, cents, cb, path, m=4, dim=8)
+        return path
+
+    def _hub_slab(self, spark, emb, n=300):
+        one = emb.where(F.col("vec_id") == 0).select("embedding")
+        return (
+            spark.range(n)
+            .select((F.col("id") + F.lit(10_000_000)).alias("vec_id"))
+            .crossJoin(F.broadcast(one))
+        )
+
+    def test_trigger_rebuild_and_occupancy_recovers(self, spark, tmp_path):
+        emb = self._emb_frame(spark, self._clustered())
+        path = self._built(spark, tmp_path, emb)
+        slab = self._hub_slab(spark, emb)
+        similarity.append_ivfpq_index(slab, path)
+        dest = str(tmp_path / "ivfpq_rot")
+        corpus = emb.unionByName(slab.select("vec_id", "embedding"))
+        r = similarity.maintain_ivfpq_index(
+            spark, path, dest, corpus, max_imbalance_mils=2000
+        ).head()
+        assert r.rebuilt is True
+        assert r.imbalance * 1000 > 2000
+        post = similarity.ivfpq_index_drift(spark, dest).head()
+        # rebuilt centroids have seen the slab: the hub mass spreads
+        assert post.imbalance < r.imbalance
+        # the rebuilt tier serves queries at its own stored contract
+        q = emb.where(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        assert similarity.query_ivfpq_index(
+            spark, dest, q, k=3, nprobe=2
+        ).count() > 0
+
+    def test_skip_below_threshold_writes_nothing(self, spark, tmp_path):
+        import os
+
+        emb = self._emb_frame(spark, self._clustered())
+        path = self._built(spark, tmp_path, emb)
+        dest = str(tmp_path / "ivfpq_rot")
+        r = similarity.maintain_ivfpq_index(
+            spark, path, dest, emb, max_imbalance_mils=10**9
+        ).head()
+        assert r.rebuilt is False
+        assert not os.path.exists(dest)
+
+    def test_refuses_in_place(self, spark, tmp_path):
+        import pytest
+
+        emb = self._emb_frame(spark, self._clustered())
+        path = self._built(spark, tmp_path, emb)
+        with pytest.raises(ValueError, match="in place"):
+            similarity.maintain_ivfpq_index(spark, path, path, emb)
+
+    def test_empty_index_reports_no_rebuild(self, spark, tmp_path):
+        import os
+
+        emb = self._emb_frame(spark, self._clustered())
+        path = self._built(spark, tmp_path, emb)
+        empty = spark.read.parquet(f"{path}/codes").limit(0)
+        empty.write.mode("overwrite").parquet(f"{path}/codes")
+        dest = str(tmp_path / "ivfpq_rot")
+        r = similarity.maintain_ivfpq_index(
+            spark, path, dest, emb, max_imbalance_mils=0
+        ).head()
+        assert r.rebuilt is False
+        assert r.n_vectors == 0 and r.imbalance is None
+        assert not os.path.exists(dest)

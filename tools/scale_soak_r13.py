@@ -39,7 +39,15 @@ Usage:
   python tools/scale_soak_r13.py ann-100x-shifted    [src] [out_json]
   python tools/scale_soak_r13.py winnow-bounded-100x [src] [out_json]
   python tools/scale_soak_r13.py cap-estimate-100x   [src] [out_json]
+  python tools/scale_soak_r13.py ann-ivfpq-100x      [src] [out_json]
 Writes/merges scale_results_r13_100x.json (commit to repo root).
+
+``ann-ivfpq-100x`` (r13 session 2) — the IVF-PQ tier's lifecycle at
+1/10/30/100x: build wall, on-disk codes-vs-raw byte ratio (the
+compression claim measured post-parquet, not quoted from 256/12),
+O(batch) appends at the stored contract (per-vector µs flat across
+factors), DPP-pruned probed queries with sub-linear wall, and
+recall@10 vs exact truth recorded per factor.
 """
 
 from __future__ import annotations
@@ -246,6 +254,159 @@ def winnow_bounded_100x(spark, src: str, out_json: str) -> None:
         _merge_out(out_json, "winnow-bounded-100x", result)
 
 
+# --------------------------------------------------------- ann-ivfpq-100x
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def ann_ivfpq_100x(spark, src: str, out_json: str) -> None:
+    """The IVF-PQ tier's lifecycle ladder (r13): build / storage /
+    append / probed query / recall at 1/10/30/100x. The claims a 100 TB
+    schedule needs before adopting the compressed tier:
+
+    - the codes tier is a small fraction of the raw embedding bytes
+      (the 32x raw-float argument, measured post-parquet-compression —
+      parquet already compresses floats, so the honest number is the
+      on-disk ratio, not 256/12);
+    - appends are O(batch) at the stored contract (per-vector cost flat
+      across factors);
+    - the probed query scans only nprobe/C of the codes (DPP in the
+      executed plan at every factor) and its wall grows sub-linearly
+      vs the corpus;
+    - recall vs exact truth is recorded per factor (the quality point
+      of the nprobe=8/m=8 configuration — observed, not asserted: the
+      replica ladder keeps the base geometry, so the number should
+      hold roughly flat while N grows 100x)."""
+    from hadoop_invertedindexer_spark.operators import similarity
+
+    meter = ShuffleMeter(spark)
+
+    def edir(factor: int) -> str:
+        if factor == 1:
+            return src
+        d = f"/tmp/sfr13e_{factor}"
+        if not os.path.isdir(d):
+            make_scale_dir(src, d, factor, facts=("embeddings",),
+                           copy_dims=False)
+        return d
+
+    def emb(d: str):
+        return spark.read.parquet(f"{d}/embeddings.parquet")
+
+    def queries(corpus):
+        return corpus.where(
+            (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 3200)
+        ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+
+    # untimed plan warmup
+    wtmp = tempfile.mkdtemp(prefix="r13pqwarm_")
+    w = emb(src)
+    similarity.build_ivfpq_index(
+        w,
+        similarity.bounded_centroids_refined(
+            w, k=64, sample_mult=4, refine_iters=2
+        ),
+        similarity.pq_codebooks(w, m=8, ksub=16),
+        f"{wtmp}/ivfpq",
+        m=8,
+    )
+    similarity.query_ivfpq_index(
+        spark, f"{wtmp}/ivfpq", queries(w), k=10, nprobe=8
+    ).write.format("noop").mode("overwrite").save()
+    _hygiene(spark)
+
+    result: dict = {
+        "src": src, "k_centroids": 64, "m": 8, "ksub": 16, "nprobe": 8,
+        "factors": {},
+    }
+    for factor in INDEX_FACTORS:
+        d = edir(factor)
+        corpus = emb(d)
+        tmp = tempfile.mkdtemp(prefix=f"r13pq_{factor}_")
+        path = f"{tmp}/ivfpq"
+        fres: dict = {"corpus_vectors": corpus.count()}
+        _timed(
+            meter, fres, "ivfpq_build",
+            lambda: similarity.build_ivfpq_index(
+                corpus,
+                similarity.bounded_centroids_refined(
+                    corpus, k=64, sample_mult=4, refine_iters=2
+                ),
+                similarity.pq_codebooks(corpus, m=8, ksub=16),
+                path,
+                m=8,
+            ),
+            spark,
+        )
+        fres["codes_bytes"] = _dir_bytes(f"{path}/codes")
+        fres["raw_embedding_bytes"] = _dir_bytes(f"{d}/embeddings.parquet")
+        fres["codes_frac_mils"] = (
+            fres["codes_bytes"] * 1000 // fres["raw_embedding_bytes"]
+        )
+        # O(batch) ingest: a 10%-of-corpus batch with disjoint ids,
+        # encoded at the STORED centroids/codebooks
+        batch = corpus.where(F.col("vec_id") % 10 == 3).select(
+            (F.col("vec_id") + F.lit(900_000_000)).alias("vec_id"),
+            "embedding",
+        )
+        fres["batch_vectors"] = batch.count()
+        _timed(
+            meter, fres, "ivfpq_append",
+            lambda: similarity.append_ivfpq_index(batch, path),
+            spark,
+        )
+        fres["append_us_per_vector"] = round(
+            fres["ivfpq_append"] * 1e6 / max(fres["batch_vectors"], 1), 1
+        )
+        q = queries(corpus)
+        fres["n_queries"] = q.count()
+        qdf = similarity.query_ivfpq_index(spark, path, q, k=10, nprobe=8)
+        _timed(
+            meter, fres, "ivfpq_query",
+            lambda: qdf.write.format("noop").mode("overwrite").save(),
+            spark,
+        )
+        plan = qdf._jdf.queryExecution().executedPlan().toString()
+        fres["dpp_in_plan"] = "dynamicpruning" in plan.lower()
+        fres["plan_joins"] = _join_counts(qdf)
+        assert fres["dpp_in_plan"], "probed codes scan must prune"
+        # recall vs exact truth over the PRE-APPEND corpus (truth and
+        # candidates must rank the same id universe; the appended
+        # replica ids would tie-break nondeterministically against
+        # their base twins in the truth ranking)
+        truth = similarity.cosine_topk_bruteforce(corpus, q, k=10)
+        assigned = similarity.ivf_assign(
+            corpus,
+            spark.read.parquet(f"{path}/centroids"),
+        )
+        cand = similarity.ivfpq_adc_topk(
+            similarity.ivfpq_encode(
+                assigned, spark.read.parquet(f"{path}/codebooks"), m=8
+            ),
+            spark.read.parquet(f"{path}/codebooks"),
+            spark.read.parquet(f"{path}/centroids"),
+            q, k=10, nprobe=8, m=8,
+        )
+        rec = _timed(
+            meter, fres, "recall_eval",
+            lambda: similarity.ann_recall(truth, cand)
+            .agg(F.avg("recall_mils").alias("r"))
+            .head(),
+            spark,
+        )
+        fres["recall_mils_avg"] = int(rec.r)
+        print(f"ann-ivfpq @{factor}x: "
+              f"{__import__('json').dumps(fres)}", flush=True)
+        result["factors"][str(factor)] = fres
+        _merge_out(out_json, "ann-ivfpq-100x", result)
+
+
 # ------------------------------------------------------- cap-estimate-100x
 
 
@@ -299,6 +460,8 @@ def main() -> None:
         winnow_bounded_100x(spark, src, out_json)
     elif mode == "cap-estimate-100x":
         cap_estimate_100x(spark, src, out_json)
+    elif mode == "ann-ivfpq-100x":
+        ann_ivfpq_100x(spark, src, out_json)
     else:
         raise SystemExit(f"unknown mode {mode}")
 
