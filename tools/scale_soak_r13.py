@@ -258,6 +258,8 @@ def winnow_bounded_100x(spark, src: str, out_json: str) -> None:
 
 
 def _dir_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
@@ -401,6 +403,54 @@ def ann_ivfpq_100x(spark, src: str, out_json: str) -> None:
             spark,
         )
         fres["recall_mils_avg"] = int(rec.r)
+        # maintenance loop at this factor: threshold = measured healthy
+        # imbalance + 1000 mils (fleet-style, derived from history);
+        # the healthy index must NOT trigger, a tight off-distribution
+        # cloud ingest (5% of corpus) MUST (it collapses into ~one
+        # frozen bucket), and the corpus-rebuilt rotation must spread
+        # the cloud mass back down (centroids land inside the cloud)
+        healthy = similarity.ivfpq_index_drift(spark, path).head()
+        fres["imbalance_healthy"] = healthy.imbalance
+        thresh = int(healthy.imbalance * 1000) + 1000
+        fres["max_imbalance_mils"] = thresh
+        full = corpus.select("vec_id", "embedding").unionByName(
+            batch.select("vec_id", "embedding")
+        )
+        pre = similarity.maintain_ivfpq_index(
+            spark, path, f"{tmp}/ivfpq_rot", full,
+            max_imbalance_mils=thresh,
+        ).head()
+        fres["healthy_rebuilt"] = pre.rebuilt
+        assert pre.rebuilt is False, "healthy index must not trigger"
+        # drifted ingest: a TIGHT off-distribution cloud (the
+        # ann-100x-shifted construction — distinct vectors, so a
+        # corpus-rebuild can dedicate centroids inside it and split
+        # the collapsed bucket), sized 5% of the corpus
+        slab = corpus.where(F.col("vec_id") % 20 == 7).select(
+            (F.col("vec_id") + F.lit(950_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(0.1) + F.lit(2.0)
+            ).cast("array<float>").alias("embedding"),
+        )
+        similarity.append_ivfpq_index(slab, path)
+        maint = _timed(
+            meter, fres, "ivfpq_maintain_rebuild",
+            lambda: similarity.maintain_ivfpq_index(
+                spark, path, f"{tmp}/ivfpq_rot",
+                full.unionByName(slab.select("vec_id", "embedding")),
+                max_imbalance_mils=thresh,
+            ).head().asDict(),
+            spark,
+        )
+        fres["imbalance_pre_rebuild"] = maint["imbalance"]
+        fres["drifted_rebuilt"] = maint["rebuilt"]
+        assert maint["rebuilt"] is True, "hub-slab index must trigger"
+        post = similarity.ivfpq_index_drift(
+            spark, f"{tmp}/ivfpq_rot"
+        ).head()
+        fres["imbalance_post_rebuild"] = post.imbalance
+        fres["imbalance_recovered"] = post.imbalance < maint["imbalance"]
+        assert fres["imbalance_recovered"], "rebuild must lower imbalance"
         print(f"ann-ivfpq @{factor}x: "
               f"{__import__('json').dumps(fres)}", flush=True)
         result["factors"][str(factor)] = fres
