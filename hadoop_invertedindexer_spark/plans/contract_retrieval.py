@@ -125,10 +125,31 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_search_rrf(lex, vec, k=TOP_K)
 
 
+def q_hybrid_search_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r13): the same RRF fusion with the VECTOR side served by
+    the IVF-PQ composite instead of exact cosine — the end-to-end
+    100 TB read path: a bucket-pruned BM25 posting scan fused with a
+    DPP-pruned probe over m-byte codes, the fusion itself metadata-
+    scale. Document 0's ranked list is sliced out of the multi-query
+    composite, so the oracle reuses the similarity_ivfpq SQL verbatim
+    as a subquery."""
+    from hadoop_invertedindexer_spark.operators.retrieval import (
+        hybrid_search_rrf,
+    )
+    from hadoop_invertedindexer_spark.plans.contract_llm import (
+        q_similarity_ivfpq,
+    )
+
+    lex = bm25_search(_doc_counts(spark, sf_dir), QUERY_TERMS, k=TOP_K)
+    vec = q_similarity_ivfpq(spark, sf_dir).where(F.col("qid") == 0)
+    return hybrid_search_rrf(lex, vec, k=TOP_K)
+
+
 RETRIEVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_score": q_bm25_score,
     "bm25_search": q_bm25_search,
     "hybrid_search_rrf": q_hybrid_search_rrf,
+    "hybrid_search_rrf_ann": q_hybrid_search_rrf_ann,
     "boolean_search": q_boolean_search,
     "positional_index": q_positional_index,
     "phrase_search": q_phrase_search,
@@ -142,6 +163,7 @@ RETRIEVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _SQL_TERMS = ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
 from hadoop_invertedindexer_spark.plans.contract_llm import (  # noqa: E402
+    LLM_ORACLE_SQL,
     _sql_cosine,
 )
 _SQL_EXCLUDE = ", ".join(f"'{t}'" for t in EXCLUDE_TERMS)
@@ -234,6 +256,37 @@ RETRIEVAL_ORACLE_SQL: dict[str, str] = {
                                     c.vec_id)::BIGINT AS rank
                 FROM embeddings c, qv) t
             WHERE rank <= {TOP_K}),
+        fused AS (
+            SELECT doc, sum(1000000000 // (60 + rank))::BIGINT AS rrf_ppb,
+                   count(*)::BIGINT AS n_lists
+            FROM (SELECT * FROM lex UNION ALL SELECT * FROM vecr) u
+            GROUP BY doc)
+        SELECT doc, rrf_ppb, n_lists, rank FROM (
+            SELECT doc, rrf_ppb, n_lists,
+                   row_number() OVER (ORDER BY rrf_ppb DESC, doc)::BIGINT
+                       AS rank
+            FROM fused) t
+        WHERE rank <= {TOP_K}""",
+    # hybrid RRF with the IVF-PQ vector backend (r13): the lexical CTEs
+    # shared with hybrid_search_rrf; the vector list is the
+    # similarity_ivfpq composite (reused verbatim as a subquery) sliced
+    # to document 0's ranked list
+    "hybrid_search_rrf_ann": f"""
+        WITH {_SQL_DOC_COUNTS}, {_SQL_BM25_STATS}, {_SQL_BM25_SCORES},
+        perdoc AS (
+            SELECT doc, sum(bm25::DECIMAL(18,6)) AS score_dec
+            FROM scores WHERE word IN ({_SQL_TERMS}) GROUP BY doc),
+        lex AS (
+            SELECT doc::BIGINT AS doc, rank FROM (
+                SELECT doc,
+                       row_number() OVER (ORDER BY score_dec DESC, doc)::BIGINT
+                           AS rank
+                FROM perdoc) t
+            WHERE rank <= {TOP_K}),
+        vecr AS (
+            SELECT vec_id AS doc, rank
+            FROM ({LLM_ORACLE_SQL["similarity_ivfpq"]}) iv
+            WHERE qid = 0),
         fused AS (
             SELECT doc, sum(1000000000 // (60 + rank))::BIGINT AS rrf_ppb,
                    count(*)::BIGINT AS n_lists
