@@ -118,6 +118,9 @@ HEADLINE = [
     "similarity_pq",          # PQ codebooks + exact-integer ADC over 8-byte codes
     "similarity_ivfpq",       # IVF probe x PQ ADC composite (r13)
     "similarity_ivfpq_read",  # same, served from the pre-built persisted index
+    "maintain_ivfpq_index",   # occupancy trigger + corpus rebuild-rotate (r13)
+    "hybrid_search_rrf",      # BM25 x cosine reciprocal-rank fusion (r13)
+    "hybrid_search_rrf_ann",  # same fusion over the IVF-PQ backend (r13)
     "ivf_drift_read",         # drift probe READ path vs pre-built index (r10)
     "cohort_retention",       # per-user-week collapse + retention matrix
     "hourly_anomalies",       # gap-filled grid + integer-exact z-scores
