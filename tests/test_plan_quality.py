@@ -945,3 +945,26 @@ def test_winnow_windows_partition_by_doc(spark):
     plan = _plan(dedup.winnow_fingerprints(d, k=5, w=4))
     assert "Exchange SinglePartition" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfpq_read_path_prunes_and_never_smj(spark):
+    """The compressed ANN read path (r13): the persisted codes scan must
+    dynamically prune to the probed buckets, every join must be a
+    broadcast of a QUERY-derived frame (probes / ADC table / centroids
+    — all bounded by the query set), and no sort-merge join may appear:
+    the corpus side is never shuffled for a probe."""
+    qs = entrymod.queries()
+    plan = _plan(qs["similarity_ivfpq_read"](spark, SF))
+    assert "dynamicpruning" in plan.lower()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_hybrid_rrf_fusion_is_metadata_scale(spark):
+    """RRF fuses two top-k lists: the fusion itself must add no join at
+    all (a union + one aggregate over k+k rows) — any join in the plan
+    belongs to the backends, and the corpus side must not SMJ."""
+    qs = entrymod.queries()
+    plan = _plan(qs["hybrid_search_rrf"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "Union" in plan
