@@ -446,6 +446,94 @@ def hybrid_search_rrf(
     )
 
 
+def ranking_eval(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    doc_col: str = "doc",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """One-row ranking-quality report for ANY ranked list against a
+    graded relevance table — the eval that closes the retrieval loop,
+    the way `ann_recall` closes ANN and `classifier_auc` closes the
+    quality classifier: before a schedule swaps BM25 for the hybrid
+    (or the hybrid's exact backend for IVF-PQ), this row says what the
+    swap does to ranking quality. Standard IR metrics at cutoff ``k``:
+
+    * ``mrr`` — 1/rank of the first relevant result (0 when none);
+    * ``precision_at_k`` — relevant results in the top k, over k;
+    * ``dcg_at_k`` / ``idcg_at_k`` / ``ndcg_at_k`` — graded gains
+      (2^rel − 1)/log2(rank + 1); the ideal ranking re-sorts the FULL
+      relevance table, so ndcg is comparable across rankers.
+
+    Determinism: gains are pure functions of (rel, rank) — ideal-order
+    ties between equal grades contribute identically, so no
+    tie-break leaks into the value; doubles round(6) at the edge like
+    every scoring oracle in the repo. Scale shape: both inputs are
+    top-k/relevance METADATA — the join and the two aggregates never
+    touch a corpus row."""
+    top = (
+        ranked.where(F.col(rank_col) <= k)
+        .select(F.col(doc_col).cast("long").alias("doc"), F.col(rank_col).alias("r"))
+        .join(
+            relevance.select(
+                F.col(doc_col).cast("long").alias("doc"),
+                F.col(rel_col).alias("rel"),
+            ),
+            "doc",
+            "left",
+        )
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+    )
+    gains = top.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("rel") > 0, 1.0 / F.col("r"))), F.lit(0.0)
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)) / F.lit(float(k)),
+            6,
+        ).alias("precision_at_k"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+            / F.log2(F.col("r") + F.lit(1.0))
+        ).alias("_dcg"),
+    )
+    iw = Window.orderBy(F.desc("rel"), F.asc("doc"))
+    ideal = (
+        relevance.select(
+            F.col(doc_col).cast("long").alias("doc"), F.col(rel_col).alias("rel")
+        )
+        .where(F.col("rel") > 0)
+        .withColumn("r", F.row_number().over(iw))
+        .where(F.col("r") <= k)
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("r") + F.lit(1.0))
+            ).alias("_idcg")
+        )
+    )
+    return gains.crossJoin(F.broadcast(ideal)).select(
+        "n_ranked",
+        "mrr",
+        "precision_at_k",
+        F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)), 6).alias("dcg_at_k"),
+        F.round(F.coalesce(F.col("_idcg"), F.lit(0.0)), 6).alias("idcg_at_k"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("_idcg"), F.lit(0.0)) > 0,
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg_at_k"),
+    )
+
+
 def compress_postings(
     counts: DataFrame,
     word_col: str = "word",

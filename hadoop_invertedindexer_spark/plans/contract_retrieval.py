@@ -145,11 +145,33 @@ def q_hybrid_search_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_search_rrf(lex, vec, k=TOP_K)
 
 
+def q_retrieval_eval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r13): MRR / precision@10 / nDCG@10 of the hybrid RRF
+    ranking against a graded relevance table derived from the corpus
+    itself — a document's grade is how many of the query's terms it
+    actually contains (0–3). The eval that closes the retrieval loop:
+    before a schedule swaps ranking backends, this row prices the swap
+    in ranking quality, the `ann_recall` of the lexical side."""
+    from hadoop_invertedindexer_spark.operators.retrieval import (
+        ranking_eval,
+    )
+
+    ranked = q_hybrid_search_rrf(spark, sf_dir)
+    rel = (
+        _doc_counts(spark, sf_dir)
+        .where(F.col("word").isin([t.lower() for t in QUERY_TERMS]))
+        .groupBy("doc")
+        .agg(F.count_distinct("word").alias("rel"))
+    )
+    return ranking_eval(ranked, rel, k=TOP_K)
+
+
 RETRIEVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_score": q_bm25_score,
     "bm25_search": q_bm25_search,
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "hybrid_search_rrf_ann": q_hybrid_search_rrf_ann,
+    "retrieval_eval_hybrid": q_retrieval_eval_hybrid,
     "boolean_search": q_boolean_search,
     "positional_index": q_positional_index,
     "phrase_search": q_phrase_search,
@@ -298,6 +320,43 @@ RETRIEVAL_ORACLE_SQL: dict[str, str] = {
                        AS rank
             FROM fused) t
         WHERE rank <= {TOP_K}""",
+    # ranking-quality eval of the hybrid list (r13): the hybrid SQL as
+    # a subquery, relevance = distinct query terms per doc (0-3), the
+    # standard graded-gain formulas — doubles round(6) at the edge
+    "retrieval_eval_hybrid": f"""
+        WITH ranked AS (
+            SELECT doc, rank
+            FROM ({{HYBRID_SQL}}) h),
+        relv AS (
+            WITH {_SQL_DOC_COUNTS}
+            SELECT doc::BIGINT AS doc, count(DISTINCT word) AS rel
+            FROM doc_counts WHERE word IN ({_SQL_TERMS}) GROUP BY doc),
+        top AS (
+            SELECT r.doc, r.rank AS rk, coalesce(v.rel, 0) AS rel
+            FROM ranked r LEFT JOIN relv v USING (doc)
+            WHERE r.rank <= {TOP_K}),
+        g AS (
+            SELECT count(*)::BIGINT AS n_ranked,
+                   round(coalesce(
+                       max(CASE WHEN rel > 0 THEN 1.0 / rk END), 0.0), 6)
+                       AS mrr,
+                   round(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                         / {float(TOP_K)}, 6) AS precision_at_k,
+                   sum((pow(2.0, rel) - 1.0) / log2(rk + 1.0)) AS dcg
+            FROM top),
+        i AS (
+            SELECT sum((pow(2.0, rel) - 1.0) / log2(rn + 1.0)) AS idcg
+            FROM (SELECT rel, doc,
+                         row_number() OVER (ORDER BY rel DESC, doc) AS rn
+                  FROM relv WHERE rel > 0) t
+            WHERE rn <= {TOP_K})
+        SELECT g.n_ranked, g.mrr, g.precision_at_k,
+               round(coalesce(g.dcg, 0.0), 6) AS dcg_at_k,
+               round(coalesce(i.idcg, 0.0), 6) AS idcg_at_k,
+               round(CASE WHEN coalesce(i.idcg, 0.0) > 0
+                          THEN coalesce(g.dcg, 0.0) / i.idcg
+                          ELSE 0.0 END, 6) AS ndcg_at_k
+        FROM g, i""",
     "boolean_search": f"""
         WITH {_SQL_DOC_COUNTS}
         SELECT doc, occurrences FROM (
@@ -362,3 +421,9 @@ RETRIEVAL_ORACLE_SQL: dict[str, str] = {
                unnest(range(len(toks) - 2)) AS pos
         FROM cleaned WHERE len(toks) >= 3""",
 }
+
+# the eval entry embeds the hybrid chain as its ranked-list subquery —
+# substituted post-hoc because both live in the same dict literal
+RETRIEVAL_ORACLE_SQL["retrieval_eval_hybrid"] = RETRIEVAL_ORACLE_SQL[
+    "retrieval_eval_hybrid"
+].replace("{HYBRID_SQL}", RETRIEVAL_ORACLE_SQL["hybrid_search_rrf"])

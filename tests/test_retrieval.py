@@ -299,3 +299,56 @@ class TestHybridSearchRrf:
         by one list — the property that makes RRF a consensus vote."""
         rows = self._fused(spark, [(1, 3), (2, 3)], [(1, 3)])
         assert [(r.doc, r.n_lists) for r in rows][:1] == [(1, 2)]
+
+
+class TestRankingEval:
+    """ranking_eval (r13): hand-computed IR metrics + degenerate cases;
+    the oracle pins the full hybrid-ranking composite."""
+
+    def _eval(self, spark, ranked_rows, rel_rows, k=3):
+        from hadoop_invertedindexer_spark.operators.retrieval import (
+            ranking_eval,
+        )
+
+        ranked = spark.createDataFrame(ranked_rows, "doc long, rank long")
+        rel = spark.createDataFrame(rel_rows, "doc long, rel int")
+        return ranking_eval(ranked, rel, k=k).head()
+
+    def test_hand_computed_metrics(self, spark):
+        """ranked [1, 2, 3]; rel 2@doc2, 1@doc3:
+        mrr = 1/2; p@3 = 2/3;
+        dcg = 3/log2(3) + 1/log2(4) = 2.392789...;
+        idcg = 3/log2(2) + 1/log2(3) = 3.630930...;
+        ndcg = dcg/idcg = 0.659002..."""
+        import math
+
+        r = self._eval(
+            spark, [(1, 1), (2, 2), (3, 3)], [(2, 2), (3, 1)]
+        )
+        dcg = 3 / math.log2(3) + 1 / math.log2(4)
+        idcg = 3 / math.log2(2) + 1 / math.log2(3)
+        assert r.n_ranked == 3
+        assert r.mrr == 0.5
+        assert r.precision_at_k == round(2 / 3, 6)
+        assert r.dcg_at_k == round(dcg, 6)
+        assert r.idcg_at_k == round(idcg, 6)
+        assert r.ndcg_at_k == round(dcg / idcg, 6)
+
+    def test_perfect_ranking_gets_ndcg_one(self, spark):
+        r = self._eval(
+            spark, [(9, 1), (8, 2)], [(9, 3), (8, 1)], k=2
+        )
+        assert r.ndcg_at_k == 1.0 and r.mrr == 1.0
+        assert r.precision_at_k == 1.0
+
+    def test_nothing_relevant_is_all_zero(self, spark):
+        r = self._eval(spark, [(1, 1), (2, 2)], [(99, 3)], k=2)
+        assert (r.mrr, r.precision_at_k, r.dcg_at_k, r.ndcg_at_k) == (
+            0.0, 0.0, 0.0, 0.0,
+        )
+        assert r.idcg_at_k > 0  # the ideal existed; this ranking missed it
+
+    def test_cutoff_ignores_below_k(self, spark):
+        """A relevant doc ranked past k contributes nothing."""
+        r = self._eval(spark, [(1, 1), (2, 4)], [(2, 2)], k=3)
+        assert r.mrr == 0.0 and r.dcg_at_k == 0.0
