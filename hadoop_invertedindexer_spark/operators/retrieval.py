@@ -495,7 +495,13 @@ def ranking_eval(
             6,
         ).alias("mrr"),
         F.round(
-            F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)) / F.lit(float(k)),
+            # coalesce: an EMPTY ranked list sums to NULL, and a
+            # no-results ranking scores 0, not unknown (hypothesis
+            # found this — the zero-row aggregate edge)
+            F.coalesce(
+                F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)), F.lit(0)
+            )
+            / F.lit(float(k)),
             6,
         ).alias("precision_at_k"),
         F.sum(
