@@ -1478,6 +1478,65 @@ def ivfpq_adc_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 40,
+    nprobe: int = 4,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Two-stage IVF-PQ serving — the standard production read path
+    (FAISS's refine step): stage 1 ADC-ranks the probed buckets' m-byte
+    codes down to a ``shortlist`` of candidates per query
+    (:func:`ivfpq_adc_topk` unchanged), stage 2 re-ranks ONLY the
+    shortlist by exact cosine over the raw vectors. Recall recovers
+    toward the raw-vector IVF level (quantization error stops deciding
+    the final order, it only decides the shortlist) while the corpus
+    scan stays code-sized — the raw floats are touched for
+    |Q|·shortlist rows, fetched by a broadcast id join, never scanned.
+    Output: (qid, vec_id, cosine, rank) — identical shape to
+    ``similarity_ivf``, so the two backends are drop-in swappable and
+    ``ann_recall`` prices the difference."""
+    cand = ivfpq_adc_topk(
+        codes, codebooks, centroids, queries, shortlist, nprobe, m,
+        id_col, qid_col, qvec_col, dim, exclude_self,
+    ).select(qid_col, id_col)
+    c = corpus.select(
+        id_col, vec_col, _norm(F.col(vec_col)).alias("_cnorm")
+    )
+    q = queries.select(
+        qid_col, qvec_col, _norm(F.col(qvec_col)).alias("_qnorm")
+    )
+    scored = (
+        c.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(q), qid_col)
+        .select(
+            qid_col,
+            id_col,
+            F.round(
+                _dot(F.col(qvec_col), F.col(vec_col))
+                / (F.col("_qnorm") * F.col("_cnorm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     centroids: DataFrame,

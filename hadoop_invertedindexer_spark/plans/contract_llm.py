@@ -815,6 +815,39 @@ def q_ann_recall_eval_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_recall(truth, cand)
 
 
+def q_similarity_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF-PQ serving (r13): the ADC top-40 shortlist
+    re-ranked by exact cosine over the raw vectors — quantization
+    error stops deciding the final order, it only decides the
+    shortlist. Output shape identical to similarity_ivf, so the
+    backends are drop-in swappable; exact-arithmetic end-to-end (ADC
+    integers, then the round(6) cosine every exact path shares), so
+    the whole two-stage chain value-hashes."""
+    emb, queries, cents, cb = _ivfpq_parts(spark, sf_dir)
+    assigned = similarity.ivf_assign(emb, cents, dim=64)
+    codes = similarity.ivfpq_encode(assigned, cb, m=8, dim=64)
+    return similarity.ivfpq_rerank_topk(
+        codes, cb, cents, emb, queries, k=10, shortlist=40, nprobe=4,
+        m=8, dim=64,
+    )
+
+
+def q_ann_recall_eval_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the two-stage path vs exact truth — read next to
+    ann_recall_eval_ivfpq: the delta between the two rows is what the
+    exact re-rank buys back of the recall PQ quantization costs, at
+    the price of |Q|·shortlist raw-vector fetches."""
+    emb, queries, cents, cb = _ivfpq_parts(spark, sf_dir)
+    truth = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+    assigned = similarity.ivf_assign(emb, cents, dim=64)
+    codes = similarity.ivfpq_encode(assigned, cb, m=8, dim=64)
+    cand = similarity.ivfpq_rerank_topk(
+        codes, cb, cents, emb, queries, k=10, shortlist=40, nprobe=4,
+        m=8, dim=64,
+    )
+    return similarity.ann_recall(truth, cand)
+
+
 def q_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Occupancy drift report off a persisted IVF-PQ index (r13): the
     codes tier keeps no raw floats, so the health probe is
@@ -2434,6 +2467,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_eval_ivfpq": q_ann_recall_eval_ivfpq,
     "ivfpq_drift": q_ivfpq_drift,
     "maintain_ivfpq_index": q_maintain_ivfpq_index,
+    "similarity_ivfpq_rerank": q_similarity_ivfpq_rerank,
+    "ann_recall_eval_ivfpq_rerank": q_ann_recall_eval_ivfpq_rerank,
     "quantize_embeddings": q_quantize_embeddings,
     "lang_id": q_lang_id,
     "lang_confusion": q_lang_confusion,
@@ -3055,6 +3090,54 @@ def _sql_pq_ctes() -> str:
                                           ORDER BY d, c) AS rn
                 FROM dists) r
             WHERE rn = 1)"""
+
+
+def _sql_ivfpq_topk(k: int) -> str:
+    """The IVF-PQ composite in SQL, parameterized on the output depth
+    (lockstep with ivfpq_adc_topk at nprobe=4, m=8, ksub=16, dim=64 —
+    every constant shared with the similarity_ivf and _sql_pq_ctes
+    chains it composes)."""
+    return f"""
+        WITH {_sql_pq_ctes()},
+        cents AS (
+            SELECT vec_id AS cid, embedding AS cvec
+            FROM embeddings WHERE vec_id % 50 = 0),
+        assigned AS (
+            SELECT id, cid FROM (
+                SELECT e.vec_id AS id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents c) t
+            WHERE rn = 1),
+        probes AS (
+            SELECT qid, cid FROM (
+                SELECT e.vec_id AS qid, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC,
+                                    c.cid) AS rn
+                FROM embeddings e CROSS JOIN cents c
+                WHERE e.vec_id % 100 = 0) t
+            WHERE rn <= 4),
+        qtab AS (
+            SELECT vec_id AS qid, s, c, d AS qdist
+            FROM dists WHERE vec_id % 100 = 0),
+        adist AS (
+            SELECT q.qid, e.vec_id, sum(q.qdist)::BIGINT AS adist
+            FROM enc e
+            JOIN assigned a ON a.id = e.vec_id
+            JOIN probes p ON p.cid = a.cid
+            JOIN qtab q ON q.qid = p.qid AND q.s = e.s AND q.c = e.c
+            WHERE q.qid <> e.vec_id
+            GROUP BY q.qid, e.vec_id)
+        SELECT qid, vec_id, adist, rank FROM (
+            SELECT qid, vec_id, adist,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY adist, vec_id)::BIGINT AS rank
+            FROM adist) t
+        WHERE rank <= {k}"""
 
 
 LLM_ORACLE_SQL: dict[str, str] = {
@@ -3812,48 +3895,10 @@ LLM_ORACLE_SQL: dict[str, str] = {
         WHERE rank <= 10""",
     # IVF-PQ composite (r13): the similarity_ivf assignment/probe CTEs
     # joined with the _sql_pq_ctes encoding — candidates restricted to
-    # each query's 4 probed buckets, ranked by the exact-integer ADC sum
-    "similarity_ivfpq": f"""
-        WITH {_sql_pq_ctes()},
-        cents AS (
-            SELECT vec_id AS cid, embedding AS cvec
-            FROM embeddings WHERE vec_id % 50 = 0),
-        assigned AS (
-            SELECT id, cid FROM (
-                SELECT e.vec_id AS id, c.cid,
-                       row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC,
-                                    c.cid) AS rn
-                FROM embeddings e CROSS JOIN cents c) t
-            WHERE rn = 1),
-        probes AS (
-            SELECT qid, cid FROM (
-                SELECT e.vec_id AS qid, c.cid,
-                       row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC,
-                                    c.cid) AS rn
-                FROM embeddings e CROSS JOIN cents c
-                WHERE e.vec_id % 100 = 0) t
-            WHERE rn <= 4),
-        qtab AS (
-            SELECT vec_id AS qid, s, c, d AS qdist
-            FROM dists WHERE vec_id % 100 = 0),
-        adist AS (
-            SELECT q.qid, e.vec_id, sum(q.qdist)::BIGINT AS adist
-            FROM enc e
-            JOIN assigned a ON a.id = e.vec_id
-            JOIN probes p ON p.cid = a.cid
-            JOIN qtab q ON q.qid = p.qid AND q.s = e.s AND q.c = e.c
-            WHERE q.qid <> e.vec_id
-            GROUP BY q.qid, e.vec_id)
-        SELECT qid, vec_id, adist, rank FROM (
-            SELECT qid, vec_id, adist,
-                   row_number() OVER (PARTITION BY qid
-                                      ORDER BY adist, vec_id)::BIGINT AS rank
-            FROM adist) t
-        WHERE rank <= 10""",
+    # each query's 4 probed buckets, ranked by the exact-integer ADC
+    # sum. Parameterized on k so the rerank entry reuses it as its
+    # shortlist subquery.
+    "similarity_ivfpq": _sql_ivfpq_topk(10),
     "quantize_embeddings": """
         WITH staged AS (
             SELECT vec_id, embedding,
@@ -5217,6 +5262,48 @@ LLM_ORACLE_SQL["ann_recall_eval_ivf_read"] = LLM_ORACLE_SQL[
 # exactly (query_ivfpq_index ≡ ivfpq_adc_topk at the stored
 # centroids/codebooks/params, pinned by test) — shared oracle
 LLM_ORACLE_SQL["similarity_ivfpq_read"] = LLM_ORACLE_SQL["similarity_ivfpq"]
+
+# two-stage IVF-PQ (r13): the ADC chain at shortlist depth 40 as the
+# candidate subquery, re-ranked by the exact round(6) cosine every
+# exact path shares
+LLM_ORACLE_SQL["similarity_ivfpq_rerank"] = f"""
+        WITH cand AS (
+            SELECT qid, vec_id FROM ({_sql_ivfpq_topk(40)}) s),
+        scored AS (
+            SELECT c.qid, c.vec_id,
+                   round({_sql_cosine('e.embedding', 'q.embedding')}, 6)
+                       AS cosine
+            FROM cand c
+            JOIN embeddings e ON e.vec_id = c.vec_id
+            JOIN embeddings q ON q.vec_id = c.qid)
+        SELECT qid, vec_id, cosine, rank FROM (
+            SELECT qid, vec_id, cosine,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, vec_id)::BIGINT
+                       AS rank
+            FROM scored) t
+        WHERE rank <= 10"""
+
+LLM_ORACLE_SQL["ann_recall_eval_ivfpq_rerank"] = f"""
+        WITH cand AS (
+            SELECT qid, vec_id
+            FROM ({LLM_ORACLE_SQL["similarity_ivfpq_rerank"]}) c),
+        truth AS (
+            SELECT qid, vec_id
+            FROM ({LLM_ORACLE_SQL["similarity_bruteforce"]}) b),
+        hits AS (
+            SELECT t.qid, count(*)::BIGINT AS n_hit
+            FROM truth t JOIN cand c
+              ON t.qid = c.qid AND t.vec_id = c.vec_id
+            GROUP BY t.qid),
+        perq AS (
+            SELECT qid, count(*)::BIGINT AS n_truth
+            FROM truth GROUP BY qid)
+        SELECT p.qid, p.n_truth,
+               coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+               (coalesce(h.n_hit, 0) * 1000 // p.n_truth)::BIGINT
+                   AS recall_mils
+        FROM perq p LEFT JOIN hits h USING (qid)"""
 
 # IVF-PQ recall eval (r13): the composite + brute chains as subqueries
 # with the same intersection rollup as the IVF/LSH recall entries

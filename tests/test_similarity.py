@@ -1249,3 +1249,74 @@ class TestIvfPqStreamIngest:
         assert similarity.query_ivfpq_index(
             spark, path, q, k=3, nprobe=4
         ).count() > 0
+
+
+class TestIvfPqRerank:
+    """Two-stage IVF-PQ (r13): ADC shortlist -> exact re-rank. The
+    oracle pins values; these pin the structure and the recall claim."""
+
+    def _parts(self, spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        cents = similarity.centroids_by_sampling(emb, every=50)
+        cb = similarity.pq_codebooks(emb, m=8, ksub=16, dim=64)
+        assigned = similarity.ivf_assign(emb, cents, dim=64)
+        codes = similarity.ivfpq_encode(assigned, cb, m=8, dim=64)
+        return emb, queries, cents, cb, codes
+
+    def test_results_subset_of_adc_shortlist(self, spark, sf_dir):
+        emb, queries, cents, cb, codes = self._parts(spark, sf_dir)
+        short = {
+            (r.qid, r.vec_id)
+            for r in similarity.ivfpq_adc_topk(
+                codes, cb, cents, queries, k=40, nprobe=4, m=8, dim=64
+            ).collect()
+        }
+        rer = similarity.ivfpq_rerank_topk(
+            codes, cb, cents, emb, queries, k=10, shortlist=40,
+            nprobe=4, m=8, dim=64,
+        ).collect()
+        assert rer
+        assert all((r.qid, r.vec_id) in short for r in rer)
+
+    def test_rerank_cosines_are_exact(self, spark, sf_dir):
+        """Stage 2 is exact: every reported cosine equals the
+        brute-force cosine for that (qid, vec) pair."""
+        emb, queries, cents, cb, codes = self._parts(spark, sf_dir)
+        exact = {
+            (r.qid, r.vec_id): r.cosine
+            for r in similarity.cosine_topk_bruteforce(
+                emb, queries, k=10**6
+            ).collect()
+        }
+        for r in similarity.ivfpq_rerank_topk(
+            codes, cb, cents, emb, queries, k=10, shortlist=40,
+            nprobe=4, m=8, dim=64,
+        ).collect():
+            assert exact[(r.qid, r.vec_id)] == r.cosine
+
+    def test_rerank_recall_at_least_plain_ivfpq(self, spark, sf_dir):
+        """The refine step can only help: with the shortlist a superset
+        of the plain top-k, exact re-ordering recovers truth members
+        ADC mis-ranked. Deterministic corpus, so >= is assertable."""
+        emb, queries, cents, cb, codes = self._parts(spark, sf_dir)
+        truth = similarity.cosine_topk_bruteforce(emb, queries, k=10)
+        plain = similarity.ivfpq_adc_topk(
+            codes, cb, cents, queries, k=10, nprobe=4, m=8, dim=64
+        )
+        rer = similarity.ivfpq_rerank_topk(
+            codes, cb, cents, emb, queries, k=10, shortlist=40,
+            nprobe=4, m=8, dim=64,
+        )
+        r_plain = (
+            similarity.ann_recall(truth, plain)
+            .agg(F.avg("recall_mils")).first()[0]
+        )
+        r_rer = (
+            similarity.ann_recall(truth, rer)
+            .agg(F.avg("recall_mils")).first()[0]
+        )
+        assert r_rer >= r_plain
+        assert r_rer > 0
