@@ -422,14 +422,24 @@ def hybrid_search_rrf(
     each), never the corpus — so the fusion is a k+k-row groupBy; the
     heavy lifting stays in the backends, which prune exactly as they
     do standalone (bucket-pruned BM25 postings, DPP-pruned IVF
-    buckets). Fusing per-query batches rides the same plan with qid
-    added to the group/window keys."""
+    buckets). For per-query batches use :func:`hybrid_search_rrf_batch`
+    — same plan with qid added to the group/window keys.
+
+    Doc-id contract: ids are fused on a BIGINT key (the embeddings
+    table's vec_id is numeric by schema, and the documents table's
+    doc ids are its id space). A lexical backend whose doc ids are
+    non-numeric strings casts to NULL; those rows are DROPPED rather
+    than fused into one phantom NULL group that could sum its way into
+    a top-k slot (ADVICE r13) — map such ids to the numeric space
+    first."""
     lex = lexical.select(
-        F.col(doc_col).cast("long").alias("doc"), F.col("rank").alias("r")
-    )
+        F.col(doc_col).try_cast("long").alias("doc"),
+        F.col("rank").alias("r"),
+    ).where(F.col("doc").isNotNull())
     vec = vector.select(
-        F.col(vec_id_col).cast("long").alias("doc"), F.col("rank").alias("r")
-    )
+        F.col(vec_id_col).try_cast("long").alias("doc"),
+        F.col("rank").alias("r"),
+    ).where(F.col("doc").isNotNull())
     fused = (
         lex.unionByName(vec)
         .select("doc", F.expr(f"1000000000 DIV ({k0} + r)").alias("ppb"))

@@ -110,8 +110,11 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT (r13): hybrid lexical+vector retrieval via reciprocal-rank
     fusion — the BM25 top-10 for the bag-of-words query fused with the
     exact cosine top-10 around document 0's embedding (query-by-example;
-    the embeddings table's vec_id IS doc_id). Fused contribution is
-    exact integer ppb, so the whole composite value-hashes."""
+    the embeddings table's vec_id IS doc_id). ``exclude_self=True``
+    matches the IVF-PQ composite in :func:`q_hybrid_search_rrf_ann`, so
+    the two hybrid entries fuse the SAME candidate universe and read as
+    'same fusion, different backend' (ADVICE r13). Fused contribution
+    is exact integer ppb, so the whole composite value-hashes."""
     from hadoop_invertedindexer_spark.operators.retrieval import (
         hybrid_search_rrf,
     )
@@ -121,7 +124,7 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.where(F.col("vec_id") == 0).select(
         F.lit(0).alias("qid"), F.col("embedding").alias("qvec")
     )
-    vec = cosine_topk_bruteforce(emb, qv, k=TOP_K, exclude_self=False)
+    vec = cosine_topk_bruteforce(emb, qv, k=TOP_K, exclude_self=True)
     return hybrid_search_rrf(lex, vec, k=TOP_K)
 
 
@@ -251,7 +254,8 @@ RETRIEVAL_ORACLE_SQL: dict[str, str] = {
             FROM perdoc) t
         WHERE rank <= {TOP_K}""",
     # hybrid RRF (r13): the bm25_search chain + a one-query exact-cosine
-    # ranking (document 0's embedding, query-by-example, self included),
+    # ranking (document 0's embedding, query-by-example, self EXCLUDED —
+    # aligned with the IVF-PQ composite's universe, ADVICE r13),
     # fused as exact integer ppb — 1e9 // (60 + rank) — and re-ranked.
     # The lexical doc key is VARCHAR in the counts CTEs (string rank
     # tie-break matches Spark's, both string) and casts to BIGINT only
@@ -276,7 +280,7 @@ RETRIEVAL_ORACLE_SQL: dict[str, str] = {
                            ORDER BY round({_sql_cosine('c.embedding',
                                                        'qv.qvec')}, 6) DESC,
                                     c.vec_id)::BIGINT AS rank
-                FROM embeddings c, qv) t
+                FROM embeddings c, qv WHERE c.vec_id <> 0) t
             WHERE rank <= {TOP_K}),
         fused AS (
             SELECT doc, sum(1000000000 // (60 + rank))::BIGINT AS rrf_ppb,
@@ -340,7 +344,8 @@ RETRIEVAL_ORACLE_SQL: dict[str, str] = {
                    round(coalesce(
                        max(CASE WHEN rel > 0 THEN 1.0 / rk END), 0.0), 6)
                        AS mrr,
-                   round(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                   round(coalesce(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END),
+                                  0)
                          / {float(TOP_K)}, 6) AS precision_at_k,
                    sum((pow(2.0, rel) - 1.0) / log2(rk + 1.0)) AS dcg
             FROM top),

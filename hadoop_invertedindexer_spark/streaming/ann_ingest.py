@@ -21,6 +21,18 @@ same closed loop over the IVF-PQ codes tier:
   directory (the raw source of truth a lossy tier cannot be) → whole-
   index swap via the crash-safe staging order of ``swap_tier_dir``.
 
+Replay safety across an in-drain fold (ADVICE r13): folding
+``batch=<id>`` tiers into ``batch=compacted`` and then crashing before
+the checkpoint commits would make the replay REWRITE ``batch=<id>``
+whose rows already live inside the compacted tier — and duplicated
+(id, cid, codes) rows double those vectors' summed ADC distances in
+``query_ivfpq_index`` (the groupBy sums 2m lookups instead of m),
+corrupting rankings. Unlike the dedup tiers (distinct-key sets, replay-
+safe by value), the codes tier is NOT a set, so the fold records the
+batch ids it swallowed in a ``folded`` table inside the swapped index;
+a replayed batch whose id is on that list is skipped entirely — the
+overwrite-own-batch idempotency contract extends through the fold.
+
 ``query_ivfpq_index`` serves the stream layout unchanged: it projects
 (id, cid, codes) explicitly, so the extra ``batch`` partition column is
 invisible, and DPP prunes on cid exactly as on the batch-built layout.
@@ -41,7 +53,9 @@ def init_ivfpq_stream_index(
     dim: int = 64,
 ) -> None:
     """Pin the model tables of a (possibly still empty) stream-
-    maintained IVF-PQ index: centroids + codebooks + (m, dim) params.
+    maintained IVF-PQ index: centroids + codebooks + (m, dim) params,
+    plus an empty ``folded`` ledger (the batch ids an in-drain fold has
+    swallowed — see module docstring; empty until the first fold).
     No codes are written — all data arrives as ``codes/batch=<id>``
     tiers from the drain, so the layout stays uniform-depth."""
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
@@ -49,6 +63,24 @@ def init_ivfpq_stream_index(
     spark.createDataFrame([(m, dim)], "m int, dim int").write.mode(
         "overwrite"
     ).parquet(f"{path}/params")
+    spark.createDataFrame([], "batch string").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/folded")
+
+
+def _folded_batches(spark: SparkSession, index_path: str) -> set[str]:
+    """The set of batch ids already folded into ``batch=compacted`` —
+    bounded by the number of drains ever folded (metadata-scale).
+    Absent ledger (index inited before the ledger existed, or built by
+    the batch-side builder) reads as empty: those indexes have never
+    folded in-drain, so nothing can be double-counted."""
+    try:
+        return {
+            str(r.batch)
+            for r in spark.read.parquet(f"{index_path}/folded").collect()
+        }
+    except Exception:
+        return set()
 
 
 def maintain_ivfpq_stream_tier(
@@ -138,6 +170,24 @@ def maintain_ivfpq_stream_tier(
         spark.createDataFrame(
             [(int(p.m), int(p.dim))], "m int, dim int"
         ).write.mode("overwrite").parquet(f"{staging}/params")
+        # record every batch id the fold swallowed (plus all previously
+        # folded ids): a checkpoint replay of one of these batches must
+        # SKIP its rewrite, or its rows exist twice — once inside
+        # batch=compacted, once in the rewritten batch=<id> — and
+        # query_ivfpq_index's groupBy would sum 2m ADC lookups for
+        # those vectors (ADVICE r13). The ledger rides the same
+        # crash-safe swap as the tier it protects.
+        swallowed = {
+            str(r.batch)
+            for r in spark.read.parquet(f"{index_path}/codes")
+            .select("batch")
+            .distinct()
+            .collect()
+            if str(r.batch) != "compacted"
+        } | _folded_batches(spark, index_path)
+        spark.createDataFrame(
+            [(b,) for b in sorted(swallowed)], "batch string"
+        ).write.mode("overwrite").parquet(f"{staging}/folded")
         swap_tier_dir(spark, staging, index_path)
     return spark.createDataFrame(
         [
@@ -172,11 +222,16 @@ def maintain_ivfpq_ingest(
     an idempotent ``codes/batch=<id>`` tier (overwrite-own-batch, so a
     checkpoint replay rewrites rather than duplicates — the dedup
     maintainers' contract; the flat ``append_ivfpq_index`` path instead
-    appends rows, which is why the stream owns its own layout). Same
-    single-maintainer rule as every tier; ``max_imbalance_mils`` wires
-    :func:`maintain_ivfpq_stream_tier`'s loop into the drain, with the
-    published ``source_dir`` as the rebuild's raw-vector source of
-    truth."""
+    appends rows, which is why the stream owns its own layout). Replays
+    of batches an in-drain fold already swallowed are SKIPPED via the
+    ``folded`` ledger (see module docstring — rewriting them would
+    duplicate rows inside ``batch=compacted``), and empty micro-batches
+    write nothing (an empty ``batch=<id>`` dir has no parquet footers
+    and breaks later schema inference of the codes tier — ADVICE r13).
+    Same single-maintainer rule as every tier; ``max_imbalance_mils``
+    wires :func:`maintain_ivfpq_stream_tier`'s loop into the drain,
+    with the published ``source_dir`` as the rebuild's raw-vector
+    source of truth."""
     from hadoop_invertedindexer_spark.operators.similarity import (
         ivf_assign,
         ivfpq_encode,
@@ -188,6 +243,16 @@ def maintain_ivfpq_ingest(
     p = spark.read.parquet(f"{index_path}/params").head()
 
     def _append_tier(batch_df: DataFrame, batch_id: int) -> None:
+        # a replayed batch the fold already swallowed: its rows live in
+        # batch=compacted — rewriting batch=<id> would double them
+        if str(batch_id) in _folded_batches(spark, index_path):
+            return
+        # an empty micro-batch (e.g. the source's first listed file has
+        # no rows): writing produces a footer-less batch dir that later
+        # schema inference of {index_path}/codes chokes on — and there
+        # is no occupancy evidence to maintain on either
+        if batch_df.isEmpty():
+            return
         # model tables re-read per batch (tiny, broadcast anyway): an
         # in-drain rebuild swaps them mid-stream, and a file index
         # captured before the drain would encode later batches against

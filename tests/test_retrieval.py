@@ -300,6 +300,22 @@ class TestHybridSearchRrf:
         rows = self._fused(spark, [(1, 3), (2, 3)], [(1, 3)])
         assert [(r.doc, r.n_lists) for r in rows][:1] == [(1, 2)]
 
+    def test_non_numeric_doc_ids_dropped_not_null_fused(self, spark):
+        """ADVICE r13: a lexical backend with non-numeric doc ids casts
+        to NULL — those rows must be DROPPED, never fused into a single
+        NULL group that sums its way into a top-k slot."""
+        from hadoop_invertedindexer_spark.operators.retrieval import (
+            hybrid_search_rrf,
+        )
+
+        lex = spark.createDataFrame(
+            [("urn:a", 1), ("urn:b", 2), ("7", 3)], "doc string, rank long"
+        )
+        vec = spark.createDataFrame([(7, 1)], "vec_id long, rank long")
+        rows = hybrid_search_rrf(lex, vec, k=10).collect()
+        assert all(r.doc is not None for r in rows)
+        assert [(r.doc, r.n_lists) for r in rows] == [(7, 2)]
+
 
 class TestRankingEval:
     """ranking_eval (r13): hand-computed IR metrics + degenerate cases;

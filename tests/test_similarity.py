@@ -1250,6 +1250,106 @@ class TestIvfPqStreamIngest:
             spark, path, q, k=3, nprobe=4
         ).count() > 0
 
+    def test_replay_after_fold_does_not_duplicate(self, spark, tmp_path):
+        """ADVICE r13 (medium): a checkpoint replay of a batch an
+        in-drain fold already swallowed must NOT rewrite codes/batch=<id>
+        — its rows live inside batch=compacted, and duplicated (id, cid,
+        codes) rows double those vectors' summed ADC distances in
+        query_ivfpq_index. Replay is simulated the hard way: the whole
+        checkpoint is deleted and the SAME source re-drained."""
+        import shutil
+
+        from hadoop_invertedindexer_spark.streaming import ann_ingest
+
+        day0 = self._emb_frame(spark, self._clustered_rows())
+        # day 1 collapses onto cluster 0's direction: occupancy spikes
+        # (125 of 200 rows in one frozen bucket -> imbalance 2.5) and
+        # the in-drain fold fires at the 2000-mil threshold
+        day1 = self._emb_frame(
+            spark,
+            [
+                (1000 + j, [1.0 + 0.001 * (j % 7)] + [0.0] * 7)
+                for j in range(100)
+            ],
+        )
+        src = self._publish(spark, tmp_path, [day0, day1])
+        union = day0.unionByName(day1)
+        cents = similarity.bounded_centroids_refined(day0, k=4, sample_mult=4)
+        cb = similarity.pq_codebooks(day0, m=4, ksub=8, dim=8)
+        path = str(tmp_path / "ivfpq_stream")
+        ck = str(tmp_path / "ck")
+        ann_ingest.init_ivfpq_stream_index(spark, path, cents, cb, m=4, dim=8)
+        ann_ingest.maintain_ivfpq_ingest(
+            spark, src, self._schema(), path, ck, max_imbalance_mils=2000
+        )
+        n_total = union.count()
+        codes = spark.read.parquet(f"{path}/codes")
+        assert codes.count() == n_total  # fold happened, nothing doubled
+        folded = {
+            str(r.batch)
+            for r in spark.read.parquet(f"{path}/folded").collect()
+        }
+        assert folded  # the fold recorded what it swallowed
+        q = union.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        before = sorted(
+            map(
+                tuple,
+                similarity.query_ivfpq_index(spark, path, q, k=5, nprobe=2)
+                .toPandas()
+                .sort_index(axis=1)
+                .values.tolist(),
+            )
+        )
+        # full replay: fresh checkpoint, same published files, same ids
+        shutil.rmtree(ck)
+        ann_ingest.maintain_ivfpq_ingest(
+            spark, src, self._schema(), path, ck, max_imbalance_mils=2000
+        )
+        codes = spark.read.parquet(f"{path}/codes")
+        assert codes.count() == n_total  # replayed batches were skipped
+        assert codes.select("vec_id").distinct().count() == n_total
+        after = sorted(
+            map(
+                tuple,
+                similarity.query_ivfpq_index(spark, path, q, k=5, nprobe=2)
+                .toPandas()
+                .sort_index(axis=1)
+                .values.tolist(),
+            )
+        )
+        assert after == before  # rankings survived the replay intact
+
+    def test_empty_first_microbatch_writes_nothing(self, spark, tmp_path):
+        """ADVICE r13: an empty first micro-batch must not leave a
+        footer-less codes/batch=0 dir that breaks later schema
+        inference of the codes tier — it writes nothing at all."""
+        import os
+
+        from hadoop_invertedindexer_spark.streaming import ann_ingest
+
+        empty = spark.createDataFrame([], self._schema())
+        day1 = self._emb_frame(spark, self._clustered_rows())
+        src = self._publish(spark, tmp_path, [empty, day1])
+        cents = similarity.bounded_centroids_refined(day1, k=4, sample_mult=4)
+        cb = similarity.pq_codebooks(day1, m=4, ksub=8, dim=8)
+        path = str(tmp_path / "ivfpq_stream")
+        ann_ingest.init_ivfpq_stream_index(spark, path, cents, cb, m=4, dim=8)
+        ann_ingest.maintain_ivfpq_ingest(
+            spark, src, self._schema(), path, str(tmp_path / "ck"),
+            max_imbalance_mils=4000,
+        )
+        tiers = [
+            d
+            for d in os.listdir(f"{path}/codes")
+            if d.startswith("batch=")
+        ]
+        # exactly one tier: the data batch; the empty batch left nothing
+        assert len(tiers) == 1
+        drift = similarity.ivfpq_index_drift(spark, path).head()
+        assert drift.n_vectors == day1.count()
+
 
 class TestIvfPqRerank:
     """Two-stage IVF-PQ (r13): ADC shortlist -> exact re-rank. The
