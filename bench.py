@@ -106,6 +106,7 @@ HEADLINE = [
     "winnow_pairs_bounded",   # per-doc top-k neighbor bound on the pair stream (r13)
     "winnow_bounded_report",  # truncation pricing of the bounded stream (r13)
     "jaccard_pairs_bounded",  # the factored bound over the jaccard family (r13)
+    "minhash_pairs_bounded",  # the same bound over banded est_jaccard pairs (r14)
     "shingle_cap_recall_estimate",  # cap cost priced in PAIRS, md5-sampled (r13)
     "winnow_cap_recall_estimate",   # the same audit over the MOSS fingerprints (r13)
     "repetition_signals",     # Gopher repetition filters: line + n-gram dup fractions (r7)

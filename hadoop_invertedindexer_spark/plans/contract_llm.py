@@ -406,6 +406,24 @@ def q_shingle_cap_recall_estimate(
     )
 
 
+def q_minhash_pairs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc top-k bound applied to the MINHASH family (r14 —
+    VERDICT r13 ask 5): pairs_topk_bounded explicitly claims it covers
+    est_jaccard pairs; this entry proves it on the %41 plant's two
+    ~13-member est-1.0 cliques (banded candidates → signature-estimated
+    verify → bound). Each member's degree is ~12, so per_doc_k=3
+    exercises REAL truncation — union keep, (score desc, nbr asc)
+    tie-break, all stated in the SQL twin. Portable md5-60bit hashes,
+    so the whole composite value-hashes."""
+    return dedup.pairs_topk_bounded(
+        dedup.minhash_lsh_pairs(
+            _subset_planted(spark, sf_dir), threshold=0.5, portable=True
+        ),
+        per_doc_k=3,
+        score_col="est_jaccard",
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: xxhash64 has no DuckDB twin; see tests/test_dedup.py."""
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
@@ -2442,6 +2460,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_minhash_portable": q_dedup_minhash_portable,
+    "minhash_pairs_bounded": q_minhash_pairs_bounded,
     "minhash_band_report": q_minhash_band_report,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_simhash": q_dedup_simhash,
@@ -2923,13 +2942,14 @@ def _sql_semantic_dedup_bounded(
         FROM assigned a LEFT JOIN dropped d ON a.id = d.id"""
 
 
-def _sql_minhash_banded_ctes() -> str:
+def _sql_minhash_banded_ctes(src: str = "documents") -> str:
     """shingles → portable md5-60bit signatures → 16 raw-string band
     keys — the shared head of the minhash pair oracles and the
     minhash_band_report oracle (keep in lockstep with
     dedup.minhash_signatures / dedup._banded_signatures,
-    portable=True)."""
-    return f"""{_SQL_SHINGLES},
+    portable=True). ``src`` lets a planted-corpus oracle reuse the
+    chain (minhash_pairs_bounded's hub-clique plant)."""
+    return f"""{_sql_shingles(src)},
         sigs AS (
             SELECT id, [{", ".join(
                 f"min(('0x' || substr(md5('{i}|' || sh), 1, 15))::BIGINT)"
@@ -5072,6 +5092,50 @@ LLM_ORACLE_SQL["jaccard_pairs_bounded"] = f"""
             FROM sym)
         SELECT DISTINCT least(id, nbr) AS id_a,
                greatest(id, nbr) AS id_b, jaccard
+        FROM ranked WHERE rn <= 3"""
+
+# the factored per-doc top-k bound applied to the MINHASH family (r14
+# — VERDICT r13 ask 5): the full portable banded-LSH chain over the
+# %41 hub-clique plant, then the shared sym/ranked/union-keep bound —
+# keep in lockstep with dedup.pairs_topk_bounded over
+# dedup.minhash_lsh_pairs (portable=True, threshold 0.5, per_doc_k=3)
+LLM_ORACLE_SQL["minhash_pairs_bounded"] = f"""
+        WITH src AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 41 = 0
+                        THEN 'Contain alpha bravo charlie delta echo'
+                        WHEN doc_id % 41 = 1
+                        THEN 'Contain alpha bravo charlie delta echo'
+                             || ' foxtrot golf hotel india juliet kilo'
+                             || ' lima'
+                        ELSE text END AS text
+            FROM documents),
+        {_sql_minhash_banded_ctes("src")},
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                            a.sig AS sa, b.sig AS sb
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+        pairs AS (
+            SELECT id_a, id_b, est_jaccard FROM (
+                SELECT id_a, id_b,
+                       round(list_sum(list_transform(list_zip(sa, sb),
+                                                     x -> (x[1] = x[2])::INT))
+                             / 64.0, 6) AS est_jaccard
+                FROM cand) t
+            WHERE est_jaccard >= 0.5),
+        sym AS (
+            SELECT id_a AS id, id_b AS nbr, est_jaccard FROM pairs
+            UNION ALL
+            SELECT id_b, id_a, est_jaccard FROM pairs),
+        ranked AS (
+            SELECT id, nbr, est_jaccard,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY est_jaccard DESC, nbr ASC)
+                       AS rn
+            FROM sym)
+        SELECT DISTINCT least(id, nbr) AS id_a,
+               greatest(id, nbr) AS id_b, est_jaccard
         FROM ranked WHERE rn <= 3"""
 
 # estimated-missed-pairs audit of the stop-shingle cap — keep in
