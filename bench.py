@@ -105,6 +105,7 @@ HEADLINE = [
     "winnow_pairs_incremental",  # persisted winnow-index daily-ingest path (r13)
     "winnow_pairs_bounded",   # per-doc top-k neighbor bound on the pair stream (r13)
     "winnow_bounded_report",  # truncation pricing of the bounded stream (r13)
+    "winnow_bounded_report_estimate",  # 1/s-sampled affordable twin (r14)
     "jaccard_pairs_bounded",  # the factored bound over the jaccard family (r13)
     "minhash_pairs_bounded",  # the same bound over banded est_jaccard pairs (r14)
     "shingle_cap_recall_estimate",  # cap cost priced in PAIRS, md5-sampled (r13)

@@ -169,6 +169,47 @@ def winnow_fingerprints(
     )
 
 
+def _winnow_kept_postings(
+    docs: DataFrame,
+    k: int,
+    w: int,
+    max_df: int,
+    id_col: str,
+    text_col: str,
+    max_df_tiers: tuple[int, ...] | None,
+    max_dropped_mils: int,
+) -> DataFrame:
+    """The capped winnowed posting frame (id, fp) every winnow pair
+    join streams — factored out of :func:`winnow_overlap_pairs` (r14)
+    so the sampled truncation audit joins EXACTLY the postings the
+    production join does. The fingerprint frame is persisted (the
+    df-cap aggregate and both downstream join sides read it); the
+    shuffle_hash pins are the r11 posture: the cap frame is a
+    corpus-derived aggregate and the posting stream is the winnowed
+    corpus — never broadcast either."""
+    fps = (
+        winnow_fingerprints(docs, k, w, id_col, text_col)
+        .select(F.col(id_col).alias("id"), "fp")
+        .distinct()
+        .transform(tracked_persist)  # df-cap + both join sides
+    )
+    if max_df_tiers is None:
+        cap = fps.groupBy("fp").agg(
+            F.count(F.lit(1)).alias("df")
+        ).where(F.col("df") <= max_df)
+        return fps.join(cap.select("fp").hint("shuffle_hash"), "fp")
+    dfc = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("df")
+    ).transform(tracked_persist)  # chooser + filter join
+    chosen = _choose_df_cap(dfc, max_df_tiers, max_dropped_mils)
+    return (
+        fps.join(dfc.hint("shuffle_hash"), "fp")
+        .crossJoin(F.broadcast(chosen))
+        .where(F.col("df") <= F.col("cap"))
+        .select("fp", "id")
+    )
+
+
 def winnow_overlap_pairs(
     docs: DataFrame,
     k: int = 5,
@@ -195,31 +236,10 @@ def winnow_overlap_pairs(
     on 8-byte fingerprints. ``max_df_tiers`` swaps the fixed cap for
     the tiered escalation chooser (see :func:`containment_pairs`);
     :func:`winnow_cap_report` is the observability twin."""
-    fps = (
-        winnow_fingerprints(docs, k, w, id_col, text_col)
-        .select(F.col(id_col).alias("id"), "fp")
-        .distinct()
-        .transform(tracked_persist)  # df-cap + both join sides
+    kept = _winnow_kept_postings(
+        docs, k, w, max_df, id_col, text_col, max_df_tiers,
+        max_dropped_mils,
     )
-    # shuffle_hash pins (r11): the cap frame is a corpus-derived
-    # aggregate and both self-join sides are the winnowed corpus stream
-    # — the same never-broadcast posture as _shingle_intersections
-    if max_df_tiers is None:
-        cap = fps.groupBy("fp").agg(
-            F.count(F.lit(1)).alias("df")
-        ).where(F.col("df") <= max_df)
-        kept = fps.join(cap.select("fp").hint("shuffle_hash"), "fp")
-    else:
-        dfc = fps.groupBy("fp").agg(
-            F.count(F.lit(1)).alias("df")
-        ).transform(tracked_persist)  # chooser + filter join
-        chosen = _choose_df_cap(dfc, max_df_tiers, max_dropped_mils)
-        kept = (
-            fps.join(dfc.hint("shuffle_hash"), "fp")
-            .crossJoin(F.broadcast(chosen))
-            .where(F.col("df") <= F.col("cap"))
-            .select("fp", "id")
-        )
     a, b = kept.alias("a"), kept.alias("b").hint("shuffle_hash")
     return (
         a.join(
@@ -543,6 +563,134 @@ def winnow_bounded_report(
             "docs_truncated",
             "max_degree",
         )
+    )
+
+
+def winnow_bounded_report_estimate(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+    per_doc_k: int = 10,
+    sample_inv: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_tiers: tuple[int, ...] | None = None,
+    max_dropped_mils: int = 50,
+) -> DataFrame:
+    """AFFORDABLE truncation pricing for :func:`winnow_pairs_bounded`
+    (VERDICT r13 ask 1): the exact :func:`winnow_bounded_report` pays
+    the FULL unbounded pair join to price the cap — at 100x that audit
+    costs MORE than the bounded production join it audits (330.9 s vs
+    244.7 s, r13 soak), which is exactly the cost profile a 100 TB
+    schedule cannot accept. This is the md5-deterministic doc-sampling
+    twin (the :func:`shingle_cap_recall_estimate` pattern applied to
+    DOCS instead of keys): docs are sampled at rate 1/``sample_inv`` on
+    the md5-40bit prefix of the doc id (reproducible in ANSI SQL,
+    stable across runs/engines), ONLY pairs touching sampled docs are
+    joined (~2/``sample_inv`` of the full join's slot volume), and the
+    degree-derived quantities scale back up. ONE row:
+
+        (per_doc_k, sample_inv, sampled_docs_paired, sampled_deg_sum,
+         sampled_over_k_slots, sampled_max_degree, est_n_pairs_full,
+         est_docs_paired, est_docs_truncated, est_truncated_pairs,
+         est_truncated_mils)
+
+    Estimator identities (all integer arithmetic, bit-reproducible):
+
+    * ``est_n_pairs_full = sample_inv · Σ_sampled deg DIV 2`` —
+      UNBIASED for the exact report's ``n_pairs_full``
+      (E[Σ_sampled deg] = Σ deg / sample_inv = 2·n_pairs_full /
+      sample_inv);
+    * ``est_truncated_pairs = sample_inv · Σ_sampled max(deg−k, 0)
+      DIV 2`` — an UPPER bound on the exact ``truncated_pairs``: a
+      pair is dropped iff BOTH endpoints leave it unranked, and
+      Σ max(deg−k,0) counts 2 slots per dropped pair plus 1 per
+      exactly-one-ranked pair, so the halved estimate exceeds truth by
+      half the exactly-one-ranked count — which vanishes as clique
+      size ≫ per_doc_k, the hub regime the bound exists for
+      (conservative in the safe direction for a recall budget, the
+      same honesty posture as ``shingle_cap_recall_estimate``);
+    * ``est_truncated_mils`` divides the two — inheriting the upper
+      bias, so a schedule reading it against a truncation budget can
+      only be too careful, never too confident.
+
+    Scale shape: the winnowed/capped posting chain is
+    :func:`winnow_overlap_pairs`'s head unchanged
+    (``_winnow_kept_postings`` — the audit joins exactly the postings
+    the production join does); the pair join's output is restricted to
+    sampled-doc rows BEFORE the exchange, so cost is ~1/``sample_inv``
+    of the exact report's, priced in advance by the caller. No full
+    pair frame is ever materialized or persisted."""
+    kept = _winnow_kept_postings(
+        docs, k, w, max_df, id_col, text_col, max_df_tiers,
+        max_dropped_mils,
+    )
+    h40 = F.conv(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    sampled = kept.where(h40 % sample_inv == 0)
+    # directional neighbor lists of the SAMPLED docs only: both join
+    # sides are corpus-posting streams (never broadcast — the r11 pin);
+    # a pair with both endpoints sampled appears under both docs, which
+    # the Σdeg/2 scaling accounts for exactly
+    s, o = sampled.alias("s"), kept.alias("o").hint("shuffle_hash")
+    nbrs = (
+        s.join(
+            o,
+            (F.col("s.fp") == F.col("o.fp"))
+            & (F.col("s.id") != F.col("o.id")),
+        )
+        .groupBy(F.col("s.id").alias("id"), F.col("o.id").alias("nbr"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    degs = nbrs.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    over = F.greatest(F.col("deg") - F.lit(int(per_doc_k)), F.lit(0))
+    # every sum coalesces: an un-paired (or un-sampled) corpus reports
+    # zeros, never NULLs — the schedule reads this row programmatically
+    stats = degs.agg(
+        F.count(F.lit(1)).cast("long").alias("sampled_docs_paired"),
+        F.coalesce(F.sum("deg"), F.lit(0)).cast("long").alias(
+            "sampled_deg_sum"
+        ),
+        F.coalesce(F.sum(over), F.lit(0)).cast("long").alias(
+            "sampled_over_k_slots"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("deg") > per_doc_k, 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("_docs_trunc"),
+        F.coalesce(F.max("deg"), F.lit(0)).cast("long").alias(
+            "sampled_max_degree"
+        ),
+    )
+    return stats.select(
+        F.lit(int(per_doc_k)).cast("long").alias("per_doc_k"),
+        F.lit(int(sample_inv)).cast("long").alias("sample_inv"),
+        "sampled_docs_paired",
+        "sampled_deg_sum",
+        "sampled_over_k_slots",
+        "sampled_max_degree",
+        F.expr(f"sampled_deg_sum * {int(sample_inv)} DIV 2")
+        .cast("long")
+        .alias("est_n_pairs_full"),
+        F.expr(f"sampled_docs_paired * {int(sample_inv)}")
+        .cast("long")
+        .alias("est_docs_paired"),
+        F.expr(f"_docs_trunc * {int(sample_inv)}")
+        .cast("long")
+        .alias("est_docs_truncated"),
+        F.expr(f"sampled_over_k_slots * {int(sample_inv)} DIV 2")
+        .cast("long")
+        .alias("est_truncated_pairs"),
+        F.expr(
+            f"CASE WHEN sampled_deg_sum = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE (sampled_over_k_slots * {int(sample_inv)} DIV 2)"
+            f" * 1000"
+            f" DIV (sampled_deg_sum * {int(sample_inv)} DIV 2) END"
+        ).alias("est_truncated_mils"),
     )
 
 

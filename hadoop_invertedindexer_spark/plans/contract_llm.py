@@ -369,6 +369,29 @@ def q_winnow_bounded_report(
     )
 
 
+def q_winnow_bounded_report_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sampled truncation pricing for the bounded winnow stream (r14 —
+    VERDICT r13 ask 1): the exact report re-runs the full pair join;
+    this one joins only pairs touching md5-sampled docs (1/4 here) and
+    scales degrees back up — unbiased est_n_pairs_full, upper-bound
+    est_truncated_pairs (conservative for a recall budget). The planted
+    df=125 clique puts ~31 docs in the sample, so every number is
+    non-trivial and the estimate lands near the exact report's row."""
+    return dedup.winnow_bounded_report_estimate(
+        _cap_planted(spark, sf_dir),
+        k=5,
+        w=4,
+        min_shared=2,
+        max_df=100,
+        per_doc_k=5,
+        sample_inv=4,
+        max_df_tiers=(100, 400),
+        max_dropped_mils=1,
+    )
+
+
 def q_winnow_cap_recall_estimate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2451,6 +2474,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_pairs_escalated": q_winnow_pairs_escalated,
     "winnow_pairs_bounded": q_winnow_pairs_bounded,
     "winnow_bounded_report": q_winnow_bounded_report,
+    "winnow_bounded_report_estimate": q_winnow_bounded_report_estimate,
     "winnow_pairs_incremental": q_winnow_pairs_incremental,
     "jaccard_pairs_bounded": q_jaccard_pairs_bounded,
     "shingle_cap_recall_estimate": q_shingle_cap_recall_estimate,
@@ -4885,7 +4909,7 @@ LLM_ORACLE_SQL["winnow_pairs_escalated"] = (
 # bounded winnow output + truncation pricing — shared escalated-pair
 # CTE chain (the winnow_pairs_escalated oracle up to the pair frame)
 
-_SQL_WINNOW_ESC_PAIRS = (
+_SQL_WINNOW_ESC_KEPT = (
     _SQL_CAPPLANT
     + ",\n        "
     + _sql_winnow_ctes("capplant")
@@ -4900,7 +4924,12 @@ _SQL_WINNOW_ESC_PAIRS = (
         kept AS (
             SELECT s.id, s.fp FROM sel s
             JOIN dfc d ON s.fp = d.fp
-            CROSS JOIN ch WHERE d.df <= ch.cap),
+            CROSS JOIN ch WHERE d.df <= ch.cap)"""
+)
+
+_SQL_WINNOW_ESC_PAIRS = (
+    _SQL_WINNOW_ESC_KEPT
+    + """,
         pairs AS (
             SELECT id_a, id_b, n_shared FROM (
                 SELECT a.id AS id_a, b.id AS id_b,
@@ -4962,6 +4991,50 @@ LLM_ORACLE_SQL["winnow_bounded_report"] = (
                           // n_pairs_full END)::BIGINT AS truncated_mils,
                n_docs_paired, docs_truncated, max_degree
         FROM fullc, dstats, keptc"""
+)
+
+# sampled truncation pricing of the bounded winnow stream (r14 —
+# VERDICT r13 ask 1): the shared kept-postings chain, then ONLY pairs
+# touching md5-sampled docs — keep in lockstep with
+# dedup.winnow_bounded_report_estimate (per_doc_k=5, sample_inv=4)
+LLM_ORACLE_SQL["winnow_bounded_report_estimate"] = (
+    "WITH "
+    + _SQL_WINNOW_ESC_KEPT
+    + """,
+        sampled AS (
+            SELECT id, fp FROM kept
+            WHERE ('0x' || substr(md5(id::VARCHAR), 1, 10))::BIGINT
+                  % 4 = 0),
+        nbrs AS (
+            SELECT id, nbr FROM (
+                SELECT s.id, o.id AS nbr, count(*)::BIGINT AS n_shared
+                FROM sampled s JOIN kept o
+                  ON s.fp = o.fp AND s.id <> o.id
+                GROUP BY s.id, o.id) t
+            WHERE n_shared >= 2),
+        degs AS (SELECT id, count(*) AS deg FROM nbrs GROUP BY id),
+        stats AS (
+            SELECT count(*)::BIGINT AS sampled_docs_paired,
+                   coalesce(sum(deg), 0)::BIGINT AS sampled_deg_sum,
+                   coalesce(sum(greatest(deg - 5, 0)), 0)::BIGINT
+                       AS sampled_over_k_slots,
+                   coalesce(sum((deg > 5)::INT), 0)::BIGINT
+                       AS docs_trunc,
+                   coalesce(max(deg), 0)::BIGINT AS sampled_max_degree
+            FROM degs)
+        SELECT 5::BIGINT AS per_doc_k, 4::BIGINT AS sample_inv,
+               sampled_docs_paired, sampled_deg_sum,
+               sampled_over_k_slots, sampled_max_degree,
+               (sampled_deg_sum * 4 // 2)::BIGINT AS est_n_pairs_full,
+               (sampled_docs_paired * 4)::BIGINT AS est_docs_paired,
+               (docs_trunc * 4)::BIGINT AS est_docs_truncated,
+               (sampled_over_k_slots * 4 // 2)::BIGINT
+                   AS est_truncated_pairs,
+               (CASE WHEN sampled_deg_sum = 0 THEN 0
+                     ELSE (sampled_over_k_slots * 4 // 2) * 1000
+                          // (sampled_deg_sum * 4 // 2) END)::BIGINT
+                   AS est_truncated_mils
+        FROM stats"""
 )
 
 # winnow-side estimated-missed-pairs: the shared estimator core over

@@ -2135,6 +2135,49 @@ class TestWinnowPairsBounded:
             r.max_degree,
         ) == (0, 0, 0, 0, 0, 0, 0)
 
+    def test_estimate_identities_at_sample_inv_one(self, spark):
+        """sample_inv=1 makes the estimator census-exact: every doc is
+        sampled, so est_n_pairs_full = Σdeg/2 = the exact n_pairs_full
+        and est_truncated_pairs = Σmax(deg−k,0)/2 — on a clique (fully
+        symmetric truncation, zero exactly-one-unranked... pairs where
+        exactly one endpoint ranks them DO exist, so the estimate sits
+        at the documented upper bound: here 6 members, k=2 → exact
+        truncated 6, over-k slots 6·3/2 = 9."""
+        docs = self._clique(spark)
+        exact = dedup.winnow_bounded_report(
+            docs, min_shared=2, per_doc_k=2
+        ).first()
+        est = dedup.winnow_bounded_report_estimate(
+            docs, min_shared=2, per_doc_k=2, sample_inv=1
+        ).first()
+        assert est.est_n_pairs_full == exact.n_pairs_full == 15
+        assert est.sampled_docs_paired == exact.n_docs_paired == 6
+        assert est.est_docs_truncated == exact.docs_truncated == 6
+        assert est.sampled_max_degree == exact.max_degree == 5
+        # the upper bound: est >= exact truncated, excess = half the
+        # exactly-one-ranked pairs ((15-9=6 dropped)·2 + 3·1 = 15... on
+        # this clique each member unranks 3 of its 5 neighbors: Σ=18,
+        # /2 = 9 >= 6
+        assert est.est_truncated_pairs == 9 >= exact.truncated_pairs == 6
+        assert est.est_truncated_mils >= exact.truncated_mils
+
+    def test_estimate_zero_pairs_all_zero_not_null(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "completely unrelated document text lives here now"),
+                (2, "another entirely different body of words sits here"),
+            ],
+            ["doc_id", "text"],
+        )
+        r = dedup.winnow_bounded_report_estimate(docs, per_doc_k=3).first()
+        assert (
+            r.sampled_docs_paired,
+            r.sampled_deg_sum,
+            r.est_n_pairs_full,
+            r.est_truncated_pairs,
+            r.est_truncated_mils,
+        ) == (0, 0, 0, 0, 0)
+
     def test_bound_pushed_before_the_exchange(self, spark):
         # the rank<=k filter must compile to WindowGroupLimit partial
         # limits so hub docs never materialize their full neighbor
