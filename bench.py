@@ -123,6 +123,9 @@ HEADLINE = [
     "maintain_ivfpq_index",   # occupancy trigger + corpus rebuild-rotate (r13)
     "hybrid_search_rrf",      # BM25 x cosine reciprocal-rank fusion (r13)
     "hybrid_search_rrf_ann",  # same fusion over the IVF-PQ backend (r13)
+    "bm25_search_batch",      # 24-query BM25 batch, qid-partitioned windows (r14)
+    "hybrid_search_rrf_batch",  # 24-qid fusion, WindowGroupLimit per qid (r14)
+    "retrieval_eval_batch",   # per-qid MRR/P@k/nDCG rows for the batch (r14)
     "ivf_drift_read",         # drift probe READ path vs pre-built index (r10)
     "cohort_retention",       # per-user-week collapse + retention matrix
     "hourly_anomalies",       # gap-filled grid + integer-exact z-scores

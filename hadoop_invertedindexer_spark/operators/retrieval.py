@@ -143,6 +143,58 @@ def bm25_search(
     )
 
 
+def bm25_search_batch(
+    counts: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    word_col: str = "word",
+    doc_col: str = "doc",
+    count_col: str = "count",
+    qid_col: str = "qid",
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-query BM25 top-k over a (qid, word) QUERY TABLE — the batched
+    serving shape of :func:`bm25_search` (r14, VERDICT r13 ask 2): one
+    scoring pass serves the whole query batch instead of one plan per
+    query. The query table is metadata-scale by contract (a serving
+    batch, never the corpus) and broadcasts into the scores join, so
+    adding queries adds broadcast rows, not corpus passes; the per-term
+    scores sum in DECIMAL(18,6) per (qid, doc) exactly as the
+    single-query path does.
+
+    The top-k is a qid-PARTITIONED rank window — Spark's
+    WindowGroupLimit rewrite applies partial per-partition limits
+    before the exchange, so no single-partition global sort exists in
+    the plan (pinned by test) and a 10k-query batch ranks 10k
+    independent groups. Output: (qid, doc, score, rank)."""
+    q = queries.select(
+        qid_col, F.lower(F.col(word_col)).alias(word_col)
+    )
+    per = (
+        bm25_scores(
+            counts,
+            word_col=word_col,
+            doc_col=doc_col,
+            count_col=count_col,
+            materialize=materialize,
+        )
+        .join(F.broadcast(q), word_col)
+        .groupBy(qid_col, doc_col)
+        .agg(F.sum(F.col("bm25").cast(DecimalType(18, 6))).alias("score_dec"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score_dec"), F.asc(doc_col))
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            qid_col,
+            doc_col,
+            F.col("score_dec").cast("double").alias("score"),
+            "rank",
+        )
+    )
+
+
 def boolean_search(
     counts: DataFrame,
     must: list[str],
@@ -456,6 +508,58 @@ def hybrid_search_rrf(
     )
 
 
+def hybrid_search_rrf_batch(
+    lexical: DataFrame,
+    vector: DataFrame,
+    k: int = 10,
+    k0: int = 60,
+    qid_col: str = "qid",
+    doc_col: str = "doc",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-query reciprocal-rank fusion (r14, VERDICT r13 ask 2): the
+    :func:`hybrid_search_rrf` plan with ``qid`` added to the group and
+    window keys — both inputs are PER-QUERY ranked lists sharing a qid
+    space (e.g. :func:`bm25_search_batch` and a batched
+    ``cosine_topk_bruteforce`` / ``query_ivfpq_index`` run). Same exact
+    integer-ppb contribution, same union/consensus semantics per qid,
+    same doc-id contract (non-numeric ids drop, never NULL-fuse).
+    Output: (qid, doc, rrf_ppb, n_lists, rank).
+
+    Scale shape: the fused frame is |Q|·(k+k) rows — metadata-scale —
+    and the final rank window is PARTITIONED BY qid, so Spark's
+    WindowGroupLimit applies partial limits per qid group and no
+    single-partition global sort exists in the plan (pinned by test);
+    a naive multi-query union through the single-query fusion would
+    funnel every query's candidates through one unpartitioned window."""
+    lex = lexical.select(
+        qid_col,
+        F.col(doc_col).try_cast("long").alias("doc"),
+        F.col("rank").alias("r"),
+    ).where(F.col("doc").isNotNull())
+    vec = vector.select(
+        qid_col,
+        F.col(vec_id_col).try_cast("long").alias("doc"),
+        F.col("rank").alias("r"),
+    ).where(F.col("doc").isNotNull())
+    fused = (
+        lex.unionByName(vec)
+        .select(
+            qid_col, "doc", F.expr(f"1000000000 DIV ({k0} + r)").alias("ppb")
+        )
+        .groupBy(qid_col, "doc")
+        .agg(
+            F.sum("ppb").cast("long").alias("rrf_ppb"),
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("rrf_ppb"), F.asc("doc"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ranking_eval(
     ranked: DataFrame,
     relevance: DataFrame,
@@ -535,6 +639,105 @@ def ranking_eval(
         )
     )
     return gains.crossJoin(F.broadcast(ideal)).select(
+        "n_ranked",
+        "mrr",
+        "precision_at_k",
+        F.round(F.coalesce(F.col("_dcg"), F.lit(0.0)), 6).alias("dcg_at_k"),
+        F.round(F.coalesce(F.col("_idcg"), F.lit(0.0)), 6).alias("idcg_at_k"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("_idcg"), F.lit(0.0)) > 0,
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg_at_k"),
+    )
+
+
+def ranking_eval_batch(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    doc_col: str = "doc",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query ranking-quality report (r14, VERDICT r13 ask 2): the
+    :func:`ranking_eval` metrics with ``qid`` added to every join,
+    group, and window key — ``ranked`` is a per-qid ranked list
+    (:func:`hybrid_search_rrf_batch`'s shape), ``relevance`` a graded
+    (qid, doc, rel) table, output ONE ROW PER QID:
+
+        (qid, n_ranked, mrr, precision_at_k, dcg_at_k, idcg_at_k,
+         ndcg_at_k)
+
+    Identical formulas and round(6) posture as the single-query eval;
+    the ideal ranking re-sorts each qid's FULL relevance slice inside a
+    qid-partitioned window (no single-partition sort — pinned by
+    test). A qid with an EMPTY ranked list has no output row (the
+    caller's qid enumeration is the outer frame; the single-query eval
+    reports the 0-row as zeros because its aggregate is global). Both
+    inputs are top-k/relevance metadata — the join and aggregates
+    never touch a corpus row."""
+    top = (
+        ranked.where(F.col(rank_col) <= k)
+        .select(
+            qid_col,
+            F.col(doc_col).cast("long").alias("doc"),
+            F.col(rank_col).alias("r"),
+        )
+        .join(
+            relevance.select(
+                qid_col,
+                F.col(doc_col).cast("long").alias("doc"),
+                F.col(rel_col).alias("rel"),
+            ),
+            [qid_col, "doc"],
+            "left",
+        )
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+    )
+    gains = top.groupBy(qid_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("rel") > 0, 1.0 / F.col("r"))), F.lit(0.0)
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("rel") > 0, 1).otherwise(0)), F.lit(0)
+            )
+            / F.lit(float(k)),
+            6,
+        ).alias("precision_at_k"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+            / F.log2(F.col("r") + F.lit(1.0))
+        ).alias("_dcg"),
+    )
+    iw = Window.partitionBy(qid_col).orderBy(F.desc("rel"), F.asc("doc"))
+    ideal = (
+        relevance.select(
+            qid_col,
+            F.col(doc_col).cast("long").alias("doc"),
+            F.col(rel_col).alias("rel"),
+        )
+        .where(F.col("rel") > 0)
+        .withColumn("r", F.row_number().over(iw))
+        .where(F.col("r") <= k)
+        .groupBy(qid_col)
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                / F.log2(F.col("r") + F.lit(1.0))
+            ).alias("_idcg")
+        )
+    )
+    return gains.join(ideal, qid_col, "left").select(
+        qid_col,
         "n_ranked",
         "mrr",
         "precision_at_k",

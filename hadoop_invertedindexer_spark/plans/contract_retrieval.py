@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_invertedindexer_spark.operators.similarity import (
@@ -148,6 +148,80 @@ def q_hybrid_search_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_search_rrf(lex, vec, k=TOP_K)
 
 
+def _batch_query_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24 deterministic 2-term queries from the top-48-df vocabulary
+    words: vocab ranked by (df desc, word asc), qid = (rank−1) % 24 —
+    query i pairs word i+1 with word i+25. The top-48 selection is an
+    orderBy().limit() (TakeOrderedAndProject — per-partition heap,
+    never a global sort); the rank window then runs on 48 rows. Stated
+    identically in the SQL twins."""
+    counts = _doc_counts(spark, sf_dir)
+    vocab = counts.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    top = vocab.orderBy(F.desc("df"), F.asc("word")).limit(48)
+    w = Window.orderBy(F.desc("df"), F.asc("word"))
+    return top.withColumn("rn", F.row_number().over(w)).select(
+        ((F.col("rn") - 1) % 24).cast("long").alias("qid"), "word"
+    )
+
+
+def q_bm25_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r14, VERDICT r13 ask 2): per-qid BM25 top-10 over a 24-query
+    batch — one scoring pass, broadcast query table, qid-partitioned
+    rank window (WindowGroupLimit, plan-asserted)."""
+    from hadoop_invertedindexer_spark.operators.retrieval import (
+        bm25_search_batch,
+    )
+
+    return bm25_search_batch(
+        _doc_counts(spark, sf_dir),
+        _batch_query_terms(spark, sf_dir),
+        k=TOP_K,
+    )
+
+
+def q_hybrid_search_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r14, VERDICT r13 ask 2): the hybrid RRF fusion BATCHED over
+    24 qids — lexical side = the 24-query BM25 batch, vector side = the
+    exact-cosine top-10 for embeddings 0..23 (qid = vec_id, self
+    excluded, matching the single-query entries' universe). The fusion
+    window is PARTITIONED BY qid (plan-asserted — the single-query
+    window would funnel all 24 queries through one partition)."""
+    from hadoop_invertedindexer_spark.operators.retrieval import (
+        bm25_search_batch,
+        hybrid_search_rrf_batch,
+    )
+
+    lex = bm25_search_batch(
+        _doc_counts(spark, sf_dir), _batch_query_terms(spark, sf_dir), k=TOP_K
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 24).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    vec = cosine_topk_bruteforce(emb, queries, k=TOP_K, exclude_self=True)
+    return hybrid_search_rrf_batch(lex, vec, k=TOP_K)
+
+
+def q_retrieval_eval_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r14, VERDICT r13 ask 2): per-qid MRR / precision@10 /
+    nDCG@10 of the 24-query hybrid batch against a per-qid graded
+    relevance table (a doc's grade for qid = how many of THAT query's
+    terms it contains) — one metrics row per qid, ideal rankings inside
+    a qid-partitioned window."""
+    from hadoop_invertedindexer_spark.operators.retrieval import (
+        ranking_eval_batch,
+    )
+
+    ranked = q_hybrid_search_rrf_batch(spark, sf_dir)
+    rel = (
+        _doc_counts(spark, sf_dir)
+        .join(F.broadcast(_batch_query_terms(spark, sf_dir)), "word")
+        .groupBy("qid", "doc")
+        .agg(F.count_distinct("word").alias("rel"))
+    )
+    return ranking_eval_batch(ranked, rel, k=TOP_K)
+
+
 def q_retrieval_eval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT (r13): MRR / precision@10 / nDCG@10 of the hybrid RRF
     ranking against a graded relevance table derived from the corpus
@@ -175,6 +249,9 @@ RETRIEVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "hybrid_search_rrf_ann": q_hybrid_search_rrf_ann,
     "retrieval_eval_hybrid": q_retrieval_eval_hybrid,
+    "bm25_search_batch": q_bm25_search_batch,
+    "hybrid_search_rrf_batch": q_hybrid_search_rrf_batch,
+    "retrieval_eval_batch": q_retrieval_eval_batch,
     "boolean_search": q_boolean_search,
     "positional_index": q_positional_index,
     "phrase_search": q_phrase_search,
@@ -219,6 +296,63 @@ scores AS (
     JOIN dfreq f ON c.word = f.word
     CROSS JOIN stats s)
 """
+
+# 24 deterministic 2-term queries from the top-48-df vocab words —
+# keep in lockstep with _batch_query_terms
+_SQL_QTERMS = """
+vocab AS (SELECT word, count(*) AS df FROM doc_counts GROUP BY word),
+qterms AS (
+    SELECT (rn - 1) % 24 AS qid, word FROM (
+        SELECT word, row_number() OVER (ORDER BY df DESC, word) AS rn
+        FROM vocab) t
+    WHERE rn <= 48)
+"""
+
+# per-qid BM25 chain over the query table — shared by the three batch
+# entries (keep in lockstep with operators/retrieval.py
+# bm25_search_batch)
+_SQL_BM25_BATCH = f"""
+perq AS (
+    SELECT q.qid, s.doc, sum(s.bm25::DECIMAL(18,6)) AS score_dec
+    FROM scores s JOIN qterms q ON s.word = q.word
+    GROUP BY q.qid, s.doc),
+lexb AS (
+    SELECT qid, doc, score_dec, rank FROM (
+        SELECT qid, doc, score_dec,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score_dec DESC, doc)::BIGINT
+                   AS rank
+        FROM perq) t
+    WHERE rank <= {TOP_K})
+"""
+
+# the 24-query exact-cosine ranked lists (qid = vec_id < 24, self
+# excluded) + the qid-keyed fusion — lockstep with
+# hybrid_search_rrf_batch
+_SQL_HYBRID_BATCH_TAIL = f"""
+vecb AS (
+    SELECT qid, doc, rank FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS doc,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_sql_cosine('c.embedding',
+                                               'q.embedding')}, 6) DESC,
+                            c.vec_id)::BIGINT AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 24) t
+    WHERE rank <= {TOP_K}),
+fusedb AS (
+    SELECT qid, doc, sum(1000000000 // (60 + rank))::BIGINT AS rrf_ppb,
+           count(*)::BIGINT AS n_lists
+    FROM (SELECT qid, doc::BIGINT AS doc, rank FROM lexb
+          UNION ALL SELECT qid, doc, rank FROM vecb) u
+    GROUP BY qid, doc)
+SELECT qid, doc, rrf_ppb, n_lists, rank FROM (
+    SELECT qid, doc, rrf_ppb, n_lists,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY rrf_ppb DESC, doc)::BIGINT AS rank
+    FROM fusedb) t
+WHERE rank <= {TOP_K}"""
 
 # Positional token stream: list_filter keeps StringTokenizer semantics
 # (no empty tokens); the positional unnest-zip is order-preserving.
@@ -362,6 +496,58 @@ RETRIEVAL_ORACLE_SQL: dict[str, str] = {
                           THEN coalesce(g.dcg, 0.0) / i.idcg
                           ELSE 0.0 END, 6) AS ndcg_at_k
         FROM g, i""",
+    # per-qid BM25 top-10 over the 24-query batch (r14) — the shared
+    # lexb chain, scores computed once for the whole batch
+    "bm25_search_batch": f"""
+        WITH {_SQL_DOC_COUNTS}, {_SQL_BM25_STATS}, {_SQL_BM25_SCORES},
+        {_SQL_QTERMS}, {_SQL_BM25_BATCH}
+        SELECT qid, doc, score_dec::DOUBLE AS score, rank FROM lexb""",
+    # 24-qid hybrid RRF (r14): the batched BM25 chain fused with the
+    # 24-query exact-cosine lists, every window PARTITIONED BY qid
+    "hybrid_search_rrf_batch": f"""
+        WITH {_SQL_DOC_COUNTS}, {_SQL_BM25_STATS}, {_SQL_BM25_SCORES},
+        {_SQL_QTERMS}, {_SQL_BM25_BATCH}, {_SQL_HYBRID_BATCH_TAIL}""",
+    # per-qid ranking-quality rows for the hybrid batch (r14): the
+    # batch hybrid SQL as a subquery, per-qid relevance = distinct
+    # query terms of THAT qid per doc, ideal rankings per qid
+    "retrieval_eval_batch": f"""
+        WITH rankedb AS (
+            SELECT qid, doc, rank FROM ({{HYBRID_BATCH_SQL}}) h),
+        relvb AS (
+            WITH {_SQL_DOC_COUNTS}, {_SQL_QTERMS}
+            SELECT q.qid, c.doc::BIGINT AS doc,
+                   count(DISTINCT c.word) AS rel
+            FROM doc_counts c JOIN qterms q ON c.word = q.word
+            GROUP BY q.qid, c.doc),
+        topb AS (
+            SELECT r.qid, r.rank AS rk, coalesce(v.rel, 0) AS rel
+            FROM rankedb r LEFT JOIN relvb v
+              ON r.qid = v.qid AND r.doc = v.doc
+            WHERE r.rank <= {TOP_K}),
+        g AS (
+            SELECT qid, count(*)::BIGINT AS n_ranked,
+                   round(coalesce(
+                       max(CASE WHEN rel > 0 THEN 1.0 / rk END), 0.0), 6)
+                       AS mrr,
+                   round(coalesce(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END),
+                                  0)
+                         / {float(TOP_K)}, 6) AS precision_at_k,
+                   sum((pow(2.0, rel) - 1.0) / log2(rk + 1.0)) AS dcg
+            FROM topb GROUP BY qid),
+        i AS (
+            SELECT qid, sum((pow(2.0, rel) - 1.0) / log2(rn + 1.0)) AS idcg
+            FROM (SELECT qid, rel, doc,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY rel DESC, doc) AS rn
+                  FROM relvb WHERE rel > 0) t
+            WHERE rn <= {TOP_K} GROUP BY qid)
+        SELECT g.qid, g.n_ranked, g.mrr, g.precision_at_k,
+               round(coalesce(g.dcg, 0.0), 6) AS dcg_at_k,
+               round(coalesce(i.idcg, 0.0), 6) AS idcg_at_k,
+               round(CASE WHEN coalesce(i.idcg, 0.0) > 0
+                          THEN coalesce(g.dcg, 0.0) / i.idcg
+                          ELSE 0.0 END, 6) AS ndcg_at_k
+        FROM g LEFT JOIN i ON g.qid = i.qid""",
     "boolean_search": f"""
         WITH {_SQL_DOC_COUNTS}
         SELECT doc, occurrences FROM (
@@ -427,8 +613,14 @@ RETRIEVAL_ORACLE_SQL: dict[str, str] = {
         FROM cleaned WHERE len(toks) >= 3""",
 }
 
-# the eval entry embeds the hybrid chain as its ranked-list subquery —
-# substituted post-hoc because both live in the same dict literal
+# the eval entries embed the hybrid chains as their ranked-list
+# subqueries — substituted post-hoc because both live in the same dict
+# literal
 RETRIEVAL_ORACLE_SQL["retrieval_eval_hybrid"] = RETRIEVAL_ORACLE_SQL[
     "retrieval_eval_hybrid"
 ].replace("{HYBRID_SQL}", RETRIEVAL_ORACLE_SQL["hybrid_search_rrf"])
+RETRIEVAL_ORACLE_SQL["retrieval_eval_batch"] = RETRIEVAL_ORACLE_SQL[
+    "retrieval_eval_batch"
+].replace(
+    "{HYBRID_BATCH_SQL}", RETRIEVAL_ORACLE_SQL["hybrid_search_rrf_batch"]
+)

@@ -317,6 +317,170 @@ class TestHybridSearchRrf:
         assert [(r.doc, r.n_lists) for r in rows] == [(7, 2)]
 
 
+class TestHybridBatch:
+    """r14 (VERDICT r13 ask 2): the qid-batched fusion/eval path — per-
+    qid slices must equal the single-query operators, and the fusion
+    window must be qid-partitioned (no single-partition global sort)."""
+
+    LEX = [(0, 1, 1), (0, 2, 2), (1, 3, 1), (1, 1, 2), (2, 9, 1)]
+    VEC = [(0, 2, 1), (0, 5, 2), (1, 3, 1), (2, 9, 1), (2, 8, 2)]
+
+    def _frames(self, spark):
+        lex = spark.createDataFrame(self.LEX, "qid long, doc long, rank long")
+        vec = spark.createDataFrame(
+            self.VEC, "qid long, vec_id long, rank long"
+        )
+        return lex, vec
+
+    def test_batch_slices_equal_single_query_fusion(self, spark):
+        from hadoop_invertedindexer_spark.operators.retrieval import (
+            hybrid_search_rrf,
+            hybrid_search_rrf_batch,
+        )
+
+        lex, vec = self._frames(spark)
+        batch = hybrid_search_rrf_batch(lex, vec, k=5)
+        for q in range(3):
+            got = sorted(
+                (r.doc, r.rrf_ppb, r.n_lists, r.rank)
+                for r in batch.where(F.col("qid") == q).collect()
+            )
+            want = sorted(
+                (r.doc, r.rrf_ppb, r.n_lists, r.rank)
+                for r in hybrid_search_rrf(
+                    lex.where(F.col("qid") == q).drop("qid"),
+                    vec.where(F.col("qid") == q).drop("qid"),
+                    k=5,
+                ).collect()
+            )
+            assert got == want and got
+
+    def test_fusion_window_is_qid_partitioned(self, spark):
+        """Every window in the batch fusion plan partitions by qid and
+        the rank filter compiles to WindowGroupLimit — a naive multi-
+        query union through the single-query window would funnel all
+        queries through ONE partition."""
+        import re
+
+        from hadoop_invertedindexer_spark.operators.retrieval import (
+            hybrid_search_rrf_batch,
+        )
+
+        lex, vec = self._frames(spark)
+        plan = (
+            hybrid_search_rrf_batch(lex, vec, k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan
+        specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+        assert specs and all(s.startswith("qid") for s in specs)
+
+    def test_bm25_batch_window_is_qid_partitioned(self, spark):
+        import re
+
+        from hadoop_invertedindexer_spark.operators.retrieval import (
+            bm25_search_batch,
+        )
+
+        counts = spark.createDataFrame(
+            [("spark", "1", 3), ("join", "1", 1), ("spark", "2", 1)],
+            ["word", "doc", "count"],
+        )
+        qs = spark.createDataFrame(
+            [(0, "spark"), (1, "join")], "qid long, word string"
+        )
+        plan = (
+            bm25_search_batch(counts, qs, k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan
+        specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+        assert specs and all(s.startswith("qid") for s in specs)
+
+    def test_bm25_batch_single_qid_matches_single_query(self, spark):
+        from hadoop_invertedindexer_spark.operators.retrieval import (
+            bm25_search,
+            bm25_search_batch,
+        )
+
+        counts = spark.createDataFrame(
+            [
+                ("spark", "1", 3),
+                ("join", "1", 1),
+                ("spark", "2", 1),
+                ("hash", "2", 4),
+                ("join", "3", 2),
+                ("hash", "3", 1),
+            ],
+            ["word", "doc", "count"],
+        )
+        qs = spark.createDataFrame(
+            [(7, "spark"), (7, "join")], "qid long, word string"
+        )
+        got = sorted(
+            (r.doc, r.score, r.rank)
+            for r in bm25_search_batch(counts, qs, k=3).collect()
+        )
+        want = sorted(
+            (r.doc, r.score, r.rank)
+            for r in bm25_search(counts, ["spark", "join"], k=3).collect()
+        )
+        assert got == want and got
+
+    def test_eval_batch_slices_equal_single_query_eval(self, spark):
+        from hadoop_invertedindexer_spark.operators.retrieval import (
+            ranking_eval,
+            ranking_eval_batch,
+        )
+
+        ranked = spark.createDataFrame(
+            [(0, 1, 1), (0, 2, 2), (0, 3, 3), (1, 9, 1), (1, 8, 2)],
+            "qid long, doc long, rank long",
+        )
+        rel = spark.createDataFrame(
+            [(0, 2, 2), (0, 3, 1), (1, 8, 3), (1, 7, 1)],
+            "qid long, doc long, rel int",
+        )
+        batch = {
+            r.qid: (
+                r.n_ranked, r.mrr, r.precision_at_k,
+                r.dcg_at_k, r.idcg_at_k, r.ndcg_at_k,
+            )
+            for r in ranking_eval_batch(ranked, rel, k=3).collect()
+        }
+        assert set(batch) == {0, 1}
+        for q in (0, 1):
+            s = ranking_eval(
+                ranked.where(F.col("qid") == q).drop("qid"),
+                rel.where(F.col("qid") == q).drop("qid"),
+                k=3,
+            ).head()
+            assert batch[q] == (
+                s.n_ranked, s.mrr, s.precision_at_k,
+                s.dcg_at_k, s.idcg_at_k, s.ndcg_at_k,
+            )
+
+    def test_eval_batch_no_relevant_docs_scores_zero(self, spark):
+        """A qid whose relevance slice is empty still gets a row (it
+        HAS a ranking) with all-zero quality — never NULL."""
+        from hadoop_invertedindexer_spark.operators.retrieval import (
+            ranking_eval_batch,
+        )
+
+        ranked = spark.createDataFrame(
+            [(5, 1, 1), (5, 2, 2)], "qid long, doc long, rank long"
+        )
+        rel = spark.createDataFrame([], "qid long, doc long, rel int")
+        r = ranking_eval_batch(ranked, rel, k=3).head()
+        assert r.qid == 5 and r.n_ranked == 2
+        assert (r.mrr, r.precision_at_k, r.dcg_at_k, r.idcg_at_k,
+                r.ndcg_at_k) == (0.0, 0.0, 0.0, 0.0, 0.0)
+
+
 class TestRankingEval:
     """ranking_eval (r13): hand-computed IR metrics + degenerate cases;
     the oracle pins the full hybrid-ranking composite."""
