@@ -121,6 +121,7 @@ HEADLINE = [
     "similarity_ivfpq",       # IVF probe x PQ ADC composite (r13)
     "similarity_ivfpq_read",  # same, served from the pre-built persisted index
     "maintain_ivfpq_index",   # occupancy trigger + corpus rebuild-rotate (r13)
+    "similarity_ivfpq_rerank_refined",  # two-stage at k-means codebooks (r14)
     "hybrid_search_rrf",      # BM25 x cosine reciprocal-rank fusion (r13)
     "hybrid_search_rrf_ann",  # same fusion over the IVF-PQ backend (r13)
     "bm25_search_batch",      # 24-query BM25 batch, qid-partitioned windows (r14)

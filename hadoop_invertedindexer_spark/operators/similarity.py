@@ -1255,6 +1255,104 @@ def pq_codebooks(
     ).select(F.col("s").cast("int").alias("s"), "c", "cq")
 
 
+def pq_codebooks_refined(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    sample_mult: int = 4,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Bounded k-means refinement of the PQ codebooks, per subspace
+    (r14, VERDICT r13 ask 3 — the ``bounded_centroids_refined`` policy
+    applied to the m subspaces): a ``ksub·sample_mult`` md5-ordered
+    corpus sample seeds with :func:`pq_codebooks`'s first-ksub
+    bootstrap and Lloyd-refines each subspace's codebook for
+    ``refine_iters`` iterations — refinement cost independent of N,
+    determinism preserved end to end (md5 sample, exact-integer
+    distances, floor-of-mean codewords, ties to the lowest codeword),
+    so the refined codebooks and everything encoded at them still
+    value-hash against an ANSI-SQL oracle.
+
+    Codeword update: element-wise ``floor(sum(x)/n)`` over the
+    members' quantized coordinates — exact while |sum| < 2^53, which a
+    bounded sample on the 2^10 grid cannot approach; empty codewords
+    keep their previous vector (the ``centroids_kmeans`` posture).
+    Why it matters: the first-ksub bootstrap prices plain ADC recall
+    at whatever the first 16 vectors happen to span (155 mils in the
+    r13 soak); k-means codewords cut per-subspace quantization error,
+    lifting the plain-ADC floor and shrinking the rerank shortlist a
+    recall target needs. Output: (s, c, cq) — drop-in for every
+    codebook consumer. All m subspaces refine in the SAME plan (one
+    sample scan per iteration, subspace id is just a group key)."""
+    dim = vector_dim(corpus, vec_col, dim)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    sample = (
+        corpus.select(id_col, vec_col, md5_order_key(id_col).alias("_mk"))
+        .orderBy("_mk", id_col)
+        .limit(ksub * sample_mult)
+        .drop("_mk")
+        .transform(tracked_persist)  # init + every Lloyd iteration
+    )
+    subs = sample.select(
+        id_col,
+        F.posexplode(
+            _pq_subvectors(_pq_quantized_coords(F.col(vec_col)), m, dsub)
+        ).alias("s", "sub"),
+    )
+    cb = pq_codebooks(sample, m, ksub, id_col, vec_col, dim).localCheckpoint()
+    for _ in range(refine_iters):
+        # the (id, s) group has ONE subvector: min(struct(d, c, sub))
+        # never compares sub because (d, c) is already a total order —
+        # the _argmax_cid payload trick
+        best = (
+            subs.join(F.broadcast(cb), "s")
+            .select(
+                id_col,
+                "s",
+                F.struct(
+                    _pq_sqdist(F.col("sub"), F.col("cq")).alias("d"),
+                    F.col("c"),
+                    F.col("sub").alias("_sub"),
+                ).alias("dc"),
+            )
+            .groupBy(id_col, "s")
+            .agg(F.min("dc").alias("b"))
+        )
+        newc = (
+            best.select(
+                "s",
+                F.col("b.c").alias("c"),
+                F.posexplode("b._sub").alias("pos", "x"),
+            )
+            .groupBy("s", "c", "pos")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "s",
+                "c",
+                "pos",
+                F.floor(F.col("sx") / F.col("n")).cast("bigint").alias("v"),
+            )
+            .groupBy("s", "c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda t: t["v"],
+                ).alias("_cq")
+            )
+        )
+        cb = (
+            cb.join(newc, ["s", "c"], "left")
+            .select("s", "c", F.coalesce("_cq", "cq").alias("cq"))
+            .localCheckpoint()
+        )
+    return cb
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: DataFrame,
