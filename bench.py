@@ -122,6 +122,8 @@ HEADLINE = [
     "similarity_ivfpq_read",  # same, served from the pre-built persisted index
     "maintain_ivfpq_index",   # occupancy trigger + corpus rebuild-rotate (r13)
     "similarity_ivfpq_rerank_refined",  # two-stage at k-means codebooks (r14)
+    "ivfpq_qerr",             # sampled recon-error probe vs pinned baseline (r14)
+    "maintain_ivfpq_qerr",    # qerr-triggered rebuild, occupancy-blind drift (r14)
     "hybrid_search_rrf",      # BM25 x cosine reciprocal-rank fusion (r13)
     "hybrid_search_rrf_ann",  # same fusion over the IVF-PQ backend (r13)
     "bm25_search_batch",      # 24-query BM25 batch, qid-partitioned windows (r14)

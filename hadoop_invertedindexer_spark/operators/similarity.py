@@ -1653,7 +1653,13 @@ def build_ivfpq_index(
     contract and can never drift from it (the winnow-params lesson).
     Storage is the point: m bytes + one int per vector instead of
     dim·4 — the 100 TB corpus's ANN tier fits in ~1/32 the bytes the
-    raw-vector IVF tier scans."""
+    raw-vector IVF tier scans.
+
+    r14: also pins a one-row ``qerr_baseline`` — the build-time
+    sampled reconstruction error (:func:`_ivfpq_sample_recon`) that
+    :func:`ivfpq_index_qerr` later divides against to make
+    quantization drift observable without the codes tier ever storing
+    raw floats."""
     spark = corpus.sparkSession
     dim = vector_dim(corpus, vec_col, dim)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, dim)
@@ -1665,6 +1671,9 @@ def build_ivfpq_index(
     spark.createDataFrame([(m, dim)], "m int, dim int").write.mode(
         "overwrite"
     ).parquet(f"{path}/params")
+    _ivfpq_sample_recon(spark, path, corpus, 256, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/qerr_baseline")
 
 
 def append_ivfpq_index(
@@ -1730,11 +1739,13 @@ def ivfpq_index_drift(spark, path: str) -> DataFrame:
     deliberately stores NO raw vectors (that is its 32x point), so
     quantization error is not measurable from the index alone; bucket
     occupancy IS, off the stored cid column — metadata-scale, one
-    pruned scan of (cid) + two tiny aggregates. That is the right
-    signal anyway: the r13 shifted-drift soak measured real drift as
-    BUCKET COLLAPSE (imbalance 1.5 → 32.5) while avg_qerr moved only
-    0.67 → 0.71, so the IVF maintainer's fleet threshold was already
-    set on imbalance. One row:
+    pruned scan of (cid) + two tiny aggregates. The r13 shifted-drift
+    soak measured cluster-shift drift as BUCKET COLLAPSE (imbalance
+    1.5 → 32.5) while avg_qerr moved only 0.67 → 0.71, so imbalance is
+    the cheap first-line trigger; for the drift class occupancy CANNOT
+    see (scale drift — cosine assignment invariant, L2 quantization
+    not), :func:`ivfpq_index_qerr` is the complementary sampled probe
+    (r14). One row:
 
         (n_vectors, n_centroids, n_empty_buckets, max_bucket,
          imbalance)
@@ -1771,6 +1782,208 @@ def ivfpq_index_drift(spark, path: str) -> DataFrame:
                 6,
             ).alias("imbalance"),
         )
+    )
+
+
+def _ivfpq_sample_recon(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    n_sample: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(n_sampled, avg_recon_sq) over an md5-ordered corpus sample:
+    the average exact-integer squared RECONSTRUCTION error of the
+    sample's STORED codes — Σ_s ‖sub_s − codeword(code_s)‖² on the
+    2^10 grid, the quantity PQ training minimizes (FAISS's per-vector
+    quantization error). Reads the sampled ids' raw vectors from
+    ``corpus`` (the tier's source of truth — the codes keep no
+    floats), their m-byte codes via a broadcast id join against the
+    codes tier, and the tiny codebook table; ids sampled but not (yet)
+    indexed simply don't join. Deterministic (md5 order) and
+    integer-exact, so it value-hashes in SQL."""
+    p = spark.read.parquet(f"{path}/params").head()
+    m, dim = int(p.m), int(p.dim)
+    dsub = dim // m
+    sample = (
+        corpus.select(id_col, vec_col, md5_order_key(id_col).alias("_mk"))
+        .orderBy("_mk", id_col)
+        .limit(n_sample)
+        .select(
+            id_col, _pq_quantized_coords(F.col(vec_col)).alias("_cx")
+        )
+    )
+    codes = spark.read.parquet(f"{path}/codes").select(id_col, "codes")
+    cbdf = spark.read.parquet(f"{path}/codebooks")
+    per = (
+        codes.join(F.broadcast(sample), id_col)
+        .select(id_col, "_cx", F.posexplode("codes").alias("s", "c"))
+        .join(F.broadcast(cbdf), ["s", "c"])
+        .select(
+            id_col,
+            _pq_sqdist(
+                F.slice(F.col("_cx"), F.col("s") * dsub + 1, dsub),
+                F.col("cq"),
+            ).alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("e").alias("recon"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.coalesce(F.sum("recon"), F.lit(0)).cast("long").alias("_rsum"),
+    ).select(
+        "n_sampled",
+        F.expr("_rsum DIV greatest(n_sampled, 1)")
+        .cast("long")
+        .alias("avg_recon_sq"),
+    )
+
+
+def ivfpq_index_qerr(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    n_sample: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sampled QUANTIZATION-ERROR drift signal for a persisted IVF-PQ
+    index (r14, VERDICT r13 ask 4): ``ivfpq_index_drift`` sees
+    occupancy only — a distribution shift that degrades quantization
+    without unbalancing buckets (the canonical case is a SCALE drift:
+    cosine assignment is scale-invariant, so occupancy never moves,
+    while squared-L2 quantization error grows with the square of the
+    scale) is invisible to it. This probe compares the current
+    sampled reconstruction error against the BASELINE the index
+    pinned at build time (``build_ivfpq_index`` writes a
+    ``qerr_baseline`` row — the params pattern applied to index
+    health). ONE row:
+
+        (n_sampled, avg_recon_sq, baseline_recon_sq, qerr_ratio_mils)
+
+    ``qerr_ratio_mils = avg_recon_sq · 1000 DIV max(baseline, 1)`` —
+    1000 means "as healthy as the day it was built"; a scale-drifted
+    ingest pushes it to several thousands while occupancy stays flat
+    (pinned by test and the r14 soak). All integers, zero-safe: a
+    missing baseline (pre-r14 index) or an empty sample reports 0 —
+    no evidence, which the maintainer treats as no drift.
+
+    Design note (measured, r14): two rejected signals — the relative
+    ADC-vs-exact gap over a probe shortlist is SCALE-INVARIANT (the
+    scale cancels between numerator and denominator: healthy 223 →
+    drifted 234 mils on the 5x fixture), and reconstruction error
+    relative to the vector's own norm saturates near 1000 mils on
+    weak codebooks. Absolute reconstruction error against the pinned
+    build-time baseline is the signal that actually moves (223 →
+    5800-ish mils on the same fixture). Cost: one corpus sample
+    (TakeOrdered), one broadcast-pruned codes read, one codebook
+    broadcast — the rerank read pattern's budget."""
+    cur = _ivfpq_sample_recon(
+        spark, path, corpus, n_sample, id_col, vec_col
+    )
+    try:
+        base = spark.read.parquet(f"{path}/qerr_baseline").select(
+            F.col("avg_recon_sq").alias("baseline_recon_sq")
+        )
+    except Exception:
+        base = spark.createDataFrame(
+            [(0,)], "baseline_recon_sq BIGINT"
+        )
+    return cur.crossJoin(F.broadcast(base)).select(
+        "n_sampled",
+        "avg_recon_sq",
+        "baseline_recon_sq",
+        F.expr(
+            "CASE WHEN baseline_recon_sq <= 0 OR n_sampled = 0"
+            " THEN CAST(0 AS BIGINT)"
+            " ELSE avg_recon_sq * 1000 DIV baseline_recon_sq END"
+        ).alias("qerr_ratio_mils"),
+    )
+
+
+def maintain_ivfpq_index_qerr(
+    spark,
+    path: str,
+    dest_path: str,
+    corpus: DataFrame,
+    max_ratio_mils: int = 3000,
+    n_sample: int = 256,
+    k: int | None = None,
+    sample_mult: int = 16,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Qerr-triggered IVF-PQ rebuild (r14, VERDICT r13 ask 4) — the
+    second member of the compressed tier's maintenance pair:
+    ``maintain_ivfpq_index`` fires on bucket collapse;
+    this one fires on the quantization drift occupancy cannot see
+    (:func:`ivfpq_index_qerr` is the trigger — sampled reconstruction
+    error vs the build-time baseline). The remediation re-derives
+    centroids AND codebooks from ``corpus`` — the codebooks via
+    :func:`pq_codebooks_refined`, deliberately: after a scale/shift
+    drift the first-ksub-by-id bootstrap would re-pin the codewords
+    to the STALE cohort (the earliest ids), while the md5-sampled
+    k-means sees the post-drift mixture and spreads codewords across
+    it. The rebuild pins a FRESH baseline at ``dest_path`` (build
+    always does), so the ratio resets to ~1000 after rotation.
+    Returned row is the PRE-rebuild qerr report + the rebuilt flag:
+
+        (n_sampled, avg_recon_sq, baseline_recon_sq, qerr_ratio_mils,
+         rebuilt)
+
+    Below threshold — or with no evidence (empty sample / missing
+    baseline) — nothing is written; rotation guarded as every
+    maintainer."""
+    from hadoop_invertedindexer_spark.fsutil import guard_rotation
+
+    guard_rotation(spark, path, dest_path, "IVF-PQ qerr rebuild")
+    stats = ivfpq_index_qerr(
+        spark, path, corpus, n_sample, id_col, vec_col
+    ).head()
+    rebuilt = (
+        stats.n_sampled > 0
+        and stats.baseline_recon_sq > 0
+        and stats.qerr_ratio_mils > max_ratio_mils
+    )
+    if rebuilt:
+        p = spark.read.parquet(f"{path}/params").head()
+        ksub = int(
+            spark.read.parquet(f"{path}/codebooks")
+            .agg(F.max("c"))
+            .head()[0]
+        ) + 1
+        n_cents = (
+            spark.read.parquet(f"{path}/centroids").count()
+            if k is None
+            else int(k)
+        )
+        cents = bounded_centroids_refined(
+            corpus, n_cents, 4, 2, False, id_col, vec_col
+        )
+        cb = pq_codebooks_refined(
+            corpus, int(p.m), ksub, sample_mult, refine_iters,
+            id_col, vec_col, int(p.dim),
+        )
+        build_ivfpq_index(
+            corpus, cents, cb, dest_path, int(p.m), id_col, vec_col,
+            int(p.dim),
+        )
+    return spark.createDataFrame(
+        [
+            (
+                stats.n_sampled,
+                stats.avg_recon_sq,
+                stats.baseline_recon_sq,
+                stats.qerr_ratio_mils,
+                rebuilt,
+            )
+        ],
+        "n_sampled BIGINT, avg_recon_sq BIGINT,"
+        " baseline_recon_sq BIGINT, qerr_ratio_mils BIGINT,"
+        " rebuilt BOOLEAN",
     )
 
 

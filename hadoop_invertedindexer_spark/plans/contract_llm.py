@@ -1021,6 +1021,61 @@ def q_maintain_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_qerr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled quantization-error probe on a HEALTHY persisted IVF-PQ
+    index (r14, VERDICT r13 ask 4): current sampled reconstruction
+    error vs the baseline the build pinned — same corpus, so the
+    ratio is exactly 1000 mils ("as healthy as the day it was
+    built"); the drifted twin is maintain_ivfpq_qerr. Reuses the
+    similarity_ivfpq_read fixture index."""
+    emb, _queries, cents, cb = _ivfpq_parts(spark, sf_dir)
+    if sf_dir not in _ANN_IVFPQ_INDEX:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="annivfpq_") + "/ivfpq"
+        similarity.build_ivfpq_index(emb, cents, cb, path, m=8, dim=64)
+        _ANN_IVFPQ_INDEX[sf_dir] = path
+    return similarity.ivfpq_index_qerr(
+        spark, _ANN_IVFPQ_INDEX[sf_dir], emb, n_sample=256
+    )
+
+
+def q_maintain_ivfpq_qerr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qerr-triggered IVF-PQ rebuild (r14) on the drift class the
+    occupancy trigger CANNOT see: a 5x-scaled replica slab (every 4th
+    vector, ids offset) is appended — cosine assignment is
+    scale-invariant, so imbalance stays at the healthy 1.25 and
+    maintain_ivfpq_index would never fire, while squared-L2
+    reconstruction error explodes (ratio ~6380 vs the build-time
+    baseline at sf0.01). The maintainer must rebuild into the
+    rotation dir with md5-sampled k-means codebooks (the first-ksub
+    bootstrap would re-pin to the stale cohort). The oracle restates
+    the baseline sample, the drifted sample, and the threshold rule."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="mqerr_")
+    path, dest = base + "/ivfpq", base + "/ivfpq_rebuilt"
+    cents = similarity.centroids_by_sampling(emb, every=50)
+    cb = similarity.pq_codebooks(emb, m=8, ksub=16, dim=64)
+    similarity.build_ivfpq_index(emb, cents, cb, path, m=8, dim=64)
+    slab = emb.where(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + F.lit(20_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(5.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    similarity.append_ivfpq_index(slab, path)
+    return similarity.maintain_ivfpq_index_qerr(
+        spark,
+        path,
+        dest,
+        emb.select("vec_id", "embedding").unionByName(slab),
+        max_ratio_mils=3000,
+        n_sample=256,
+    )
+
+
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN majority-vote labeling of every 100th vector from its exact
     cosine top-10 (the brute-force backend — any ANN backend plugs in).
@@ -2589,6 +2644,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_eval_ivfpq": q_ann_recall_eval_ivfpq,
     "ivfpq_drift": q_ivfpq_drift,
     "maintain_ivfpq_index": q_maintain_ivfpq_index,
+    "ivfpq_qerr": q_ivfpq_qerr,
+    "maintain_ivfpq_qerr": q_maintain_ivfpq_qerr,
     "similarity_ivfpq_rerank": q_similarity_ivfpq_rerank,
     "ann_recall_eval_ivfpq_rerank": q_ann_recall_eval_ivfpq_rerank,
     "pq_codebooks_refined": q_pq_codebooks_refined,
@@ -4521,6 +4578,108 @@ LLM_ORACLE_SQL: dict[str, str] = {
                     * 1000 > 4000) AS rebuilt
         FROM agg, bk, cc"""
     )(_sql_bounded_cents_ctes(k=64, sample=256, n_iters=2, dim=64)),
+    # healthy qerr probe (r14): sampled reconstruction error of the
+    # stored codes vs the build-time baseline — same corpus, so the
+    # ratio is exactly 1000; keep in lockstep with
+    # similarity.ivfpq_index_qerr / _ivfpq_sample_recon (n_sample=256)
+    "ivfpq_qerr": f"""
+        WITH {_sql_pq_ctes()},
+        samp AS (
+            SELECT vec_id FROM embeddings
+            ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+                     vec_id
+            LIMIT 256),
+        recon AS (
+            SELECT d.vec_id, sum(d.d)::BIGINT AS recon
+            FROM dists d
+            JOIN enc e ON e.vec_id = d.vec_id AND e.s = d.s AND e.c = d.c
+            JOIN samp ON samp.vec_id = d.vec_id
+            GROUP BY d.vec_id),
+        g AS (SELECT count(*)::BIGINT AS n,
+                     coalesce(sum(recon), 0)::BIGINT AS r
+              FROM recon)
+        SELECT n AS n_sampled,
+               (r // greatest(n, 1))::BIGINT AS avg_recon_sq,
+               (r // greatest(n, 1))::BIGINT AS baseline_recon_sq,
+               (CASE WHEN n = 0 OR (r // greatest(n, 1)) <= 0 THEN 0
+                     ELSE (r // greatest(n, 1)) * 1000
+                          // (r // greatest(n, 1)) END)::BIGINT
+                   AS qerr_ratio_mils
+        FROM g""",
+    # qerr-triggered rebuild on the occupancy-blind drift class (r14):
+    # a 5x-scaled slab appended at the stored models — baseline sample
+    # over the BASE corpus, current sample over the union, both encoded
+    # at the same first-16 codebooks; rebuilt = ratio > 3000. Keep in
+    # lockstep with q_maintain_ivfpq_qerr.
+    "maintain_ivfpq_qerr": f"""
+        WITH {_sql_pq_ctes()},
+        bsamp AS (
+            SELECT vec_id FROM embeddings
+            ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+                     vec_id
+            LIMIT 256),
+        brecon AS (
+            SELECT d.vec_id, sum(d.d)::BIGINT AS recon
+            FROM dists d
+            JOIN enc e ON e.vec_id = d.vec_id AND e.s = d.s AND e.c = d.c
+            JOIN bsamp ON bsamp.vec_id = d.vec_id
+            GROUP BY d.vec_id),
+        bg AS (SELECT count(*)::BIGINT AS n,
+                      coalesce(sum(recon), 0)::BIGINT AS r
+               FROM brecon),
+        slab AS (
+            SELECT (20000000 + vec_id)::BIGINT AS vec_id,
+                   list_transform(embedding, x -> (x * 5.0)::FLOAT)
+                       AS embedding
+            FROM embeddings WHERE vec_id % 4 = 0),
+        uni AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL SELECT vec_id, embedding FROM slab),
+        uqx AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> floor(x::DOUBLE * 1024.0)::BIGINT) AS qx
+            FROM uni),
+        usubs AS (
+            SELECT vec_id, s, list_slice(qx, s*8 + 1, s*8 + 8) AS sub
+            FROM uqx, ss),
+        udists AS (
+            SELECT vec_id, s, c,
+                   {_SQL_PQ_SQDIST.format(a="sub", b="cq")}::BIGINT AS d
+            FROM usubs JOIN cb USING (s)),
+        uenc AS (
+            SELECT vec_id, s, c FROM (
+                SELECT vec_id, s, c,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d, c) AS rn
+                FROM udists) r
+            WHERE rn = 1),
+        usamp AS (
+            SELECT vec_id FROM uni
+            ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+                     vec_id
+            LIMIT 256),
+        urecon AS (
+            SELECT d.vec_id, sum(d.d)::BIGINT AS recon
+            FROM udists d
+            JOIN uenc e ON e.vec_id = d.vec_id AND e.s = d.s AND e.c = d.c
+            JOIN usamp ON usamp.vec_id = d.vec_id
+            GROUP BY d.vec_id),
+        ug AS (SELECT count(*)::BIGINT AS n,
+                      coalesce(sum(recon), 0)::BIGINT AS r
+               FROM urecon)
+        SELECT ug.n AS n_sampled,
+               (ug.r // greatest(ug.n, 1))::BIGINT AS avg_recon_sq,
+               (bg.r // greatest(bg.n, 1))::BIGINT AS baseline_recon_sq,
+               (CASE WHEN ug.n = 0 OR (bg.r // greatest(bg.n, 1)) <= 0
+                     THEN 0
+                     ELSE (ug.r // greatest(ug.n, 1)) * 1000
+                          // (bg.r // greatest(bg.n, 1)) END)::BIGINT
+                   AS qerr_ratio_mils,
+               (ug.n > 0 AND (bg.r // greatest(bg.n, 1)) > 0
+                AND (ug.r // greatest(ug.n, 1)) * 1000
+                    // (bg.r // greatest(bg.n, 1)) > 3000) AS rebuilt
+        FROM ug, bg""",
     "semantic_dedup_bounded": _sql_semantic_dedup_bounded(
         k=64, sample=256, n_iters=2, threshold=0.4
     ),

@@ -1351,6 +1351,120 @@ class TestIvfPqStreamIngest:
         assert drift.n_vectors == day1.count()
 
 
+class TestIvfPqQerr:
+    """r14 (VERDICT r13 ask 4): the quantization-error drift signal
+    occupancy cannot see — sampled reconstruction error vs the
+    build-time pinned baseline, and the qerr-triggered rebuild."""
+
+    def _build(self, spark, sf_dir, tmp_path):
+        emb = read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        cents = similarity.centroids_by_sampling(emb, every=50)
+        cb = similarity.pq_codebooks(emb, m=8, ksub=16, dim=64)
+        path = str(tmp_path / "ivfpq")
+        similarity.build_ivfpq_index(emb, cents, cb, path, m=8, dim=64)
+        return emb, path
+
+    def _slab(self, emb):
+        return emb.where(F.col("vec_id") % 4 == 0).select(
+            (F.col("vec_id") + F.lit(20_000_000)).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(5.0))
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+
+    def test_healthy_index_ratio_is_exactly_1000(
+        self, spark, sf_dir, tmp_path
+    ):
+        emb, path = self._build(spark, sf_dir, tmp_path)
+        r = similarity.ivfpq_index_qerr(spark, path, emb).head()
+        assert r.n_sampled > 0
+        assert r.avg_recon_sq == r.baseline_recon_sq > 0
+        assert r.qerr_ratio_mils == 1000
+
+    def test_scale_drift_fires_qerr_not_occupancy(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The canonical occupancy-blind drift: a 5x-scaled slab —
+        cosine assignment is scale-invariant so imbalance stays at the
+        healthy level (the occupancy maintainer would never fire),
+        while squared-L2 reconstruction error explodes past any sane
+        ratio threshold."""
+        emb, path = self._build(spark, sf_dir, tmp_path)
+        healthy_imb = similarity.ivfpq_index_drift(spark, path).head().imbalance
+        slab = self._slab(emb)
+        similarity.append_ivfpq_index(slab, path)
+        uni = emb.unionByName(slab)
+        drift = similarity.ivfpq_index_drift(spark, path).head()
+        assert drift.imbalance * 1000 < healthy_imb * 1000 + 1000
+        r = similarity.ivfpq_index_qerr(spark, path, uni).head()
+        assert r.qerr_ratio_mils > 3000
+
+    def test_maintainer_rebuilds_and_fresh_baseline_resets(
+        self, spark, sf_dir, tmp_path
+    ):
+        import os
+
+        emb, path = self._build(spark, sf_dir, tmp_path)
+        slab = self._slab(emb)
+        similarity.append_ivfpq_index(slab, path)
+        uni = emb.unionByName(slab)
+        dest = str(tmp_path / "ivfpq_rot")
+        m = similarity.maintain_ivfpq_index_qerr(
+            spark, path, dest, uni, max_ratio_mils=3000
+        ).head()
+        assert m.rebuilt is True and m.qerr_ratio_mils > 3000
+        assert os.path.isdir(dest)
+        post = similarity.ivfpq_index_qerr(spark, dest, uni).head()
+        assert post.qerr_ratio_mils == 1000  # fresh baseline pinned
+        # the refined-codebook rebuild genuinely lowers absolute recon
+        # error on the mixed-scale corpus
+        assert post.avg_recon_sq < m.avg_recon_sq
+        # the rotated index serves queries
+        q = uni.where(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        assert similarity.query_ivfpq_index(
+            spark, dest, q, k=3, nprobe=4
+        ).count() > 0
+
+    def test_below_threshold_writes_nothing(self, spark, sf_dir, tmp_path):
+        import os
+
+        emb, path = self._build(spark, sf_dir, tmp_path)
+        dest = str(tmp_path / "ivfpq_rot")
+        m = similarity.maintain_ivfpq_index_qerr(
+            spark, path, dest, emb, max_ratio_mils=3000
+        ).head()
+        assert m.rebuilt is False and m.qerr_ratio_mils == 1000
+        assert not os.path.exists(dest)
+
+    def test_missing_baseline_is_no_evidence(self, spark, sf_dir, tmp_path):
+        """A pre-r14 index has no qerr_baseline: the probe reports 0
+        (no evidence) and the maintainer must NOT rebuild on it."""
+        import os
+        import shutil
+
+        emb, path = self._build(spark, sf_dir, tmp_path)
+        shutil.rmtree(f"{path}/qerr_baseline")
+        r = similarity.ivfpq_index_qerr(spark, path, emb).head()
+        assert r.baseline_recon_sq == 0 and r.qerr_ratio_mils == 0
+        dest = str(tmp_path / "ivfpq_rot")
+        m = similarity.maintain_ivfpq_index_qerr(
+            spark, path, dest, emb, max_ratio_mils=3000
+        ).head()
+        assert m.rebuilt is False
+        assert not os.path.exists(dest)
+
+    def test_in_place_rotation_guard(self, spark, sf_dir, tmp_path):
+        import pytest
+
+        emb, path = self._build(spark, sf_dir, tmp_path)
+        with pytest.raises(ValueError, match="cannot run in place"):
+            similarity.maintain_ivfpq_index_qerr(spark, path, path, emb)
+
+
 class TestPqCodebooksRefined:
     """r14 (VERDICT r13 ask 3): bounded per-subspace k-means refinement
     of the PQ codebooks. The oracle pins exact values; these pin the
