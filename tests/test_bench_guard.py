@@ -115,6 +115,18 @@ def test_check_output_path_is_not_the_committed_artifact():
         assert "bench_check_last.json" in fh.read()
 
 
+def test_plain_capture_path_is_not_the_committed_artifact():
+    # r14 (VERDICT r13 watch 3): the driver's per-round plain bench run
+    # must leave the tree clean too — only --update-baseline rewrites
+    # the committed bench_queries.json, in lockstep with the baseline
+    assert bench.CAPTURE_PATH != bench.QUERIES_PATH
+    assert bench.CAPTURE_PATH != bench.CHECK_PATH
+    assert os.path.basename(bench.CAPTURE_PATH) == "bench_queries_last.json"
+    root = os.path.dirname(os.path.abspath(bench.__file__))
+    with open(os.path.join(root, ".gitignore")) as fh:
+        assert "bench_queries_last.json" in fh.read()
+
+
 def test_committed_queries_file_carries_diagnosis_details():
     # the artifact must let a reader separate environment from
     # regression WITHOUT re-running: every query needs its start offset
