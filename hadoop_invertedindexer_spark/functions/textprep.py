@@ -58,10 +58,16 @@ def tokenize(df: DataFrame, col: str = "line", out: str = "word") -> DataFrame:
 
     explode(split(...)) emits empty strings where StringTokenizer emits
     nothing (leading/trailing/repeated delimiters) — filter them out.
+    explode_OUTER (r14): the non-outer form makes Catalyst infer
+    `size(split(line)) > 0` and push it to the scan, re-running the
+    split per line twice more in the scan stage; split() never returns
+    an empty/null array for a non-null line, and the existing
+    empty-token filter also drops the outer form's NULL row, so the
+    output is identical.
     """
-    return df.withColumn(out, F.explode(F.split(F.col(col), TOKEN_DELIM_CLASS))).where(
-        F.col(out) != ""
-    )
+    return df.withColumn(
+        out, F.explode_outer(F.split(F.col(col), TOKEN_DELIM_CLASS))
+    ).where(F.col(out) != "")
 
 
 def filter_len(col: Column | str, min_len: int = DEFAULT_MIN_TOKEN_LEN) -> Column:

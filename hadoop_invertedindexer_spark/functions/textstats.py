@@ -221,13 +221,20 @@ def repetition_signals(
     lines = (
         d.select(
             id_col,
-            F.explode(
+            # explode_OUTER + null filter (r14): the non-outer form made
+            # Catalyst infer size()>0/isnotnull over the whole
+            # split+trim+filter expression and push it to the scan —
+            # two extra evaluations per doc; the explicit isNotNull on
+            # the generated attribute is free and restores the exact
+            # row set (all-blank docs drop)
+            F.explode_outer(
                 F.filter(
                     F.transform(F.split("_t", "\n"), lambda x: F.trim(x)),
                     lambda x: x != "",
                 )
             ).alias("line"),
         )
+        .where(F.col("line").isNotNull())
         .groupBy(id_col, "line")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(id_col)
@@ -251,7 +258,7 @@ def repetition_signals(
             d.select(
                 id_col,
                 "_nchars",
-                F.explode(toks_grams(n)).alias("g"),
+                F.explode_outer(toks_grams(n)).alias("g"),
             )
             .where(F.col("g") != "")
             .groupBy(id_col, "_nchars", "g")
@@ -410,7 +417,7 @@ def unigram_nll(
     # the broadcast scoring join — without the persist the full token
     # count pipeline scans the model corpus twice
     counts = (
-        src.select(F.explode(token_array(text_col)).alias("token"))
+        src.select(F.explode_outer(token_array(text_col)).alias("token"))
         .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -422,7 +429,7 @@ def unigram_nll(
         F.sum("c").alias("n_mass"), F.count(F.lit(1)).alias("v_size")
     )
     tok = docs.select(
-        F.col(id_col), F.explode(token_array(text_col)).alias("token")
+        F.col(id_col), F.explode_outer(token_array(text_col)).alias("token")
     ).where(F.col("token") != "")
     scored = (
         tok.join(F.broadcast(counts), "token", "left")
@@ -464,7 +471,9 @@ def _gram_stream(docs, id_col: str, text_col: str):
             F.when(i >= 2, F.element_at(F.col("_tk"), i - 1)).alias("p2"),
         ),
     )
-    return base.select(id_col, F.explode(trip).alias("_g")).select(
+    return base.select(
+        id_col, F.explode_outer(trip).alias("_g")
+    ).where(F.col("_g").isNotNull()).select(
         id_col,
         F.col("_g.cur").alias("cur"),
         F.col("_g.p1").alias("p1"),
@@ -668,8 +677,8 @@ def _hashed_gram_features(
     return base.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],
-        F.explode(grams).alias("gram"),
-    ).select(
+        F.explode_outer(grams).alias("gram"),
+    ).where(F.col("gram").isNotNull()).select(
         id_col,
         *extra_cols,
         F.pmod(
@@ -735,6 +744,49 @@ def classifier_score(
     )
 
 
+def classifier_features(
+    docs,
+    n_features: int = 1024,
+    word_ngrams: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str | None = None,
+):
+    """COUNTED hashed-gram features — the shareable head of the
+    classifier family (r14): (id[, _y], feature, cnt), tracked-persisted
+    and REPARTITIONED BY DOC ID so that (a) a train→eval chain over the
+    same docs hashes the corpus exactly once (train, predict and the
+    gate all accept this frame via ``features=`` instead of re-running
+    the explode+md5 pass each), and (b) every per-iteration margin
+    window inside :func:`classifier_train` — which partitions by the doc
+    id — reuses the persisted partitioning instead of re-exchanging the
+    feature stream once per round (hash(id) satisfies the window's
+    clustered distribution; the groupBy(id, _y, feature) output
+    partitioning did not). With ``label_col`` the ±1 label rides as
+    ``_y`` (what training needs); predict/gate ignore it."""
+    from hadoop_invertedindexer_spark.caching import tracked_persist
+
+    extra = ("_y",) if label_col else ()
+    base = (
+        docs.select(
+            F.col(id_col),
+            F.col(label_col).cast("long").alias("_y"),
+            F.col(text_col),
+        )
+        if label_col
+        else docs
+    )
+    return (
+        _hashed_gram_features(
+            base, n_features, word_ngrams, id_col, text_col, extra_cols=extra
+        )
+        .groupBy(id_col, *extra, "feature")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .repartition(id_col)
+        .transform(tracked_persist)
+    )
+
+
 def classifier_train(
     docs,
     n_iters: int = 5,
@@ -744,6 +796,7 @@ def classifier_train(
     label_col: str = "y",
     init_weights=None,
     word_ngrams: int = 1,
+    features=None,
 ):
     """Distributed batch-perceptron training — the TRAINING half of the
     DCLM / FineWeb-Edu quality-classifier loop (:func:`classifier_score`
@@ -783,29 +836,20 @@ def classifier_train(
     every round) and whose output is ≤ ``n_features`` rows. The model
     itself (≤ ``n_features`` rows) lives on the driver between
     iterations and broadcasts into the margin join — metadata scale,
-    the pagerank/bpe_train driver-loop pattern.
+    the pagerank/bpe_train driver-loop pattern. Pass ``features=`` (a
+    :func:`classifier_features` frame built WITH ``label_col``) to skip
+    the hash pass entirely — the r14 sharing contract for train→eval
+    chains over the same docs.
     """
     from pyspark.sql import Window
 
-    from hadoop_invertedindexer_spark.caching import tracked_persist
-
     spark = docs.sparkSession
     feats = (
-        _hashed_gram_features(
-            docs.select(
-                F.col(id_col),
-                F.col(label_col).cast("long").alias("_y"),
-                F.col(text_col),
-            ),
-            n_features,
-            word_ngrams,
-            id_col,
-            text_col,
-            extra_cols=("_y",),
+        features
+        if features is not None
+        else classifier_features(
+            docs, n_features, word_ngrams, id_col, text_col, label_col
         )
-        .groupBy(id_col, "_y", "feature")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .transform(tracked_persist)
     )
     byd = Window.partitionBy(id_col)
     # warm start: the perceptron's whole loop state IS the weight
@@ -859,6 +903,7 @@ def classifier_predict(
     id_col: str = "doc_id",
     text_col: str = "text",
     word_ngrams: int = 1,
+    features=None,
 ):
     """Hard-vote classification with a trained linear model — the
     perceptron's own decision function: ``pred = sign(bias + Σ_t
@@ -878,7 +923,32 @@ def classifier_predict(
 
     Scale shape: identical to ``classifier_score`` — one broadcast join
     against the ≤ ``n_features`` weight table, one per-doc aggregate,
-    all codegen."""
+    all codegen. Pass ``features=`` (a :func:`classifier_features`
+    frame over the same docs/settings) to reuse an already-hashed
+    counted-feature frame instead of re-running the explode+md5 pass:
+    ``n_tokens = Σ cnt`` and ``margin = bias + Σ cnt·w`` are the same
+    integers the per-gram-row path sums (r14 — pinned by test)."""
+    if features is not None:
+        margins = (
+            features.join(F.broadcast(weights), "feature", "left")
+            .groupBy(id_col)
+            .agg(
+                F.sum("cnt").cast("long").alias("n_tokens"),
+                (
+                    F.lit(int(bias))
+                    + F.sum(F.col("cnt") * F.coalesce("weight", F.lit(0)))
+                ).cast("long").alias("margin"),
+            )
+        )
+        return margins.select(
+            id_col,
+            "n_tokens",
+            "margin",
+            F.when(F.col("margin") > 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("int")
+            .alias("pred"),
+        )
     tok = _hashed_gram_features(
         docs, n_features, word_ngrams, id_col, text_col
     )
@@ -1179,6 +1249,7 @@ def corpus_filter_classifier(
     n_features: int = 1024,
     word_ngrams: int = 1,
     bias: int = 0,
+    features=None,
 ):
     """Threshold-picked classifier gate (r12) — the consumer that
     closes the eval family's loop: :func:`classifier_pr_sweep` reports
@@ -1207,9 +1278,12 @@ def corpus_filter_classifier(
     aggregate over the SWEEP frame (histogram-side — corpus data is
     never collected) riding back as a one-row broadcast. All integers,
     bit-reproducible."""
+    from hadoop_invertedindexer_spark.caching import tracked_persist
+
     preds = classifier_predict(
-        docs, weights, n_features, bias, id_col, text_col, word_ngrams
-    )
+        docs, weights, n_features, bias, id_col, text_col, word_ngrams,
+        features=features,
+    ).transform(tracked_persist)  # the sweep AND the gate both read it
     labeled = preds.join(docs.select(id_col, label_col), id_col)
     sweep = classifier_pr_sweep(
         labeled, label_col=label_col, margin_col="margin"

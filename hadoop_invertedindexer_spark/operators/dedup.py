@@ -98,11 +98,17 @@ def winnow_fingerprints(
     exists for exactly that). ``pos_bits`` must stay ≤ 23 so
     h40·2^pos_bits fits signed 64-bit.
 
-    Scale shape: one posexplode + ONE doc-keyed exchange; both windows
-    (the running min and the gram count) partition by the doc id, so
-    no task ever sees more than one document's hash stream, and the
-    output is the winnowed ~2/(w+1) fraction. Short docs (< k tokens)
-    fingerprint their whole text — every doc is represented."""
+    Scale shape: one posexplode + ONE doc-keyed exchange, paid UP FRONT
+    (r14): the doc stream is spread by id BEFORE the gram explode and
+    per-gram md5, so the expensive hashing runs at full width even when
+    the source arrives as one split (the single-file-scan trap —
+    measured: the whole gram+md5 stage ran as ONE task off the one-file
+    sf fixture), and the min window reuses that same id partitioning
+    with no second exchange. The gram COUNT rides the materialized gram
+    array (``size`` before the explode — r14), replacing the former
+    full-partition count window: one Window operator instead of two.
+    Short docs (< k tokens) fingerprint their whole text — every doc is
+    represented."""
     from pyspark.sql import Window
 
     if pos_bits > 23:
@@ -111,24 +117,38 @@ def winnow_fingerprints(
             "(pos_bits <= 23)"
         )
     space = 1 << pos_bits
-    kg = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(word_ngrams(text_col, k)).alias("pos", "g"),
+    kg = (
+        _spread(
+            docs.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+        )
+        .select("id", word_ngrams(text_col, k).alias("_gs"))
+        # posexplode_OUTER (r14): the non-outer generator makes Catalyst
+        # infer `size(grams) > 0 AND isnotnull(grams)` and push it below
+        # the exchange to the scan — re-evaluating the whole gram
+        # expression TWICE more inside the (often single-task) scan
+        # stage. word_ngrams never returns an empty/null array (short
+        # docs get a 1-element array), so the outer form is
+        # row-identical and the inferred filter never pruned anything.
+        .select(
+            "id",
+            F.size("_gs").alias("ng"),
+            F.posexplode_outer("_gs").alias("pos", "g"),
+        )
     )
     h40 = F.conv(F.substring(F.md5("g"), 1, 10), 16, 10).cast("long")
     comb = kg.select(
         "id",
         "pos",
+        "ng",
         (h40 * F.lit(space) + (F.lit(space - 1) - F.col("pos"))).alias("c"),
     )
-    wcnt = Window.partitionBy("id")
     wmin = (
         Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     )
     staged = comb.select(
         "id",
         "pos",
-        F.count(F.lit(1)).over(wcnt).alias("ng"),
+        "ng",
         F.min("c").over(wmin).alias("mc"),
     )
     # the cap guard rides the decoded min expression (never pruned —
@@ -193,11 +213,19 @@ def _winnow_kept_postings(
         .distinct()
         .transform(tracked_persist)  # df-cap + both join sides
     )
+    # the KEPT frame persists too (r14): every consumer reads it at
+    # least twice (both sides of the pair self-join, or the sampled +
+    # unsampled sides of the estimate), so without the persist the
+    # cap-filter join ran once per side; with it the self-join reads ONE
+    # cached frame whose fp-hash partitioning both sides share — the
+    # pair join needs no new exchange at all
     if max_df_tiers is None:
         cap = fps.groupBy("fp").agg(
             F.count(F.lit(1)).alias("df")
         ).where(F.col("df") <= max_df)
-        return fps.join(cap.select("fp").hint("shuffle_hash"), "fp")
+        return fps.join(
+            cap.select("fp").hint("shuffle_hash"), "fp"
+        ).transform(tracked_persist)
     dfc = fps.groupBy("fp").agg(
         F.count(F.lit(1)).alias("df")
     ).transform(tracked_persist)  # chooser + filter join
@@ -207,6 +235,7 @@ def _winnow_kept_postings(
         .crossJoin(F.broadcast(chosen))
         .where(F.col("df") <= F.col("cap"))
         .select("fp", "id")
+        .transform(tracked_persist)
     )
 
 
@@ -356,7 +385,10 @@ def winnow_index_pairs(
     # explicit projection: streaming-maintained tiers may surface a
     # batch partition column — the contract is the columns
     idx = (
-        spark.read.parquet(f"{path}/fps").select("id", "fp").distinct()
+        spark.read.parquet(f"{path}/fps")
+        .select("id", "fp")
+        .distinct()
+        .transform(tracked_persist)  # df union + the cross pair join
     )
     batch = (
         winnow_fingerprints(
@@ -375,7 +407,9 @@ def winnow_index_pairs(
         .transform(tracked_persist)  # filters both posting streams
     )
     kept_idx = idx.join(cap.hint("shuffle_hash"), "fp")
-    kept_batch = batch.join(cap.hint("shuffle_hash"), "fp")
+    kept_batch = batch.join(cap.hint("shuffle_hash"), "fp").transform(
+        tracked_persist  # broadcast pair side + both within-batch sides
+    )
     a, b = kept_idx.alias("a"), F.broadcast(kept_batch).alias("b")
     cross = a.join(
         b,
@@ -850,12 +884,18 @@ def _doc_shingles(
 ) -> DataFrame:
     """Distinct (id, sh) doc-shingle postings, shingles hashed to
     xxhash64 longs — the raw material of the set-similarity family.
-    Callers persist (every consumer reads it at least twice)."""
+    Callers persist (every consumer reads it at least twice).
+    explode_OUTER (r14): the non-outer generator made Catalyst infer
+    `size(shingles) > 0` and push it to the scan, re-evaluating the
+    whole shingle expression twice more in the single-task scan stage
+    (below even the spread exchange — the filter references only the
+    text column); word_ngrams never yields an empty/null array, so the
+    outer form is row-identical."""
     return (
         _spread(docs, id_col)
         .select(
             F.col(id_col).alias("id"),
-            F.explode(word_ngrams(text_col, n)).alias("sh_str"),
+            F.explode_outer(word_ngrams(text_col, n)).alias("sh_str"),
         )
         .select("id", F.xxhash64("sh_str").alias("sh"))
         .distinct()
@@ -948,11 +988,17 @@ def _shingle_intersections(
     # under-estimates are broadcast-prone (the r4 OOM lesson), and the
     # self-join sides are the capped corpus shingle stream itself —
     # neither may ever be collected to the driver at 100 TB
+    # sh_kept persists (r14): the pair self-join reads it on BOTH sides
+    # — without the persist the cap-filter join ran once per side; with
+    # it both sides share one cached fp-hash-partitioned frame and the
+    # self-join adds no exchange
     if max_df_tiers is None:
         df_cap = sh.groupBy("sh").agg(
             F.count(F.lit(1)).alias("df")
         ).where(F.col("df") <= max_df)
-        sh_kept = sh.join(df_cap.select("sh").hint("shuffle_hash"), "sh")
+        sh_kept = sh.join(
+            df_cap.select("sh").hint("shuffle_hash"), "sh"
+        ).transform(tracked_persist)
     else:
         # per-key df feeds BOTH the tier chooser and the filter join —
         # persist so the posting scan doesn't run twice; the chosen cap
@@ -967,6 +1013,7 @@ def _shingle_intersections(
             .crossJoin(F.broadcast(chosen))
             .where(F.col("df") <= F.col("cap"))
             .select("sh", "id")
+            .transform(tracked_persist)
         )
     # Measured alternative (sf0.1): collect_list per shingle + nested
     # transform/flatten combination explode has one fewer shuffle but runs
@@ -1196,7 +1243,7 @@ def shingle_cap_recall_estimate(
         _spread(docs, id_col)
         .select(
             F.col(id_col).alias("id"),
-            F.explode(word_ngrams(text_col, n)).alias("sh_str"),
+            F.explode_outer(word_ngrams(text_col, n)).alias("sh_str"),
         )
         .distinct()
         .transform(tracked_persist)  # df aggregate + sampled expansion
@@ -1347,13 +1394,13 @@ def contamination(
         _spread(train, id_col)
         .select(
             F.col(id_col).alias("id"),
-            F.explode(word_ngrams(text_col, n)).alias("sh_str"),
+            F.explode_outer(word_ngrams(text_col, n)).alias("sh_str"),
         )
         .select("id", F.xxhash64("sh_str").alias("sh"))
         .distinct()
     )
     ev = F.broadcast(
-        evalset.select(F.explode(word_ngrams(text_col, n)).alias("sh_str"))
+        evalset.select(F.explode_outer(word_ngrams(text_col, n)).alias("sh_str"))
         .select(F.xxhash64("sh_str").alias("sh"))
         .distinct()
     )
@@ -1402,7 +1449,13 @@ def minhash_signatures(
     ``id_col``."""
     sh = (
         _spread(docs, spread_col or id_col)
-        .select(F.col(id_col).alias("id"), F.explode(word_ngrams(text_col, n)).alias("sh"))
+        # explode_OUTER: see _doc_shingles — stops the inferred
+        # size()>0 filter from re-running the shingle expression at the
+        # scan; word_ngrams is never empty/null, rows identical (r14)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(word_ngrams(text_col, n)).alias("sh"),
+        )
     )
     if portable:
         sh = sh.distinct()
@@ -1999,7 +2052,8 @@ def content_chunks(
     from pyspark.sql import Window
 
     tok = docs.select(
-        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("ord", "tok")
+        F.col(id_col),
+        F.posexplode_outer(F.split(F.col(text_col), " ")).alias("ord", "tok"),
     )
     boundary = (
         F.conv(F.substring(F.md5(F.col("tok")), 1, 2), 16, 10).cast("int")
@@ -2129,7 +2183,7 @@ def build_bloom_filter(
     Build cost: one explode + distinct over the (small) eval side, one
     2048-group aggregation, one 2048-row array assembly. All JVM-side.
     """
-    ev = evalset.select(F.explode(word_ngrams(text_col, n)).alias("sh")).distinct()
+    ev = evalset.select(F.explode_outer(word_ngrams(text_col, n)).alias("sh")).distinct()
     return bloom_bitmap(ev, "sh", m_bits, k)
 
 
@@ -2194,7 +2248,7 @@ def bloom_decontaminate(
         _spread(train, id_col)
         .select(
             F.col(id_col).alias("id"),
-            F.explode(word_ngrams(text_col, n)).alias("sh"),
+            F.explode_outer(word_ngrams(text_col, n)).alias("sh"),
         )
         .distinct()
     )
@@ -2247,7 +2301,9 @@ def duplicate_passages(
         _spread(docs, id_col)
         .select(
             F.col(id_col).alias("id"),
-            F.posexplode(word_ngrams(text_col, n)).alias("pos", "sh_str"),
+            F.posexplode_outer(word_ngrams(text_col, n)).alias(
+                "pos", "sh_str"
+            ),
         )
         .select("id", "pos", F.xxhash64("sh_str").alias("sh"))
         .transform(tracked_persist)  # feeds both the df count and the interval join
@@ -2421,7 +2477,7 @@ def dedup_substrings(
     wins = toks.select(
         "id",
         "t_len",
-        F.posexplode(
+        F.posexplode_outer(
             F.when(
                 F.col("t_len") < n, F.array(F.concat_ws(" ", F.col("tk")))
             ).otherwise(
@@ -2531,7 +2587,7 @@ def decontaminate_substrings(
         return frame.select(
             "id",
             "t_len",
-            F.posexplode(
+            F.posexplode_outer(
                 F.when(
                     F.col("t_len") < n,
                     F.array(F.concat_ws(" ", F.col("tk"))),
@@ -2598,9 +2654,12 @@ def decontaminate_substrings(
 def _window_hashes(docs: DataFrame, n: int, id_col: str, text_col: str):
     """(id, pos, e, sh): every length-``n`` token window of every doc,
     keyed by its 8-byte hash — the shared emit of the substring
-    family."""
+    family. A narrow-provenance source spreads first (r14) so the
+    tokenize+window explode runs at full width."""
+    from hadoop_invertedindexer_spark.sources.tables import spread_if_narrow
+
     return (
-        docs.select(
+        spread_if_narrow(docs, id_col).select(
             F.col(id_col).alias("id"),
             token_array(text_col).alias("tk"),
         )
@@ -2608,7 +2667,7 @@ def _window_hashes(docs: DataFrame, n: int, id_col: str, text_col: str):
         .select(
             "id",
             "t_len",
-            F.posexplode(
+            F.posexplode_outer(
                 F.when(
                     F.col("t_len") < n,
                     F.array(F.concat_ws(" ", F.col("tk"))),
@@ -2730,7 +2789,7 @@ def decontaminate_substrings_incremental(
     hits = toks.select(
         "id",
         "t_len",
-        F.posexplode(
+        F.posexplode_outer(
             F.when(
                 F.col("t_len") < n, F.array(F.concat_ws(" ", F.col("tk")))
             ).otherwise(
@@ -3027,7 +3086,9 @@ def _paragraph_keyed(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     norm = normalized_text("para")
     return _spread(docs, id_col).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
+            "pos", "para"
+        ),
     ).select(
         id_col,
         "pos",
@@ -3079,11 +3140,15 @@ def _sentence_frame(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         _SENT_BOUNDARY_RE,
     )
 
+    from hadoop_invertedindexer_spark.sources.tables import spread_if_narrow
+
     sn_arr = F.split(
         F.regexp_replace(F.col(text_col), _SENT_BOUNDARY_RE, "$1\x01$2"),
         "\x01",
     )
-    return docs.select(F.col(id_col).alias("id"), sn_arr.alias("sn")).withColumn(
+    return spread_if_narrow(docs, id_col).select(
+        F.col(id_col).alias("id"), sn_arr.alias("sn")
+    ).withColumn(
         "s_len", F.size("sn")
     )
 
@@ -3103,7 +3168,7 @@ def _sentence_spans(frame: DataFrame, span: int) -> DataFrame:
     return frame.select(
         "id",
         "s_len",
-        F.posexplode(
+        F.posexplode_outer(
             F.when(
                 F.col("s_len") < span,
                 F.array(_sentence_norm_join(F.col("sn"))),

@@ -408,9 +408,16 @@ def positional_tokens(
         F.split(strip_punct(lowercase(text_col)), TOKEN_DELIM_CLASS),
         lambda t: t != F.lit(""),
     )
-    return docs.select(
-        doc_col, F.posexplode(arr).alias("pos", "word")
-    ).withColumn("pos", F.col("pos").cast("bigint"))
+    return (
+        docs.select(
+            # outer + null filter (r14): stops the inferred size()>0
+            # pushdown from re-tokenizing every doc twice at the scan
+            doc_col,
+            F.posexplode_outer(arr).alias("pos", "word"),
+        )
+        .where(F.col("word").isNotNull())
+        .withColumn("pos", F.col("pos").cast("bigint"))
+    )
 
 
 def phrase_search(

@@ -717,7 +717,9 @@ def chunk_text(
     )
     return df.select(
         F.col(id_col),
-        F.posexplode(chunks).alias("chunk_id", "chunk"),
+        # outer: n_chunks >= 1 always, and the non-outer form's inferred
+        # size()>0 filter re-ran the whole chunk transform at the scan
+        F.posexplode_outer(chunks).alias("chunk_id", "chunk"),
     ).select(
         id_col,
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
@@ -754,7 +756,8 @@ def bigram_counts(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.explode(pairs).alias("bigram"))
+        df.select(F.explode_outer(pairs).alias("bigram"))
+        .where(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -846,8 +849,8 @@ def _hashed_gram_features(
         ),
     ).otherwise(F.expr("cast(array() as array<string>)"))
     return base.select(
-        id_col, F.explode(F.concat(F.col("_tk"), bigrams)).alias("g")
-    ).select(
+        id_col, F.explode_outer(F.concat(F.col("_tk"), bigrams)).alias("g")
+    ).where(F.col("g").isNotNull()).select(
         id_col,
         F.pmod(
             F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint"),

@@ -23,6 +23,7 @@ from hadoop_invertedindexer_spark.operators.dedup import (
     lsh_bucket,
     vector_dim,
 )
+from hadoop_invertedindexer_spark.sources.tables import spread_if_narrow
 
 
 def _norm(col) -> "F.Column":
@@ -48,8 +49,11 @@ def cosine_topk_bruteforce(
     ids, pass ``exclude_self=False`` or a valid neighbor is silently
     dropped. Norms are hoisted into the per-side projections (O(N+Q)
     norm computations instead of O(N*Q) — per *pair* only the dot
-    product remains). Output: (qid, vec_id, cosine, rank)."""
-    c = corpus.select(
+    product remains). The corpus side spreads when its file provenance
+    is narrow (r14, :func:`spread_if_narrow`): the O(N·Q) scoring
+    stream otherwise runs inside a one-split scan stage on a single
+    core. Output: (qid, vec_id, cosine, rank)."""
+    c = spread_if_narrow(corpus, id_col).select(
         id_col, vec_col, _norm(F.col(vec_col)).alias("_cnorm")
     )
     q = queries.select(
@@ -99,8 +103,13 @@ def ivf_assign(
     (same IEEE operation sequence — ``dot/(sqrt(aa)·sqrt(bb))`` with
     the same fold order — and the same tie-break); the oracles prove
     it. ``dim`` is accepted for signature compatibility with the other
-    scoring paths; the fold needs no static width."""
-    c = corpus.select(
+    scoring paths; the fold needs no static width. The corpus side
+    spreads when its file provenance is narrow (r14,
+    :func:`spread_if_narrow`): the O(N·C) scoring stream otherwise runs
+    inside a one-split scan stage on a single core; derived/shuffled
+    inputs (the kmeans sample, an exchange output) skip the spread —
+    their parallelism is already set."""
+    c = spread_if_narrow(corpus, id_col).select(
         id_col,
         vec_col,
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_vn"),
@@ -263,10 +272,17 @@ def build_ivf_index(
     assigned = ivf_assign(corpus, centroids, id_col, vec_col).withColumn(
         "_cnorm", _norm(F.col(vec_col))
     )
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(
-        f"{path}/assignments"
+    # one file per bucket directory, not one per write task (§6 — r14):
+    # every probed-bucket read downstream opens fewer files; explicit N
+    # keeps the writers parallel (a bare repartition("cid") is
+    # AQE-coalescible down to one serial writer task)
+    width = corpus.sparkSession.sparkContext.defaultParallelism
+    assigned.repartition(width, "cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{path}/assignments")
+    centroids.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
     )
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def append_ivf_index(
@@ -288,9 +304,10 @@ def append_ivf_index(
     assigned = ivf_assign(batch, centroids, id_col, vec_col).withColumn(
         "_cnorm", _norm(F.col(vec_col))
     )
-    assigned.write.mode("append").partitionBy("cid").parquet(
-        f"{path}/assignments"
-    )
+    width = batch.sparkSession.sparkContext.defaultParallelism
+    assigned.repartition(width, "cid").write.mode("append").partitionBy(
+        "cid"
+    ).parquet(f"{path}/assignments")
 
 
 def query_ivf_index(
@@ -1372,9 +1389,13 @@ def pq_encode(
     the m*ksub codebook, and the per-(id,s) argmin is a single
     min(struct(dist, c)) aggregate — partial min runs map-side, so the
     one shuffle carries N*m best-so-far rows, never the N*m*ksub
-    candidate set. Output: (id, codes array<int> length m)."""
+    candidate set. A narrow-provenance corpus (one-split source)
+    spreads first (r14, :func:`spread_if_narrow`) so the N·m·ksub
+    scoring runs at full width. Output: (id, codes array<int> length
+    m)."""
     dim = vector_dim(corpus, vec_col, dim)
     dsub = dim // m
+    corpus = spread_if_narrow(corpus, id_col)
     subs = corpus.select(
         id_col,
         F.posexplode(
@@ -1659,21 +1680,42 @@ def build_ivfpq_index(
     sampled reconstruction error (:func:`_ivfpq_sample_recon`) that
     :func:`ivfpq_index_qerr` later divides against to make
     quantization drift observable without the codes tier ever storing
-    raw floats."""
+    raw floats.
+
+    r14 build-cost shape: the encoded frame is persisted once and read
+    by BOTH the codes write and the baseline probe (the probe no
+    longer re-reads the just-written codes tier off disk); codes
+    repartition by ``cid`` before the partitioned write so each bucket
+    directory holds ONE file instead of one per write task (the §6
+    small-files rule — every later probed-bucket read opens fewer
+    files); the three model tables and the baseline row are
+    metadata-scale and written single-file."""
     spark = corpus.sparkSession
     dim = vector_dim(corpus, vec_col, dim)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, dim)
-    ivfpq_encode(assigned, codebooks, m, id_col, vec_col, dim).write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(f"{path}/codes")
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    encoded = ivfpq_encode(
+        assigned, codebooks, m, id_col, vec_col, dim
+    ).transform(tracked_persist)  # codes write + qerr baseline probe
+    # EXPLICIT task count (not bare repartition("cid")): the keyless-N
+    # form is AQE-coalescible and collapsed the partitioned write to one
+    # task creating every bucket file serially; pinning N keeps the
+    # writers parallel while each cid still lands in exactly one file
+    width = spark.sparkContext.defaultParallelism
+    encoded.repartition(width, "cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{path}/codes")
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    codebooks.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    # NOTE: no coalesce(1) on the two one-row writes — a one-row local
+    # frame already lands in one file, and coalesce(1) over a local
+    # relation measured ~5 s vs 0.5 s plain (r14 A/B)
     spark.createDataFrame([(m, dim)], "m int, dim int").write.mode(
         "overwrite"
     ).parquet(f"{path}/params")
-    _ivfpq_sample_recon(spark, path, corpus, 256, id_col, vec_col).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/qerr_baseline")
+    _sample_recon_core(
+        encoded.select(id_col, "codes"), codebooks, m, dim, corpus, 256,
+        id_col, vec_col,
+    ).write.mode("overwrite").parquet(f"{path}/qerr_baseline")
 
 
 def append_ivfpq_index(
@@ -1698,9 +1740,12 @@ def append_ivfpq_index(
     centroids = spark.read.parquet(f"{path}/centroids")
     codebooks = spark.read.parquet(f"{path}/codebooks")
     assigned = ivf_assign(batch, centroids, id_col, vec_col, int(p.dim))
+    width = spark.sparkContext.defaultParallelism
     ivfpq_encode(
         assigned, codebooks, int(p.m), id_col, vec_col, int(p.dim)
-    ).write.mode("append").partitionBy("cid").parquet(f"{path}/codes")
+    ).repartition(width, "cid").write.mode("append").partitionBy(
+        "cid"
+    ).parquet(f"{path}/codes")
 
 
 def query_ivfpq_index(
@@ -1805,6 +1850,26 @@ def _ivfpq_sample_recon(
     integer-exact, so it value-hashes in SQL."""
     p = spark.read.parquet(f"{path}/params").head()
     m, dim = int(p.m), int(p.dim)
+    codes = spark.read.parquet(f"{path}/codes").select(id_col, "codes")
+    cbdf = spark.read.parquet(f"{path}/codebooks")
+    return _sample_recon_core(
+        codes, cbdf, m, dim, corpus, n_sample, id_col, vec_col
+    )
+
+
+def _sample_recon_core(
+    codes: DataFrame,
+    cbdf: DataFrame,
+    m: int,
+    dim: int,
+    corpus: DataFrame,
+    n_sample: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The frames-form of :func:`_ivfpq_sample_recon` (r14): build-time
+    callers pass the just-encoded in-memory codes frame instead of
+    re-reading the tier they are writing — same rows, same integers."""
     dsub = dim // m
     sample = (
         corpus.select(id_col, vec_col, md5_order_key(id_col).alias("_mk"))
@@ -1814,8 +1879,6 @@ def _ivfpq_sample_recon(
             id_col, _pq_quantized_coords(F.col(vec_col)).alias("_cx")
         )
     )
-    codes = spark.read.parquet(f"{path}/codes").select(id_col, "codes")
-    cbdf = spark.read.parquet(f"{path}/codebooks")
     per = (
         codes.join(F.broadcast(sample), id_col)
         .select(id_col, "_cx", F.posexplode("codes").alias("s", "c"))

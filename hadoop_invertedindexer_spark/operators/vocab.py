@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from hadoop_invertedindexer_spark.operators.dedup import token_array
+from hadoop_invertedindexer_spark.sources.tables import spread_if_narrow
 
 
 def build_vocab(
@@ -39,7 +40,7 @@ def build_vocab(
     1. See :func:`rank_vocab` for why the top-k happens BEFORE the rank
     window."""
     counts = (
-        docs.select(F.explode(token_array(text_col)).alias("token"))
+        docs.select(F.explode_outer(token_array(text_col)).alias("token"))
         .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -63,7 +64,7 @@ def encode_tokens(
     exchange on ``id_col``."""
     tok = docs.select(
         F.col(id_col),
-        F.posexplode(token_array(text_col)).alias("pos", "token"),
+        F.posexplode_outer(token_array(text_col)).alias("pos", "token"),
     ).where(F.col("token") != "")
     mapped = tok.join(
         F.broadcast(vocab.select("token", "token_id")), "token", "left"
@@ -103,7 +104,7 @@ def merge_vocab_counts(
     trading rank fidelity for id stability (documented, not needed by
     the encode path which re-joins by token)."""
     batch = (
-        new_docs.select(F.explode(token_array(text_col)).alias("token"))
+        new_docs.select(F.explode_outer(token_array(text_col)).alias("token"))
         .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -181,7 +182,7 @@ def pack_tokens(
     partitioning, hash-checked by the oracle."""
     tok = docs.select(
         F.col(id_col),
-        F.posexplode(token_array(text_col)).alias("pos", "token"),
+        F.posexplode_outer(token_array(text_col)).alias("pos", "token"),
     ).where(F.col("token") != "")
     mapped = tok.join(
         F.broadcast(vocab.select("token", "token_id")), "token", "left"
@@ -345,13 +346,19 @@ def bpe_train(
 
 def _bpe_word_dict(docs: DataFrame, text_col: str) -> DataFrame:
     """(ws, cnt): the char-symbol word-frequency dictionary — the ONE
-    corpus-scale shuffle of BPE training."""
+    corpus-scale shuffle of BPE training. A narrow-provenance source
+    spreads first (r14) so the tokenize+explode map side runs at full
+    width."""
     return (
-        docs.select(
-            F.explode(
+        spread_if_narrow(docs, text_col).select(
+            # explode_OUTER + null filter (r14): stops the inferred
+            # size()>0 pushdown from re-tokenizing every doc twice at
+            # the scan; empty-token docs drop via the isNotNull
+            F.explode_outer(
                 F.filter(token_array(text_col), lambda t: t != "")
             ).alias("word")
         )
+        .where(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.concat_ws(" ", F.split("word", "")).alias("ws"), "cnt")
@@ -367,20 +374,27 @@ def _bpe_loop(
 ) -> list[tuple[int, str, str, str, int]]:
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(start_rank + 1, start_rank + num_merges + 1):
+        # the symbol array is MATERIALIZED in a child projection and the
+        # shifted lookup reads element_at off that attribute (r14):
+        # element_at(F.split(...), i) inside the lambda re-ran the split
+        # per element — the O(L²) interpreted-HOF trap this module's own
+        # _gram_stream comment warns about, paid once per merge round
         pair_arr = F.transform(
-            F.split("ws", " "),
+            F.col("_sy"),
             lambda s, i: F.when(
                 i >= 1,
-                F.concat(F.element_at(F.split("ws", " "), i), F.lit(" "), s),
+                F.concat(F.element_at(F.col("_sy"), i), F.lit(" "), s),
             ),
         )
         top = (
-            cur.select(
-                F.explode(F.filter(pair_arr, lambda p: p.isNotNull())).alias(
-                    "pair"
-                ),
+            cur.select(F.split("ws", " ").alias("_sy"), "cnt")
+            .select(
+                F.explode_outer(
+                    F.filter(pair_arr, lambda p: p.isNotNull())
+                ).alias("pair"),
                 "cnt",
             )
+            .where(F.col("pair").isNotNull())
             .groupBy("pair")
             .agg(F.sum("cnt").alias("freq"))
             .orderBy(F.desc("freq"), F.asc("pair"))
@@ -658,6 +672,10 @@ def bpe_encode(
         for m in merges.orderBy("merge_rank").collect()
     ]
     carries = [F.col(c) for c in carry_cols]
+    # the per-document replace chain is the heaviest string CPU in the
+    # module — spread a narrow-provenance source first (r14) so it runs
+    # at full width instead of inside a one-split scan stage
+    docs = spread_if_narrow(docs, id_col)
     base = docs.select(
         F.col(id_col),
         *carries,
@@ -788,7 +806,7 @@ def vocab_coverage(
     groupBy to ≤ |strata| rows with partial aggregation."""
     tok = docs.select(
         F.col(group_col),
-        F.explode(token_array(text_col)).alias("token"),
+        F.explode_outer(token_array(text_col)).alias("token"),
     ).where(F.col("token") != "")
     # distinct BEFORE the broadcast join: a vocab frame with duplicate
     # token rows would fan out the join and inflate n_tokens, skewing

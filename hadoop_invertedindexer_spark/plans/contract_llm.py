@@ -1255,9 +1255,12 @@ def q_classifier_train_continue(
         .otherwise(F.lit(-1))
         .alias("y"),
     )
-    w2 = textstats.classifier_train(d, n_iters=2, n_features=1024)
+    feats = textstats.classifier_features(d, n_features=1024, label_col="y")
+    w2 = textstats.classifier_train(
+        d, n_iters=2, n_features=1024, features=feats
+    )
     return textstats.classifier_train(
-        d, n_iters=2, n_features=1024, init_weights=w2
+        d, n_iters=2, n_features=1024, init_weights=w2, features=feats
     )
 
 
@@ -1278,8 +1281,11 @@ def q_classifier_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(-1))
         .alias("y"),
     )
-    w = textstats.classifier_train(d, n_iters=4, n_features=1024)
-    return textstats.classifier_predict(d, w, n_features=1024)
+    feats = textstats.classifier_features(d, n_features=1024, label_col="y")
+    w = textstats.classifier_train(
+        d, n_iters=4, n_features=1024, features=feats
+    )
+    return textstats.classifier_predict(d, w, n_features=1024, features=feats)
 
 
 def q_classifier_train_bigrams(
@@ -1326,11 +1332,14 @@ def q_classifier_predict_bigrams(
         .otherwise(F.lit(-1))
         .alias("y"),
     )
+    feats = textstats.classifier_features(
+        d, n_features=1024, word_ngrams=2, label_col="y"
+    )
     w = textstats.classifier_train(
-        d, n_iters=4, n_features=1024, word_ngrams=2
+        d, n_iters=4, n_features=1024, word_ngrams=2, features=feats
     )
     return textstats.classifier_predict(
-        d, w, n_features=1024, word_ngrams=2
+        d, w, n_features=1024, word_ngrams=2, features=feats
     )
 
 
@@ -1353,8 +1362,13 @@ def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(-1))
         .alias("y"),
     )
-    w = textstats.classifier_train(d, n_iters=4, n_features=1024)
-    preds = textstats.classifier_predict(d, w, n_features=1024)
+    feats = textstats.classifier_features(d, n_features=1024, label_col="y")
+    w = textstats.classifier_train(
+        d, n_iters=4, n_features=1024, features=feats
+    )
+    preds = textstats.classifier_predict(
+        d, w, n_features=1024, features=feats
+    )
     labeled = preds.withColumn(
         "y",
         F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)),
@@ -1383,8 +1397,13 @@ def q_classifier_calibration(
         .otherwise(F.lit(-1))
         .alias("y"),
     )
-    w = textstats.classifier_train(d, n_iters=4, n_features=1024)
-    preds = textstats.classifier_predict(d, w, n_features=1024)
+    feats = textstats.classifier_features(d, n_features=1024, label_col="y")
+    w = textstats.classifier_train(
+        d, n_iters=4, n_features=1024, features=feats
+    )
+    preds = textstats.classifier_predict(
+        d, w, n_features=1024, features=feats
+    )
     labeled = preds.withColumn(
         "y",
         F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)),
@@ -1413,8 +1432,13 @@ def q_classifier_pr_sweep(
         .otherwise(F.lit(-1))
         .alias("y"),
     )
-    w = textstats.classifier_train(d, n_iters=4, n_features=1024)
-    preds = textstats.classifier_predict(d, w, n_features=1024)
+    feats = textstats.classifier_features(d, n_features=1024, label_col="y")
+    w = textstats.classifier_train(
+        d, n_iters=4, n_features=1024, features=feats
+    )
+    preds = textstats.classifier_predict(
+        d, w, n_features=1024, features=feats
+    )
     labeled = preds.withColumn(
         "y",
         F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)),
@@ -1443,9 +1467,12 @@ def q_corpus_filter_classifier(
         .otherwise(F.lit(-1))
         .alias("y"),
     )
-    w = textstats.classifier_train(d, n_iters=4, n_features=1024)
+    feats = textstats.classifier_features(d, n_features=1024, label_col="y")
+    w = textstats.classifier_train(
+        d, n_iters=4, n_features=1024, features=feats
+    )
     return textstats.corpus_filter_classifier(
-        d, w, min_precision_mils=900, n_features=1024
+        d, w, min_precision_mils=900, n_features=1024, features=feats
     )
 
 

@@ -104,3 +104,28 @@ def spread_partitions(df: DataFrame, key: str) -> DataFrame:
     downstream explode produces.
     """
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
+def spread_if_narrow(df: DataFrame, key: str) -> DataFrame:
+    """:func:`spread_partitions`, applied ONLY when the frame's file
+    provenance says scan parallelism is actually deficient (r14).
+
+    The guard makes the spread scale-adaptive instead of constant-cost:
+    ``df.inputFiles()`` is driver-side metadata (no job); when the frame
+    reads fewer files than half the session's parallelism — the
+    single-file fixture / one-slab ingest shape, where the downstream
+    per-row compute (vector dot scoring, per-gram hashing) would
+    otherwise run on one core — the repartition buys full width for one
+    input-sized shuffle. When the input is already many-splits (any real
+    corpus at scale), or the frame is a derived/shuffled intermediate
+    (``inputFiles`` empty — its parallelism came from an exchange), the
+    repartition would be a pure wasted pass over the payload and is
+    skipped."""
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    width = df.sparkSession.sparkContext.defaultParallelism
+    if 0 < n_files < max(2, width // 2):
+        return spread_partitions(df, key)
+    return df
