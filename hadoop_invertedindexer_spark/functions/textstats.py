@@ -657,7 +657,11 @@ def _hashed_gram_features(
             "(fastText wordNgrams bigrams) are supported"
         )
     from hadoop_invertedindexer_spark.operators.dedup import token_array
+    from hadoop_invertedindexer_spark.sources.tables import spread_if_narrow
 
+    # spread a narrow-provenance source (r14): the tokenize+md5 stream
+    # otherwise runs inside the one-split scan stage on a single core
+    docs = spread_if_narrow(docs, id_col)
     base = docs.select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],

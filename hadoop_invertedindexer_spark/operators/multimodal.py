@@ -89,7 +89,14 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(encode, schema)
+    from hadoop_invertedindexer_spark.sources.tables import spread_if_narrow
+
+    # spread a narrow-provenance source (r14): mapInPandas parallelism
+    # is the input's partition count — a one-split source runs the whole
+    # codec in ONE Python worker
+    return spread_if_narrow(docs, "doc_id").select(
+        "doc_id", "text"
+    ).mapInPandas(encode, schema)
 
 
 def decode_image_meta(binary_df: DataFrame, fake: bool = False) -> DataFrame:
@@ -444,7 +451,14 @@ def synthesize_audio(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(encode, schema)
+    from hadoop_invertedindexer_spark.sources.tables import spread_if_narrow
+
+    # spread a narrow-provenance source (r14): mapInPandas parallelism
+    # is the input's partition count — a one-split source runs the whole
+    # codec in ONE Python worker
+    return spread_if_narrow(docs, "doc_id").select(
+        "doc_id", "text"
+    ).mapInPandas(encode, schema)
 
 
 def decode_audio_meta(binary_df: DataFrame) -> DataFrame:

@@ -117,10 +117,13 @@ def spread_if_narrow(df: DataFrame, key: str) -> DataFrame:
     per-row compute (vector dot scoring, per-gram hashing) would
     otherwise run on one core — the repartition buys full width for one
     input-sized shuffle. When the input is already many-splits (any real
-    corpus at scale), or the frame is a derived/shuffled intermediate
-    (``inputFiles`` empty — its parallelism came from an exchange), the
-    repartition would be a pure wasted pass over the payload and is
-    skipped."""
+    corpus at scale), or the frame has no file provenance at all
+    (``inputFiles`` empty — a range/local/streamed source whose
+    parallelism came from elsewhere), the repartition would be a pure
+    wasted pass over the payload and is skipped. Note the guard sees
+    LEAF files through derivations: a small aggregate derived from a
+    one-file scan still reports that file and spreads — acceptable,
+    since the spread is proportional to the (small) frame itself."""
     try:
         n_files = len(df.inputFiles())
     except Exception:

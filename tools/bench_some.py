@@ -23,10 +23,13 @@ from hadoop_invertedindexer_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args = sys.argv[1:]
     repeats = 3
-    if "--repeats" in sys.argv:
-        repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
+    if "--repeats" in args:
+        i = args.index("--repeats")
+        repeats = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    names = [a for a in args if not a.startswith("--")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(
         app_name="hii-bench-some",
