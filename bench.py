@@ -224,6 +224,18 @@ CHECK_PATH = os.path.join(
 CAPTURE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_queries_last.json"
 )
+# Per-core-count capture twin (r15, VERDICT r14 item 6): the driver's
+# scaling run (same bench at a lower $SPARK_GRAFT_CPUS) used to
+# OVERWRITE bench_queries_last.json, losing the main run's per-query
+# record — PERF_r14.per_query and .scaling came back empty. Every plain
+# capture now ALSO writes bench_queries_last_c{cpus}.json so both runs
+# survive side by side; the legacy path keeps working for anything that
+# reads it, and the stdout contract is unchanged.
+def capture_path_for_cpus(cpus: int) -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"bench_queries_last_c{cpus}.json",
+    )
 # Hard budget for the single stdout line, with margin under the driver's
 # 2000-char tail window (pinned by tests/test_bench_guard.py).
 STDOUT_LINE_BUDGET = 1800
@@ -258,13 +270,16 @@ def write_queries_file(
     path: str = QUERIES_PATH,
     details: dict[str, dict] | None = None,
     run_started: str | None = None,
+    cpus: int | None = None,
 ) -> None:
     """Persist the full per-query medians (and the offline scale-soak
     file list) where the judge and driver can read them without any
     stdout length constraint. ``details`` carries the self-diagnosis
     data per query: start offset (monotonic seconds from run start),
     raw samples, and — when a capture-mode retry fired — the first-pass
-    median plus the isolated retry's own offset/samples."""
+    median plus the isolated retry's own offset/samples. ``cpus``
+    records the $SPARK_GRAFT_CPUS the run executed under so a scaling
+    re-run is attributable from the artifact alone (r15)."""
     doc = {
         "metric": "headline_queries_total",
         "value": total,
@@ -273,6 +288,8 @@ def write_queries_file(
         "repeats": repeats,
         "queries": timings,
     }
+    if cpus is not None:
+        doc["cpus"] = cpus
     if details:
         doc["query_details"] = details
     if run_started:
@@ -490,6 +507,7 @@ def main() -> None:
     out_path = (
         CHECK_PATH if do_check else QUERIES_PATH if do_update else CAPTURE_PATH
     )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     write_queries_file(
         total,
         sf,
@@ -499,7 +517,22 @@ def main() -> None:
         path=out_path,
         details=details,
         run_started=run_started,
+        cpus=cpus,
     )
+    if not do_check and not do_update:
+        # per-cpu twin so the scaling run can't clobber the main run's
+        # per-query evidence (VERDICT r14 item 6)
+        write_queries_file(
+            total,
+            sf,
+            repeats,
+            timings,
+            scale_files,
+            path=capture_path_for_cpus(cpus),
+            details=details,
+            run_started=run_started,
+            cpus=cpus,
+        )
     line = json.dumps(build_stdout_payload(total, sf, timings, path=out_path))
     assert len(line) < STDOUT_LINE_BUDGET, len(line)
     print(line)

@@ -37,6 +37,9 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from hadoop_invertedindexer_spark.caching import tracked_persist
+from hadoop_invertedindexer_spark.concurrency import (
+    run_overlapped as _run_overlapped,
+)
 
 from hadoop_invertedindexer_spark.functions.textprep import lowercase, strip_punct
 
@@ -322,12 +325,20 @@ def build_winnow_index(
     queries derive their selection from the INDEX contract and can
     never drift from it (the window-index n-param lesson)."""
     spark = docs.sparkSession
-    winnow_fingerprints(docs, k, w, id_col, text_col).select(
-        F.col(id_col).alias("id"), "fp"
-    ).distinct().write.mode("overwrite").parquet(f"{path}/fps")
-    spark.createDataFrame([(k, w)], "k int, w int").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/params")
+
+    def _write_fps() -> None:
+        winnow_fingerprints(docs, k, w, id_col, text_col).select(
+            F.col(id_col).alias("id"), "fp"
+        ).distinct().write.mode("overwrite").parquet(f"{path}/fps")
+
+    def _write_params() -> None:
+        spark.createDataFrame([(k, w)], "k int, w int").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/params")
+
+    # independent sinks overlap (guide §2.6, r15): the metadata write's
+    # driver gap hides under the fingerprint pass instead of following it
+    _run_overlapped(_write_fps, _write_params)
 
 
 def append_winnow_index(
@@ -897,6 +908,14 @@ def _doc_shingles(
             F.col(id_col).alias("id"),
             F.explode_outer(word_ngrams(text_col, n)).alias("sh_str"),
         )
+        # null guard on the GENERATED attribute (r15, ADVICE r14): a
+        # NULL-text doc makes word_ngrams NULL and the outer generator
+        # would emit a NULL shingle whose xxhash64 collapses to the
+        # seed, pairing every NULL-text doc with every other; non-null
+        # text never yields NULL shingles, so this drops nothing today
+        # and keeps the equivalence independent of size-of-null
+        # semantics. Cannot be pushed below the Generate.
+        .where(F.col("sh_str").isNotNull())
         .select("id", F.xxhash64("sh_str").alias("sh"))
         .distinct()
     )
@@ -1245,6 +1264,7 @@ def shingle_cap_recall_estimate(
             F.col(id_col).alias("id"),
             F.explode_outer(word_ngrams(text_col, n)).alias("sh_str"),
         )
+        .where(F.col("sh_str").isNotNull())  # r15 NULL-text guard, see _doc_shingles
         .distinct()
         .transform(tracked_persist)  # df aggregate + sampled expansion
     )
@@ -1396,11 +1416,13 @@ def contamination(
             F.col(id_col).alias("id"),
             F.explode_outer(word_ngrams(text_col, n)).alias("sh_str"),
         )
+        .where(F.col("sh_str").isNotNull())  # r15 NULL-text guard, see _doc_shingles
         .select("id", F.xxhash64("sh_str").alias("sh"))
         .distinct()
     )
     ev = F.broadcast(
         evalset.select(F.explode_outer(word_ngrams(text_col, n)).alias("sh_str"))
+        .where(F.col("sh_str").isNotNull())  # r15 NULL-text guard
         .select(F.xxhash64("sh_str").alias("sh"))
         .distinct()
     )
@@ -1451,11 +1473,14 @@ def minhash_signatures(
         _spread(docs, spread_col or id_col)
         # explode_OUTER: see _doc_shingles — stops the inferred
         # size()>0 filter from re-running the shingle expression at the
-        # scan; word_ngrams is never empty/null, rows identical (r14)
+        # scan; word_ngrams of non-null text is never empty/null, and
+        # the r15 null guard restores the inner-explode row set for
+        # NULL-text docs (ADVICE r14).
         .select(
             F.col(id_col).alias("id"),
             F.explode_outer(word_ngrams(text_col, n)).alias("sh"),
         )
+        .where(F.col("sh").isNotNull())
     )
     if portable:
         sh = sh.distinct()
@@ -1720,14 +1745,25 @@ def build_minhash_index(
     sig = minhash_signatures(
         docs, num_perm, n, id_col, text_col, portable=portable
     ).persist()  # feeds both writes below
-    sig.write.mode("overwrite").parquet(f"{path}/signatures")
-    _banded_signatures(sig, bands, num_perm // bands, portable).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/banded")
-    docs.sparkSession.createDataFrame(
-        [(num_perm, bands, n, portable)],
-        "num_perm int, bands int, n int, portable boolean",
-    ).write.mode("overwrite").parquet(f"{path}/params")
+
+    def _write_signatures() -> None:
+        sig.write.mode("overwrite").parquet(f"{path}/signatures")
+
+    def _write_banded() -> None:
+        _banded_signatures(
+            sig, bands, num_perm // bands, portable
+        ).write.mode("overwrite").parquet(f"{path}/banded")
+
+    def _write_params() -> None:
+        docs.sparkSession.createDataFrame(
+            [(num_perm, bands, n, portable)],
+            "num_perm int, bands int, n int, portable boolean",
+        ).write.mode("overwrite").parquet(f"{path}/params")
+
+    # independent sinks overlap (guide §2.6, r15); both signature
+    # consumers share the persist (per-block locks make the concurrent
+    # materialization safe), the params row rides along
+    _run_overlapped(_write_signatures, _write_banded, _write_params)
     sig.unpersist()
 
 
@@ -2054,7 +2090,14 @@ def content_chunks(
     tok = docs.select(
         F.col(id_col),
         F.posexplode_outer(F.split(F.col(text_col), " ")).alias("ord", "tok"),
-    )
+    ).where(F.col("tok").isNotNull())
+    # ^ the outer-generator null guard (r15, ADVICE r14): split() of a
+    # non-null text never yields NULL elements, so this drops nothing
+    # today — but a NULL-text doc would otherwise emit a spurious
+    # (ord=NULL, tok=NULL) row that the inner explode never produced.
+    # The filter sits on the GENERATED attribute, so it cannot be
+    # pushed below the Generate and cannot resurrect the inferred
+    # scan-level filter this site was converted to avoid.
     boundary = (
         F.conv(F.substring(F.md5(F.col("tok")), 1, 2), 16, 10).cast("int")
         % modulus
@@ -2183,7 +2226,11 @@ def build_bloom_filter(
     Build cost: one explode + distinct over the (small) eval side, one
     2048-group aggregation, one 2048-row array assembly. All JVM-side.
     """
-    ev = evalset.select(F.explode_outer(word_ngrams(text_col, n)).alias("sh")).distinct()
+    ev = (
+        evalset.select(F.explode_outer(word_ngrams(text_col, n)).alias("sh"))
+        .where(F.col("sh").isNotNull())  # r15 NULL-text guard
+        .distinct()
+    )
     return bloom_bitmap(ev, "sh", m_bits, k)
 
 
@@ -2250,6 +2297,7 @@ def bloom_decontaminate(
             F.col(id_col).alias("id"),
             F.explode_outer(word_ngrams(text_col, n)).alias("sh"),
         )
+        .where(F.col("sh").isNotNull())  # r15 NULL-text guard
         .distinct()
     )
     probed = tr.join(F.broadcast(bloom))
@@ -2305,6 +2353,7 @@ def duplicate_passages(
                 "pos", "sh_str"
             ),
         )
+        .where(F.col("sh_str").isNotNull())  # r15 NULL-text guard
         .select("id", "pos", F.xxhash64("sh_str").alias("sh"))
         .transform(tracked_persist)  # feeds both the df count and the interval join
     )
@@ -2711,12 +2760,18 @@ def build_window_index(
     SAME n, so every reader loads and asserts it — an index built with
     one n and queried with another would otherwise match nothing and
     silently under-decontaminate a compliance stage (ADVICE r9)."""
-    _window_hashes(_spread(docs, id_col), n, id_col, text_col).select(
-        "sh"
-    ).distinct().write.mode("overwrite").parquet(f"{path}/windows")
-    docs.sparkSession.createDataFrame([(n,)], "n int").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/params")
+    def _write_windows() -> None:
+        _window_hashes(_spread(docs, id_col), n, id_col, text_col).select(
+            "sh"
+        ).distinct().write.mode("overwrite").parquet(f"{path}/windows")
+
+    def _write_params() -> None:
+        docs.sparkSession.createDataFrame([(n,)], "n int").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/params")
+
+    # independent sinks overlap (guide §2.6, r15)
+    _run_overlapped(_write_windows, _write_params)
 
 
 def _assert_window_index_n(spark, path: str, n: int) -> None:
@@ -3089,6 +3144,13 @@ def _paragraph_keyed(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
             "pos", "para"
         ),
+    ).where(
+        # outer-generator null guard (r15, ADVICE r14): no-op for
+        # non-null text (split never yields NULL elements); a NULL-text
+        # doc would otherwise emit a spurious (pos=NULL, para=NULL) row
+        # the inner explode never produced. Generated-attribute filter —
+        # cannot push below the Generate.
+        F.col("para").isNotNull()
     ).select(
         id_col,
         "pos",
@@ -3474,14 +3536,21 @@ def build_sentence_index(
     keyed = _sentence_spans(
         _sentence_frame(_spread(docs, id_col), id_col, text_col), span
     )
-    keyed.where(
-        F.replace(F.col("sp"), F.lit("\x02"), F.lit("")) != ""
-    ).select(F.md5("sp").alias("h")).distinct().write.mode(
-        "overwrite"
-    ).parquet(f"{path}/sentences")
-    docs.sparkSession.createDataFrame([(span,)], "span int").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/params")
+
+    def _write_sentences() -> None:
+        keyed.where(
+            F.replace(F.col("sp"), F.lit("\x02"), F.lit("")) != ""
+        ).select(F.md5("sp").alias("h")).distinct().write.mode(
+            "overwrite"
+        ).parquet(f"{path}/sentences")
+
+    def _write_params() -> None:
+        docs.sparkSession.createDataFrame(
+            [(span,)], "span int"
+        ).write.mode("overwrite").parquet(f"{path}/params")
+
+    # independent sinks overlap (guide §2.6, r15)
+    _run_overlapped(_write_sentences, _write_params)
 
 
 def _assert_sentence_index_span(spark, path: str, span: int) -> None:

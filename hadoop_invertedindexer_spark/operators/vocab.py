@@ -228,9 +228,18 @@ def pack_tokens(
             F.col("_boff") + F.coalesce(F.sum("len").over(dw), F.lit(0)),
         )
     )
-    stream = offset_docs.select(
-        "_off", F.posexplode("ids").alias("i", "tid")
-    ).select("tid", (F.col("_off") + F.col("i")).alias("gpos"))
+    # posexplode_OUTER + null guard on the generated attribute (r15):
+    # the non-outer form made Catalyst infer `size(ids) > 0` into a
+    # Filter evaluated right below the Generate (visible in the r15
+    # pipeline_capstone before-plan); the guard restores the exact
+    # inner-explode row set if an ids array were ever empty/null.
+    stream = (
+        offset_docs.select(
+            "_off", F.posexplode_outer("ids").alias("i", "tid")
+        )
+        .where(F.col("i").isNotNull())
+        .select("tid", (F.col("_off") + F.col("i")).alias("gpos"))
+    )
     ordered_ids = F.transform(
         F.array_sort(F.collect_list(F.struct("gpos", "tid"))),
         lambda s: s["tid"],

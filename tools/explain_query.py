@@ -1,8 +1,9 @@
-"""Dump .explain("formatted") for bench queries into plans/r14/.
+"""Dump .explain("formatted") for bench queries into plans/<round>/.
 
 Usage:
     python tools/explain_query.py before winnow_pairs classifier_auc
     python tools/explain_query.py after  winnow_pairs
+    python tools/explain_query.py --round r15 before winnow_pairs
 
 Writes plans/r14/<query>_<tag>.txt. For maintenance queries whose
 construction performs the real work eagerly (build/append/maintain
@@ -25,13 +26,19 @@ from hadoop_invertedindexer_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    tag = sys.argv[1]
-    names = sys.argv[2:]
+    args = sys.argv[1:]
+    rnd = "r15"
+    if "--round" in args:
+        i = args.index("--round")
+        rnd = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    tag = args[0]
+    names = args[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        rnd,
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 import urllib.request
@@ -66,9 +67,17 @@ def main() -> None:
             for j in jobs:
                 st = time.strptime(j["submissionTime"][:19], "%Y-%m-%dT%H:%M:%S")
                 ct = time.strptime(j["completionTime"][:19], "%Y-%m-%dT%H:%M:%S")
-                # sub-second precision from the GMT fraction
-                sfrac = float(j["submissionTime"][19:23] or 0)
-                cfrac = float(j["completionTime"][19:23] or 0)
+
+                # sub-second precision from the GMT fraction; parse
+                # defensively — a timestamp with no fractional part made
+                # the fixed [19:23] slice yield 'GMT' and crash the
+                # profiler mid-run (r14 ADVICE)
+                def _frac(ts: str) -> float:
+                    mm = re.search(r"\.(\d+)", ts)
+                    return float("0." + mm.group(1)) if mm else 0.0
+
+                sfrac = _frac(j["submissionTime"])
+                cfrac = _frac(j["completionTime"])
                 dur = (time.mktime(ct) + cfrac) - (time.mktime(st) + sfrac)
                 tot_job += dur
                 n_stages += len(j["stageIds"])
