@@ -906,7 +906,17 @@ def _doc_shingles(
         _spread(docs, id_col)
         .select(
             F.col(id_col).alias("id"),
-            F.explode_outer(word_ngrams(text_col, n)).alias("sh_str"),
+            # array_distinct BEFORE the explode (r15): id is constant per
+            # input row, so per-doc string dedup == the old global
+            # (id, sh) .distinct() — but in-place in the scan stage,
+            # where the distinct was a full exchange of the posting
+            # frame. (Equal modulo an intra-doc xxhash64 collision,
+            # which the md5/xxhash contract already accepts and the
+            # DuckDB oracle — which counts distinct STRINGS — would
+            # have caught under the old post-hash dedup too.)
+            F.explode_outer(
+                F.array_distinct(word_ngrams(text_col, n))
+            ).alias("sh_str"),
         )
         # null guard on the GENERATED attribute (r15, ADVICE r14): a
         # NULL-text doc makes word_ngrams NULL and the outer generator
@@ -917,7 +927,6 @@ def _doc_shingles(
         # semantics. Cannot be pushed below the Generate.
         .where(F.col("sh_str").isNotNull())
         .select("id", F.xxhash64("sh_str").alias("sh"))
-        .distinct()
     )
 
 

@@ -18,6 +18,10 @@ def spark():
             # ~480 tests needs headroom for codegen classes, broadcast
             # refs, and hash-agg pages (OOM'd at ~350 tests without it)
             "spark.driver.memory": "8g",
+            # no test reads the UI/REST API; the live UI store update on
+            # every task/stage event is pure overhead across a ~920-test
+            # session (r15, suite-runtime work — VERDICT r14 item 5)
+            "spark.ui.enabled": "false",
         },
     )
     yield s

@@ -184,9 +184,30 @@ def test_all_oracle_queries_stay_jvm_side(spark):
         # by design, value-checked end-to-end
         "dedup_simhash",
     }
+    # Maintainer wrappers run their whole build/append/rebuild lifecycle
+    # EAGERLY at construction and return a one-row createDataFrame
+    # report — a LocalTableScan that cannot contain a Python node, so
+    # constructing them here bought ~40 s of index builds per suite run
+    # and checked nothing (r15, VERDICT r14 item 5). Their internal
+    # operators' plans ARE covered: every build/query/drift/encode stage
+    # appears below as its own oracle query (similarity_ivfpq*, ivf_drift,
+    # ivfpq_qerr, bpe_*, dsir_*, index_tier_stats, ...).
+    degenerate_report_plans = {
+        "maintain_index_tier",
+        "maintain_ivf_index",
+        "maintain_bpe_model",
+        "maintain_dsir_model",
+        "maintain_ivfpq_index",
+        "maintain_ivfpq_qerr",
+    }
     offenders = []
     for name in sorted(qs):
-        if name not in oracles or name.startswith("stream_") or name in deliberate_python:
+        if (
+            name not in oracles
+            or name.startswith("stream_")
+            or name in deliberate_python
+            or name in degenerate_report_plans
+        ):
             continue
         plan = _plan(qs[name](spark, SF))
         if (
